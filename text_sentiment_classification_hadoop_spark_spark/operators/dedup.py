@@ -1,0 +1,169 @@
+"""Deduplication operators for training-data pipelines (north star,
+SURVEY.md §2.11): exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+All hashing goes through the portable md5-derived 60-bit hash
+(``functions.hashing``) so every operator here is bit-checkable against
+the DuckDB oracle.
+
+Scale design (100 TB):
+- exact dedup = one hash-aggregate on a digest column (shuffle keyed on
+  the digest — uniform by construction, no skew);
+- MinHash-LSH = per-row signature (narrow), explode to (band, bucket)
+  keys, self-join only within buckets — candidate pairs are
+  O(collisions), never the O(n²) cross join;
+- SimHash = per-row 32-bit fingerprint (narrow); near-dup = band join
+  on fingerprint prefixes or hamming check on candidates;
+- n-gram Jaccard is only ever computed on LSH candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MINHASH_PRIME,
+    minhash_expr,
+    portable_hash64,
+    shingles_expr,
+    simhash_expr,
+)
+
+DEFAULT_NUM_PERM = 16
+DEFAULT_BANDS = 4  # 16 perms / 4 bands = 4 rows per band
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: keeps the minimum id per distinct
+    text → ``(text_hash, keeper_id, dup_count)``. Works on the digest
+    (fixed 32 bytes) rather than the full text so the shuffle carries
+    digests, not documents."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_perm: int = DEFAULT_NUM_PERM) -> DataFrame:
+    """Per-doc MinHash signature over word k-shingles →
+    ``(doc_id, sig array<bigint>)``. Entirely narrow (no shuffle)."""
+    sh = shingles_expr(F.col(text_col), k=k)
+    hashes = F.transform(sh, lambda s: portable_hash64(s))
+    return df.select(F.col(id_col), minhash_expr(hashes, num_perm).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        num_perm: int = DEFAULT_NUM_PERM,
+                        bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash) →
+    candidate pairs ``(id_a, id_b)`` with ``id_a < id_b``, distinct.
+
+    The join key is (band_idx, md5 of the band's rows) — collisions are
+    real near-dup candidates, so join fan-out is data-dependent, not
+    quadratic. At scale: the banded table is the only shuffle, keyed on
+    the band hash (uniform)."""
+    rows_per_band = num_perm // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)))
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_perm: int = DEFAULT_NUM_PERM,
+                      bands: int = DEFAULT_BANDS,
+                      threshold: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → estimated
+    Jaccard (signature agreement) filter ≥ threshold →
+    ``(id_a, id_b, est_jaccard)``."""
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                             lambda v: v))
+             / F.lit(num_perm)).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs:
+    |A∩B| / |A∪B| over distinct word k-shingles →
+    ``(id_a, id_b, jaccard)``. Shingle sets travel as arrays; the
+    set algebra is native (array_intersect/union) — no UDF."""
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles_expr(F.col(text_col), k)).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.when(F.size(F.array_union("sh_a", "sh_b")) > 0,
+                   F.size(F.array_intersect("sh_a", "sh_b"))
+                   / F.size(F.array_union("sh_a", "sh_b")))
+            .otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint → ``(doc_id, simhash)``. Narrow."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(F.col(id_col), simhash_expr(toks, bits).alias("simhash"))
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup: candidate generation via sign-LSH
+    buckets (deterministic hyperplanes), exact cosine on candidates →
+    ``(id_a, id_b, cosine)`` with cosine ≥ threshold.
+
+    Uses :mod:`similarity`'s bucketing so candidates are
+    O(per-bucket²), not O(n²)."""
+    from .similarity import cosine_expr, sign_lsh_bucket
+
+    bucketed = emb.select(F.col(id_col), F.col(vec_col),
+                          sign_lsh_bucket(F.col(vec_col), n_planes=8).alias("bucket"))
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )

@@ -1,0 +1,100 @@
+"""Event-stream operators (batch form) over the ``events`` table:
+tumbling windows, sessionization, per-user pivots, JSON prop access.
+
+The Structured Streaming variants (same logical aggregations with
+watermarks) live in ``streaming.pipeline``; these batch forms are the
+oracle-checkable semantics.
+
+Scale notes: windowed aggregation shuffles once on (window, key);
+sessionization shuffles once on user_id then runs a per-user sort —
+both AQE-coalesced. Time bucketing is epoch arithmetic (codegen), not a
+UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str,
+                    minutes: int = 5) -> DataFrame:
+    """Tumbling-window counts/sums per event_type →
+    ``(window_start, event_type, n, total_value)``.
+
+    Bucket = epoch-floor arithmetic, equivalent to
+    ``F.window(ts, '5 minutes')`` but trivially mirrored in ANSI SQL."""
+    e = load_table(spark, "events", sf_dir)
+    secs = minutes * 60
+    # ts.cast(double) = fractional epoch seconds (unix_timestamp would
+    # truncate sub-second parts and disagree with the oracle's epoch()).
+    bucket = F.to_timestamp(F.floor(F.col("ts").cast("double") / secs) * secs)
+    return (
+        e.groupBy(bucket.alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str,
+               gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization → one row per (user, session):
+    ``(user_id, session_id, session_start, session_end, n_events)``.
+
+    Classic lag + cumulative-sum-of-boundaries; one shuffle on user_id,
+    per-user time sort within partitions."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = gap_minutes * 60
+    with_bounds = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            (F.col("ts").cast("double")
+             - F.lag("ts").over(w).cast("double")) > gap, 1
+        ).otherwise(0).alias("_new_session"),
+    )
+    with_ids = with_bounds.withColumn(
+        "session_id",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type counts per user (explicit value list so the
+    output schema is static — required for both the oracle and any
+    100 TB run; never let pivot infer values with a scan)."""
+    e = load_table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access on the ``props`` string column (north-star JSON
+    functions): extract ``$.k`` as int, aggregate by event_type."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.max("k").alias("max_k"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,141 @@
+"""Multinomial Naive Bayes as pure DataFrame aggregation + broadcast join.
+
+Semantics replicated from the reference (SURVEY.md §2.9 M2-M3):
+
+- Training (``NB.java:46-124``): per-word class occurrence counts (A1),
+  class priors ``P(c) = tweets_c / tweets`` (``NB.java:158-159``),
+  Laplace-smoothed likelihood
+  ``P(w|c) = (count_{w,c} + 1) / (words_c + |V|)`` (``NB.java:189-194``)
+  where ``words_c`` counts tokens via ``split("\\s+").length`` — an empty
+  cleaned text still contributes 1 (``NB.java:80,85`` quirk, preserved).
+- Scoring (``NB.java:197-268``): per tweet multiply ``P(c)`` by
+  ``P(w|c)`` for every token occurrence whose word is in the vocabulary
+  (unmatched tokens contribute nothing — inner-join semantics,
+  ``NB.java:232-243``); argmax with tie → NEGATIVE
+  (``Double.compare(pos,neg) > 0``, ``NB.java:250``).
+
+Differences from the reference (deliberate, SURVEY.md §4.2):
+- log-space scoring (the reference multiplies raw doubles and can
+  underflow on long texts; log-space is order-equivalent otherwise);
+- hash join instead of the reference's accidental O(tokens×|V|)
+  nested-loop probe (``NB.java:234-241``) — same semantics;
+- the model is a broadcast DataFrame, not a per-task HDFS re-read.
+
+Scale notes (100 TB story): training is one explode + one hash
+aggregation — partial (map-side) aggregation halves shuffle volume
+automatically; the model (vocabulary-sized, ~1e6 rows) broadcasts, so
+scoring is shuffle-free except the per-doc sum, which AQE coalesces.
+The six scalar stats are collected to the driver (tiny) and folded into
+literals — the Spark-native analog of the reference's Configuration
+scalars (J4, ``NB.java:305-316``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import explode_tokens, token_count_quirk
+
+
+@dataclass(frozen=True)
+class NBStats:
+    """The reference's six Configuration scalars (``NB.java:305-316``)."""
+    tweets_size: int
+    pos_tweets_size: int
+    neg_tweets_size: int
+    pos_words_size: int
+    neg_words_size: int
+    features_size: int
+
+
+def nb_token_counts(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", label_col: str = "label") -> DataFrame:
+    """A1: per-word class occurrence counts → ``(word, pos_count, neg_count)``."""
+    tokens = explode_tokens(docs.select(id_col, label_col, text_col), text_col=text_col)
+    return tokens.groupBy("word").agg(
+        F.count(F.when(F.col(label_col) == 1.0, F.lit(1))).alias("pos_count"),
+        F.count(F.when(F.col(label_col) != 1.0, F.lit(1))).alias("neg_count"),
+    )
+
+
+def nb_stats(docs: DataFrame, model: DataFrame, text_col: str = "text",
+             label_col: str = "label") -> NBStats:
+    """A3-A5 in two tiny aggregations (one over docs, one over the model)."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("tweets_size"),
+        F.sum(F.when(F.col(label_col) == 1.0, 1).otherwise(0)).alias("pos_tweets_size"),
+        F.sum(F.when(F.col(label_col) != 1.0, 1).otherwise(0)).alias("neg_tweets_size"),
+        F.sum(F.when(F.col(label_col) == 1.0, token_count_quirk(F.col(text_col)))
+              .otherwise(0)).alias("pos_words_size"),
+        F.sum(F.when(F.col(label_col) != 1.0, token_count_quirk(F.col(text_col)))
+              .otherwise(0)).alias("neg_words_size"),
+    ).collect()[0]
+    features_size = model.count()  # A5: COUNT(DISTINCT word) == model rows
+    return NBStats(
+        tweets_size=row["tweets_size"],
+        pos_tweets_size=int(row["pos_tweets_size"] or 0),
+        neg_tweets_size=int(row["neg_tweets_size"] or 0),
+        pos_words_size=int(row["pos_words_size"] or 0),
+        neg_words_size=int(row["neg_words_size"] or 0),
+        features_size=features_size,
+    )
+
+
+def nb_train(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             label_col: str = "label") -> tuple[DataFrame, NBStats]:
+    """M2: model DF ``(word, pos_count, neg_count, log_p_pos, log_p_neg)``
+    plus the scalar stats. Smoothed probabilities are derived once here
+    (the reference recomputes them in every map task's ``setup()``,
+    ``NB.java:189-194`` — an anti-pattern we don't copy)."""
+    counts = nb_token_counts(docs, id_col, text_col, label_col)
+    stats = nb_stats(docs, counts, text_col, label_col)
+    v = stats.features_size
+    model = counts.select(
+        "word", "pos_count", "neg_count",
+        F.log((F.col("pos_count") + 1) / F.lit(stats.pos_words_size + v)).alias("log_p_pos"),
+        F.log((F.col("neg_count") + 1) / F.lit(stats.neg_words_size + v)).alias("log_p_neg"),
+    )
+    return model, stats
+
+
+def nb_score(docs: DataFrame, model: DataFrame, stats: NBStats,
+             id_col: str = "doc_id", text_col: str = "text",
+             label_col: str = "label") -> DataFrame:
+    """M3 (log-space): returns docs + ``score_pos/score_neg/prediction``.
+
+    prediction: 1.0 iff ``score_pos > score_neg`` (tie → 0.0/NEGATIVE,
+    ``NB.java:250``). Docs with empty cleaned text or all-unseen tokens
+    score on priors alone (product stays 1.0 in the reference,
+    ``NB.java:125-128,244-247``).
+    """
+    log_prior_pos = F.lit(float("-inf")) if stats.pos_tweets_size == 0 else \
+        F.log(F.lit(stats.pos_tweets_size / stats.tweets_size))
+    log_prior_neg = F.lit(float("-inf")) if stats.neg_tweets_size == 0 else \
+        F.log(F.lit(stats.neg_tweets_size / stats.tweets_size))
+
+    tokens = explode_tokens(docs.select(id_col, text_col), text_col=text_col)
+    sums = (
+        tokens.join(F.broadcast(model.select("word", "log_p_pos", "log_p_neg")),
+                    "word", "inner")
+        .groupBy(id_col)
+        .agg(F.sum("log_p_pos").alias("_s_pos"), F.sum("log_p_neg").alias("_s_neg"))
+    )
+    scored = (
+        docs.join(sums, id_col, "left")
+        .withColumn("score_pos", log_prior_pos + F.coalesce(F.col("_s_pos"), F.lit(0.0)))
+        .withColumn("score_neg", log_prior_neg + F.coalesce(F.col("_s_neg"), F.lit(0.0)))
+        .drop("_s_pos", "_s_neg")
+    )
+    # The margin is rounded to 9 dp before the sign test: semantically a
+    # no-op (real margins are >> 1e-9) but it makes the prediction
+    # independent of floating-point summation order, so Spark and the
+    # DuckDB oracle agree bit-for-bit. Tie (rounded margin == 0) →
+    # NEGATIVE, preserving ``NB.java:250``.
+    return scored.withColumn(
+        "prediction",
+        F.when(F.round(F.col("score_pos") - F.col("score_neg"), 9) > 0,
+               F.lit(1.0)).otherwise(F.lit(0.0)),
+    )

@@ -1,0 +1,218 @@
+"""Relational operator coverage (SURVEY.md §2.1-§2.8) exercised on the
+driver's TPC-H-ish tables.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame, with a
+1:1 ANSI-SQL oracle in ``__spark_entry__.oracle_sql()``. Together they
+cover: scans S1-S4, projection/filter P3-P7, aggregations A1-A8
+(group-by with partial agg, conditional counts, COUNT(DISTINCT), global
+aggregates), joins J1-J4 (broadcast inner, left-outer + coalesce(0),
+scalar broadcast), sort O1-O2, union U1, plus the window/top-k
+operators the north star adds (§2.11).
+
+Scale notes are per-function docstrings; the common themes:
+- dims (region/nation/customer) are broadcast — no shuffle of the fact;
+- aggregates rely on Catalyst partial aggregation (map-side combine);
+- doubles are rounded at the output edge only (oracle stability), never
+  inside the aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4/A8 analog: grouped multi-aggregate over the fact table
+    (TPC-H Q1 shape). One shuffle on the 6-value group key; partial
+    aggregation makes shuffle volume O(groups), not O(rows)."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.filter(F.col("l_shipdate") < F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: chained broadcast hash joins (customer⋈nation⋈region dims
+    broadcast; orders fact never shuffled for the join) + group-by.
+    The Spark-native form of the reference's replicated-HashMap
+    map-side join (``NB.java:163-187``)."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+             F.count(F.lit(1)).alias("order_count"))
+        .orderBy("r_name")
+    )
+
+
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: exact COUNT(DISTINCT) per group (the reference's
+    FEATURES_SIZE vocabulary count, ``NB.java:107``). At 100 TB an
+    ``approx_count_distinct`` variant avoids the distinct expand —
+    provided separately in the bench."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("distinct_parts"),
+             F.count(F.lit(1)).alias("line_count"))
+        .orderBy("l_suppkey")
+    )
+
+
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: multi-conditional counts in ONE pass (the reference's 11
+    global counters, ``NB.java:27-39`` — one scan, no shuffle beyond a
+    single-row reduce)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
+        F.round(F.sum(F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice"))
+                      .otherwise(0.0)), 2).alias("high_value_total"),
+    )
+
+
+def union_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/S3: UNION ALL of two scans then aggregate (the reference's
+    multi-directory input union, ``SVM.java:180-182``)."""
+    o = load_table(spark, "orders", sf_dir)
+    hi = o.filter(F.col("o_totalprice") >= 200000.0)
+    lo = o.filter(F.col("o_totalprice") < 50000.0)
+    return (
+        hi.unionAll(lo)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: global sort surfaced as an explicit rank so the order is
+    value-checkable (the reference's accidental single-reducer sort,
+    ``NB.java:318-328``). Range-partitioned sort → rank; at scale
+    prefer ``sortWithinPartitions`` unless a total order is required."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 100)
+        .orderBy("price_rank")
+    )
+
+
+def customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 semantics: left outer join + coalesce(0) — unmatched keys
+    contribute zero, exactly the SVM weight probe
+    ``getOrDefault(w, 0.0)`` (``SVM.java:141``)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("_total"), F.count(F.lit(1)).alias("_n"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.round(F.coalesce(F.col("_total"), F.lit(0.0)), 2).alias("order_total"),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("order_count"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: scalar broadcast — a global aggregate joined back against the
+    fact (the reference's Configuration-scalar push,
+    ``NB.java:305-316``). Catalyst plans the scalar side as a 1-row
+    broadcast; the fact scan stays pushdown-filtered."""
+    l = load_table(spark, "lineitem", sf_dir)
+    avg_df = l.agg(F.avg("l_extendedprice").alias("_avg"))
+    return (
+        l.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("l_extendedprice") > 2 * F.col("_avg"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above"),
+             F.round(F.max("l_extendedprice"), 2).alias("max_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+def filtered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P7 + O4: narrow-only plan (projection + filter, zero
+    exchanges — the reference's map-only job, ``SVM.java:195``).
+    Filter and 4-column projection both push into the parquet scan."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45))
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+                .alias("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star window/top-k (absent from the reference, §2.11):
+    row_number over (brand, retailprice desc) — one hash-partitioned
+    sort per group key; no global sort."""
+    p = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "p_name",
+                F.round("p_retailprice", 2).alias("p_retailprice"))
+        .orderBy("p_brand", "rk")
+    )
+
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star grouping-sets coverage (§2.11): ROLLUP over
+    (status, priority) — Catalyst expands to grouping sets in one
+    shuffle."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+def semi_anti_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star semi/anti joins (absent from reference, §2.11):
+    customers with ≥1 open order (LEFT SEMI) and with none (LEFT ANTI),
+    both broadcast-able on the dim side."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "O")
+    with_open = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without_open = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        with_open.agg(F.count(F.lit(1)).alias("n")).select(F.lit("with_open").alias("bucket"), "n")
+        .unionAll(
+            without_open.agg(F.count(F.lit(1)).alias("n")).select(F.lit("without_open").alias("bucket"), "n"))
+        .orderBy("bucket")
+    )

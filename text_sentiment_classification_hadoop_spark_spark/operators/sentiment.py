@@ -1,0 +1,105 @@
+"""End-to-end sentiment pipelines over the driver's ``documents`` table.
+
+The reference's workload is tweets; the driver testdata carries
+``documents(doc_id, text, …)`` instead (FIXTURES.md §B). Labels and the
+train/test split are deterministic expressions so the DuckDB oracle can
+reproduce them exactly:
+
+- ``label`` = 1.0 if ``doc_id % 2 == 1`` else 0.0 (FIXTURES.md: "or
+  synthesized as a deterministic expression (e.g. doc_id % 2)").
+- test = ``doc_id % 8 IN (0, 5)`` (~25%, hitting BOTH label parities —
+  a plain ``% 4`` test split would contain only even ids and therefore
+  only negatives); train is the complement. This mirrors the
+  reference's 75/25 protocol (``README.md:17``) but is deterministic
+  instead of ``randomSplit`` so it is SQL-checkable; the seeded
+  ``randomSplit([0.75,0.25], 1234)`` path lives in
+  ``svm.mllib_pipeline`` for reference parity M1.
+
+Cleaning uses chain A (the NB/Spark chain) before tokenization, exactly
+as the reference orders it (clean → split, ``NB.java:67-92``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_chain_a
+from . import metrics as M
+from . import nb as NB
+from . import svm as SVM
+from ..sources.tables import load_table
+
+
+def labeled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, text, label)`` with cleaned text + deterministic label."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        clean_chain_a(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("label"),
+    )
+
+
+def train_test(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    is_test = (F.col("doc_id") % 8).isin(0, 5)
+    return docs.filter(~is_test), docs.filter(is_test)
+
+
+def nb_model_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/M2: the NB count model on the training split."""
+    train, _ = train_test(labeled_documents(spark, sf_dir))
+    return NB.nb_token_counts(train).orderBy("word")
+
+
+def nb_predictions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M3+J1: train on 75%, score the 25% — returns
+    ``(doc_id, label, prediction)``."""
+    train, test = train_test(labeled_documents(spark, sf_dir))
+    model, stats = NB.nb_train(train)
+    scored = NB.nb_score(test, model, stats)
+    return scored.select("doc_id", "label", "prediction").orderBy("doc_id")
+
+
+def nb_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 over the NB predictions."""
+    train, test = train_test(labeled_documents(spark, sf_dir))
+    model, stats = NB.nb_train(train)
+    scored = NB.nb_score(test, model, stats)
+    return M.confusion_matrix(scored).orderBy("prediction", "label")
+
+
+def nb_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-A5/J4: the six scalar training stats as one row (the
+    reference's Configuration scalars, ``NB.java:305-316``)."""
+    train, _ = train_test(labeled_documents(spark, sf_dir))
+    model = NB.nb_token_counts(train)
+    s = NB.nb_stats(train, model)
+    return train.sparkSession.createDataFrame(
+        [(s.tweets_size, s.pos_tweets_size, s.neg_tweets_size,
+          s.pos_words_size, s.neg_words_size, s.features_size)],
+        "tweets_size bigint, pos_tweets_size bigint, neg_tweets_size bigint, "
+        "pos_words_size bigint, neg_words_size bigint, features_size bigint",
+    )
+
+
+def svm_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 compat: effective SVM weights, rounded at the output edge."""
+    train, _ = train_test(labeled_documents(spark, sf_dir))
+    w = SVM.svm_effective_train(train)
+    return w.select("word", F.round("weight", 6).alias("weight")).orderBy("word")
+
+
+def svm_predictions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5+M6+J3: effective-SVM train + signed-sum scoring."""
+    train, test = train_test(labeled_documents(spark, sf_dir))
+    w = SVM.svm_effective_train(train)
+    scored = SVM.svm_score(test, w)
+    return scored.select("doc_id", "label", "prediction").orderBy("doc_id")
+
+
+def svm_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = train_test(labeled_documents(spark, sf_dir))
+    w = SVM.svm_effective_train(train)
+    scored = SVM.svm_score(test, w)
+    return M.confusion_matrix(scored).orderBy("prediction", "label")

@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (north star, §2.11).
+
+Two tiers, as a 100 TB design requires:
+
+- **Brute-force cosine top-k** — the exactness baseline. Per-row native
+  expressions (``zip_with`` + ``aggregate``): the dot product never
+  leaves the JVM, no UDF, no shuffle until the final top-k (which is a
+  ``TakeOrderedAndProject`` — O(k) per partition, no global sort).
+- **Sign-LSH bucketed ANN** — the scale path. Deterministic random
+  hyperplanes (components derived from the portable hash so the DuckDB
+  oracle reproduces them bit-for-bit) map each vector to a bucket id;
+  search touches only the query's bucket. Cross-bucket recall is traded
+  for a candidate set that is O(n / 2^planes) per probe.
+
+Embeddings are ``array<float>`` (64-dim in the testdata); all arithmetic
+casts to double before multiply so Spark and DuckDB agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+
+def dot_expr(va: Column, vb: Column) -> Column:
+    """Σ va[i]·vb[i] in double precision, fully codegen-able."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(v: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(va: Column, vb: Column) -> Column:
+    return dot_expr(va, vb) / (norm_expr(va) * norm_expr(vb))
+
+
+def plane_component(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1]:
+    ``(portable_hash64('plane{p}:' || dim) % 2001 − 1000) / 1000``.
+    Identical arithmetic is emitted by the SQL oracle."""
+    h = portable_hash64(F.concat(F.lit(f"plane{plane}:"), dim.cast("string")))
+    return (h % 2001 - 1000) / F.lit(1000.0)
+
+
+def sign_lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane sign bucket: bit p = 1 iff ``vec · plane_p ≥ 0``.
+    Narrow, per-row; the bucket id is the shuffle/join key downstream."""
+    def plane_fn(p: int):
+        def apply(d: Column) -> Column:
+            return plane_component(p, d)
+        return apply
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), plane_fn(p)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force exact top-k by cosine against a literal query vector →
+    ``(vec_id, cosine, rank)``. Deterministic tie-break on (rounded
+    cosine desc, vec_id asc) so results are oracle-stable."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )
+
+
+def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_planes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """ANN: restrict the exact search to the query's sign-LSH bucket.
+    At scale the bucketed table is written bucketed-by(bucket) so a
+    probe is a single partition read."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    qdf = emb.sparkSession.range(1).select(
+        sign_lsh_bucket(q, n_planes).alias("qbucket"))
+    cands = bucketed.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )
+
+
+def pairwise_topk_join(emb: DataFrame, queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Batch k-NN: every query row against the corpus, top-k each →
+    ``(qid, vec_id, cosine, rank)``. The corpus side is the big side;
+    queries broadcast. The per-query top-k is a window over the join —
+    AQE handles the (qid-keyed) partitioning."""
+    joined = emb.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(qid_col), F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(qid_col, "rank")
+    )

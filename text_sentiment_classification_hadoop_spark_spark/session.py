@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Local test shape is ``local[N]`` (single JVM), but every config here is
+chosen to also be the right default on a 1000-executor cluster reading
+~100 TB:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast conversion replace hand-tuned reducer counts (the reference
+  hand-tunes split sizes / reducer counts — ``NB.java:295,301``,
+  ``SVM.java:183-184`` — all subsumed by AQE).
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; AQE
+  coalesces down. At cluster scale you'd raise it to ~2-3x total cores.
+- Arrow enabled for the (rare) Pandas-UDF paths.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "text_sentiment_classification_hadoop_spark_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session. Honors ``SPARK_GRAFT_CPUS``."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4 rejects INT64 TIMESTAMP(NANOS) parquet columns (the
+        # events table) unless they are surfaced as raw longs; the
+        # events loader converts ns-longs back to timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
