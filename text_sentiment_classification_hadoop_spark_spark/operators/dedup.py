@@ -154,7 +154,7 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
 
     Uses :mod:`similarity`'s bucketing so candidates are
     O(per-bucket²), not O(n²)."""
-    from .similarity import cosine_expr, sign_lsh_bucket
+    from .similarity import cosine_expr, pround, sign_lsh_bucket
 
     bucketed = emb.select(F.col(id_col), F.col(vec_col),
                           sign_lsh_bucket(F.col(vec_col), n_planes=8).alias("bucket"))
@@ -162,8 +162,8 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     return (
         a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .select("id_a", "id_b", pround(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", "cosine")
         .distinct()
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import pround
 from ..sources.tables import load_table
 
 
@@ -34,7 +35,7 @@ def tumbling_counts(spark: SparkSession, sf_dir: str,
     return (
         e.groupBy(bucket.alias("window_start"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             pround(F.sum("value"), 2).alias("total_value"))
         .orderBy("window_start", "event_type")
     )
 

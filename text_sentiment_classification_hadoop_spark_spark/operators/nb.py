@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import pround
 from ..functions.tokenize import explode_tokens, token_count_quirk
 
 
@@ -129,13 +130,13 @@ def nb_score(docs: DataFrame, model: DataFrame, stats: NBStats,
         .withColumn("score_neg", log_prior_neg + F.coalesce(F.col("_s_neg"), F.lit(0.0)))
         .drop("_s_pos", "_s_neg")
     )
-    # The margin is rounded to 9 dp before the sign test: semantically a
-    # no-op (real margins are >> 1e-9) but it makes the prediction
-    # independent of floating-point summation order, so Spark and the
+    # The margin is portably rounded to 6 dp before the sign test:
+    # semantically a no-op (real margins are >> 1e-6) but it makes the
+    # prediction independent of fp summation order, so Spark and the
     # DuckDB oracle agree bit-for-bit. Tie (rounded margin == 0) →
     # NEGATIVE, preserving ``NB.java:250``.
     return scored.withColumn(
         "prediction",
-        F.when(F.round(F.col("score_pos") - F.col("score_neg"), 9) > 0,
+        F.when(pround(F.col("score_pos") - F.col("score_neg"), 6) > 0,
                F.lit(1.0)).otherwise(F.lit(0.0)),
     )

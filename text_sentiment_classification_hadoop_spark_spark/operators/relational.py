@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import pround
 from ..sources.tables import load_table
 
 
@@ -34,9 +35,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            pround(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -57,7 +58,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        .agg(pround(F.sum("o_totalprice"), 2).alias("total_revenue"),
              F.count(F.lit(1)).alias("order_count"))
         .orderBy("r_name")
     )
@@ -87,7 +88,7 @@ def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
         F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
-        F.round(F.sum(F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice"))
+        pround(F.sum(F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice"))
                       .otherwise(0.0)), 2).alias("high_value_total"),
     )
 
@@ -102,7 +103,7 @@ def union_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.unionAll(lo)
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("o_totalprice"), 2).alias("total"))
+             pround(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("o_orderpriority")
     )
 
@@ -134,7 +135,7 @@ def customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
         .select(
             "c_custkey",
-            F.round(F.coalesce(F.col("_total"), F.lit(0.0)), 2).alias("order_total"),
+            pround(F.coalesce(F.col("_total"), F.lit(0.0)), 2).alias("order_total"),
             F.coalesce(F.col("_n"), F.lit(0)).alias("order_count"),
         )
         .orderBy("c_custkey")
@@ -153,7 +154,7 @@ def above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_extendedprice") > 2 * F.col("_avg"))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_above"),
-             F.round(F.max("l_extendedprice"), 2).alias("max_price"))
+             F.max("l_extendedprice").alias("max_price"))
         .orderBy("l_returnflag")
     )
 
@@ -166,7 +167,7 @@ def filtered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45))
         .select("l_orderkey", "l_linenumber", "l_quantity",
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .alias("net_price"))
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -183,7 +184,7 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("p_brand", "rk", "p_partkey", "p_name",
-                F.round("p_retailprice", 2).alias("p_retailprice"))
+                "p_retailprice")
         .orderBy("p_brand", "rk")
     )
 
@@ -196,7 +197,7 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("o_totalprice"), 2).alias("total"))
+             pround(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy(F.col("o_orderstatus").asc_nulls_first(),
                  F.col("o_orderpriority").asc_nulls_first())
     )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_chain_a
+from ..functions.rounding import pround
 from . import metrics as M
 from . import nb as NB
 from . import svm as SVM
@@ -87,7 +88,7 @@ def svm_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 compat: effective SVM weights, rounded at the output edge."""
     train, _ = train_test(labeled_documents(spark, sf_dir))
     w = SVM.svm_effective_train(train)
-    return w.select("word", F.round("weight", 6).alias("weight")).orderBy("word")
+    return w.select("word", pround(F.col("weight"), 6).alias("weight")).orderBy("word")
 
 
 def svm_predictions_query(spark: SparkSession, sf_dir: str) -> DataFrame:

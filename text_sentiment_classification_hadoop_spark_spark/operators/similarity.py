@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
+from ..functions.rounding import pround
 
 
 def dot_expr(va: Column, vb: Column) -> Column:
@@ -81,7 +82,7 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = emb.select(
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        pround(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
     )
     from pyspark.sql import Window
     w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -108,7 +109,7 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     cands = bucketed.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
     scored = cands.select(
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        pround(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
     )
     from pyspark.sql import Window
     w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -129,7 +130,7 @@ def pairwise_topk_join(emb: DataFrame, queries: DataFrame, k: int = 5,
     joined = emb.crossJoin(F.broadcast(queries))
     scored = joined.select(
         F.col(qid_col), F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+        pround(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
     )
     from pyspark.sql import Window
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import pround
 from ..functions.tokenize import explode_tokens
 
 EPOCHS = 5
@@ -69,16 +70,16 @@ def svm_score(docs: DataFrame, weights: DataFrame, id_col: str = "doc_id",
         .groupBy(id_col)
         .agg(F.sum("weight").alias("_s"))
     )
-    # Rounding the score to 9 dp before the sign test keeps the
-    # prediction independent of fp summation order (cross-engine
-    # stable); tie (rounded score == 0) → POSITIVE via ``>= 0``,
-    # preserving ``SVM.java:144``.
+    # Portably rounding the score to 6 dp before the sign test keeps
+    # the prediction independent of fp summation order (cross-engine
+    # stable; real scores are multiples of η ≈ 0.095); tie (rounded
+    # score == 0) → POSITIVE via ``>= 0``, preserving ``SVM.java:144``.
     return (
         docs.join(sums, id_col, "left")
         .withColumn("score", F.coalesce(F.col("_s"), F.lit(0.0)))
         .drop("_s")
         .withColumn("prediction",
-                    F.when(F.round(F.col("score"), 9) >= 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+                    F.when(pround(F.col("score"), 6) >= 0, F.lit(1.0)).otherwise(F.lit(0.0)))
     )
 
 

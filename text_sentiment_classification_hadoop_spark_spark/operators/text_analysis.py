@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64, shingles_expr
+from ..functions.rounding import pround
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 # (Public common function words; the heuristic is ratio-of-hits.)
@@ -41,7 +42,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
     """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     scores = [
-        F.struct(F.round(_hit_ratio(toks, vocab), 6).alias("ratio"),
+        F.struct(pround(_hit_ratio(toks, vocab), 6).alias("ratio"),
                  F.lit(lang).alias("lang"))
         for lang, vocab in sorted(LANG_PROFILES.items())
     ]
@@ -82,10 +83,10 @@ def quality_score(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(mean_tok, 6).alias("mean_token_len"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round((sig_len + sig_stop + sig_tok) / 3.0, 6).alias("quality"),
+        pround(mean_tok, 6).alias("mean_token_len"),
+        pround(alpha_ratio, 6).alias("alpha_ratio"),
+        pround(stop_ratio, 6).alias("stopword_ratio"),
+        pround((sig_len + sig_stop + sig_tok) / 3.0, 6).alias("quality"),
     )
 
 
