@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Reference baseline context (BASELINE.md): the reference's Spark NB/SVM
+pipelines measured 72.05 s / 78.78 s (fits only, on a cluster, 100k-1M
+rows). Here every query is timed over an explicit action (collect) —
+materialization included, unlike the reference's timer (M9 quirk,
+``NaiveBayes.py:36,66``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from text_sentiment_classification_hadoop_spark_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    import __spark_entry__ as entry
+
+    # Headline set: the sentiment pipelines (the reference's workload)
+    # plus one representative per extension family.
+    names = [
+        "nb_predictions", "nb_confusion", "svm_predictions",
+        "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
+        "word_counts", "dedup_exact", "minhash_signatures", "near_dup_pairs",
+        "cosine_topk", "knn_batch", "lang_id", "quality_score",
+        "events_tumbling", "events_sessionize",
+    ]
+    qs = entry.queries()
+
+    # warm the JVM/session on a trivial action so query timings measure
+    # the queries, not session startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()  # full materialization
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

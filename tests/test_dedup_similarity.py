@@ -1,0 +1,101 @@
+"""Dedup + similarity operators (north star): planted-duplicate golden
+tests and invariants."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+from text_sentiment_classification_hadoop_spark_spark.operators import similarity as SIM
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+    (4, "completely different text about spark and hadoop engines"),
+    (5, "a b"),                                                  # < k tokens: no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["text_hash"]: r for r in D.exact_dedup(docs).collect()}
+    assert len(out) == 4  # 5 docs, one exact pair
+    dup = [r for r in out.values() if r["dup_count"] == 2]
+    assert len(dup) == 1 and dup[0]["keeper_id"] == 1
+
+
+def test_minhash_identical_texts_share_signature(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    # no shingles -> all-PRIME signature
+    from text_sentiment_classification_hadoop_spark_spark.functions.hashing import MINHASH_PRIME
+    assert sigs[5] == [MINHASH_PRIME] * 16
+
+
+def test_near_dup_pipeline_finds_planted_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in D.minhash_near_dups(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert all(a < b for a, b in pairs)
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    sigs = D.minhash_signatures(docs)
+    pairs = D.lsh_candidate_pairs(sigs)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in D.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert j[(1, 2)] == 1.0
+    if (1, 3) in j:  # 7 shingles each, 6 shared -> 6/8
+        assert math.isclose(j[(1, 3)], 6 / 8)
+    assert all(0.0 <= v <= 1.0 for v in j.values())
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
+    assert sh[1] == sh[2]               # identical text, identical fingerprint
+    assert 0 <= sh[1] < 2 ** 32
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    ham_14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_13 < ham_14              # near dup closer than unrelated
+
+
+def test_cosine_topk_self_first(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    top = SIM.cosine_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cosine"] == 1.0
+    cos = [r["cosine"] for r in top]
+    assert cos == sorted(cos, reverse=True)
+    assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+
+
+def test_ann_lsh_includes_query_and_subsets_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 7).head()["embedding"])
+    ann = SIM.ann_lsh_topk(emb, q, k=5, n_planes=4)
+    rows = ann.collect()
+    assert rows[0]["vec_id"] == 7  # query's own bucket contains itself
+    brute = {r["vec_id"]: r["cosine"] for r in SIM.cosine_topk(emb, q, k=500).collect()}
+    for r in rows:  # ANN cosines must equal exact cosines (same math)
+        assert math.isclose(r["cosine"], brute[r["vec_id"]], abs_tol=1e-9)
+
+
+def test_embedding_near_dups_planted(spark):
+    base = [0.5, -0.25, 0.8, 0.1] * 16
+    near = [x * 1.001 + (0.0001 if i == 0 else 0) for i, x in enumerate(base)]
+    ortho = [(-1.0) ** i * abs(x) for i, x in enumerate(base)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)],
+        "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in D.embedding_near_dups(emb, threshold=0.95).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.999
+    assert (1, 3) not in out

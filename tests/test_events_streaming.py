@@ -1,0 +1,80 @@
+"""Event operators: golden gap-sessionization, tumbling buckets, and the
+Structured Streaming variant agreeing with its batch oracle."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_sentiment_classification_hadoop_spark_spark.operators import events as E
+from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+    events_stream_from_files,
+    run_stream_to_memory,
+    tumbling_counts_stream,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s), uid, et, v, "{}")
+         for i, (s, uid, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ev") / "events")
+    rows = [
+        (0, 1, "click", 1.0), (100, 1, "click", 2.0),       # session 0 user 1
+        (2000, 1, "view", 3.0),                              # +1900s > 1800 gap -> session 1
+        (2100, 1, "click", 4.0),
+        (0, 2, "view", 5.0),                                 # user 2, one session
+        (7200, 2, "click", 6.0),                             # 2h later -> session 1
+    ]
+    _mk_events(spark, rows).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_sessionize_golden(spark, events_path, monkeypatch):
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as ev
+    monkeypatch.setattr(ev, "load_table", lambda s, n, d: s.read.parquet(events_path))
+    out = [(r["user_id"], r["session_id"], r["n_events"])
+           for r in ev.sessionize(spark, "ignored").collect()]
+    assert out == [(1, 0, 2), (1, 1, 2), (2, 0, 1), (2, 1, 1)]
+
+
+def test_tumbling_golden(spark, events_path, monkeypatch):
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as ev
+    monkeypatch.setattr(ev, "load_table", lambda s, n, d: s.read.parquet(events_path))
+    out = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in ev.tumbling_counts(spark, "ignored").collect()}
+    assert out[(T0, "click")] == (2, 3.0)                       # 0s + 100s
+    assert out[(T0 + dt.timedelta(seconds=1800), "view")] == (1, 3.0)   # 2000s -> 30:00 bucket
+    assert out[(T0 + dt.timedelta(seconds=7200), "click")] == (1, 6.0)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_path):
+    stream = events_stream_from_files(spark, events_path)
+    assert stream.isStreaming
+    q = run_stream_to_memory(
+        tumbling_counts_stream(stream, minutes=5, watermark="10 minutes"),
+        "tumbling_test", output_mode="complete")
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in spark.sql("select * from tumbling_test").collect()}
+    q.stop()
+    batch = spark.read.parquet(events_path).groupBy(
+        F.window("ts", "5 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+    expected = {(r["w"]["start"], r["event_type"]): (r["n"], r["t"]) for r in batch.collect()}
+    assert got == expected
+
+
+def test_real_events_table(spark, sf_dir):
+    tw = E.tumbling_counts(spark, sf_dir)
+    assert tw.count() > 0
+    sess = E.sessionize(spark, sf_dir)
+    assert sess.filter(F.col("session_end") < F.col("session_start")).count() == 0
+    piv = E.user_event_pivot(spark, sf_dir)
+    assert set(piv.columns) == {"user_id", "click", "error", "purchase", "signup", "view"}

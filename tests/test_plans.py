@@ -1,0 +1,59 @@
+"""Physical-plan contracts (SURVEY.md §4): small dims broadcast, filters
+push to parquet, narrow pipelines have no exchange, the hot path stays
+in whole-stage codegen (no Python UDFs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_sentiment_classification_hadoop_spark_spark.operators import relational as R
+from text_sentiment_classification_hadoop_spark_spark.operators import sentiment as S
+from text_sentiment_classification_hadoop_spark_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_exchange,
+    assert_pushed_filters,
+    plan_string,
+)
+
+
+def test_revenue_joins_are_broadcast(spark, sf_dir):
+    assert_broadcast_join(R.revenue_by_region(spark, sf_dir))
+
+
+def test_nb_score_join_is_broadcast(spark, sf_dir):
+    assert_broadcast_join(S.nb_predictions_query(spark, sf_dir))
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    assert_pushed_filters(R.filtered_projection(spark, sf_dir))
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = plan_string(R.filtered_projection(spark, sf_dir))
+    # ReadSchema must be the 6 needed columns, not the full 11-col table
+    assert "l_comment" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_orderkey" in read[0] and "l_partkey" not in read[0]
+
+
+def test_narrow_pipeline_has_no_exchange(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    l = load_table(spark, "lineitem", sf_dir)
+    narrow = l.filter(F.col("l_quantity") > 10).select(
+        "l_orderkey", (F.col("l_extendedprice") * 2).alias("x"))
+    assert_no_exchange(narrow)
+
+
+def test_hot_path_has_no_python_udf(spark, sf_dir):
+    for df in (S.nb_predictions_query(spark, sf_dir),
+               R.pricing_summary(spark, sf_dir)):
+        plan = plan_string(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = R.pricing_summary(spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = plan_string(df)
+    assert "isFinalPlan=true" in plan
+    # formatted mode marks codegen'd nodes with a '*' prefix
+    assert "* HashAggregate" in plan or "* Sort" in plan
