@@ -49,7 +49,14 @@ from text_sentiment_classification_hadoop_spark_spark.operators import (
 from text_sentiment_classification_hadoop_spark_spark.operators import (
     text_analysis as TA,
 )
-from text_sentiment_classification_hadoop_spark_spark.operators.svm import EPOCHS, epoch_lr
+from text_sentiment_classification_hadoop_spark_spark.operators import (
+    multimodal as MM,
+)
+from text_sentiment_classification_hadoop_spark_spark.operators.svm import (
+    EPOCHS,
+    LAMBDA,
+    epoch_lr,
+)
 from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -247,6 +254,92 @@ SELECT * FROM ranked WHERE rank <= {k} ORDER BY {qid_out}rank
 """
 
 
+def _svm_declared_sql(epochs: int = EPOCHS, lam: float = LAMBDA) -> str:
+    """Unrolled 5-epoch SQL mirror of ``svm.svm_train_declared`` (M4):
+    each epoch's margin/violation/gradient/decay CTEs chained on the
+    previous epoch's weights. Margins rounded at 9 dp before the hinge
+    test on both engines (``svm.MARGIN_DP``)."""
+    def r9(e: str) -> str:
+        return f"floor(({e}) * 1000000000.0 + 0.5) / 1000000000.0"
+
+    y = "CASE WHEN t.label = 1.0 THEN 1.0 ELSE -1.0 END"
+    # CAST the η literals to DOUBLE: DuckDB parses bare decimal literals
+    # as DECIMAL and chains scale across the epochs past its max of 38.
+    eta1 = f"CAST({epoch_lr(1)!r} AS DOUBLE)"
+    parts = [
+        f"w1 AS (SELECT word, {eta1} * sum({y}) AS weight "
+        "FROM tok_train t GROUP BY word)"
+    ]
+    for e in range(2, epochs + 1):
+        eta, prev = f"CAST({epoch_lr(e)!r} AS DOUBLE)", f"w{e - 1}"
+        parts += [
+            f"""marg{e} AS (
+  SELECT t.doc_id, max({y}) AS y, sum(coalesce(w.weight, 0.0)) AS dot
+  FROM tok_train t LEFT JOIN {prev} w USING (word) GROUP BY t.doc_id)""",
+            f"viol{e} AS (SELECT doc_id, y FROM marg{e} WHERE y * ({r9('dot')}) < 1.0)",
+            f"nv{e} AS (SELECT count(*) AS v FROM viol{e})",
+            f"grads{e} AS (SELECT t.word, {eta} * sum(v.y) AS delta "
+            f"FROM tok_train t JOIN viol{e} v USING (doc_id) GROUP BY t.word)",
+            f"dec{e} AS (SELECT w.word, w.weight * (1.0 - {eta} * {lam} * nv.v) AS weight "
+            f"FROM {prev} w CROSS JOIN nv{e} nv)",
+            f"""w{e} AS (
+  SELECT coalesce(d.word, g.word) AS word,
+         coalesce(d.weight, 0.0) + coalesce(g.delta, 0.0) AS weight
+  FROM dec{e} d FULL OUTER JOIN grads{e} g ON d.word = g.word)""",
+        ]
+    return (f"WITH {DOCS_CTE}, " + ",\n".join(parts)
+            + f"\nSELECT word, floor(weight * 1000000.0 + 0.5) / 1000000.0 AS weight"
+              f" FROM w{epochs} ORDER BY word")
+
+
+# sign-LSH bucket assignment over long-form embeddings `au(vec_id, d, x)`
+# — mirror of similarity.sign_lsh_bucket (8 deterministic hyperplanes).
+LSH_BUCKET_CTE = f"""
+planes AS (
+  SELECT p.p, d.d,
+         ({PORTABLE_HASH.format(col="'plane' || p.p || ':' || d.d")} % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range(0, 8)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d
+),
+dots AS (
+  SELECT au.vec_id, pl.p, sum(au.x * pl.w) AS dot
+  FROM au JOIN planes pl ON au.d = pl.d
+  GROUP BY au.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM dots GROUP BY vec_id
+)
+"""
+
+# original embeddings in long form (0-based dim index, double-cast)
+AU_ORIG = """
+au AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+"""
+
+# augmented corpus for embedding near-dup: originals, exact copies
+# (+1000000), and a dim-0-perturbed copy (+2000000, x0 + 2.0)
+AU_AUGMENTED = """
+au_base AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+au AS (
+  SELECT vec_id, d, x FROM au_base
+  UNION ALL
+  SELECT vec_id + 1000000, d, x FROM au_base
+  UNION ALL
+  SELECT vec_id + 2000000, d, CASE WHEN d = 0 THEN x + 2.0 ELSE x END FROM au_base
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark-side callables that need inline glue
 # ---------------------------------------------------------------------------
@@ -354,6 +447,111 @@ def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.fingerprints(load_table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
+def _svm_declared_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import pround
+    from text_sentiment_classification_hadoop_spark_spark.operators.svm import svm_train_declared
+    train, _ = S.train_test(S.labeled_documents(spark, sf_dir))
+    w = svm_train_declared(train)
+    return w.select("word", pround(F.col("weight"), 6).alias("weight")).orderBy("word")
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.ann_lsh_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = F.transform(F.col("embedding"),
+                       lambda x, i: F.when(i == 0, x.cast("double") + 2.0)
+                                     .otherwise(x.cast("double")))
+    a = emb.select("vec_id", dbl.alias("embedding"))
+    b = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), dbl.alias("embedding"))
+    c = emb.select((F.col("vec_id") + 2000000).alias("vec_id"), pert.alias("embedding"))
+    return a.unionAll(b).unionAll(c)
+
+
+def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dups(
+        _augmented_embeddings(spark, sf_dir), threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+
+def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = MM.synth_multimodal(_mm_docs(spark, sf_dir), "image")
+    dec = MM.decode_image_features(mm)
+    rez = MM.resize_images(mm, 64, 64).select("doc_id", "resized_checksum")
+    return dec.join(rez, "doc_id").orderBy("doc_id")
+
+
+def _mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = MM.synth_multimodal(_mm_docs(spark, sf_dir), "video")
+    return MM.sample_video_frames(mm, frame_bytes=64, every=2) \
+        .orderBy("doc_id", "frame_idx")
+
+
+def _mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = MM.synth_multimodal(_mm_docs(spark, sf_dir), "audio")
+    return MM.audio_features(mm).orderBy("doc_id")
+
+
+def _mllib_confusion(algorithm: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from text_sentiment_classification_hadoop_spark_spark.operators.svm import mllib_pipeline
+        docs = S.labeled_documents(spark, sf_dir)
+        preds, _model = mllib_pipeline(docs, algorithm=algorithm)
+        return (preds.groupBy("prediction", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy("prediction", "label"))
+    return run
+
+
+def _events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling windows over the events parquet via
+    an availableNow file stream + memory sink; the batch ``events_tumbling``
+    oracle checks it (same logical agg, incremental execution)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import pround
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+        tumbling_counts_stream,
+    )
+    # the driver parquet stores ts as INT64 TIMESTAMP(NANOS): stream it
+    # as a raw long (nanosAsLong) and restore microsecond timestamps,
+    # matching sources.tables.load_table.
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in EVENTS_SCHEMA.fields
+    ])
+    # the events table is a single parquet FILE; the file-stream source
+    # needs a directory, so stream the sf dir with a glob filter.
+    raw = (spark.readStream.schema(schema)
+           .format("parquet")
+           .option("pathGlobFilter", "events.parquet")
+           .load(sf_dir)
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    q = run_stream_to_memory(tumbling_counts_stream(raw, minutes=5),
+                             "events_tumbling_stream", output_mode="complete")
+    q.stop()
+    return (spark.table("events_tumbling_stream")
+            .select("window_start", "event_type", "n",
+                    pround(F.col("total_value"), 2).alias("total_value"))
+            .orderBy("window_start", "event_type"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -390,6 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svm_weights": S.svm_weights_query,
         "svm_predictions": S.svm_predictions_query,
         "svm_confusion": S.svm_confusion_query,
+        "svm_declared_weights": _svm_declared_weights,
+        "mllib_nb_confusion": _mllib_confusion("nb"),
+        "mllib_svm_confusion": _mllib_confusion("svm"),
         # dedup (north star)
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_long,
@@ -399,6 +600,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (north star)
         "cosine_topk": _cosine_topk,
         "knn_batch": _knn_batch,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "embedding_near_dups": _embedding_near_dups,
+        # multimodal columns (north star; deterministic fake decode)
+        "mm_image_features": _mm_image_features,
+        "mm_frame_samples": _mm_frame_samples,
+        "mm_audio_features": _mm_audio_features,
         # text analysis (north star)
         "lang_id": _lang_id,
         "quality_score": _quality,
@@ -409,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": E.sessionize,
         "events_pivot": E.user_event_pivot,
         "events_json_props": E.json_props_extract,
+        # structured streaming (north star) — incremental plan, batch oracle
+        "events_tumbling_stream": _events_tumbling_stream,
     }
 
 
@@ -639,6 +848,84 @@ ORDER BY c.id_a, c.id_b
 """,
         "cosine_topk": _cosine_sql("vec_id = 0", k=10, partition=False),
         "knn_batch": _cosine_sql("vec_id < 3", k=5, partition=True),
+        "svm_declared_weights": _svm_declared_sql(),
+        "ann_lsh_topk": f"""
+WITH {AU_ORIG},
+{LSH_BUCKET_CTE},
+qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+q AS (SELECT d, x AS qx FROM au WHERE vec_id = 0),
+cand AS (SELECT b.vec_id FROM buckets b, qb WHERE b.bucket = qb.qbucket),
+prods AS (
+  SELECT au.vec_id,
+         sum(au.x * q.qx) AS dot,
+         sum(au.x * au.x) AS na2,
+         sum(q.qx * q.qx) AS nq2
+  FROM au JOIN cand USING (vec_id) JOIN q ON au.d = q.d
+  GROUP BY au.vec_id
+),
+scored AS (
+  SELECT vec_id,
+         floor((dot / (sqrt(na2) * sqrt(nq2))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM prods
+),
+ranked AS (
+  SELECT vec_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY rank
+""",
+        "embedding_near_dups": f"""
+WITH {AU_AUGMENTED},
+{LSH_BUCKET_CTE},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+prods AS (
+  SELECT p.id_a, p.id_b,
+         sum(xa.x * xb.x) AS dot,
+         sum(xa.x * xa.x) AS na2,
+         sum(xb.x * xb.x) AS nb2
+  FROM pairs p
+  JOIN au xa ON xa.vec_id = p.id_a
+  JOIN au xb ON xb.vec_id = p.id_b AND xb.d = xa.d
+  GROUP BY p.id_a, p.id_b
+)
+SELECT DISTINCT id_a, id_b,
+       floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM prods
+WHERE floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9
+ORDER BY id_a, id_b
+""",
+        "mm_image_features": f"""
+SELECT doc_id,
+  CAST(16 + {PORTABLE_HASH.format(col="'img:w:' || text")} % 112 AS INTEGER) AS width,
+  CAST(16 + {PORTABLE_HASH.format(col="'img:h:' || text")} % 112 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(length(text) AS BIGINT) AS byte_len,
+  {PORTABLE_HASH.format(col='text')} AS checksum,
+  {PORTABLE_HASH.format(col="'resize64x64:' || text")} AS resized_checksum
+FROM documents ORDER BY doc_id
+""",
+        "mm_frame_samples": f"""
+SELECT doc_id, frame_idx,
+       {PORTABLE_HASH.format(col="'frame:' || substr(text, frame_idx * 64 + 1, 64)")} AS frame_checksum
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS frame_idx
+  FROM documents
+)
+ORDER BY doc_id, frame_idx
+""",
+        "mm_audio_features": """
+SELECT doc_id,
+       CAST(length(text) // 2 AS DOUBLE) / 16000 AS duration_s,
+       CAST(length(text) // 2 AS BIGINT) AS n_samples,
+       CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS checksum
+FROM documents ORDER BY doc_id
+""",
         "lang_id": f"""
 WITH r AS (
   SELECT doc_id,
@@ -746,5 +1033,12 @@ FROM (SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events)
 GROUP BY event_type ORDER BY event_type
+""",
+        # the streaming variant must agree with the batch tumbling oracle
+        "events_tumbling_stream": """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: schema, mapInPandas batch shape, row
+fan-out, meta/payload agreement, codec-stub gating."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_sentiment_classification_hadoop_spark_spark.operators import multimodal as MM
+from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(50)
+
+
+def test_synth_schema(spark, docs):
+    mm = MM.synth_multimodal(docs, "image")
+    assert dict(mm.dtypes)["content"] == "binary"
+    meta_type = dict(mm.dtypes)["meta"]
+    for field in ("mime:string", "width:int", "height:int", "channels:int",
+                  "sample_rate:int", "n_frames:int"):
+        assert field.replace(":", ",").split(",")[0] in meta_type
+    row = mm.head()
+    assert bytes(row["content"]).decode() == docs.head()["text"]
+    assert row["meta"]["mime"] == "image/x-fake"
+
+
+def test_decode_matches_meta(spark, docs):
+    """Fake decode re-derives width/height from bytes; must equal the
+    JVM-side md5-derived meta (header parse == synth)."""
+    mm = MM.synth_multimodal(docs, "image")
+    dec = MM.decode_image_features(mm)
+    joined = mm.select("doc_id", F.col("meta.width").alias("mw"),
+                       F.col("meta.height").alias("mh")).join(dec, "doc_id")
+    bad = joined.filter((F.col("mw") != F.col("width"))
+                        | (F.col("mh") != F.col("height"))).count()
+    assert bad == 0
+    r = dec.orderBy("doc_id").head()
+    txt = docs.orderBy("doc_id").head()["text"].encode()
+    assert r["checksum"] == int(hashlib.md5(txt).hexdigest()[:15], 16)
+    assert r["byte_len"] == len(txt)
+
+
+def test_resize_checksum(spark, docs):
+    mm = MM.synth_multimodal(docs, "image")
+    out = MM.resize_images(mm, 64, 64).orderBy("doc_id").head()
+    txt = docs.orderBy("doc_id").head()["text"].encode()
+    expect = int(hashlib.md5(b"resize64x64:" + txt).hexdigest()[:15], 16)
+    assert (out["out_width"], out["out_height"]) == (64, 64)
+    assert out["resized_checksum"] == expect
+
+
+def test_frame_sample_fanout(spark, docs):
+    """One row per sampled frame; count must equal sum of per-doc
+    ceil(len/frame_bytes) sampled at stride `every`."""
+    mm = MM.synth_multimodal(docs, "video")
+    frames = MM.sample_video_frames(mm, frame_bytes=64, every=2)
+    got = frames.count()
+    expect = 0
+    for r in docs.collect():
+        n = math.ceil(len(r["text"].encode()) / 64)
+        expect += len(range(0, n, 2))
+    assert got == expect
+    # frame 0 checksum = md5(b"frame:" + first 64 bytes)
+    first = frames.filter("frame_idx = 0").orderBy("doc_id").head()
+    txt = docs.orderBy("doc_id").head()["text"].encode()
+    assert first["frame_checksum"] == int(
+        hashlib.md5(b"frame:" + txt[:64]).hexdigest()[:15], 16)
+
+
+def test_audio_duration(spark, docs):
+    mm = MM.synth_multimodal(docs, "audio")
+    r = MM.audio_features(mm).orderBy("doc_id").head()
+    nbytes = len(docs.orderBy("doc_id").head()["text"].encode())
+    assert r["n_samples"] == nbytes // 2
+    assert r["duration_s"] == pytest.approx((nbytes // 2) / 16000)
+
+
+def test_real_backend_gated(spark, docs):
+    """backend='real' must fail loudly (codecs absent here), not decode
+    garbage silently."""
+    mm = MM.synth_multimodal(docs, "image")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_features(mm, backend="real")
+    with pytest.raises(NotImplementedError):
+        MM.sample_video_frames(mm, backend="real")

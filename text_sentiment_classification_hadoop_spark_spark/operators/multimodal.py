@@ -1,0 +1,206 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+North-star extension (SURVEY.md §2.11) — the reference is text-only, so
+this module defines how a 100 TB training-data pipeline carries non-text
+payloads through the same engine:
+
+- **Data model**: one row per asset — ``(doc_id, modality, content:binary,
+  meta:struct)``. The payload is opaque to Catalyst (no codegen over it);
+  everything the *planner* needs (modality, sizes, rates) lives in the
+  typed ``meta`` struct so filters/partition-pruning never touch bytes.
+- **Compute model**: decode / feature-extract / resize / frame-sample run
+  as Arrow-batched ``mapInPandas`` stages — the UDF sees an iterator of
+  pandas batches, stays vectorized inside each batch, and never collects
+  to the driver. This is the designed slow path: everything else in the
+  engine is JVM-side expressions; bytes → features is the one stage that
+  genuinely needs Python (or a JVM codec library at production scale).
+- **Codec stubbing**: real decoders (PIL / soundfile / av) are NOT in this
+  container. ``backend="real"`` raises ``NotImplementedError`` behind an
+  import-try; the default ``backend="fake"`` is a *deterministic* fake
+  decode — md5-derived dimensions, byte-level checksums — so the Spark
+  plumbing (schema, batch shape, exchange placement, row fan-out) is real
+  and oracle-checkable even though no pixels are decoded.
+
+Scale notes (100 TB): binary rows are wide — keep
+``spark.sql.files.maxPartitionBytes`` at/below 128 MB so a partition of
+payloads fits executor memory; frame sampling fans out rows (one per
+sampled frame) *after* the narrow mapInPandas, so no shuffle is
+introduced; all feature outputs are narrow columnar rows that downstream
+joins/aggs handle normally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+META_FIELDS = (
+    "mime string, width int, height int, channels int, "
+    "sample_rate int, n_frames int"
+)
+
+SYNTH_MIME = {"image": "image/x-fake", "audio": "audio/x-fake",
+              "video": "video/x-fake"}
+
+
+def _h60(b: bytes) -> int:
+    """60-bit int from md5 — the Python mirror of
+    ``functions.hashing.portable_hash64`` (identical for UTF-8 text)."""
+    return int(hashlib.md5(b).hexdigest()[:15], 16)
+
+
+def _require_real_codecs(modality: str) -> None:
+    try:  # pragma: no cover - container has no codec libs
+        if modality == "image":
+            import PIL  # noqa: F401
+        elif modality == "audio":
+            import soundfile  # noqa: F401
+        else:
+            import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"real {modality} decode needs a codec library not present in "
+            "this container; use backend='fake' (deterministic, tested "
+            "plumbing) — swap in the real decoder here at deploy time"
+        ) from exc
+
+
+def synth_multimodal(docs: DataFrame, modality: str = "image",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     frame_bytes: int = 64) -> DataFrame:
+    """Deterministic multimodal table from a text corpus: ``content`` is
+    the UTF-8 bytes of the text (stand-in payload), ``meta`` is a typed
+    struct whose fields are md5-derived — all JVM-side expressions, so
+    synthesis is shuffle-free and reproducible by the SQL oracle.
+    """
+    txt = F.col(text_col)
+    width = (F.lit(16) + portable_hash64(F.concat(F.lit("img:w:"), txt)) % 112).cast("int")
+    height = (F.lit(16) + portable_hash64(F.concat(F.lit("img:h:"), txt)) % 112).cast("int")
+    byte_len = F.octet_length(txt)
+    return docs.select(
+        F.col(id_col),
+        F.lit(modality).alias("modality"),
+        F.encode(txt, "UTF-8").alias("content"),
+        F.struct(
+            F.lit(SYNTH_MIME[modality]).alias("mime"),
+            width.alias("width"),
+            height.alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(16000).alias("sample_rate"),
+            F.ceil(byte_len / F.lit(frame_bytes)).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_features(mm: DataFrame, backend: str = "fake") -> DataFrame:
+    """Decode stage: bytes → ``(doc_id, width, height, channels, byte_len,
+    checksum)``. Fake backend re-derives width/height from the *payload*
+    (as a real header parse would) rather than trusting ``meta`` — tests
+    assert the two agree."""
+    if backend != "fake":
+        _require_real_codecs("image")
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": [16 + _h60(b"img:w:" + bytes(c)) % 112 for c in content],
+                "height": [16 + _h60(b"img:h:" + bytes(c)) % 112 for c in content],
+                "channels": 3,
+                "byte_len": [len(bytes(c)) for c in content],
+                "checksum": [_h60(bytes(c)) for c in content],
+            })
+
+    out_schema = ("doc_id long, width int, height int, channels int, "
+                  "byte_len long, checksum long")
+    return mm.select("doc_id", "content").mapInPandas(decode, out_schema)
+
+
+def resize_images(mm: DataFrame, out_width: int = 64, out_height: int = 64,
+                  backend: str = "fake") -> DataFrame:
+    """Resize stage: ``(doc_id, out_width, out_height, resized_checksum)``.
+    The fake 'resample' checksums ``b'resize{W}x{H}:' + content`` — a
+    deterministic stand-in for the resampled pixel buffer."""
+    if backend != "fake":
+        _require_real_codecs("image")
+    prefix = f"resize{out_width}x{out_height}:".encode()
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "out_width": out_width,
+                "out_height": out_height,
+                "resized_checksum": [_h60(prefix + bytes(c)) for c in pdf["content"]],
+            })
+
+    return mm.select("doc_id", "content").mapInPandas(
+        resize, "doc_id long, out_width int, out_height int, resized_checksum long")
+
+
+def sample_video_frames(mm: DataFrame, frame_bytes: int = 64,
+                        every: int = 2, backend: str = "fake") -> DataFrame:
+    """Frame-sample stage (row fan-out: one output row per sampled frame):
+    the payload is treated as ``n_frames`` fixed-size frames; frames
+    ``0, every, 2·every, …`` are 'decoded' to
+    ``(doc_id, frame_idx, frame_checksum)``.
+
+    This is the UDTF-shaped mapInPandas pattern — output rows ≠ input
+    rows — which Spark permits because mapInPandas only fixes the output
+    *schema*, not cardinality. The fan-out happens inside the narrow
+    stage; no shuffle."""
+    if backend != "fake":
+        _require_real_codecs("video")
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(c)
+                n_frames = math.ceil(len(raw) / frame_bytes)
+                for i in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(_h60(
+                        b"frame:" + raw[i * frame_bytes:(i + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums})
+
+    return mm.select("doc_id", "content").mapInPandas(
+        sample, "doc_id long, frame_idx long, frame_checksum long")
+
+
+def audio_features(mm: DataFrame, bytes_per_sample: int = 2,
+                   backend: str = "fake") -> DataFrame:
+    """Audio feature stage: ``(doc_id, duration_s, n_samples, checksum)``
+    assuming PCM at ``meta.sample_rate`` — duration math is real, the
+    'waveform' is the fake payload."""
+    if backend != "fake":
+        _require_real_codecs("audio")
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            content = [bytes(c) for c in pdf["content"]]
+            rates = pdf["sample_rate"]
+            n_samples = [len(c) // bytes_per_sample for c in content]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "duration_s": [n / r for n, r in zip(n_samples, rates)],
+                "n_samples": n_samples,
+                "checksum": [_h60(c) for c in content],
+            })
+
+    flat = mm.select("doc_id", "content", F.col("meta.sample_rate").alias("sample_rate"))
+    return flat.mapInPandas(
+        feats, "doc_id long, duration_s double, n_samples long, checksum long")

@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 from ..functions.rounding import pround
 from ..functions.tokenize import explode_tokens
 
+# Hinge margins are rounded here before the `< 1` test so the violation
+# set (and hence the whole epoch chain) is independent of fp summation
+# order — the same portability rule the scorers apply at 6 dp.
+MARGIN_DP = 9
+
 EPOCHS = 5
 LR = 0.1
 LAMBDA = 0.01
@@ -126,7 +131,8 @@ def svm_train_declared(docs: DataFrame, id_col: str = "doc_id",
                 .groupBy(id_col)
                 .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_dot"),
                      F.first(y_expr).alias("_y"))
-                .withColumn("_violates", (F.col("_y") * F.col("_dot")) < 1.0)
+                .withColumn("_violates",
+                            (F.col("_y") * pround(F.col("_dot"), MARGIN_DP)) < 1.0)
             )
             n_violations = margins.filter("_violates").count()
             grads = (
