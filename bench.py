@@ -38,9 +38,12 @@ def main() -> None:
     ]
     qs = entry.queries()
 
-    # warm the JVM/session on a trivial action so query timings measure
-    # the queries, not session startup
-    spark.range(1).count()
+    # warm the JVM/session so query timings measure the queries, not
+    # one-time startup: touch the parquet reader, the shuffle path, and
+    # codegen with a tiny representative job
+    from pyspark.sql import functions as F
+    (spark.read.parquet(f"{sf_dir}/region.parquet")
+     .groupBy(F.lower(F.col("r_name")).alias("k")).count().count())
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -23,11 +23,12 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     MINHASH_PRIME,
-    minhash_expr,
+    _coeffs,
     portable_hash64,
     shingles_expr,
     simhash_expr,
 )
+from ..session import widen
 
 DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 4  # 16 perms / 4 bands = 4 rows per band
@@ -50,10 +51,38 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_perm: int = DEFAULT_NUM_PERM) -> DataFrame:
     """Per-doc MinHash signature over word k-shingles →
-    ``(doc_id, sig array<bigint>)``. Entirely narrow (no shuffle)."""
-    sh = shingles_expr(F.col(text_col), k=k)
-    hashes = F.transform(sh, lambda s: portable_hash64(s))
-    return df.select(F.col(id_col), minhash_expr(hashes, num_perm).alias("sig"))
+    ``(doc_id, sig array<bigint>)``.
+
+    Shape: explode shingles → one md5 per shingle → hash-aggregate of
+    the 16 per-permutation mins, keyed on doc_id. The per-permutation
+    mins are algebraic, so Spark computes them map-side (partial
+    aggregation) and the exchange carries only 16 longs per (doc,
+    partition) — at 100 TB the shuffle is signature-sized, not
+    corpus-sized. This beats the pure-expression form (a 16-transform
+    tree over a hash array), which serializes on however few input
+    splits the scan produced and re-evaluates the hash array per
+    permutation when CSE doesn't collapse it."""
+    base = widen(df.select(F.col(id_col), F.col(text_col)))
+    exploded = base.select(
+        F.col(id_col),
+        F.explode_outer(shingles_expr(F.col(text_col), k=k)).alias("sh"),
+    )
+    h = exploded.select(F.col(id_col), portable_hash64(F.col("sh")).alias("h"))
+    p = MINHASH_PRIME
+    aggs = []
+    for i in range(num_perm):
+        a, b = _coeffs(i)
+        aggs.append(
+            F.coalesce(
+                F.min((F.lit(a) * (F.col("h") % p) + F.lit(b)) % p),
+                F.lit(p).cast("long"),
+            ).alias(f"_mh{i}")
+        )
+    per_doc = h.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_mh{i}") for i in range(num_perm)]).alias("sig"),
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
@@ -99,7 +128,11 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     """Full near-dup pipeline: signatures → LSH candidates → estimated
     Jaccard (signature agreement) filter ≥ threshold →
     ``(id_a, id_b, est_jaccard)``."""
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
+    # signatures feed three consumers (banding + both sides of the
+    # verify join): materialize once — signature tables are tiny
+    # (num_perm longs per doc) relative to the corpus they summarize.
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm) \
+        .localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))

@@ -91,7 +91,14 @@ def nb_train(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     plus the scalar stats. Smoothed probabilities are derived once here
     (the reference recomputes them in every map task's ``setup()``,
     ``NB.java:189-194`` — an anti-pattern we don't copy)."""
-    counts = nb_token_counts(docs, id_col, text_col, label_col)
+    # The cleaned corpus feeds two jobs (token counts, scalar stats):
+    # cache it — the one-line in-memory reuse the reference's own report
+    # credits for Spark's 6.7x over MR (report §4.2 p.23). The counts
+    # table is vocabulary-sized: checkpoint it so the model/count()
+    # reads don't re-aggregate the corpus.
+    docs = docs.cache()
+    counts = nb_token_counts(docs, id_col, text_col, label_col) \
+        .localCheckpoint(eager=True)
     stats = nb_stats(docs, counts, text_col, label_col)
     v = stats.features_size
     model = counts.select(

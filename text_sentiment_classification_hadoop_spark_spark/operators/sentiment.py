@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_chain_a
 from ..functions.rounding import pround
+from ..session import widen
 from . import metrics as M
 from . import nb as NB
 from . import svm as SVM
@@ -33,8 +34,12 @@ from ..sources.tables import load_table
 
 
 def labeled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(doc_id, text, label)`` with cleaned text + deterministic label."""
-    d = load_table(spark, "documents", sf_dir)
+    """``(doc_id, text, label)`` with cleaned text + deterministic label.
+
+    Widened before the regex chain: the chain is the CPU-heavy narrow
+    stage of every sentiment pipeline, and the testdata parquet is a
+    single row group (one scan task); see ``session.widen``."""
+    d = widen(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     return d.select(
         "doc_id",
         clean_chain_a(F.col("text")).alias("text"),

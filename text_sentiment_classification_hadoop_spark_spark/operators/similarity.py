@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
 from ..functions.rounding import pround
+from ..session import widen
+
+
+def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Global top-k without a global window: sort+limit compiles to
+    TakeOrderedAndProject (O(k) per partition, parallel); the rank
+    window then runs over only k rows."""
+    from pyspark.sql import Window
+    top = scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 def dot_expr(va: Column, vb: Column) -> Column:
@@ -80,17 +91,11 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     ``(vec_id, cosine, rank)``. Deterministic tie-break on (rounded
     cosine desc, vec_id asc) so results are oracle-stable."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = emb.select(
+    scored = widen(emb).select(
         F.col(id_col),
         pround(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
     )
-    from pyspark.sql import Window
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
@@ -100,7 +105,7 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     At scale the bucketed table is written bucketed-by(bucket) so a
     probe is a single partition read."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    bucketed = emb.select(
+    bucketed = widen(emb).select(
         F.col(id_col), F.col(vec_col),
         sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
@@ -111,13 +116,7 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         F.col(id_col),
         pround(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
     )
-    from pyspark.sql import Window
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 def pairwise_topk_join(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -127,7 +126,7 @@ def pairwise_topk_join(emb: DataFrame, queries: DataFrame, k: int = 5,
     ``(qid, vec_id, cosine, rank)``. The corpus side is the big side;
     queries broadcast. The per-query top-k is a window over the join —
     AQE handles the (qid-keyed) partitioning."""
-    joined = emb.crossJoin(F.broadcast(queries))
+    joined = widen(emb).crossJoin(F.broadcast(queries))
     scored = joined.select(
         F.col(qid_col), F.col(id_col),
         pround(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),

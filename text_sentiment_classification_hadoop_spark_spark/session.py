@@ -21,6 +21,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def widen(df, min_parts: int | None = None):
+    """Guarded repartition for CPU-bound narrow stages.
+
+    A single-row-group parquet file scans as ONE task no matter how many
+    cores exist; expression-heavy stages (md5 per shingle, regex chains)
+    then run serially. When the input has fewer partitions than the
+    cluster's parallelism, one tiny round-robin shuffle of the (narrow)
+    input buys full-width execution. At real scale the guard makes this
+    a no-op: a 100 TB table scans as ~800k splits, which is already
+    ≥ defaultParallelism, so no shuffle is added.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "text_sentiment_classification_hadoop_spark_spark",
     master: str | None = None,
