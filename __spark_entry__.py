@@ -140,6 +140,43 @@ preds AS (
 
 PORTABLE_HASH = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 
+
+def _metrics_sql(pred_cte: str) -> str:
+    """A8 binary metrics + A9 weighted-F over a ``preds(doc_id, label,
+    prediction)`` CTE — the SQL mirror of ``operators.metrics``."""
+    def r6(e: str) -> str:
+        return f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+
+    return pred_cte + f""",
+c AS (
+  SELECT CAST(sum(CASE WHEN prediction = 1.0 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN prediction = 1.0 AND label <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN prediction <> 1.0 AND label <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN prediction <> 1.0 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM preds
+),
+m AS (
+  SELECT tp, fp, tn, fn,
+    CASE WHEN tp+fp+tn+fn > 0 THEN CAST(tp+tn AS DOUBLE)/(tp+fp+tn+fn) ELSE 0.0 END AS acc,
+    CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END AS prec1,
+    CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END AS rec1,
+    CASE WHEN tn+fn > 0 THEN CAST(tn AS DOUBLE)/(tn+fn) ELSE 0.0 END AS prec0,
+    CASE WHEN tn+fp > 0 THEN CAST(tn AS DOUBLE)/(tn+fp) ELSE 0.0 END AS rec0
+  FROM c
+),
+f AS (
+  SELECT tp, fp, tn, fn, acc, prec1, rec1,
+    CASE WHEN prec1+rec1 > 0 THEN 2*prec1*rec1/(prec1+rec1) ELSE 0.0 END AS f1_1,
+    CASE WHEN prec0+rec0 > 0 THEN 2*prec0*rec0/(prec0+rec0) ELSE 0.0 END AS f1_0
+  FROM m
+)
+SELECT tp, fp, tn, fn,
+  {r6('acc')} AS accuracy, {r6('prec1')} AS "precision", {r6('rec1')} AS recall,
+  {r6('f1_1')} AS f1,
+  {r6('(CAST(tp+fn AS DOUBLE)/(tp+fp+tn+fn))*f1_1 + (CAST(tn+fp AS DOUBLE)/(tp+fp+tn+fn))*f1_0')} AS weighted_f1
+FROM f
+"""
+
 # word 3-shingles via lead() windows (mirrors functions/hashing.shingles_expr)
 SHINGLES_CTE = """
 toks_i AS (
@@ -447,6 +484,55 @@ def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.fingerprints(load_table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
+def _classifier_metrics(kind: str):
+    """A8+A9 as a one-row scalar table (the reference prints these to
+    stdout — ``NB.java:343-349``; ``NaiveBayes.py:72-75``)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from text_sentiment_classification_hadoop_spark_spark.functions.rounding import py_pround
+        from text_sentiment_classification_hadoop_spark_spark.operators import metrics as M
+        from text_sentiment_classification_hadoop_spark_spark.operators import nb as NB
+        from text_sentiment_classification_hadoop_spark_spark.operators import svm as SVM
+
+        train, test = S.train_test(S.labeled_documents(spark, sf_dir))
+        if kind == "nb":
+            model, stats = NB.nb_train(train)
+            scored = NB.nb_score(test, model, stats)
+        else:
+            w = SVM.svm_effective_train(train)
+            scored = SVM.svm_score(test, w)
+        c = M.confusion_counts(scored)
+        b = M.binary_metrics(c)
+        wf = M.weighted_f_measure(scored)
+        return spark.createDataFrame(
+            [(c["tp"], c["fp"], c["tn"], c["fn"],
+              py_pround(b["accuracy"], 6), py_pround(b["precision"], 6),
+              py_pround(b["recall"], 6), py_pround(b["f1"], 6),
+              py_pround(wf, 6))],
+            "tp bigint, fp bigint, tn bigint, fn bigint, accuracy double, "
+            "precision double, recall double, f1 double, weighted_f1 double",
+        )
+    return run
+
+
+def _word_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ``word_counts`` via the salted two-phase
+    aggregation (hash-checked against the identical oracle)."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.skew import salted_count
+    toks = _tokens_exploded(spark, sf_dir).select("word")
+    return salted_count(toks, "word", n_salts=8).orderBy("word")
+
+
+def _sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: the literal ANSI oracle text executed by
+    ``spark.sql`` over registered views — dialect-portable by
+    construction."""
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(oracle_sql()["pricing_summary"])
+
+
 def _svm_declared_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -589,8 +675,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svm_predictions": S.svm_predictions_query,
         "svm_confusion": S.svm_confusion_query,
         "svm_declared_weights": _svm_declared_weights,
+        "nb_metrics": _classifier_metrics("nb"),
+        "svm_metrics": _classifier_metrics("svm"),
         "mllib_nb_confusion": _mllib_confusion("nb"),
         "mllib_svm_confusion": _mllib_confusion("svm"),
+        # skew + SQL-layer demonstrations (result-identical oracles)
+        "word_counts_salted": _word_counts_salted,
+        "sql_pricing_summary": _sql_pricing_summary,
         # dedup (north star)
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_long,
@@ -626,7 +717,7 @@ def oracle_sql() -> dict[str, str]:
     es = ", ".join(f"'{w}'" for w in TA.LANG_PROFILES["es"])
     fr = ", ".join(f"'{w}'" for w in TA.LANG_PROFILES["fr"])
     de = ", ".join(f"'{w}'" for w in TA.LANG_PROFILES["de"])
-    return {
+    out = {
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
@@ -849,6 +940,8 @@ ORDER BY c.id_a, c.id_b
         "cosine_topk": _cosine_sql("vec_id = 0", k=10, partition=False),
         "knn_batch": _cosine_sql("vec_id < 3", k=5, partition=True),
         "svm_declared_weights": _svm_declared_sql(),
+        "nb_metrics": _metrics_sql(NB_PRED_SQL),
+        "svm_metrics": _metrics_sql(SVM_PRED_SQL),
         "ann_lsh_topk": f"""
 WITH {AU_ORIG},
 {LSH_BUCKET_CTE},
@@ -1042,3 +1135,9 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
+    # result-identical demonstrations share their baseline's oracle:
+    # the salted two-phase aggregation must equal the naive group-by,
+    # and the spark.sql entry point runs the literal oracle text.
+    out["word_counts_salted"] = out["word_counts"]
+    out["sql_pricing_summary"] = out["pricing_summary"]
+    return out

@@ -50,6 +50,40 @@ def test_hot_path_has_no_python_udf(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_minhash_uses_partial_aggregation(spark, sf_dir):
+    """The signature aggregation must combine map-side: the exchange
+    carries 16 per-perm mins per (doc, partition), not raw shingles."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import minhash_signatures
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    sigs = minhash_signatures(load_table(spark, "documents", sf_dir))
+    plan = plan_string(sigs)
+    assert "partial_min" in plan
+
+
+def test_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import cosine_topk
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    plan = plan_string(cosine_topk(emb, q, k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multimodal_decode_is_arrow_batched(spark, sf_dir):
+    """mapInPandas must compile to a single Arrow-batched python node —
+    the designed slow path — not per-row python evaluation."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import multimodal as MM
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    plan = plan_string(MM.decode_image_features(MM.synth_multimodal(docs)))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_svm_score_join_is_broadcast(spark, sf_dir):
+    assert_broadcast_join(S.svm_predictions_query(spark, sf_dir))
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     df = R.pricing_summary(spark, sf_dir)
     df.collect()  # AQE finalizes the physical plan only on execution

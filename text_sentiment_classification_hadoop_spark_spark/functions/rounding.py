@@ -28,3 +28,10 @@ def pround(col: Column, n: int) -> Column:
 def sql_pround(expr: str, n: int) -> str:
     m = float(10 ** n)
     return f"floor(({expr}) * {m!r} + 0.5) / {m!r}"
+
+
+def py_pround(x: float, n: int) -> float:
+    """Driver-side mirror of :func:`pround` (identical IEEE ops)."""
+    import math
+    m = float(10 ** n)
+    return math.floor(x * m + 0.5) / m
