@@ -638,6 +638,69 @@ def _events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start", "event_type"))
 
 
+def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store session windows (``F.session_window``) checked against
+    the batch gap-sessionization oracle (identical boundaries: merge iff
+    gap < 30 min; no exact-boundary ties exist in the testdata)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+        sessionize_stream,
+    )
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in EVENTS_SCHEMA.fields
+    ])
+    raw = (spark.readStream.schema(schema)
+           .format("parquet")
+           .option("pathGlobFilter", "events.parquet")
+           .load(sf_dir)
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    q = run_stream_to_memory(sessionize_stream(raw),
+                             "events_sessionize_stream", output_mode="complete")
+    q.stop()
+    return (spark.table("events_sessionize_stream")
+            .select("user_id", "session_start", "session_end", "n_events")
+            .orderBy("user_id", "session_start"))
+
+
+def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup (custom stateful operator,
+    ``applyInPandasWithState``): a deliberately duplicated document
+    stream must emit each content hash exactly once — the incremental
+    twin of ``dedup_exact``, oracle = distinct md5 over the table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        dedup_first_seen_stream,
+        run_stream_to_memory,
+    )
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    raw = (spark.readStream.schema(doc_schema).format("parquet")
+           .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    dup = raw.withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1)))) \
+        .select(F.md5("text").alias("text_hash"))
+    q = run_stream_to_memory(dedup_first_seen_stream(dup),
+                             "stream_dedup_docs", output_mode="append")
+    q.stop()
+    return spark.table("stream_dedup_docs").orderBy("text_hash")
+
+
+def _tfidf_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = S.labeled_documents(spark, sf_dir).select("doc_id", "text")
+    return TA.tfidf_long(docs).orderBy("doc_id", "word")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -702,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality,
         "token_counts": _token_counts,
         "doc_fingerprints": _fingerprints,
+        "tfidf_long": _tfidf_long,
         # events (north star)
         "events_tumbling": E.tumbling_counts,
         "events_sessionize": E.sessionize,
@@ -709,6 +773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": E.json_props_extract,
         # structured streaming (north star) — incremental plan, batch oracle
         "events_tumbling_stream": _events_tumbling_stream,
+        "events_sessionize_stream": _events_sessionize_stream,
+        "stream_dedup_docs": _stream_dedup_docs,
     }
 
 
@@ -1135,6 +1201,47 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
+    out["tfidf_long"] = f"""
+WITH {DOCS_CTE},
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM docs WHERE length(text) > 0
+),
+toks_ne AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM toks_ne GROUP BY doc_id, word),
+dfreq AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks_ne GROUP BY word)
+SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+       floor((tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+FROM tf JOIN dfreq USING (word), n
+ORDER BY tf.doc_id, tf.word
+"""
+    out["events_sessionize_stream"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+y AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM y GROUP BY user_id, session_id ORDER BY user_id, session_start
+"""
+    out["stream_dedup_docs"] = """
+SELECT md5(text) AS text_hash FROM documents
+GROUP BY md5(text) ORDER BY text_hash
+"""
     # result-identical demonstrations share their baseline's oracle:
     # the salted two-phase aggregation must equal the naive group-by,
     # and the spark.sql entry point runs the literal oracle text.

@@ -31,10 +31,13 @@ def main() -> None:
     # plus one representative per extension family.
     names = [
         "nb_predictions", "nb_confusion", "svm_predictions",
+        "svm_declared_weights",
         "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
         "word_counts", "dedup_exact", "minhash_signatures", "near_dup_pairs",
-        "cosine_topk", "knn_batch", "lang_id", "quality_score",
-        "events_tumbling", "events_sessionize",
+        "cosine_topk", "knn_batch", "ann_lsh_topk",
+        "lang_id", "quality_score", "tfidf_long",
+        "mm_image_features",
+        "events_tumbling", "events_sessionize", "events_tumbling_stream",
     ]
     qs = entry.queries()
 

@@ -71,6 +71,45 @@ def test_streaming_tumbling_matches_batch(spark, events_path):
     assert got == expected
 
 
+def test_streaming_sessionize_matches_batch(spark, events_path, monkeypatch):
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import sessionize_stream
+    # one micro-batch for all fixture files: the fixture's event times are
+    # not ordered across files, so per-file batches would (correctly) drop
+    # early events as late-beyond-watermark — not what this test checks
+    stream = events_stream_from_files(spark, events_path,
+                                      max_files_per_trigger=100)
+    q = run_stream_to_memory(sessionize_stream(stream, gap_minutes=30),
+                             "sess_test", output_mode="complete")
+    got = sorted((r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                 for r in spark.table("sess_test").collect())
+    q.stop()
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as ev
+    monkeypatch.setattr(ev, "load_table", lambda s, n, d: s.read.parquet(events_path))
+    want = sorted((r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                  for r in ev.sessionize(spark, "ignored").collect())
+    assert got == want
+
+
+def test_stateful_dedup_stream_first_seen_only(spark, tmp_path_factory):
+    """Duplicates across rows AND across micro-batches must be
+    suppressed by the GroupState."""
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import dedup_first_seen_stream
+    p = str(tmp_path_factory.mktemp("dd") / "docs")
+    spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(50)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(p)
+    stream = (spark.readStream
+              .schema("doc_id long, text string").parquet(p)
+              .select(F.md5("text").alias("text_hash")))
+    q = run_stream_to_memory(dedup_first_seen_stream(stream), "dd_test",
+                             output_mode="append")
+    got = sorted(r["text_hash"] for r in spark.table("dd_test").collect())
+    q.stop()
+    want = sorted({r["h"] for r in spark.read.parquet(p)
+                   .select(F.md5("text").alias("h")).collect()})
+    assert got == want and len(got) == 7
+
+
 def test_real_events_table(spark, sf_dir):
     tw = E.tumbling_counts(spark, sf_dir)
     assert tw.count() > 0

@@ -55,30 +55,30 @@ def cosine_expr(va: Column, vb: Column) -> Column:
     return dot_expr(va, vb) / (norm_expr(va) * norm_expr(vb))
 
 
-def plane_component(plane: int, dim: Column) -> Column:
+def plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane weight in [-1, 1]:
     ``(portable_hash64('plane{p}:' || dim) % 2001 − 1000) / 1000``.
-    Identical arithmetic is emitted by the SQL oracle."""
-    h = portable_hash64(F.concat(F.lit(f"plane{plane}:"), dim.cast("string")))
-    return (h % 2001 - 1000) / F.lit(1000.0)
+    Computed driver-side (same md5 derivation the SQL oracle emits) and
+    embedded as a literal — the weights are constants, so evaluating
+    the hash per row×dim×plane on executors would be pure waste."""
+    import hashlib
+    h = int(hashlib.md5(f"plane{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
 
 
-def sign_lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+def sign_lsh_bucket(vec: Column, n_planes: int = 8, dims: int = 64) -> Column:
     """Random-hyperplane sign bucket: bit p = 1 iff ``vec · plane_p ≥ 0``.
-    Narrow, per-row; the bucket id is the shuffle/join key downstream."""
-    def plane_fn(p: int):
-        def apply(d: Column) -> Column:
-            return plane_component(p, d)
-        return apply
+    Narrow, per-row; the bucket id is the shuffle/join key downstream.
 
+    The ``n_planes × dims`` weight matrix is a plan-time literal
+    (`plane_component`); per row the work is ``n_planes`` fused
+    multiply-add folds — no hashing on the executors. ``dims`` must
+    match the embedding dimensionality."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
+        w = F.array(*[F.lit(plane_component(p, d)) for d in range(dims)])
         dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), plane_fn(p)),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(vec, w, lambda x, ww: x.cast("double") * ww),
             F.lit(0.0), lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -116,9 +116,9 @@ def svm_train_declared(docs: DataFrame, id_col: str = "doc_id",
     for epoch in range(1, epochs + 1):
         eta = epoch_lr(epoch)
         if weights is None:
-            # w = 0 ⇒ every sample violates the margin.
+            # w = 0 ⇒ every sample violates the margin, and there are no
+            # weights to decay — no violation count needed.
             violating = tokens.select(id_col, y_expr.alias("_y"), "word")
-            n_violations = tokens.select(id_col).distinct().count()
             grads = (
                 violating.groupBy("word")
                 .agg((F.lit(eta) * F.sum("_y")).alias("delta"))
@@ -134,16 +134,24 @@ def svm_train_declared(docs: DataFrame, id_col: str = "doc_id",
                 .withColumn("_violates",
                             (F.col("_y") * pround(F.col("_dot"), MARGIN_DP)) < 1.0)
             )
-            n_violations = margins.filter("_violates").count()
+            # violations feed two consumers (the decay factor's count,
+            # the gradient join): materialize the doc-sized table once
+            # instead of re-running the margin join
+            viol = margins.filter("_violates").select(id_col, "_y") \
+                .localCheckpoint(eager=True)
             grads = (
-                tokens.join(margins.filter("_violates").select(id_col, "_y"),
-                            id_col, "inner")
+                tokens.join(viol, id_col, "inner")
                 .groupBy("word")
                 .agg((F.lit(eta) * F.sum("_y")).alias("delta"))
             )
-            decayed = weights.select(
+            # the violation count stays in-plan (broadcast 1-row cross
+            # join) rather than round-tripping a driver collect per
+            # epoch; ((η·λ)·V) evaluation order matches the SQL oracle
+            nv = viol.agg(F.count(F.lit(1)).alias("_v"))
+            decayed = weights.crossJoin(F.broadcast(nv)).select(
                 "word",
-                (F.col("weight") * F.lit(1.0 - eta * lam * n_violations)).alias("weight"),
+                (F.col("weight")
+                 * (F.lit(1.0) - F.lit(eta) * F.lit(lam) * F.col("_v"))).alias("weight"),
             )
             new_weights = (
                 decayed.join(grads, "word", "outer")

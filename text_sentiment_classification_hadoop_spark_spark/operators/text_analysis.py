@@ -115,3 +115,35 @@ def fingerprints(df: DataFrame, text_col: str = "text",
         portable_hash64(F.col(text_col)).alias("content_hash"),
         F.coalesce(F.array_min(hashes), portable_hash64(F.col(text_col))).alias("min_shingle_hash"),
     )
+
+def tfidf_long(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """DataFrame-native TF-IDF in long form → ``(doc_id, word, tf, df,
+    tfidf)`` — the SQL-checkable twin of the MLlib HashingTF+IDF vector
+    path (SURVEY.md §2.4 T5-T6), unhashed so there are no bucket
+    collisions.
+
+    ``idf = ln((N + 1) / (df + 1))`` — the ``pyspark.ml.feature.IDF``
+    formula. Two aggregations (term counts keyed on (doc, word);
+    document frequencies keyed on word) + a scalar N folded in as a
+    literal; the df table joins back by word. At 100 TB the df table is
+    vocabulary-sized — broadcast — and both aggregations partial
+    map-side. tfidf is portably rounded at 6 dp (cross-engine ln/sum
+    order safety).
+    """
+    import math
+
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")) \
+        .filter(F.length("word") > 0)
+    n_docs = df.select(id_col).distinct().count()
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (toks.select(id_col, "word").distinct()
+             .groupBy("word").agg(F.count(F.lit(1)).alias("df")))
+    out = tf.join(F.broadcast(dfreq), "word")
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0)))
+    return out.select(
+        F.col(id_col), "word",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        pround(F.col("tf") * idf, 6).alias("tfidf"),
+    )

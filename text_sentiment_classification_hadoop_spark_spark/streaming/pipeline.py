@@ -62,9 +62,13 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("ts").alias("session_end"))
+        # session_window.start == min(ts); its .end is last-event + gap,
+        # so emit max(ts) instead — the batch sessionize's session_end,
+        # making batch the oracle for this stream.
         .select("user_id", F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end"), "n_events")
+                "session_end", "n_events")
     )
 
 
@@ -82,3 +86,34 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     )
     q.awaitTermination(timeout_s)
     return q
+
+def dedup_first_seen_stream(df: DataFrame, key_col: str = "text_hash") -> DataFrame:
+    """Custom stateful streaming operator: emit each key's FIRST
+    occurrence only — streaming exact-dedup for a document feed, the
+    incremental form of ``operators.dedup.exact_dedup``.
+
+    Built on ``applyInPandasWithState`` (Arrow-batched, per-key
+    GroupState): state is one boolean per distinct key, so the state
+    store grows with |distinct keys|, not stream length; duplicates
+    arriving in any later micro-batch are suppressed. At scale, put a
+    TTL timeout on the state (ProcessingTimeTimeout) to bound the store
+    when upstream guarantees duplicates arrive within a window.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([T.StructField(key_col, T.StringType())])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def first_seen(key, pdfs, state):
+        import pandas as pd
+        for _ in pdfs:  # drain the Arrow batches for this key
+            pass
+        if not state.exists:
+            state.update((True,))
+            yield pd.DataFrame({key_col: [key[0]]})
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(first_seen, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )
