@@ -701,6 +701,49 @@ def _tfidf_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.tfidf_long(docs).orderBy("doc_id", "word")
 
 
+# committed quirk fixture replicating the reference input's pathologies
+# (quotes kept verbatim, interior commas, <4-field rows, entities, URLs,
+# mentions, unicode, empty text) — see FIXTURES.md / SURVEY.md §1.1
+import os as _os
+
+TWEETS_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "tweets_fixture.csv")
+
+# DuckDB raw-line scan of the fixture (chr(1) delimiter = read whole
+# lines; quote/escape disabled) + the naive comma split
+TWEETS_LINES_CTE = f"""
+lines AS (
+  SELECT column0 AS line
+  FROM read_csv('{TWEETS_FIXTURE}', delim=chr(1), header=false,
+                quote='', escape='', columns={{'column0': 'VARCHAR'}})
+),
+parts AS (SELECT string_split(line, ',') AS p FROM lines)
+"""
+
+
+def _tweets_parse(mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from text_sentiment_classification_hadoop_spark_spark.sources.tweets import read_tweets_naive
+        return read_tweets_naive(spark, TWEETS_FIXTURE, mode=mode) \
+            .orderBy("tweet_id")
+    return run
+
+
+def _tweets_clean_chain_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain B (the SVM-Hadoop cleaning chain, its actual pairing) over
+    the SVM-mode parse — RE2-safe patterns, so directly oracle-able.
+    (Chain A's lazy-quantifier/lookahead regexes are Java-only; they are
+    golden-tested in pytest instead — SURVEY.md §7 hard parts.)"""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.cleaning import clean_chain_b
+    from text_sentiment_classification_hadoop_spark_spark.sources.tweets import read_tweets_naive
+    df = read_tweets_naive(spark, TWEETS_FIXTURE, mode="svm")
+    return df.select("tweet_id",
+                     clean_chain_b(F.col("text")).alias("cleaned")) \
+        .orderBy("tweet_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -727,6 +770,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": R.top_parts_per_brand,
         "rollup_order_stats": R.rollup_order_stats,
         "semi_anti_join_counts": R.semi_anti_join_counts,
+        # tweets-CSV compat ingestion on the committed quirk fixture
+        # (P1-P4: naive split, comma-erasing stitch, SVM truncate+filter)
+        "tweets_parse_naive": _tweets_parse("nb"),
+        "tweets_parse_svm": _tweets_parse("svm"),
+        "tweets_clean_chain_b": _tweets_clean_chain_b,
         # sentiment pipelines (SURVEY §2.2-2.6, §2.9)
         "tokens_exploded": _tokens_exploded,
         "word_counts": _word_counts,
@@ -1201,6 +1249,27 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
+    out["tweets_parse_naive"] = f"""
+WITH {TWEETS_LINES_CTE}
+SELECT p[1] AS tweet_id, p[2] AS sentiment,
+       CASE WHEN len(p) > 4 THEN p[4] || array_to_string(p[5:], '')
+            ELSE p[4] END AS text
+FROM parts ORDER BY tweet_id
+"""
+    out["tweets_parse_svm"] = f"""
+WITH {TWEETS_LINES_CTE}
+SELECT p[1] AS tweet_id, p[2] AS sentiment, p[4] AS text
+FROM parts WHERE len(p) >= 4 ORDER BY tweet_id
+"""
+    out["tweets_clean_chain_b"] = f"""
+WITH {TWEETS_LINES_CTE}
+SELECT p[1] AS tweet_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(lower(p[4]),
+            '(?i)(https?://\\S+)', ' ', 'g'),
+            '[^a-zA-Z ]', ' ', 'g'),
+            '\\s+', ' ', 'g')) AS cleaned
+FROM parts WHERE len(p) >= 4 ORDER BY tweet_id
+"""
     out["tfidf_long"] = f"""
 WITH {DOCS_CTE},
 toks AS (

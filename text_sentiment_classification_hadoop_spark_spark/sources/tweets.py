@@ -38,6 +38,12 @@ def parse_tweets_lines(lines: DataFrame, value_col: str = "value",
                  only; rows with <4 comma-fields dropped (P4, the only
                  row filter in the reference).
     """
+    # Fidelity note: Java's ``String.split(",")`` (limit 0) DROPS
+    # trailing empty fields, while Spark's ``F.split`` (limit -1) and
+    # DuckDB's ``string_split`` both keep them — so a line ending in a
+    # comma has one more field here than in the reference JVM. Spark and
+    # the oracle agree with each other; lines with trailing commas are
+    # the one documented divergence from the Java programs.
     parts = F.split(F.col(value_col), ",")
     # F.get (not getItem): the reference's NB crashes the whole job on a
     # <4-field row (unguarded ``cols[3]``, ``NB.java:212``); a scale
