@@ -770,6 +770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": R.top_parts_per_brand,
         "rollup_order_stats": R.rollup_order_stats,
         "semi_anti_join_counts": R.semi_anti_join_counts,
+        "orders_by_month": R.orders_by_month,
+        "cube_order_stats": R.cube_order_stats,
         # tweets-CSV compat ingestion on the committed quirk fixture
         # (P1-P4: naive split, comma-erasing stitch, SVM truncate+filter)
         "tweets_parse_naive": _tweets_parse("nb"),
@@ -1249,6 +1251,21 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
+    out["orders_by_month"] = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mon,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+FROM orders GROUP BY 1, 2, 3 ORDER BY month_start
+"""
+    out["cube_order_stats"] = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
     out["tweets_parse_naive"] = f"""
 WITH {TWEETS_LINES_CTE}
 SELECT p[1] AS tweet_id, p[2] AS sentiment,

@@ -217,3 +217,37 @@ def semi_anti_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             without_open.agg(F.count(F.lit(1)).alias("n")).select(F.lit("without_open").alias("bucket"), "n"))
         .orderBy("bucket")
     )
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions (north-star gap §2.11): month truncation +
+    extraction over order dates. One shuffle keyed on month — ~84
+    groups regardless of scale."""
+    from ..functions.rounding import pround
+    from ..sources.tables import load_table
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             pround(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("month_start")
+    )
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (north-star gap §2.11): all 4 grouping
+    combinations of (status, priority) in one pass — Spark expands to a
+    single shuffle with a grouping-id column."""
+    from ..functions.rounding import pround
+    from ..sources.tables import load_table
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             pround(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
