@@ -1,0 +1,77 @@
+"""Property-based tests (SURVEY.md §5.2 item 3, hypothesis): the parse
+stitch is exactly comma-erasure, the cleaning chains are idempotent and
+produce their declared alphabet, ANN self-query recall is exact."""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from text_sentiment_classification_hadoop_spark_spark.functions.cleaning import clean_chain_a, clean_chain_b
+from text_sentiment_classification_hadoop_spark_spark.sources.tweets import parse_tweets_lines
+
+# texts over a printable alphabet without newlines (lines are the input
+# unit); commas allowed — that's the point
+TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=80)
+
+SETTINGS = dict(max_examples=15, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(text=TEXTS)
+@settings(**SETTINGS)
+def test_nb_stitch_is_comma_erasure(spark, text):
+    """For any text, naive-parse(id,label,src,text).text ==
+    text.replace(',', '') — the defining property of the stitch
+    (NB.java:57-61)."""
+    line = f"42,1,Sentiment140,{text}"
+    df = spark.createDataFrame([(line,)], "value string")
+    out = parse_tweets_lines(df, mode="nb").head()
+    assert out["text"] == text.replace(",", "")
+    assert out["tweet_id"] == "42" and out["sentiment"] == "1"
+
+
+@given(text=TEXTS)
+@settings(**SETTINGS)
+def test_svm_parse_truncates_at_first_comma(spark, text):
+    line = f"42,0,Sentiment140,{text}"
+    df = spark.createDataFrame([(line,)], "value string")
+    out = parse_tweets_lines(df, mode="svm").head()
+    assert out["text"] == text.split(",")[0]
+
+
+@given(text=TEXTS)
+@settings(**SETTINGS)
+def test_chains_idempotent_and_alphabet(spark, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        clean_chain_a(F.col("t")).alias("a"),
+        clean_chain_b(F.col("t")).alias("b")).head()
+    a1, b1 = row["a"], row["b"]
+    row2 = spark.createDataFrame([(a1, b1)], "a string, b string").select(
+        clean_chain_a(F.col("a")).alias("a2"),
+        clean_chain_b(F.col("b")).alias("b2")).head()
+    # idempotence: cleaning clean output is a no-op
+    assert row2["a2"] == a1 and row2["b2"] == b1
+    # declared alphabet: lowercase letters and single spaces only
+    assert re.fullmatch(r"[a-z]?([a-z ]*[a-z])?", a1), a1
+    assert re.fullmatch(r"[a-z]?([a-z ]*[a-z])?", b1), b1
+    assert "  " not in a1 and "  " not in b1
+
+
+def test_ann_self_query_recall(spark, sf_dir):
+    """A corpus vector queried against its own corpus must return itself
+    at rank 1 through the LSH path (its bucket trivially contains it)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import ann_lsh_topk, cosine_topk
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    for vid in (0, 7):
+        q = list(emb.filter(F.col("vec_id") == vid).head()["embedding"])
+        top_ann = ann_lsh_topk(emb, q, k=3).head()
+        top_exact = cosine_topk(emb, q, k=3).head()
+        assert top_ann["vec_id"] == vid == top_exact["vec_id"]
+        assert top_ann["cosine"] == 1.0 == top_exact["cosine"]
