@@ -729,6 +729,17 @@ def _tweets_parse(mode: str):
     return run
 
 
+TWEETS_STRICT_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "tweets_strict.csv")
+
+
+def _tweets_parse_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild-only RFC-4180 reader on a well-formed fixture —
+    quoted commas and doubled quotes survive (unlike the compat path)."""
+    from text_sentiment_classification_hadoop_spark_spark.sources.tweets import read_tweets_strict
+    return read_tweets_strict(spark, TWEETS_STRICT_FIXTURE).orderBy("tweet_id")
+
+
 def _tweets_clean_chain_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain B (the SVM-Hadoop cleaning chain, its actual pairing) over
     the SVM-mode parse — RE2-safe patterns, so directly oracle-able.
@@ -776,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (P1-P4: naive split, comma-erasing stitch, SVM truncate+filter)
         "tweets_parse_naive": _tweets_parse("nb"),
         "tweets_parse_svm": _tweets_parse("svm"),
+        "tweets_parse_strict": _tweets_parse_strict,
         "tweets_clean_chain_b": _tweets_clean_chain_b,
         # sentiment pipelines (SURVEY §2.2-2.6, §2.9)
         "tokens_exploded": _tokens_exploded,
@@ -1277,6 +1289,13 @@ FROM parts ORDER BY tweet_id
 WITH {TWEETS_LINES_CTE}
 SELECT p[1] AS tweet_id, p[2] AS sentiment, p[4] AS text
 FROM parts WHERE len(p) >= 4 ORDER BY tweet_id
+"""
+    out["tweets_parse_strict"] = f"""
+SELECT column0 AS tweet_id, column1 AS sentiment, column3 AS text
+FROM read_csv('{TWEETS_STRICT_FIXTURE}', header=false, quote='"', escape='"',
+              columns={{'column0':'VARCHAR','column1':'VARCHAR',
+                        'column2':'VARCHAR','column3':'VARCHAR'}})
+ORDER BY tweet_id
 """
     out["tweets_clean_chain_b"] = f"""
 WITH {TWEETS_LINES_CTE}

@@ -55,8 +55,12 @@ def norm_value(v):
 
 
 def df_to_rows(cols, records):
+    # sort key must totally order mixed None/str/num/datetime values
+    # (None < str comparisons raise); any deterministic key works since
+    # both sides get the same transformation before equality compare
     return sorted(
-        tuple(norm_value(r[c]) for c in cols) for r in records
+        (tuple(norm_value(r[c]) for c in cols) for r in records),
+        key=lambda row: tuple((v is None, type(v).__name__, str(v)) for v in row),
     )
 
 
