@@ -48,3 +48,18 @@ def test_bucketed_agg_skips_exchange(spark, sf_dir):
     agg = read_table(spark, "docs_bucketed").groupBy("doc_id") \
         .agg(F.count(F.lit(1)).alias("n"))
     assert "Exchange" not in plan_string(agg)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path_factory):
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import write_partitioned
+    e = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.to_date("ts"))
+    path = str(tmp_path_factory.mktemp("part") / "events_by_day")
+    write_partitioned(e, path, "day")
+    back = spark.read.parquet(path)
+    one_day = back.select("day").distinct().head()["day"]
+    q = back.filter(F.col("day") == one_day)
+    plan = plan_string(q)
+    # the partition filter must reach the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+    assert q.count() == e.filter(F.col("day") == one_day).count()

@@ -49,3 +49,11 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back — scans report the bucket spec, and
     joins/aggregations on the bucket column skip their exchange."""
     return spark.table(table)
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Directory-partitioned parquet (e.g. events by day): readers with
+    a filter on the partition column scan only matching directories —
+    `PartitionFilters` in the plan, zero I/O elsewhere. The standard
+    layout for time-organized 100 TB tables."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
