@@ -548,6 +548,12 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
 
 
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.ivf_topk(emb, _query_vec(spark, sf_dir, 0), k=10,
+                        n_cells=8, n_probe=2)
+
+
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
@@ -817,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "knn_batch": _knn_batch,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ivf_topk": _ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
@@ -1263,6 +1270,54 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
+    out["ivf_topk"] = f"""
+WITH {AU_ORIG},
+cent AS (SELECT vec_id AS cell_id, d, x AS cx FROM au WHERE vec_id < 8),
+vc AS (
+  SELECT au.vec_id, c.cell_id,
+         sum(au.x * c.cx) AS dot,
+         sum(au.x * au.x) AS nv2,
+         sum(c.cx * c.cx) AS nc2
+  FROM au JOIN cent c ON au.d = c.d
+  GROUP BY au.vec_id, c.cell_id
+),
+vc_scored AS (
+  SELECT vec_id, cell_id,
+         floor((dot / (sqrt(nv2) * sqrt(nc2))) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM vc
+),
+assigned AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell_id ASC) AS rk
+    FROM vc_scored
+  ) WHERE rk = 1
+),
+probe AS (
+  SELECT cell_id AS cell FROM vc_scored WHERE vec_id = 0
+  ORDER BY cos DESC, cell_id ASC LIMIT 2
+),
+q AS (SELECT d, x AS qx FROM au WHERE vec_id = 0),
+cands AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.cell = p.cell),
+prods AS (
+  SELECT au.vec_id,
+         sum(au.x * q.qx) AS dot,
+         sum(au.x * au.x) AS na2,
+         sum(q.qx * q.qx) AS nq2
+  FROM au JOIN cands USING (vec_id) JOIN q ON au.d = q.d
+  GROUP BY au.vec_id
+),
+ranked AS (
+  SELECT vec_id,
+         floor((dot / (sqrt(na2) * sqrt(nq2))) * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         CAST(row_number() OVER (
+           ORDER BY floor((dot / (sqrt(na2) * sqrt(nq2))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                    vec_id ASC) AS INTEGER) AS rank
+  FROM prods
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
     out["orders_by_month"] = """
 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
        CAST(year(o_orderdate) AS INTEGER) AS yr,

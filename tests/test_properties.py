@@ -75,3 +75,16 @@ def test_ann_self_query_recall(spark, sf_dir):
         top_exact = cosine_topk(emb, q, k=3).head()
         assert top_ann["vec_id"] == vid == top_exact["vec_id"]
         assert top_ann["cosine"] == 1.0 == top_exact["cosine"]
+
+
+def test_ivf_self_query_recall(spark, sf_dir):
+    """IVF path: a corpus vector's own cell is always probed (its
+    nearest centroid is among the query's top-probe cells when query ==
+    vector), so self-recall at rank 1 must hold."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import ivf_topk
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    for vid in (0, 11):
+        q = list(emb.filter(F.col("vec_id") == vid).head()["embedding"])
+        top = ivf_topk(emb, q, k=3, n_cells=8, n_probe=2).head()
+        assert top["vec_id"] == vid and top["cosine"] == 1.0

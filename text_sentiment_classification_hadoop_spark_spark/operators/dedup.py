@@ -173,9 +173,29 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """Per-doc SimHash fingerprint → ``(doc_id, simhash)``. Narrow."""
-    toks = F.split(F.col(text_col), " ")
-    return df.select(F.col(id_col), simhash_expr(toks, bits).alias("simhash"))
+    """Per-doc SimHash fingerprint → ``(doc_id, simhash)``.
+
+    Explode → one hash per token → per-doc aggregate of the ``bits``
+    bit-sums, then the majority-vote recombination. Same shape as
+    :func:`minhash_signatures` and for the same reason: one md5 per
+    token guaranteed (the expression form re-evaluates the hash array
+    per bit when CSE doesn't collapse it) and map-side partial
+    aggregation keeps the shuffle fingerprint-sized.
+    (:func:`functions.hashing.simhash_expr` remains for single-pass
+    per-row use on already-hashed arrays.)"""
+    base = widen(df.select(F.col(id_col), F.col(text_col)))
+    toks = base.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), " ")).alias("_t"))
+    h = toks.select(F.col(id_col), portable_hash64(F.col("_t")).alias("h"))
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for b in range(bits):
+        aggs.append(F.sum(F.shiftright(F.col("h"), b) % 2).alias(f"_ones{b}"))
+    per_doc = h.groupBy(id_col).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when((2 * F.col(f"_ones{b}")) >= F.col("_total"),
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(F.col(id_col), acc.alias("simhash"))
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",

@@ -138,3 +138,56 @@ def pairwise_topk_join(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .orderBy(qid_col, "rank")
     )
+
+
+def ivf_assign_cells(emb: DataFrame, centroids: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (rounded 6 dp; ties -> lowest centroid id) →
+    ``(vec_id, embedding, cell)``.
+
+    One pass: cross join against the (tiny, broadcast) centroid table,
+    per-vector argmax. At 100 TB the assigned table is written
+    partitioned/bucketed by ``cell`` so probes prune to n_probe cells.
+    """
+    from pyspark.sql import Window
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(vec_col), F.col("cell_id"),
+        pround(cosine_expr(F.col(vec_col), F.col("cell_vec")), 6).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(),
+                                           F.col("cell_id").asc())
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(id_col, vec_col, F.col("cell_id").alias("cell")))
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_cells: int = 8, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: coarse centroids are the first ``n_cells`` corpus
+    vectors (deterministic — a stand-in for a trained k-means codebook,
+    which would slot in unchanged); search probes the ``n_probe`` cells
+    nearest the query and runs exact cosine inside them →
+    ``(vec_id, cosine, rank)``.
+
+    Complements the sign-LSH path: IVF recall degrades gracefully with
+    n_probe (probe more cells when the query lands near a cell
+    boundary), where LSH recall is fixed by the plane count.
+    """
+    centroids = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cell_vec"))
+    assigned = ivf_assign_cells(widen(emb), centroids, id_col, vec_col)
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (centroids
+             .select("cell_id",
+                     pround(cosine_expr(F.col("cell_vec"), q), 6).alias("_c"))
+             .orderBy(F.col("_c").desc(), F.col("cell_id").asc())
+             .limit(n_probe)
+             .select(F.col("cell_id").alias("cell")))
+    cands = assigned.join(F.broadcast(probe), "cell")
+    scored = cands.select(
+        F.col(id_col),
+        pround(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+    return _ranked_topk(scored, k, id_col)
