@@ -1,0 +1,19 @@
+"""The CLI entry points (reference README parity) run and print the
+reference-shaped metrics block."""
+
+import subprocess
+import sys
+
+
+def test_nb_compat_cli_golden():
+    out = subprocess.run(
+        [sys.executable, "-m", "text_sentiment_classification_hadoop_spark_spark", "nb-compat",
+         "--train", "fixtures/tweets_fixture.csv"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout.strip().splitlines()
+    got = {l.split(" = ")[0]: l.split(" = ")[1] for l in lines if " = " in l}
+    # the golden confusion from test_fixture_e2e, via the CLI surface
+    assert (got["True Positives"], got["False Positives"],
+            got["True Negatives"], got["False Negatives"]) == ("14", "0", "17", "1")
+    assert "Execution time" in out.stdout

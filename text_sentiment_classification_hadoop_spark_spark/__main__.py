@@ -1,0 +1,118 @@
+"""CLI parity with the reference's four entry points.
+
+The reference is driven as (README.md:88-124):
+
+    hadoop jar NB.jar  NB  <train> <test> <train_split> <test_split>
+    hadoop jar SVM.jar SVM <train...> <test...> <splits...>
+    spark-submit NaiveBayes.py <n>
+    spark-submit SVM.py <n>
+
+Equivalent invocations here (same workloads, same printed metrics
+block, tweets-CSV in — a reference user switches by swapping the
+command line):
+
+    python -m text_sentiment_classification_hadoop_spark_spark nb-compat   --train T.csv [--test E.csv] [--model-out DIR]
+    python -m text_sentiment_classification_hadoop_spark_spark svm-compat  --train T.csv [--test E.csv] [--model-out DIR]
+    python -m text_sentiment_classification_hadoop_spark_spark svm-strict  --train T.csv [--test E.csv]   # M4: epoch chain actually wired
+    python -m text_sentiment_classification_hadoop_spark_spark nb-mllib    --input T.csv
+    python -m text_sentiment_classification_hadoop_spark_spark svm-mllib   --input T.csv
+
+Output mirrors the reference's console sink (S8): confusion counts then
+Accuracy/Precision/Recall/F1 (``NB.java:343-349``; the MLlib commands
+additionally print the weighted F-measure like ``NaiveBayes.py:72-75``).
+With no ``--test``, the train file is scored (the reference's
+single-input Spark programs split 75/25 internally — the mllib commands
+do exactly that with seed 1234).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, path: str, mode: str, chain):
+    from .sources.tweets import label_col, read_tweets_naive
+    raw = read_tweets_naive(spark, path, mode=mode)
+    return raw.select(
+        F.col("tweet_id").alias("doc_id"),
+        label_col().alias("label"),
+        chain(F.col("text")).alias("text"),
+    ).na.fill({"text": ""})
+
+
+def _print_metrics(scored, with_weighted: bool = False) -> None:
+    from .operators import metrics as M
+    c = M.confusion_counts(scored)
+    b = M.binary_metrics(c)
+    print(f"True Positives = {c['tp']}")
+    print(f"False Positives = {c['fp']}")
+    print(f"True Negatives = {c['tn']}")
+    print(f"False Negatives = {c['fn']}")
+    print(f"Accuracy = {b['accuracy']}")
+    print(f"Precision = {b['precision']}")
+    print(f"Recall = {b['recall']}")
+    print(f"F1 Score = {b['f1']}")
+    if with_weighted:
+        print(f"Weighted F-measure = {M.weighted_f_measure(scored)}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="text_sentiment_classification_hadoop_spark_spark")
+    p.add_argument("command", choices=[
+        "nb-compat", "svm-compat", "svm-strict", "nb-mllib", "svm-mllib"])
+    p.add_argument("--train", help="training tweets CSV (compat commands)")
+    p.add_argument("--test", help="test tweets CSV; defaults to --train")
+    p.add_argument("--input", help="tweets CSV for the mllib commands (75/25 split inside)")
+    p.add_argument("--model-out", help="optional parquet dir to persist the model")
+    args = p.parse_args(argv)
+
+    from .functions.cleaning import clean_chain_a, clean_chain_b
+    from .session import get_spark
+    spark = get_spark(app_name=f"cli-{args.command}")
+    t0 = time.perf_counter()
+
+    if args.command in ("nb-compat", "svm-compat", "svm-strict"):
+        if not args.train:
+            p.error("--train is required for compat commands")
+        test_path = args.test or args.train
+        if args.command == "nb-compat":
+            from .operators import nb as NB
+            train = _docs(spark, args.train, "nb", clean_chain_a)
+            test = _docs(spark, test_path, "nb", clean_chain_a)
+            model, stats = NB.nb_train(train)
+            scored = NB.nb_score(test, model, stats)
+        else:
+            from .operators import svm as SVM
+            train = _docs(spark, args.train, "svm", clean_chain_b)
+            test = _docs(spark, test_path, "svm", clean_chain_b)
+            if args.command == "svm-strict":
+                model = SVM.svm_train_declared(train)
+            else:
+                model = SVM.svm_effective_train(train)
+            scored = SVM.svm_score(test, model)
+        if args.model_out:
+            from .sources.model_store import save_model
+            save_model(model, args.model_out)
+        _print_metrics(scored)
+    else:
+        if not args.input:
+            p.error("--input is required for mllib commands")
+        from .operators.svm import mllib_pipeline
+        algo = "nb" if args.command == "nb-mllib" else "svm"
+        docs = _docs(spark, args.input, "nb", clean_chain_a)
+        preds, _model = mllib_pipeline(docs, algorithm=algo)
+        _print_metrics(preds, with_weighted=True)
+
+    # M9: wall-clock around explicit actions (unlike the reference's
+    # Spark timer, which stopped before materialization)
+    print(f"Execution time: {time.perf_counter() - t0:.2f} s")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
