@@ -621,6 +621,8 @@ def _events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
         tumbling_counts_stream,
     )
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    ensure_engine_confs(spark)
     # the driver parquet stores ts as INT64 TIMESTAMP(NANOS): stream it
     # as a raw long (nanosAsLong) and restore microsecond timestamps,
     # matching sources.tables.load_table.
@@ -656,6 +658,8 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
         sessionize_stream,
     )
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    ensure_engine_confs(spark)
     schema = T.StructType([
         f if f.name != "ts" else T.StructField("ts", T.LongType())
         for f in EVENTS_SCHEMA.fields
@@ -692,6 +696,8 @@ def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("source", T.StringType()),
         T.StructField("n_chars", T.LongType()),
     ])
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    ensure_engine_confs(spark)
     raw = (spark.readStream.schema(doc_schema).format("parquet")
            .option("pathGlobFilter", "documents.parquet").load(sf_dir))
     dup = raw.withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1)))) \

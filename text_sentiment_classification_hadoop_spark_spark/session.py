@@ -21,6 +21,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Confs the engine NEEDS for correctness and that Spark allows setting
+# at runtime — applied defensively by the table loaders so the engine
+# behaves correctly even on a caller-provided SparkSession built without
+# session.get_spark (e.g. the driver's own session):
+# - nanosAsLong: events.parquet carries INT64 TIMESTAMP(NANOS); without
+#   this flag the scan ABORTS (PARQUET_TYPE_ILLEGAL)
+# - UTC session tz: timestamp values must render identically to the
+#   DuckDB oracle regardless of host timezone
+# - Arrow: the multimodal mapInPandas stages should batch-transfer
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply the runtime-settable confs the engine requires (no-op when
+    already set, e.g. under :func:`get_spark`)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build: keep going, reads may still work
+
+
 def widen(df, min_parts: int | None = None):
     """Guarded repartition for CPU-bound narrow stages.
 

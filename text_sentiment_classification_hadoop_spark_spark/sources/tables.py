@@ -21,6 +21,8 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    from ..session import ensure_engine_confs
+    ensure_engine_confs(spark)  # caller-provided sessions included
     sf_dir = sf_dir or DEFAULT_SF_DIR
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is INT64 TIMESTAMP(NANOS); with
