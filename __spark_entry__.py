@@ -495,7 +495,7 @@ def _classifier_metrics(kind: str):
 
         train, test = S.train_test(S.labeled_documents(spark, sf_dir))
         if kind == "nb":
-            model, stats = NB.nb_train(train)
+            model, stats = S._nb_trained(spark, sf_dir)
             scored = NB.nb_score(test, model, stats)
         else:
             w = SVM.svm_effective_train(train)

@@ -52,25 +52,42 @@ def train_test(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return docs.filter(~is_test), docs.filter(is_test)
 
 
+# The driver invokes each query independently, and four of them (model,
+# stats, predictions, confusion) train the identical NB model on the
+# identical split. Memoize per (application, sf_dir): the model is a
+# checkpointed vocabulary-sized DataFrame, so holding it is cheap and
+# recomputation-free. Keyed on applicationId so a new session never sees
+# a stale handle.
+_NB_CACHE: dict[tuple[str, str], tuple[DataFrame, object]] = {}
+
+
+def _nb_trained(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NB_CACHE:
+        train, _ = train_test(labeled_documents(spark, sf_dir))
+        _NB_CACHE[key] = NB.nb_train(train)
+    return _NB_CACHE[key]
+
+
 def nb_model_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/M2: the NB count model on the training split."""
-    train, _ = train_test(labeled_documents(spark, sf_dir))
-    return NB.nb_token_counts(train).orderBy("word")
+    model, _ = _nb_trained(spark, sf_dir)
+    return model.select("word", "pos_count", "neg_count").orderBy("word")
 
 
 def nb_predictions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+M3+J1: train on 75%, score the 25% — returns
     ``(doc_id, label, prediction)``."""
-    train, test = train_test(labeled_documents(spark, sf_dir))
-    model, stats = NB.nb_train(train)
+    _, test = train_test(labeled_documents(spark, sf_dir))
+    model, stats = _nb_trained(spark, sf_dir)
     scored = NB.nb_score(test, model, stats)
     return scored.select("doc_id", "label", "prediction").orderBy("doc_id")
 
 
 def nb_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 over the NB predictions."""
-    train, test = train_test(labeled_documents(spark, sf_dir))
-    model, stats = NB.nb_train(train)
+    _, test = train_test(labeled_documents(spark, sf_dir))
+    model, stats = _nb_trained(spark, sf_dir)
     scored = NB.nb_score(test, model, stats)
     return M.confusion_matrix(scored).orderBy("prediction", "label")
 
@@ -78,10 +95,8 @@ def nb_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nb_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5/J4: the six scalar training stats as one row (the
     reference's Configuration scalars, ``NB.java:305-316``)."""
-    train, _ = train_test(labeled_documents(spark, sf_dir))
-    model = NB.nb_token_counts(train)
-    s = NB.nb_stats(train, model)
-    return train.sparkSession.createDataFrame(
+    _model, s = _nb_trained(spark, sf_dir)
+    return spark.createDataFrame(
         [(s.tweets_size, s.pos_tweets_size, s.neg_tweets_size,
           s.pos_words_size, s.neg_words_size, s.features_size)],
         "tweets_size bigint, pos_tweets_size bigint, neg_tweets_size bigint, "

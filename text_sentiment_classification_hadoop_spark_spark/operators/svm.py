@@ -107,8 +107,7 @@ def svm_train_declared(docs: DataFrame, id_col: str = "doc_id",
     """
     tokens = explode_tokens(
         docs.select(id_col, label_col, text_col), text_col=text_col
-    ).cache()
-    tokens.count()  # materialize once
+    ).cache()  # materialized by epoch 1's first job, reused by all epochs
 
     y_expr = F.when(F.col(label_col) == 1.0, F.lit(1.0)).otherwise(F.lit(-1.0))
     weights: DataFrame | None = None  # epoch 1 starts empty (w = 0)
