@@ -767,6 +767,23 @@ def _tweets_clean_chain_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("tweet_id")
 
 
+def _decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination on the documents table, split the
+    same way as the sentiment pipelines (doc_id%8 ∈ {0,5} = test)."""
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "documents", sf_dir)
+    is_test = (F.col("doc_id") % 8).isin(0, 5)
+    return D.decontaminate(docs.filter(~is_test), docs.filter(is_test))
+
+
+def _hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample of documents — reproducible
+    engine-independent sampling (unlike seeded df.sample)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (TA.hash_sample(docs, pct=10)
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -795,6 +812,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join_counts": R.semi_anti_join_counts,
         "orders_by_month": R.orders_by_month,
         "cube_order_stats": R.cube_order_stats,
+        "grouping_sets_order_stats": R.grouping_sets_order_stats,
+        "intersect_except_customers": R.intersect_except_customers,
+        "quantity_band_totals": R.quantity_band_totals,
+        "price_quantiles": R.price_quantiles,
+        "price_quantity_corr": R.price_quantity_corr,
         # tweets-CSV compat ingestion on the committed quirk fixture
         # (P1-P4: naive split, comma-erasing stitch, SVM truncate+filter)
         "tweets_parse_naive": _tweets_parse("nb"),
@@ -821,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pricing_summary": _sql_pricing_summary,
         # dedup (north star)
         "dedup_exact": _dedup_exact,
+        "decontaminate_train": _decontaminate_train,
+        "hash_sample_docs": _hash_sample_docs,
         "minhash_signatures": _minhash_long,
         "simhash_fingerprints": _simhash,
         "near_dup_pairs": _near_dup_pairs,
@@ -846,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": E.sessionize,
         "events_pivot": E.user_event_pivot,
         "events_json_props": E.json_props_extract,
+        "user_running_stats": E.user_running_stats,
+        "purchase_attribution": E.purchase_attribution,
         # structured streaming (north star) — incremental plan, batch oracle
         "events_tumbling_stream": _events_tumbling_stream,
         "events_sessionize_stream": _events_sessionize_stream,
@@ -1413,4 +1439,93 @@ GROUP BY md5(text) ORDER BY text_hash
     # and the spark.sql entry point runs the literal oracle text.
     out["word_counts_salted"] = out["word_counts"]
     out["sql_pricing_summary"] = out["pricing_summary"]
+
+    out["user_running_stats"] = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER win AS INTEGER) AS seq,
+       epoch_us(ts) - epoch_us(lag(ts) OVER win) AS gap_us,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING))
+             * 1000000.0 + 0.5) / 1000000.0 AS running_value
+FROM events
+WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, seq
+"""
+    # ANSI as-of join: greatest click ts at-or-before each purchase.
+    # (The Spark side is the linear union+window form; this quadratic
+    # join is oracle-only.)
+    out["purchase_attribution"] = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       CAST(max(c.ts) AS TIMESTAMP) AS last_click_ts,
+       epoch_us(p.ts) - epoch_us(max(c.ts)) AS gap_us
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY purchase_id
+"""
+    bands_values = ", ".join(f"('{b}', {lo}, {hi})"
+                             for b, lo, hi in R.QUANTITY_BANDS)
+    out["quantity_band_totals"] = f"""
+WITH bands(band, lo, hi) AS (VALUES {bands_values})
+SELECT band, CAST(count(*) AS BIGINT) AS n,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total_price
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY band ORDER BY band
+"""
+    out["price_quantiles"] = """
+SELECT l_returnflag,
+       floor((quantile_cont(l_extendedprice, 0.25)) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+       floor((quantile_cont(l_extendedprice, 0.50)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor((quantile_cont(l_extendedprice, 0.75)) * 1000000.0 + 0.5) / 1000000.0 AS p75,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    out["price_quantity_corr"] = """
+SELECT l_returnflag,
+       floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr,
+       floor((covar_samp(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS qty_price_covar,
+       floor((stddev_samp(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS price_stddev,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    out["grouping_sets_order_stats"] = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+    out["intersect_except_customers"] = """
+SELECT 'open_and_finished' AS bucket, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'open_only' AS bucket, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY bucket, o_custkey
+"""
+    out["decontaminate_train"] = f"""
+WITH docs_all AS (SELECT doc_id, text FROM documents),
+{SHINGLES_CTE},
+shd AS (
+  SELECT DISTINCT doc_id, {PORTABLE_HASH.format(col='sh')} AS shash
+  FROM shingles WHERE sh IS NOT NULL
+),
+test_sh AS (SELECT DISTINCT shash FROM shd WHERE doc_id % 8 IN (0, 5)),
+train_sh AS (SELECT * FROM shd WHERE doc_id % 8 NOT IN (0, 5))
+SELECT t.doc_id, CAST(count(DISTINCT t.shash) AS BIGINT) AS n_shared
+FROM train_sh t JOIN test_sh s ON s.shash = t.shash
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+    out["hash_sample_docs"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ({PORTABLE_HASH.format(col="'sample:v1' || CAST(doc_id AS VARCHAR)")} % 100) < 10
+ORDER BY doc_id
+"""
     return out

@@ -1,0 +1,142 @@
+"""Window analytics, as-of join, range-band join, statistical
+aggregates, set ops, decontamination, and deterministic sampling
+(this session's operator additions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+from text_sentiment_classification_hadoop_spark_spark.operators import events as E
+from text_sentiment_classification_hadoop_spark_spark.operators import relational as R
+from text_sentiment_classification_hadoop_spark_spark.operators import text_analysis as TA
+from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------- events
+
+def test_user_running_stats_invariants(spark, sf_dir):
+    out = E.user_running_stats(spark, sf_dir)
+    rows = out.collect()
+    n_events = load_table(spark, "events", sf_dir).count()
+    assert len(rows) == n_events
+    # seq is 1..n per user; gap_us null only on each user's first event
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for recs in by_user.values():
+        seqs = [r["seq"] for r in recs]
+        assert seqs == list(range(1, len(recs) + 1))
+        assert recs[0]["gap_us"] is None
+        assert all(r["gap_us"] is not None and r["gap_us"] >= 0
+                   for r in recs[1:])
+
+
+def test_purchase_attribution_asof_semantics(spark, sf_dir):
+    e = load_table(spark, "events", sf_dir)
+    n_purchases = e.filter(F.col("event_type") == "purchase").count()
+    out = E.purchase_attribution(spark, sf_dir).collect()
+    assert len(out) == n_purchases
+    for r in out:
+        if r["last_click_ts"] is not None:
+            assert r["last_click_ts"] <= r["purchase_ts"]
+            assert r["gap_us"] >= 0
+        else:
+            assert r["gap_us"] is None
+    # cross-check one attributed purchase against a brute-force lookup
+    attributed = next(r for r in out if r["last_click_ts"] is not None)
+    clicks = (e.filter((F.col("event_type") == "click")
+                       & (F.col("user_id") == attributed["user_id"])
+                       & (F.col("ts") <= attributed["purchase_ts"]))
+              .agg(F.max("ts").alias("m")).collect()[0]["m"])
+    assert clicks == attributed["last_click_ts"]
+
+
+# ------------------------------------------------------------ relational
+
+def test_quantity_band_totals_partitions_all_rows(spark, sf_dir):
+    l = load_table(spark, "lineitem", sf_dir)
+    in_range = l.filter((F.col("l_quantity") >= 1)
+                        & (F.col("l_quantity") <= 50)).count()
+    rows = R.quantity_band_totals(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == in_range
+    assert [r["band"] for r in rows] == sorted(r["band"] for r in rows)
+
+
+def test_price_quantiles_ordered(spark, sf_dir):
+    for r in R.price_quantiles(spark, sf_dir).collect():
+        assert r["p25"] <= r["p50"] <= r["p75"]
+        assert r["n"] > 0
+
+
+def test_price_quantity_corr_bounds(spark, sf_dir):
+    for r in R.price_quantity_corr(spark, sf_dir).collect():
+        assert -1.0 <= r["qty_price_corr"] <= 1.0
+        assert r["price_stddev"] > 0
+
+
+def test_grouping_sets_shapes(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    n_status = o.select("o_orderstatus").distinct().count()
+    n_prio = o.select("o_orderpriority").distinct().count()
+    rows = R.grouping_sets_order_stats(spark, sf_dir).collect()
+    assert len(rows) == n_status + n_prio + 1
+    grand = [r for r in rows
+             if r["o_orderstatus"] is None and r["o_orderpriority"] is None]
+    assert len(grand) == 1 and grand[0]["n"] == o.count()
+
+
+def test_intersect_except_disjoint(spark, sf_dir):
+    rows = R.intersect_except_customers(spark, sf_dir).collect()
+    both = {r["o_custkey"] for r in rows if r["bucket"] == "open_and_finished"}
+    only = {r["o_custkey"] for r in rows if r["bucket"] == "open_only"}
+    assert both.isdisjoint(only)
+    o = load_table(spark, "orders", sf_dir)
+    open_k = {r["o_custkey"] for r in
+              o.filter(F.col("o_orderstatus") == "O")
+              .select("o_custkey").distinct().collect()}
+    assert both | only == open_k
+
+
+# ------------------------------------------------- decontamination / sample
+
+def test_decontaminate_flags_overlap_only(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),      # shares shingle with test 100
+         (2, "one two three four five"),     # clean
+         (3, "alpha beta gamma epsilon")],   # shares the same shingle
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "zzz alpha beta gamma yyy")], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shared"]
+           for r in D.decontaminate(train, test).collect()}
+    # docs 1 and 3 share the 'alpha beta gamma' shingle with the test
+    # set; doc 2 shares nothing and must not appear
+    assert out == {1: 1, 3: 1}
+
+
+def test_decontaminate_counts_exact(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    out = D.decontaminate(train, test).collect()
+    # train shingles: {a b g, b g d}; test contains both → n_shared = 2
+    assert len(out) == 1 and out[0]["n_shared"] == 2
+
+
+def test_hash_sample_deterministic_and_disjoint(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    s1 = {r["doc_id"] for r in TA.hash_sample(docs, pct=10)
+          .select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in TA.hash_sample(docs, pct=10)
+          .select("doc_id").collect()}
+    assert s1 == s2 and len(s1) > 0
+    total = docs.count()
+    assert len(s1) < total
+    # disjoint pct-ranges partition the corpus: 0-10 vs 10-100
+    rest = {r["doc_id"] for r in
+            docs.filter(~F.col("doc_id").isin(list(s1)))
+            .select("doc_id").collect()} if len(s1) < 2000 else None
+    if rest is not None:
+        assert s1.isdisjoint(rest) and s1 | rest == {
+            r["doc_id"] for r in docs.select("doc_id").collect()}

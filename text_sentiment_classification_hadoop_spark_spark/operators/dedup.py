@@ -198,6 +198,39 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     return per_doc.select(F.col(id_col), acc.alias("simhash"))
 
 
+def decontaminate(train: DataFrame, test: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """Train/test decontamination — the canonical pre-training hygiene
+    op: find train documents sharing at least one word ``k``-shingle
+    with ANY test document → ``(doc_id, n_shared)`` (distinct shared
+    shingles per contaminated train doc).
+
+    Shape: explode distinct shingles on both sides, hash each shingle
+    to the portable 60-bit integer so the equi-join (the only shuffle)
+    carries 8-byte keys instead of shingle strings, then count distinct
+    shared shingles per train doc. At 100 TB the test side is typically
+    small enough to broadcast; here it flows through the same hash
+    shuffle — either plan is O(shingles), never O(train × test).
+    Callers drop contaminated ids with a left-anti join against this
+    result."""
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_expr(F.col(text_col), k=k)))
+            .alias("_sh"),
+        ).select(F.col(id_col), portable_hash64(F.col("_sh")).alias("shash"))
+
+    test_hashes = _sh(test).select("shash").distinct()
+    return (
+        _sh(train)
+        .join(test_hashes, "shash")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shash").alias("n_shared"))
+        .orderBy(id_col)
+    )
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95) -> DataFrame:

@@ -86,6 +86,68 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered window analytics (north-star window functions,
+    §2.11): event sequence number, gap to the previous event in exact
+    microseconds, and the running sum of ``value`` →
+    ``(user_id, event_id, seq, gap_us, running_value)``.
+
+    One shuffle on user_id, then a per-user sort feeds all three window
+    functions in a single Window node. Gap is integer microseconds
+    (``unix_micros``) — exact, no floating-point timestamp math. The
+    running sum's addition order is pinned by the (ts, event_id) sort,
+    so the double result is deterministic."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.select(
+            "user_id", "event_id",
+            F.row_number().over(w).alias("seq"),  # INT; oracle casts to match
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            .alias("gap_us"),
+            pround(F.sum("value").over(run), 6).alias("running_value"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (north-star operator Spark lacks natively, §2.11):
+    for every ``purchase`` event, the most recent ``click`` by the same
+    user at-or-before the purchase →
+    ``(purchase_id, user_id, purchase_ts, last_click_ts, gap_us)``.
+
+    Implemented the scale-correct way — NOT a theta join: union both
+    sides, one shuffle on user_id, one per-user time sort, then
+    ``last(click_ts, ignorenulls)`` carried forward. Cost is
+    O(n log n_partition) with a single exchange; the naive
+    ``c.ts <= p.ts`` join the ANSI oracle uses would be quadratic per
+    user at 100 TB. Ties (click and purchase at the same ts) order the
+    click first, matching the oracle's inclusive ``c.ts <= p.ts``."""
+    e = load_table(spark, "events", sf_dir)
+    sides = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("_is_p"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("_click_ts"),
+    )
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "_is_p", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = sides.withColumn(
+        "last_click_ts", F.last("_click_ts", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("_is_p") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("purchase_ts"), "last_click_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts"))
+            .alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON access on the ``props`` string column (north-star JSON
     functions): extract ``$.k`` as int, aggregate by event_type."""

@@ -237,6 +237,110 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTITY_BANDS: list[tuple[str, int, int]] = [
+    ("01-10", 1, 10), ("11-20", 11, 20), ("21-30", 21, 30),
+    ("31-40", 31, 40), ("41-50", 41, 50),
+]
+
+
+def quantity_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (banding) join — north-star interval-join coverage (§2.11):
+    every lineitem mapped into a quantity band via
+    ``lo <= l_quantity <= hi``, then aggregated per band.
+
+    The band table is a handful of rows, so Catalyst plans a broadcast
+    nested-loop join — the correct physical strategy for a non-equi
+    join against a tiny interval dim; the fact side streams through
+    narrow. Never shuffle the fact for a banding join."""
+    l = load_table(spark, "lineitem", sf_dir)
+    bands = spark.createDataFrame(QUANTITY_BANDS, "band STRING, lo INT, hi INT")
+    return (
+        l.join(F.broadcast(bands),
+               (F.col("l_quantity") >= F.col("lo"))
+               & (F.col("l_quantity") <= F.col("hi")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"),
+             pround(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .orderBy("band")
+    )
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (north-star sketch/
+    quantile surface): p25/p50/p75 of l_extendedprice per returnflag.
+
+    ``percentile()`` is exact (sort-based) — right for the oracle gate;
+    at 100 TB swap in ``approx_percentile`` (KLL-style, mergeable,
+    one pass, no sort) — same call shape, documented here so the
+    swap is a one-liner."""
+    l = load_table(spark, "lineitem", sf_dir)
+    q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(q.alias("_q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            pround(F.col("_q")[0], 6).alias("p25"),
+            pround(F.col("_q")[1], 6).alias("p50"),
+            pround(F.col("_q")[2], 6).alias("p75"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_samp / stddev_samp) per
+    group — single-pass, mergeable moment sketches; partial aggregation
+    keeps the shuffle O(groups). Rounded at the edge: cross-engine fp
+    agreement is ~1e-12, rounding tolerance 5e-7."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            pround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            pround(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
+            pround(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the rollup/cube queries): totals
+    by status alone, by priority alone, and the grand total — three
+    grouping sets in ONE shuffle (Catalyst expands rows with a
+    grouping-id, no triple scan)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             pround(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+def intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (absent from the reference — §2.8
+    lists union only): customers holding both open and finished orders
+    vs. open-only. Both compile to aggregate-style hash joins keyed on
+    the full row — one shuffle each side."""
+    o = load_table(spark, "orders", sf_dir)
+    open_k = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_k = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = open_k.intersect(fin_k)
+    open_only = open_k.distinct().exceptAll(fin_k.distinct())
+    return (
+        both.select(F.lit("open_and_finished").alias("bucket"), "o_custkey")
+        .unionAll(open_only.select(F.lit("open_only").alias("bucket"), "o_custkey"))
+        .orderBy("bucket", "o_custkey")
+    )
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (north-star gap §2.11): all 4 grouping
     combinations of (status, priority) in one pass — Spark expands to a

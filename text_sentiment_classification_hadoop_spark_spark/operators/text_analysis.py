@@ -147,3 +147,19 @@ def tfidf_long(df: DataFrame, text_col: str = "text",
         F.col("df").cast("long").alias("df"),
         pround(F.col("tf") * idf, 6).alias("tfidf"),
     )
+
+
+def hash_sample(df: DataFrame, id_col: str = "doc_id",
+                pct: int = 10, mod: int = 100,
+                salt: str = "sample:v1") -> DataFrame:
+    """Deterministic hash-based sampling — the reproducible alternative
+    to ``df.sample()`` for training-data pipelines: keep a row iff
+    ``portable_hash64(salt || id) % mod < pct``.
+
+    Unlike seeded random sampling this is stable across engines,
+    partitionings, and re-runs (a row's fate depends only on its id and
+    the salt), so train/val/test splits stay disjoint across pipeline
+    versions: disjoint pct-ranges of the same salt partition the
+    corpus. Pure narrow map — no shuffle, filter runs scan-side."""
+    h = portable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.filter((h % mod) < pct)
