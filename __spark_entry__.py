@@ -815,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_order_stats": R.grouping_sets_order_stats,
         "intersect_except_customers": R.intersect_except_customers,
         "quantity_band_totals": R.quantity_band_totals,
+        "top_orders_per_customer": R.top_orders_per_customer,
+        "orders_above_global_avg": R.orders_above_global_avg,
         "price_quantiles": R.price_quantiles,
         "price_quantity_corr": R.price_quantity_corr,
         # tweets-CSV compat ingestion on the committed quirk fixture
@@ -872,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": E.json_props_extract,
         "user_running_stats": E.user_running_stats,
         "purchase_attribution": E.purchase_attribution,
+        "interval_pair_counts": E.interval_pair_counts,
         # structured streaming (north star) — incremental plan, batch oracle
         "events_tumbling_stream": _events_tumbling_stream,
         "events_sessionize_stream": _events_sessionize_stream,
@@ -1522,6 +1525,34 @@ train_sh AS (SELECT * FROM shd WHERE doc_id % 8 NOT IN (0, 5))
 SELECT t.doc_id, CAST(count(DISTINCT t.shash) AS BIGINT) AS n_shared
 FROM train_sh t JOIN test_sh s ON s.shash = t.shash
 GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+    out["top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey,
+       floor(o_totalprice * 100.0 + 0.5) / 100.0 AS price,
+       CAST(rk AS INTEGER) AS rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+    out["orders_above_global_avg"] = """
+SELECT o_orderkey, o_custkey,
+       floor(o_totalprice * 100.0 + 0.5) / 100.0 AS price
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_orderkey
+"""
+    # quadratic theta-join oracle for the bucketized interval join
+    out["interval_pair_counts"] = """
+SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS sum_gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
+ AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+GROUP BY a.user_id ORDER BY a.user_id
 """
     out["hash_sample_docs"] = f"""
 SELECT doc_id, lang, n_chars FROM documents

@@ -140,3 +140,49 @@ def test_hash_sample_deterministic_and_disjoint(spark, sf_dir):
     if rest is not None:
         assert s1.isdisjoint(rest) and s1 | rest == {
             r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+# ------------------------------------------- top-N / subquery / interval
+
+def test_top_orders_per_customer_rank(spark, sf_dir):
+    rows = R.top_orders_per_customer(spark, sf_dir).collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for recs in by_cust.values():
+        assert [r["rk"] for r in recs] == list(range(1, len(recs) + 1))
+        assert len(recs) <= 3
+        prices = [r["price"] for r in recs]
+        assert prices == sorted(prices, reverse=True)
+
+
+def test_orders_above_global_avg_threshold(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    avg = o.agg(F.avg("o_totalprice")).collect()[0][0]
+    rows = R.orders_above_global_avg(spark, sf_dir).collect()
+    assert all(r["price"] > 1.5 * avg - 0.01 for r in rows)
+    expected = o.filter(F.col("o_totalprice") > 1.5 * avg).count()
+    assert len(rows) == expected
+
+
+def test_interval_pair_counts_matches_bruteforce(spark, sf_dir):
+    # brute-force the pair count for one user and compare
+    out = {r["user_id"]: r for r in
+           E.interval_pair_counts(spark, sf_dir).collect()}
+    assert out, "no qualifying pairs at this SF is implausible"
+    e = load_table(spark, "events", sf_dir)
+    uid = next(iter(sorted(out)))
+    evs = sorted(
+        [(r["us"], r["event_id"]) for r in
+         e.filter(F.col("user_id") == uid)
+         .select(F.unix_micros("ts").alias("us"), "event_id").collect()])
+    n, gap_sum = 0, 0
+    for i in range(len(evs)):
+        for j in range(len(evs)):
+            d = evs[j][0] - evs[i][0]
+            if 0 <= d <= 300_000_000 and (
+                    d > 0 or evs[i][1] < evs[j][1]):
+                n += 1
+                gap_sum += d
+    assert out[uid]["n_pairs"] == n
+    assert out[uid]["sum_gap_us"] == gap_sum

@@ -148,6 +148,52 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_JOIN_WINDOW_US = 300_000_000  # 5 minutes
+
+
+def interval_pair_counts(spark: SparkSession, sf_dir: str,
+                         window_us: int = INTERVAL_JOIN_WINDOW_US) -> DataFrame:
+    """Time-interval self-join (north-star range-join coverage, §2.11):
+    count ordered pairs of same-user events within ``window_us`` of
+    each other → ``(user_id, n_pairs, sum_gap_us)``.
+
+    Scale shape — bucketized equi-join, NOT a theta join: each left
+    event is duplicated into time buckets ``⌊ts/W⌋`` and ``⌊ts/W⌋+1``;
+    the right side keeps its single bucket; the join key is
+    ``(user_id, bucket)`` — an equi-join Spark hash-partitions — and
+    the exact ``0 ≤ gap ≤ W`` predicate filters the candidates. A
+    qualifying pair matches in exactly one bucket (the right event's),
+    so no dedup pass is needed. Cost is O(events × 2) shuffle rows vs
+    the oracle's quadratic-per-user ANSI theta join; at 100 TB the
+    theta form is not runnable, this is. Pair order is (earlier →
+    later), ties broken by event_id, so each unordered pair counts
+    once."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"))
+    bucket = (F.col("us") / F.lit(window_us)).cast("long")
+    left = e.select(
+        "user_id",
+        F.col("event_id").alias("a_id"), F.col("us").alias("a_us"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bk"),
+    )
+    right = e.select(
+        "user_id",
+        F.col("event_id").alias("b_id"), F.col("us").alias("b_us"),
+        bucket.alias("bk"),
+    )
+    gap = F.col("b_us") - F.col("a_us")
+    ordered = (F.col("a_us") < F.col("b_us")) | (
+        (F.col("a_us") == F.col("b_us")) & (F.col("a_id") < F.col("b_id")))
+    return (
+        left.join(right, ["user_id", "bk"])
+        .filter(ordered & (gap <= window_us))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(gap).alias("sum_gap_us"))
+        .orderBy("user_id")
+    )
+
+
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON access on the ``props`` string column (north-star JSON
     functions): extract ``$.k`` as int, aggregate by event_type."""

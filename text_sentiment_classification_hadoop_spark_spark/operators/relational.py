@@ -341,6 +341,49 @@ def intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_orders_per_customer(spark: SparkSession, sf_dir: str,
+                            n: int = 3) -> DataFrame:
+    """Per-group top-N (north-star window coverage, §2.11): each
+    customer's ``n`` most expensive orders, ranked.
+
+    One shuffle on o_custkey, then a per-group sort feeds row_number —
+    no global sort. AQE handles skewed customers. (The sort+limit trick
+    from the global top-k queries doesn't apply here: per-GROUP top-N
+    genuinely needs the partitioned window.) Tie-break on o_orderkey
+    pins the ranking deterministically across engines."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey",
+                 pround(F.col("o_totalprice"), 2).alias("price"),
+                 F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= n)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def orders_above_global_avg(spark: SparkSession, sf_dir: str,
+                            factor: float = 1.5) -> DataFrame:
+    """Scalar-subquery filter (§2.8 coverage beyond the reference):
+    orders priced above ``factor ×`` the global average.
+
+    Expressed as a broadcast of the one-row global aggregate cross-
+    joined into the scan — the same physical shape Catalyst produces
+    for an uncorrelated scalar subquery: the fact table is scanned
+    once, never shuffled; the aggregate is a separate tiny job whose
+    single row rides the broadcast."""
+    o = load_table(spark, "orders", sf_dir)
+    avg_row = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.join(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > factor * F.col("_avg"))
+        .select("o_orderkey", "o_custkey",
+                pround(F.col("o_totalprice"), 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (north-star gap §2.11): all 4 grouping
     combinations of (status, priority) in one pass — Spark expands to a
