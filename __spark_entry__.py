@@ -817,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_band_totals": R.quantity_band_totals,
         "top_orders_per_customer": R.top_orders_per_customer,
         "orders_above_global_avg": R.orders_above_global_avg,
+        "order_stats_unpivot": R.order_stats_unpivot,
         "price_quantiles": R.price_quantiles,
         "price_quantity_corr": R.price_quantity_corr,
         # tweets-CSV compat ingestion on the committed quirk fixture
@@ -869,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_long": _tfidf_long,
         # events (north star)
         "events_tumbling": E.tumbling_counts,
+        "events_sliding": E.sliding_counts,
+        "approx_distinct_users": E.approx_distinct_users,
         "events_sessionize": E.sessionize,
         "events_pivot": E.user_event_pivot,
         "events_json_props": E.json_props_extract,
@@ -1554,6 +1557,36 @@ FROM events a JOIN events b
  AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
 GROUP BY a.user_id ORDER BY a.user_id
 """
+    # sliding window = UNION ALL of D/S shifted tumbling aggregations:
+    # windows containing t (D=600s, S=300s) start at (floor(t/300)-k)*300
+    out["events_sliding"] = """
+WITH offs AS (SELECT 0 AS k UNION ALL SELECT 1),
+ev AS (
+  SELECT make_timestamp(((CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300)
+                        * 1000000) AS window_start,
+         event_type, value
+  FROM events CROSS JOIN offs)
+SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["order_stats_unpivot"] = """
+WITH s AS (
+  SELECT o_orderstatus,
+         floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+         floor(avg(o_totalprice) * 100.0 + 0.5) / 100.0 AS avg_price,
+         floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS min_price,
+         floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_price
+  FROM orders GROUP BY 1)
+SELECT o_orderstatus, 'sum_price' AS stat, sum_price AS value FROM s
+UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM s
+UNION ALL SELECT o_orderstatus, 'min_price', min_price FROM s
+UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM s
+ORDER BY o_orderstatus, stat
+"""
+    # approx_distinct_users: intentionally NO oracle — HLL++ sketch values
+    # are implementation-specific (Spark vs DuckDB differ); the pytest
+    # bounds relative error against the exact count in the same row.
     out["hash_sample_docs"] = f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE ({PORTABLE_HASH.format(col="'sample:v1' || CAST(doc_id AS VARCHAR)")} % 100) < 10

@@ -186,3 +186,38 @@ def test_interval_pair_counts_matches_bruteforce(spark, sf_dir):
                 gap_sum += d
     assert out[uid]["n_pairs"] == n
     assert out[uid]["sum_gap_us"] == gap_sum
+
+
+# ------------------------------------------- sliding / sketch / unpivot
+
+def test_sliding_counts_fanout_is_exactly_two(spark, sf_dir):
+    # D=10min, S=5min => every event lands in exactly 2 windows
+    n_events = load_table(spark, "events", sf_dir).count()
+    agg = E.sliding_counts(spark, sf_dir).agg(F.sum("n")).collect()[0][0]
+    assert agg == 2 * n_events
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    rows = E.approx_distinct_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact = r["n_users_exact"]
+        assert abs(r["n_users_approx"] - exact) <= max(1, 0.05 * exact)
+
+
+def test_order_stats_unpivot_roundtrip(spark, sf_dir):
+    rows = E_rows = R.order_stats_unpivot(spark, sf_dir).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["o_orderstatus"], {})[r["stat"]] = r["value"]
+    o = load_table(spark, "orders", sf_dir)
+    direct = {r["o_orderstatus"]: r for r in o.groupBy("o_orderstatus").agg(
+        F.sum("o_totalprice").alias("s"), F.max("o_totalprice").alias("m")
+    ).collect()}
+    assert set(by_status) == set(direct)
+    for st, stats in by_status.items():
+        assert set(stats) == {"sum_price", "avg_price", "min_price",
+                              "max_price"}
+        assert abs(stats["sum_price"] - direct[st]["s"]) < 0.01
+        assert abs(stats["max_price"] - direct[st]["m"]) < 0.01
+        assert stats["min_price"] <= stats["avg_price"] <= stats["max_price"]

@@ -40,6 +40,50 @@ def tumbling_counts(spark: SparkSession, sf_dir: str,
     )
 
 
+def sliding_counts(spark: SparkSession, sf_dir: str,
+                   minutes: int = 10, slide_minutes: int = 5) -> DataFrame:
+    """Sliding (hopping) window counts/sums per event_type →
+    ``(window_start, event_type, n, total_value)``; each event lands in
+    ``minutes / slide_minutes`` overlapping windows.
+
+    Uses the native ``F.window(ts, duration, slide)`` table-valued
+    generator (the same primitive the streaming pipeline uses), so the
+    plan is one generate + one hash aggregate — the event fan-out factor
+    is the constant D/S, not data-dependent. Oracle mirrors it as a
+    UNION ALL of D/S shifted tumbling aggregations."""
+    e = load_table(spark, "events", sf_dir)
+    win = F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             pround(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str,
+                          rsd: float = 0.01) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event_type →
+    ``(event_type, n_users_approx, n_users_exact)``.
+
+    ``approx_count_distinct`` is the 100 TB path for §2.5 A5-style
+    distinct counts: mergeable fixed-size sketch, one shuffle of
+    sketches (bytes per partition) instead of a shuffle of every
+    distinct key the exact form needs. Deterministic for a given
+    input, but implementation-specific — so this query is rows-only
+    (no cross-engine oracle); the pytest bounds its relative error
+    against the exact count computed alongside."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+             F.countDistinct("user_id").alias("n_users_exact"))
+        .orderBy("event_type")
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str,
                gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization → one row per (user, session):

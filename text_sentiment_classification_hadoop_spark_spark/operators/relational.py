@@ -384,6 +384,30 @@ def orders_above_global_avg(spark: SparkSession, sf_dir: str,
     )
 
 
+def order_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (north-star relational coverage, §2.11): per-status
+    price stats turned long-form → ``(o_orderstatus, stat, value)``.
+
+    Aggregate first (tiny result), then ``DataFrame.unpivot`` — a
+    narrow generate over the already-reduced rows, so the melt itself
+    never touches the fact table; at 100 TB the only shuffle is the
+    status aggregation, which AQE collapses to a handful of groups."""
+    o = load_table(spark, "orders", sf_dir)
+    stats = o.groupBy("o_orderstatus").agg(
+        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        pround(F.min("o_totalprice"), 2).alias("min_price"),
+        pround(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return (
+        stats.unpivot(
+            ids=["o_orderstatus"],
+            values=["sum_price", "avg_price", "min_price", "max_price"],
+            variableColumnName="stat", valueColumnName="value")
+        .orderBy("o_orderstatus", "stat")
+    )
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (north-star gap §2.11): all 4 grouping
     combinations of (status, priority) in one pass — Spark expands to a
