@@ -646,6 +646,41 @@ def _events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start", "event_type"))
 
 
+def _events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding windows (D=10 min, S=5 min) over the
+    events parquet; the batch ``events_sliding`` oracle (UNION ALL of
+    shifted tumblings) checks it — same logical agg, incremental
+    execution, 2× overlap state bounded by the watermark."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import pround
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+        sliding_counts_stream,
+    )
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    ensure_engine_confs(spark)
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in EVENTS_SCHEMA.fields
+    ])
+    raw = (spark.readStream.schema(schema)
+           .format("parquet")
+           .option("pathGlobFilter", "events.parquet")
+           .load(sf_dir)
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    q = run_stream_to_memory(
+        sliding_counts_stream(raw, minutes=10, slide_minutes=5),
+        "events_sliding_stream", output_mode="complete")
+    q.stop()
+    return (spark.table("events_sliding_stream")
+            .select("window_start", "event_type", "n",
+                    pround(F.col("total_value"), 2).alias("total_value"))
+            .orderBy("window_start", "event_type"))
+
+
 def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-store session windows (``F.session_window``) checked against
     the batch gap-sessionization oracle (identical boundaries: merge iff
@@ -880,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_pair_counts": E.interval_pair_counts,
         # structured streaming (north star) — incremental plan, batch oracle
         "events_tumbling_stream": _events_tumbling_stream,
+        "events_sliding_stream": _events_sliding_stream,
         "events_sessionize_stream": _events_sessionize_stream,
         "stream_dedup_docs": _stream_dedup_docs,
     }
@@ -1306,6 +1342,18 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS
        event_type, CAST(count(*) AS BIGINT) AS n,
        floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # streaming sliding variant shares the batch sliding oracle
+        "events_sliding_stream": """
+WITH offs AS (SELECT 0 AS k UNION ALL SELECT 1),
+ev AS (
+  SELECT make_timestamp(((CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300)
+                        * 1000000) AS window_start,
+         event_type, value
+  FROM events CROSS JOIN offs)
+SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+FROM ev GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
     out["ivf_topk"] = f"""

@@ -71,6 +71,27 @@ def test_streaming_tumbling_matches_batch(spark, events_path):
     assert got == expected
 
 
+def test_streaming_sliding_matches_batch(spark, events_path):
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import sliding_counts_stream
+    stream = events_stream_from_files(spark, events_path)
+    q = run_stream_to_memory(
+        sliding_counts_stream(stream, minutes=10, slide_minutes=5),
+        "sliding_test", output_mode="complete")
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in spark.sql("select * from sliding_test").collect()}
+    q.stop()
+    batch = spark.read.parquet(events_path).groupBy(
+        F.window("ts", "10 minutes", "5 minutes").alias("w"),
+        "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+    expected = {(r["w"]["start"], r["event_type"]): (r["n"], r["t"])
+                for r in batch.collect()}
+    assert got == expected
+    # every event is counted in exactly two windows
+    n_events = spark.read.parquet(events_path).count()
+    assert sum(n for n, _ in got.values()) == 2 * n_events
+
+
 def test_streaming_sessionize_matches_batch(spark, events_path, monkeypatch):
     from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import sessionize_stream
     # one micro-batch for all fixture files: the fixture's event times are

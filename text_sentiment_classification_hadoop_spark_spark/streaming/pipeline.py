@@ -54,6 +54,24 @@ def tumbling_counts_stream(events: DataFrame, minutes: int = 5,
     )
 
 
+def sliding_counts_stream(events: DataFrame, minutes: int = 10,
+                          slide_minutes: int = 5,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Streaming sliding (hopping) window counts per event_type — the
+    incremental twin of ``operators.events.sliding_counts``. Each event
+    updates D/S windows; state size is bounded by the watermark exactly
+    as in the tumbling case, scaled by the constant overlap factor."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes",
+                          f"{slide_minutes} minutes").alias("w"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "total_value")
+    )
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                       watermark: str = "60 minutes") -> DataFrame:
     """Streaming session windows per user (state-store backed
