@@ -615,7 +615,6 @@ def _events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import pround
     from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
         EVENTS_SCHEMA,
         run_stream_to_memory,
@@ -642,7 +641,7 @@ def _events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     return (spark.table("events_tumbling_stream")
             .select("window_start", "event_type", "n",
-                    pround(F.col("total_value"), 2).alias("total_value"))
+                    F.col("total_value").cast("double").alias("total_value"))
             .orderBy("window_start", "event_type"))
 
 
@@ -654,7 +653,6 @@ def _events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import pround
     from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
         EVENTS_SCHEMA,
         run_stream_to_memory,
@@ -677,7 +675,7 @@ def _events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     return (spark.table("events_sliding_stream")
             .select("window_start", "event_type", "n",
-                    pround(F.col("total_value"), 2).alias("total_value"))
+                    F.col("total_value").cast("double").alias("total_value"))
             .orderBy("window_start", "event_type"))
 
 
@@ -930,8 +928,9 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
        floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
@@ -941,7 +940,7 @@ ORDER BY l_returnflag, l_linestatus
 """,
         "revenue_by_region": """
 SELECT r_name,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
        CAST(count(*) AS BIGINT) AS order_count
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -960,12 +959,14 @@ SELECT CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
        CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
-       floor((sum(CASE WHEN o_totalprice > 100000.0 THEN o_totalprice ELSE 0.0 END)) * 100.0 + 0.5) / 100.0 AS high_value_total
+       CAST(sum(CASE WHEN o_totalprice > 100000.0
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS high_value_total
 FROM orders
 """,
         "union_paths": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM (
   SELECT * FROM orders WHERE o_totalprice >= 200000.0
   UNION ALL
@@ -982,11 +983,13 @@ SELECT * FROM (
 """,
         "customer_order_totals": """
 SELECT c_custkey,
-       floor((coalesce(t._total, 0.0)) * 100.0 + 0.5) / 100.0 AS order_total,
+       coalesce(t._total, 0.0) AS order_total,
        CAST(coalesce(t._n, 0) AS BIGINT) AS order_count
 FROM customer
 LEFT JOIN (
-  SELECT o_custkey, sum(o_totalprice) AS _total, count(*) AS _n
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS _total,
+         count(*) AS _n
   FROM orders GROUP BY o_custkey
 ) t ON c_custkey = t.o_custkey
 ORDER BY c_custkey
@@ -995,7 +998,7 @@ ORDER BY c_custkey
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_above,
        max(l_extendedprice) AS max_price
 FROM lineitem
-WHERE l_extendedprice > 2 * (SELECT avg(l_extendedprice) FROM lineitem)
+WHERE l_extendedprice > 2 * (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM lineitem)
 GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "filtered_projection": """
@@ -1016,7 +1019,7 @@ FROM (
 """,
         "rollup_order_stats": """
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -1296,7 +1299,7 @@ ORDER BY d.doc_id
         "events_tumbling": """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
        event_type, CAST(count(*) AS BIGINT) AS n,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "events_sessionize": """
@@ -1340,7 +1343,7 @@ GROUP BY event_type ORDER BY event_type
         "events_tumbling_stream": """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
        event_type, CAST(count(*) AS BIGINT) AS n,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # streaming sliding variant shares the batch sliding oracle
@@ -1352,7 +1355,7 @@ ev AS (
          event_type, value
   FROM events CROSS JOIN offs)
 SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
-       floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM ev GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
@@ -1409,12 +1412,12 @@ SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
        CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(month(o_orderdate) AS INTEGER) AS mon,
        CAST(count(*) AS BIGINT) AS n_orders,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY 1, 2, 3 ORDER BY month_start
 """
     out["cube_order_stats"] = """
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -1524,7 +1527,7 @@ ORDER BY purchase_id
     out["quantity_band_totals"] = f"""
 WITH bands(band, lo, hi) AS (VALUES {bands_values})
 SELECT band, CAST(count(*) AS BIGINT) AS n,
-       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total_price
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
 GROUP BY band ORDER BY band
 """
@@ -1536,18 +1539,34 @@ SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+    # exact raw sums (integer quantities / decimal money), closed-form
+    # moments in double — mirrors relational.price_quantity_corr's op
+    # order exactly so the doubles are bit-identical
     out["price_quantity_corr"] = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS _n,
+         sum(l_quantity) AS sx,
+         sum(l_quantity * l_quantity) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,0))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag,
-       floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr,
-       floor((covar_samp(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS qty_price_covar,
-       floor((stddev_samp(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS price_stddev,
-       CAST(count(*) AS BIGINT) AS n
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+       floor(((CAST(_n AS DOUBLE) * sxy - sx * sy)
+              / sqrt((CAST(_n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(_n AS DOUBLE) * syy - sy * sy))) * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr,
+       floor(((sxy - (sx * sy) / CAST(_n AS DOUBLE)) / (CAST(_n AS DOUBLE) - 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS qty_price_covar,
+       floor((sqrt((syy - (sy * sy) / CAST(_n AS DOUBLE)) / (CAST(_n AS DOUBLE) - 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS price_stddev,
+       _n AS n
+FROM s ORDER BY l_returnflag
 """
     out["grouping_sets_order_stats"] = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -1592,7 +1611,7 @@ ORDER BY o_custkey, rk
 SELECT o_orderkey, o_custkey,
        floor(o_totalprice * 100.0 + 0.5) / 100.0 AS price
 FROM orders
-WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
 ORDER BY o_orderkey
 """
     # quadratic theta-join oracle for the bucketized interval join
@@ -1615,14 +1634,14 @@ ev AS (
          event_type, value
   FROM events CROSS JOIN offs)
 SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
-       floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM ev GROUP BY 1, 2 ORDER BY 1, 2
 """
     out["order_stats_unpivot"] = """
 WITH s AS (
   SELECT o_orderstatus,
-         floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price,
-         floor(avg(o_totalprice) * 100.0 + 0.5) / 100.0 AS avg_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_price,
          floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS min_price,
          floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_price
   FROM orders GROUP BY 1)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import pround
+from ..functions.rounding import dsum, pround
 from ..sources.tables import load_table
 
 
@@ -35,7 +35,7 @@ def tumbling_counts(spark: SparkSession, sf_dir: str,
     return (
         e.groupBy(bucket.alias("window_start"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             pround(F.sum("value"), 2).alias("total_value"))
+             dsum(F.col("value")).alias("total_value"))
         .orderBy("window_start", "event_type")
     )
 
@@ -56,7 +56,7 @@ def sliding_counts(spark: SparkSession, sf_dir: str,
     return (
         e.groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             pround(F.sum("value"), 2).alias("total_value"))
+             dsum(F.col("value")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"),
                 "event_type", "n", "total_value")
         .orderBy("window_start", "event_type")

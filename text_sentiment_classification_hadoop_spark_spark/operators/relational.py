@@ -12,8 +12,10 @@ operators the north star adds (§2.11).
 Scale notes are per-function docstrings; the common themes:
 - dims (region/nation/customer) are broadcast — no shuffle of the fact;
 - aggregates rely on Catalyst partial aggregation (map-side combine);
-- doubles are rounded at the output edge only (oracle stability), never
-  inside the aggregation.
+- money sums go through DECIMAL(18,2) (``functions.rounding.dsum``) —
+  exact and associative, so the result is independent of partial-agg
+  order (double sums flipped a 2-dp rounding boundary run-to-run);
+  non-money doubles are rounded at the output edge only.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import pround
+from ..functions.rounding import davg, dec2, dsum, pround
 from ..sources.tables import load_table
 
 
@@ -35,8 +37,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            # the discounted price is computed IN decimal (both factors
+            # are exact 2-dp values) so the product and its sum are exact
+            F.sum(dec2(F.col("l_extendedprice"))
+                  * (F.lit(1) - dec2(F.col("l_discount"))))
+            .cast("double").alias("sum_disc_price"),
             pround(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -58,7 +64,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(pround(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        .agg(dsum(F.col("o_totalprice")).alias("total_revenue"),
              F.count(F.lit(1)).alias("order_count"))
         .orderBy("r_name")
     )
@@ -88,8 +94,9 @@ def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
         F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
-        pround(F.sum(F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice"))
-                      .otherwise(0.0)), 2).alias("high_value_total"),
+        F.sum(F.when(F.col("o_totalprice") > 100000.0, dec2(F.col("o_totalprice")))
+               .otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double").alias("high_value_total"),
     )
 
 
@@ -103,7 +110,7 @@ def union_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.unionAll(lo)
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"),
-             pround(F.sum("o_totalprice"), 2).alias("total"))
+             dsum(F.col("o_totalprice")).alias("total"))
         .orderBy("o_orderpriority")
     )
 
@@ -130,12 +137,12 @@ def customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     per_cust = o.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("_total"), F.count(F.lit(1)).alias("_n"))
+        dsum(F.col("o_totalprice")).alias("_total"), F.count(F.lit(1)).alias("_n"))
     return (
         c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
         .select(
             "c_custkey",
-            pround(F.coalesce(F.col("_total"), F.lit(0.0)), 2).alias("order_total"),
+            F.coalesce(F.col("_total"), F.lit(0.0)).alias("order_total"),
             F.coalesce(F.col("_n"), F.lit(0)).alias("order_count"),
         )
         .orderBy("c_custkey")
@@ -148,7 +155,7 @@ def above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``NB.java:305-316``). Catalyst plans the scalar side as a 1-row
     broadcast; the fact scan stays pushdown-filtered."""
     l = load_table(spark, "lineitem", sf_dir)
-    avg_df = l.agg(F.avg("l_extendedprice").alias("_avg"))
+    avg_df = l.agg(davg(F.col("l_extendedprice")).alias("_avg"))
     return (
         l.crossJoin(F.broadcast(avg_df))
         .filter(F.col("l_extendedprice") > 2 * F.col("_avg"))
@@ -197,7 +204,7 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"),
-             pround(F.sum("o_totalprice"), 2).alias("total"))
+             dsum(F.col("o_totalprice")).alias("total"))
         .orderBy(F.col("o_orderstatus").asc_nulls_first(),
                  F.col("o_orderpriority").asc_nulls_first())
     )
@@ -232,7 +239,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("mon"),
         )
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             pround(F.sum("o_totalprice"), 2).alias("total"))
+             dsum(F.col("o_totalprice")).alias("total"))
         .orderBy("month_start")
     )
 
@@ -260,7 +267,7 @@ def quantity_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("l_quantity") <= F.col("hi")))
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n"),
-             pround(F.sum("l_extendedprice"), 2).alias("total_price"))
+             dsum(F.col("l_extendedprice")).alias("total_price"))
         .orderBy("band")
     )
 
@@ -291,17 +298,37 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (corr / covar_samp / stddev_samp) per
-    group — single-pass, mergeable moment sketches; partial aggregation
-    keeps the shuffle O(groups). Rounded at the edge: cross-engine fp
-    agreement is ~1e-12, rounding tolerance 5e-7."""
+    group, computed from EXACT raw sums rather than the built-in moment
+    aggregates: quantities are integer-valued (double sums of integers
+    are exact at any order) and prices are 2-dp money (decimal sums are
+    exact), so Σx, Σx², Σy, Σy², Σxy are all order-independent and the
+    closed-form moments derived from them in double are bit-identical
+    across engines — the built-ins' running-moment merges are not.
+    Still one pass / one shuffle of O(groups) five-sum rows."""
     l = load_table(spark, "lineitem", sf_dir)
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(q).alias("_sx"),                      # exact: integer-valued
+        F.sum(q * q).alias("_sxx"),                 # exact: integer-valued
+        F.sum(dec2(p)).cast("double").alias("_sy"),  # exact: 2-dp money
+        F.sum(dec2(p) * dec2(p)).cast("double").alias("_syy"),   # exact 4-dp
+        F.sum(q.cast("decimal(18,0)") * dec2(p)).cast("double").alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sxx = F.col("_sx"), F.col("_sxx")
+    sy, syy, sxy = F.col("_sy"), F.col("_syy"), F.col("_sxy")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    covar = (sxy - (sx * sy) / n) / (n - F.lit(1.0))
+    stddev = F.sqrt((syy - (sy * sy) / n) / (n - F.lit(1.0)))
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            pround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-            pround(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
-            pround(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
-            F.count(F.lit(1)).alias("n"),
+        sums.select(
+            "l_returnflag",
+            pround(corr, 6).alias("qty_price_corr"),
+            pround(covar, 6).alias("qty_price_covar"),
+            pround(stddev, 6).alias("price_stddev"),
+            F.col("_n").alias("n"),
         )
         .orderBy("l_returnflag")
     )
@@ -318,7 +345,7 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             [["o_orderstatus"], ["o_orderpriority"], []],
             "o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"),
-             pround(F.sum("o_totalprice"), 2).alias("total"))
+             dsum(F.col("o_totalprice")).alias("total"))
         .orderBy(F.col("o_orderstatus").asc_nulls_first(),
                  F.col("o_orderpriority").asc_nulls_first())
     )
@@ -374,7 +401,7 @@ def orders_above_global_avg(spark: SparkSession, sf_dir: str,
     once, never shuffled; the aggregate is a separate tiny job whose
     single row rides the broadcast."""
     o = load_table(spark, "orders", sf_dir)
-    avg_row = o.agg(F.avg("o_totalprice").alias("_avg"))
+    avg_row = o.agg(davg(F.col("o_totalprice")).alias("_avg"))
     return (
         o.join(F.broadcast(avg_row))
         .filter(F.col("o_totalprice") > factor * F.col("_avg"))
@@ -394,8 +421,8 @@ def order_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     status aggregation, which AQE collapses to a handful of groups."""
     o = load_table(spark, "orders", sf_dir)
     stats = o.groupBy("o_orderstatus").agg(
-        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
-        pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        pround(davg(F.col("o_totalprice")), 2).alias("avg_price"),
         pround(F.min("o_totalprice"), 2).alias("min_price"),
         pround(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -418,7 +445,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"),
-             pround(F.sum("o_totalprice"), 2).alias("total"))
+             dsum(F.col("o_totalprice")).alias("total"))
         .orderBy(F.col("o_orderstatus").asc_nulls_first(),
                  F.col("o_orderpriority").asc_nulls_first())
     )

@@ -49,7 +49,11 @@ def tumbling_counts_stream(events: DataFrame, minutes: int = 5,
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        # decimal sum: exact/associative, so the streamed total is
+        # independent of micro-batch/state merge order (matches the
+        # batch oracle's decimal sum bit-for-bit)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
 
@@ -66,7 +70,8 @@ def sliding_counts_stream(events: DataFrame, minutes: int = 10,
         .groupBy(F.window("ts", f"{minutes} minutes",
                           f"{slide_minutes} minutes").alias("w"),
                  "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "total_value")
     )
