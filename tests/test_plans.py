@@ -91,3 +91,15 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     # formatted mode marks codegen'd nodes with a '*' prefix
     assert "* HashAggregate" in plan or "* Sort" in plan
+
+
+def test_ivf_assignment_is_narrow(spark, sf_dir):
+    """IVF cell assignment must be a zero-exchange plan: the codebook is
+    plan-time literals and the argmax is a per-row array expression —
+    never a Window.partitionBy(vec_id) shuffle of the corpus."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import ivf_assign_cells
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec"))
+    assert_no_exchange(ivf_assign_cells(emb, centroids))

@@ -146,20 +146,29 @@ def ivf_assign_cells(emb: DataFrame, centroids: DataFrame,
     centroid by cosine (rounded 6 dp; ties -> lowest centroid id) →
     ``(vec_id, embedding, cell)``.
 
-    One pass: cross join against the (tiny, broadcast) centroid table,
-    per-vector argmax. At 100 TB the assigned table is written
-    partitioned/bucketed by ``cell`` so probes prune to n_probe cells.
+    The codebook is ≤ n_cells rows, so it is collected to PLAN-TIME
+    LITERALS (the J4 scalar-broadcast pattern, like ``sign_lsh_bucket``'s
+    planes) and the per-row argmax is a narrow array expression:
+    ``array_position(cos_array, array_max(cos_array))`` — first match,
+    i.e. lowest cell_id on rounded ties. ZERO exchanges — the round-1
+    form windowed over the unique ``vec_id`` key, which hash-shuffled
+    the whole corpus just to reduce 8 candidate rows per vector. At
+    100 TB the assigned table is written partitioned/bucketed by
+    ``cell`` so probes prune to n_probe cells.
     """
-    from pyspark.sql import Window
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col), F.col(vec_col), F.col("cell_id"),
-        pround(cosine_expr(F.col(vec_col), F.col("cell_vec")), 6).alias("_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(),
-                                           F.col("cell_id").asc())
-    return (scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(id_col, vec_col, F.col("cell_id").alias("cell")))
+    cents = sorted(centroids.select("cell_id", "cell_vec").collect(),
+                   key=lambda r: r["cell_id"])
+    cos_arr = F.array(*[
+        pround(cosine_expr(
+            F.col(vec_col),
+            F.array(*[F.lit(float(x)) for x in r["cell_vec"]])), 6)
+        for r in cents
+    ])
+    cell_ids = F.array(*[F.lit(int(r["cell_id"])).cast("long") for r in cents])
+    best = F.array_position(cos_arr, F.array_max(cos_arr)).cast("int") - 1
+    return emb.select(
+        F.col(id_col), F.col(vec_col),
+        F.get(cell_ids, best).alias("cell"))
 
 
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
