@@ -99,3 +99,53 @@ def test_embedding_near_dups_planted(spark):
            for r in D.embedding_near_dups(emb, threshold=0.95).collect()}
     assert (1, 2) in out and out[(1, 2)] > 0.999
     assert (1, 3) not in out
+
+
+def _augmented_emb(spark, sf_dir):
+    """Originals + exact copies (+1e6) + dim-0-perturbed copies (+2e6) —
+    same construction as the driver's embedding_near_dups query."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = F.transform(F.col("embedding"),
+                       lambda x, i: F.when(i == 0, x.cast("double") + 2.0)
+                                     .otherwise(x.cast("double")))
+    return (emb.select("vec_id", dbl.alias("embedding"))
+            .unionAll(emb.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                                 dbl.alias("embedding")))
+            .unionAll(emb.select((F.col("vec_id") + 2000000).alias("vec_id"),
+                                 pert.alias("embedding"))))
+
+
+def test_banded_lsh_recall_and_occupancy(spark, sf_dir):
+    """The scale knobs: more planes shrink buckets (the quadratic
+    within-bucket join is the 100 TB risk); extra bands recover the
+    recall the extra planes cost. Verified against the exact pair set."""
+    emb = _augmented_emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {(r["id_a"], r["id_b"]) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     SIM.cosine_expr(F.col("va"), F.col("vb")).alias("c"))
+             .filter(F.col("c") >= 0.9).collect()}
+    assert exact  # planted copies guarantee a non-empty truth set
+
+    def found(n_planes, n_bands):
+        return {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(
+            emb, threshold=0.9, n_planes=n_planes, n_bands=n_bands).collect()}
+
+    recall_fixed8 = len(found(8, 1) & exact) / len(exact)
+    recall_banded = len(found(12, 4) & exact) / len(exact)
+    # banding must pay for the smaller buckets: no recall regression
+    assert recall_banded >= recall_fixed8
+    # precision is exact on both (candidates are cosine-verified)
+
+    def max_occupancy(p):
+        return (emb.select(SIM.sign_lsh_bucket(F.col("embedding"),
+                                               n_planes=p).alias("bk"))
+                .groupBy("bk").count().agg(F.max("count")).head()[0])
+    assert max_occupancy(12) < max_occupancy(8)  # buckets actually shrink
+    # the sizing rule keeps expected occupancy ~constant as n grows
+    assert SIM.planes_for(1_000_000, target_bucket=1024) == 10
+    assert SIM.planes_for(100_000_000, target_bucket=1024) > \
+        SIM.planes_for(1_000_000, target_bucket=1024)

@@ -233,21 +233,44 @@ def decontaminate(train: DataFrame, test: DataFrame,
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        threshold: float = 0.95) -> DataFrame:
+                        threshold: float = 0.95,
+                        n_planes: int = 8, n_bands: int = 1) -> DataFrame:
     """Embedding-cosine near-dup: candidate generation via sign-LSH
     buckets (deterministic hyperplanes), exact cosine on candidates →
     ``(id_a, id_b, cosine)`` with cosine ≥ threshold.
 
-    Uses :mod:`similarity`'s bucketing so candidates are
-    O(per-bucket²), not O(n²)."""
+    Scale knobs (banded LSH, same pattern as the MinHash bands):
+
+    - ``n_planes`` — bits per band. A FIXED plane count does not scale:
+      2^8 = 256 buckets leaves the within-bucket self-join O((n/256)²),
+      still quadratic. Pick ``similarity.planes_for(n_rows)`` —
+      ≈ log2(n / target_occupancy) planes — so expected bucket size
+      (and thus join fan-out per row) stays constant as n grows.
+    - ``n_bands`` — independent plane sets unioned for recall. More
+      planes shrink buckets but drop near-dup pairs that straddle one
+      hyperplane; each extra band re-tries with fresh planes, recovering
+      recall ≈ 1-(1-r^p)^b exactly like MinHash banding. Candidates are
+      deduped by the final ``distinct()`` (a pair's cosine is identical
+      in every band).
+
+    The join key is (band, bucket) — explode is the constant ``n_bands``
+    fan-out, never all-pairs."""
     from .similarity import cosine_expr, pround, sign_lsh_bucket
 
-    bucketed = emb.select(F.col(id_col), F.col(vec_col),
-                          sign_lsh_bucket(F.col(vec_col), n_planes=8).alias("bucket"))
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    band_buckets = F.array(*[
+        sign_lsh_bucket(F.col(vec_col), n_planes=n_planes,
+                        plane_offset=b * n_planes)
+        for b in range(n_bands)
+    ])
+    banded = emb.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(band_buckets).alias("band", "bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      "band", "bucket")
     return (
-        a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", pround(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -66,17 +66,29 @@ def plane_component(plane: int, dim: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
-def sign_lsh_bucket(vec: Column, n_planes: int = 8, dims: int = 64) -> Column:
+def planes_for(n_rows: int, target_bucket: int = 1024) -> int:
+    """Plane count that keeps expected bucket occupancy ≈ constant:
+    ``ceil(log2(n / target_bucket))`` (each plane halves a bucket).
+    Fixed plane counts leave per-bucket self-joins O((n/2^p)²) — still
+    quadratic in n; scaling p with log n keeps them O(n·target)."""
+    import math
+    return max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+
+
+def sign_lsh_bucket(vec: Column, n_planes: int = 8, dims: int = 64,
+                    plane_offset: int = 0) -> Column:
     """Random-hyperplane sign bucket: bit p = 1 iff ``vec · plane_p ≥ 0``.
     Narrow, per-row; the bucket id is the shuffle/join key downstream.
 
     The ``n_planes × dims`` weight matrix is a plan-time literal
     (`plane_component`); per row the work is ``n_planes`` fused
     multiply-add folds — no hashing on the executors. ``dims`` must
-    match the embedding dimensionality."""
+    match the embedding dimensionality. ``plane_offset`` selects an
+    independent plane set (band b uses planes [b·n_planes, (b+1)·n_planes) —
+    the banded-LSH recall pattern)."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        w = F.array(*[F.lit(plane_component(p, d)) for d in range(dims)])
+        w = F.array(*[F.lit(plane_component(plane_offset + p, d)) for d in range(dims)])
         dot = F.aggregate(
             F.zip_with(vec, w, lambda x, ww: x.cast("double") * ww),
             F.lit(0.0), lambda acc, v: acc + v,
