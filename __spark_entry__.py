@@ -407,9 +407,23 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionAll(near)
 
 
+# three dedup queries (signature dump, LSH pairs, verified jaccard)
+# consume the identical signature table over the augmented corpus —
+# memoize one localCheckpoint per (application, sf_dir)
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _aug_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIG_CACHE:
+        _SIG_CACHE[key] = D.minhash_signatures(
+            _augmented_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    return _SIG_CACHE[key]
+
+
 def _minhash_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
-    sigs = D.minhash_signatures(_augmented_docs(spark, sf_dir))
+    sigs = _aug_sigs(spark, sf_dir)
     return sigs.select(
         "doc_id", F.posexplode("sig").alias("perm", "minhash")
     ).orderBy("doc_id", "perm")
@@ -421,15 +435,15 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_near_dups(_augmented_docs(spark, sf_dir), threshold=0.5) \
+    return D.minhash_near_dups(_augmented_docs(spark, sf_dir), threshold=0.5,
+                               sigs=_aug_sigs(spark, sf_dir)) \
         .orderBy("id_a", "id_b")
 
 
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     docs = _augmented_docs(spark, sf_dir)
-    sigs = D.minhash_signatures(docs)
-    pairs = D.lsh_candidate_pairs(sigs)
+    pairs = D.lsh_candidate_pairs(_aug_sigs(spark, sf_dir))
     # jaccard = |A∩B| / |A∪B| over identical int operands — bit-identical
     # across engines without rounding.
     out = D.ngram_jaccard_pairs(docs, pairs)
@@ -829,7 +843,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's correctness gate: round 1 recorded
+    # rows for only the FIRST 50 entries, so the 25 queries it never
+    # reached (ANN, events, streaming, multimodal, text analysis) now
+    # lead, the round-1-green queries follow, and the three rows-only
+    # entries (engine-specific values by declared contract) close the
+    # list — under any cap or time budget the checked prefix maximizes
+    # new evidence.
     return {
+        # --- round-1-unchecked tail, oracle-checkable (24) ---
+        # similarity search (north star)
+        "knn_batch": _knn_batch,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ivf_topk": _ivf_topk,
+        "embedding_near_dups": _embedding_near_dups,
+        # multimodal columns (north star; deterministic fake decode)
+        "mm_image_features": _mm_image_features,
+        "mm_frame_samples": _mm_frame_samples,
+        "mm_audio_features": _mm_audio_features,
+        # text analysis (north star)
+        "lang_id": _lang_id,
+        "quality_score": _quality,
+        "token_counts": _token_counts,
+        "doc_fingerprints": _fingerprints,
+        "tfidf_long": _tfidf_long,
+        # events (north star)
+        "events_tumbling": E.tumbling_counts,
+        "events_sliding": E.sliding_counts,
+        "events_sessionize": E.sessionize,
+        "events_pivot": E.user_event_pivot,
+        "events_json_props": E.json_props_extract,
+        "user_running_stats": E.user_running_stats,
+        "purchase_attribution": E.purchase_attribution,
+        "interval_pair_counts": E.interval_pair_counts,
+        # structured streaming (north star) — incremental plan, batch oracle
+        "events_tumbling_stream": _events_tumbling_stream,
+        "events_sliding_stream": _events_sliding_stream,
+        "events_sessionize_stream": _events_sessionize_stream,
+        "stream_dedup_docs": _stream_dedup_docs,
+        # --- round-1-green queries (48) ---
         # relational parity (SURVEY §2.1-2.8)
         "pricing_summary": R.pricing_summary,
         "revenue_by_region": R.revenue_by_region,
@@ -872,8 +924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svm_declared_weights": _svm_declared_weights,
         "nb_metrics": _classifier_metrics("nb"),
         "svm_metrics": _classifier_metrics("svm"),
-        "mllib_nb_confusion": _mllib_confusion("nb"),
-        "mllib_svm_confusion": _mllib_confusion("svm"),
         # skew + SQL-layer demonstrations (result-identical oracles)
         "word_counts_salted": _word_counts_salted,
         "sql_pricing_summary": _sql_pricing_summary,
@@ -885,37 +935,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _simhash,
         "near_dup_pairs": _near_dup_pairs,
         "ngram_jaccard": _ngram_jaccard,
-        # similarity search (north star)
         "cosine_topk": _cosine_topk,
-        "knn_batch": _knn_batch,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ivf_topk": _ivf_topk,
-        "embedding_near_dups": _embedding_near_dups,
-        # multimodal columns (north star; deterministic fake decode)
-        "mm_image_features": _mm_image_features,
-        "mm_frame_samples": _mm_frame_samples,
-        "mm_audio_features": _mm_audio_features,
-        # text analysis (north star)
-        "lang_id": _lang_id,
-        "quality_score": _quality,
-        "token_counts": _token_counts,
-        "doc_fingerprints": _fingerprints,
-        "tfidf_long": _tfidf_long,
-        # events (north star)
-        "events_tumbling": E.tumbling_counts,
-        "events_sliding": E.sliding_counts,
+        # --- rows-only by declared contract (3): engine-specific values
+        # (MLlib hashing/fits; HLL sketch), pytest-bounded instead ---
         "approx_distinct_users": E.approx_distinct_users,
-        "events_sessionize": E.sessionize,
-        "events_pivot": E.user_event_pivot,
-        "events_json_props": E.json_props_extract,
-        "user_running_stats": E.user_running_stats,
-        "purchase_attribution": E.purchase_attribution,
-        "interval_pair_counts": E.interval_pair_counts,
-        # structured streaming (north star) — incremental plan, batch oracle
-        "events_tumbling_stream": _events_tumbling_stream,
-        "events_sliding_stream": _events_sliding_stream,
-        "events_sessionize_stream": _events_sessionize_stream,
-        "stream_dedup_docs": _stream_dedup_docs,
+        "mllib_nb_confusion": _mllib_confusion("nb"),
+        "mllib_svm_confusion": _mllib_confusion("svm"),
     }
 
 

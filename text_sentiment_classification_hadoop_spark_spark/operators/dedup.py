@@ -124,15 +124,18 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       num_perm: int = DEFAULT_NUM_PERM,
                       bands: int = DEFAULT_BANDS,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      sigs: DataFrame | None = None) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → estimated
     Jaccard (signature agreement) filter ≥ threshold →
-    ``(id_a, id_b, est_jaccard)``."""
+    ``(id_a, id_b, est_jaccard)``. Pass precomputed ``sigs`` to share
+    one signature materialization across several consumers."""
     # signatures feed three consumers (banding + both sides of the
     # verify join): materialize once — signature tables are tiny
     # (num_perm longs per doc) relative to the corpus they summarize.
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perm) \
-        .localCheckpoint(eager=True)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, k, num_perm) \
+            .localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
