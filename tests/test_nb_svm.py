@@ -140,3 +140,32 @@ def test_mllib_pipeline_runs(spark, sf_dir):
     preds, model = SVM.mllib_pipeline(docs, algorithm="nb")
     assert preds.filter(F.col("prediction").isNotNull()).count() > 0
     assert "features" in preds.columns
+
+
+def test_nb_compat_raw_underflow_quirk(spark, model_stats):
+    """nb_score_compat_raw replicates NB.java:224-250 verbatim: raw
+    double products, so a long document underflows BOTH class
+    probabilities to 0.0 and the Double.compare tie rule forces
+    NEGATIVE — even when the tokens are overwhelmingly positive. The
+    log-space scorer classifies the same document POSITIVE."""
+    model, stats = model_stats
+    docs = spark.createDataFrame(
+        [(10, "good good", 1.0),          # short: raw == log-space
+         (11, "bad sad", 0.0),
+         (12, " ".join(["good"] * 800), 1.0)],  # long: raw underflows
+        "doc_id long, text string, label double")
+    raw = {r["doc_id"]: r for r in
+           NB.nb_score_compat_raw(docs, model, stats).collect()}
+    log = {r["doc_id"]: r["prediction"] for r in
+           NB.nb_score(docs, model, stats).collect()}
+    # short docs: identical confusion behavior
+    assert raw[10]["prediction"] == log[10] == 1.0
+    assert raw[11]["prediction"] == log[11] == 0.0
+    # the quirk: both raw products hit 0.0 -> tie -> NEGATIVE
+    assert raw[12]["prob_pos"] == 0.0 and raw[12]["prob_neg"] == 0.0
+    assert raw[12]["prediction"] == 0.0
+    assert log[12] == 1.0  # log-space is immune
+    # raw probabilities match the hand computation on the short doc:
+    # prior 0.5, p(good|pos) = 4/11, p(good|neg) = 1/11
+    assert math.isclose(raw[10]["prob_pos"], 0.5 * (4 / 11) ** 2)
+    assert math.isclose(raw[10]["prob_neg"], 0.5 * (1 / 11) ** 2)

@@ -88,3 +88,46 @@ def test_ivf_self_query_recall(spark, sf_dir):
         q = list(emb.filter(F.col("vec_id") == vid).head()["embedding"])
         top = ivf_topk(emb, q, k=3, n_cells=8, n_probe=2).head()
         assert top["vec_id"] == vid and top["cosine"] == 1.0
+
+
+@given(text=TEXTS, n_trailing=st.integers(min_value=1, max_value=3))
+@settings(**SETTINGS)
+def test_java_split_drops_trailing_empty_fields(spark, text, n_trailing):
+    """java_split=True replicates Java String.split(',') (limit 0,
+    NB.java:53): trailing empty fields vanish, so a line ending in
+    commas parses as if they were absent; the default keeps them
+    (Spark/DuckDB semantics). Non-trailing content is unaffected."""
+    # last field non-empty so `base` itself has no trailing comma (an
+    # empty text field IS a trailing empty — Java drops it too; that
+    # case gets its own golden below)
+    base = f"42,1,Sentiment140,{text.rstrip(',') or 'x'}"
+    line = base + "," * n_trailing
+    df = spark.createDataFrame([(line,)], "value string")
+
+    java = parse_tweets_lines(df, mode="nb", java_split=True).head()
+    plain = parse_tweets_lines(spark.createDataFrame([(base,)], "value string"),
+                               mode="nb").head()
+    # Java semantics: trailing commas are invisible
+    assert (java["tweet_id"], java["sentiment"], java["text"]) == \
+        (plain["tweet_id"], plain["sentiment"], plain["text"])
+
+    default = parse_tweets_lines(df, mode="nb").head()
+    # default (engine-portable) semantics: the empties stitch in as ''
+    assert default["text"] == (plain["text"] or "")
+    # and the SVM pairing: java_split must not resurrect a <4-field row
+    svm_rows = parse_tweets_lines(df, mode="svm", java_split=True).collect()
+    expect_kept = len(base.split(",")) >= 4
+    assert (len(svm_rows) == 1) == expect_kept
+
+
+def test_java_split_empty_text_field_goldens(spark):
+    """Degenerate trailing-comma cases, asserted literally: an empty
+    text field is itself a trailing empty, so Java split erases it —
+    NB-mode yields NULL text (where real NB.java crashes on cols[3],
+    the documented divergence) and SVM-mode drops the row; the default
+    engine-portable split keeps the empty field."""
+    df = spark.createDataFrame([("42,1,Sentiment140,,",)], "value string")
+    assert parse_tweets_lines(df, mode="nb", java_split=True).head()["text"] is None
+    assert parse_tweets_lines(df, mode="svm", java_split=True).count() == 0
+    assert parse_tweets_lines(df, mode="nb").head()["text"] == ""
+    assert parse_tweets_lines(df, mode="svm").count() == 1

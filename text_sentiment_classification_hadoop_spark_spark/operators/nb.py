@@ -16,7 +16,10 @@ Semantics replicated from the reference (SURVEY.md §2.9 M2-M3):
 
 Differences from the reference (deliberate, SURVEY.md §4.2):
 - log-space scoring (the reference multiplies raw doubles and can
-  underflow on long texts; log-space is order-equivalent otherwise);
+  underflow on long texts; log-space is order-equivalent otherwise).
+  :func:`nb_score_compat_raw` provides the reference's raw-product
+  scorer verbatim — underflow→0→tie→NEGATIVE quirk included — for
+  bit-fidelity when a consumer needs the old behavior;
 - hash join instead of the reference's accidental O(tokens×|V|)
   nested-loop probe (``NB.java:234-241``) — same semantics;
 - the model is a broadcast DataFrame, not a per-task HDFS re-read.
@@ -146,4 +149,48 @@ def nb_score(docs: DataFrame, model: DataFrame, stats: NBStats,
         "prediction",
         F.when(pround(F.col("score_pos") - F.col("score_neg"), 6) > 0,
                F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+
+
+def nb_score_compat_raw(docs: DataFrame, model: DataFrame, stats: NBStats,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        label_col: str = "label") -> DataFrame:
+    """M3 compat mode: the reference's RAW-probability scorer, underflow
+    quirk included (``NB.java:224-247``) — probabilities multiply as
+    plain doubles with no log-space, so on long documents BOTH products
+    underflow to 0.0 and the tie rule ``Double.compare(pos, neg) > 0``
+    (``NB.java:250``) silently forces NEGATIVE. ``nb_score`` is the
+    correct scorer; this variant exists for bit-fidelity with the
+    reference on long texts. Returns docs + ``prob_pos/prob_neg/
+    prediction``.
+
+    Deliberately OUTSIDE the hash-oracle set: where exactly the product
+    hits 0 depends on multiplication order and subnormal handling, which
+    is engine-specific; the underflow CONTRACT (long text ⇒ 0/0 tie ⇒
+    NEGATIVE) is golden-tested against hand-built fixtures instead."""
+    prior_pos = stats.pos_tweets_size / stats.tweets_size if stats.tweets_size else 0.0
+    prior_neg = stats.neg_tweets_size / stats.tweets_size if stats.tweets_size else 0.0
+    v = stats.features_size
+    probs = model.select(
+        "word",
+        ((F.col("pos_count") + 1) / F.lit(float(stats.pos_words_size + v))).alias("_p_pos"),
+        ((F.col("neg_count") + 1) / F.lit(float(stats.neg_words_size + v))).alias("_p_neg"),
+    )
+    tokens = explode_tokens(docs.select(id_col, text_col), text_col=text_col)
+    prods = (
+        tokens.join(F.broadcast(probs), "word", "inner")
+        .groupBy(id_col)
+        .agg(F.product("_p_pos").alias("_pr_pos"),
+             F.product("_p_neg").alias("_pr_neg"))
+    )
+    scored = (
+        docs.join(prods, id_col, "left")
+        # all-unseen/empty docs keep product 1.0 (NB.java:125-128,244-247)
+        .withColumn("prob_pos", F.lit(prior_pos) * F.coalesce(F.col("_pr_pos"), F.lit(1.0)))
+        .withColumn("prob_neg", F.lit(prior_neg) * F.coalesce(F.col("_pr_neg"), F.lit(1.0)))
+        .drop("_pr_pos", "_pr_neg")
+    )
+    return scored.withColumn(
+        "prediction",
+        F.when(F.col("prob_pos") > F.col("prob_neg"), F.lit(1.0)).otherwise(F.lit(0.0)),
     )

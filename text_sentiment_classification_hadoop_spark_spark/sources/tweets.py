@@ -28,7 +28,7 @@ TWEET_COLUMNS = ["tweet_id", "sentiment", "text"]
 
 
 def parse_tweets_lines(lines: DataFrame, value_col: str = "value",
-                       mode: str = "nb") -> DataFrame:
+                       mode: str = "nb", java_split: bool = False) -> DataFrame:
     """Parse raw lines into ``(tweet_id, sentiment, text)``.
 
     mode="nb"  — stitch semantics (P1+P2+P3): cols>4 ⇒ tail concatenated
@@ -41,10 +41,17 @@ def parse_tweets_lines(lines: DataFrame, value_col: str = "value",
     # Fidelity note: Java's ``String.split(",")`` (limit 0) DROPS
     # trailing empty fields, while Spark's ``F.split`` (limit -1) and
     # DuckDB's ``string_split`` both keep them — so a line ending in a
-    # comma has one more field here than in the reference JVM. Spark and
-    # the oracle agree with each other; lines with trailing commas are
-    # the one documented divergence from the Java programs.
-    parts = F.split(F.col(value_col), ",")
+    # comma has one more field here than in the reference JVM by
+    # default. ``java_split=True`` restores the Java behavior by
+    # stripping the trailing comma run before the split (equivalent to
+    # dropping the trailing empty fields for every line with ≥1
+    # non-empty field; an all-comma line yields [''] here vs Java's [] —
+    # both land in the <4-field handling either way). Spark and the
+    # DuckDB oracle agree with each other in both settings; the oracles
+    # pin the default.
+    src = F.regexp_replace(F.col(value_col), ",+$", "") if java_split \
+        else F.col(value_col)
+    parts = F.split(src, ",")
     # F.get (not getItem): the reference's NB crashes the whole job on a
     # <4-field row (unguarded ``cols[3]``, ``NB.java:212``); a scale
     # engine must not abort a 100 TB scan for one malformed line, so NB
@@ -67,12 +74,13 @@ def parse_tweets_lines(lines: DataFrame, value_col: str = "value",
 
 
 def read_tweets_naive(spark: SparkSession, paths: str | list[str],
-                      mode: str = "nb") -> DataFrame:
+                      mode: str = "nb", java_split: bool = False) -> DataFrame:
     """Compat reader over one or more text paths (multi-path = the
     reference's union-of-dirs scan S3, ``SVM.java:180-182``)."""
     if isinstance(paths, str):
         paths = [paths]
-    return parse_tweets_lines(spark.read.text(list(paths)), mode=mode)
+    return parse_tweets_lines(spark.read.text(list(paths)), mode=mode,
+                              java_split=java_split)
 
 
 def read_tweets_strict(spark: SparkSession, paths: str | list[str]) -> DataFrame:
