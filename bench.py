@@ -28,16 +28,36 @@ def main() -> None:
     import __spark_entry__ as entry
 
     # Headline set: the sentiment pipelines (the reference's workload)
-    # plus one representative per extension family.
+    # plus the full extension families — mirrors what the correctness
+    # gate covers so BENCH and CORRECTNESS speak about the same queries.
     names = [
-        "nb_predictions", "nb_confusion", "svm_predictions",
-        "svm_declared_weights",
-        "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
-        "word_counts", "dedup_exact", "minhash_signatures", "near_dup_pairs",
-        "cosine_topk", "knn_batch", "ann_lsh_topk",
-        "lang_id", "quality_score", "tfidf_long",
-        "mm_image_features",
-        "events_tumbling", "events_sessionize", "events_tumbling_stream",
+        # sentiment (the reference workload)
+        "nb_predictions", "nb_confusion", "nb_metrics",
+        "svm_predictions", "svm_declared_weights", "svm_metrics",
+        # relational
+        "pricing_summary", "sql_pricing_summary", "revenue_by_region",
+        "distinct_parts_per_supplier", "customer_order_totals",
+        "top_orders_per_customer", "orders_above_global_avg",
+        "word_counts", "word_counts_salted",
+        # dedup
+        "dedup_exact", "minhash_signatures", "simhash_fingerprints",
+        "near_dup_pairs", "ngram_jaccard", "decontaminate_train",
+        "hash_sample_docs", "embedding_near_dups",
+        # similarity
+        "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",
+        # text analysis
+        "lang_id", "quality_score", "token_counts", "doc_fingerprints",
+        "tfidf_long",
+        # multimodal
+        "mm_image_features", "mm_frame_samples", "mm_audio_features",
+        # events (batch)
+        "events_tumbling", "events_sliding", "events_sessionize",
+        "events_pivot", "events_json_props", "user_running_stats",
+        "purchase_attribution", "interval_pair_counts",
+        "approx_distinct_users",
+        # structured streaming
+        "events_tumbling_stream", "events_sliding_stream",
+        "events_sessionize_stream", "stream_dedup_docs",
     ]
     qs = entry.queries()
 

@@ -257,8 +257,12 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
       in every band).
 
     The join key is (band, bucket) — explode is the constant ``n_bands``
-    fan-out, never all-pairs."""
-    from .similarity import cosine_expr, pround, sign_lsh_bucket
+    fan-out, never all-pairs. Norms are computed ONCE per row before the
+    join (a pair only needs the dot product): the naive
+    ``cosine_expr(va, vb)`` re-derives both norms per candidate, tripling
+    the per-pair flops — measurably the bench's hottest query before
+    this hoist."""
+    from .similarity import dot_expr, norm_expr, pround, sign_lsh_bucket
 
     band_buckets = F.array(*[
         sign_lsh_bucket(F.col(vec_col), n_planes=n_planes,
@@ -267,14 +271,16 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     ])
     banded = emb.select(
         F.col(id_col), F.col(vec_col),
+        norm_expr(F.col(vec_col)).alias("_nrm"),
         F.posexplode(band_buckets).alias("band", "bucket"))
     a = banded.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                      "band", "bucket")
+                      F.col("_nrm").alias("_na"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                      "band", "bucket")
+                      F.col("_nrm").alias("_nb"), "band", "bucket")
+    cosine = dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", pround(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .select("id_a", "id_b", pround(cosine, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .distinct()
