@@ -359,6 +359,43 @@ au AS (
 )
 """
 
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled-SQL mirror of ``similarity.kmeans_fit`` (same pattern as
+    the unrolled SVM epochs): per iteration a rounded-cosine assignment
+    (ties → lowest cell via row_number) and 6-dp-rounded element-wise
+    means, with COALESCE keeping an empty cell's previous centroid."""
+    def r6(e: str) -> str:
+        return f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+
+    parts = [
+        f"cent0 AS (SELECT vec_id AS cell, d, x AS m FROM au WHERE vec_id < {k})"]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        cos = "sum(au.x * c.m) / (sqrt(sum(au.x * au.x)) * sqrt(sum(c.m * c.m)))"
+        parts += [
+            f"""sc{i} AS (
+  SELECT au.vec_id, c.cell, {r6(cos)} AS cos
+  FROM au JOIN {prev} c USING (d)
+  GROUP BY au.vec_id, c.cell)""",
+            f"""asg{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell ASC) AS rk
+    FROM sc{i}) WHERE rk = 1)""",
+            f"""mn{i} AS (
+  SELECT a.cell, au.d, {r6('avg(au.x)')} AS m
+  FROM asg{i} a JOIN au USING (vec_id)
+  GROUP BY a.cell, au.d)""",
+            f"""cent{i} AS (
+  SELECT p.cell, p.d, coalesce(n.m, p.m) AS m
+  FROM {prev} p LEFT JOIN mn{i} n ON n.cell = p.cell AND n.d = p.d)""",
+        ]
+    return (f"WITH {AU_ORIG}, " + ",\n".join(parts)
+            + f"\nSELECT cell AS cell_id, CAST(d AS INTEGER) AS d, m AS centroid"
+              f" FROM cent{iters} ORDER BY cell_id, d")
+
 # augmented corpus for embedding near-dup: originals, exact copies
 # (+1000000), and a dim-0-perturbed copy (+2000000, x0 + 2.0)
 AU_AUGMENTED = """
@@ -566,6 +603,14 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.ivf_topk(emb, _query_vec(spark, sf_dir, 0), k=10,
                         n_cells=8, n_probe=2)
+
+
+def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF codebook: 2 Lloyd iterations from the first-8 seed
+    (the iterative-algorithm coverage the SVM epochs provide for text,
+    here for vectors)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.kmeans_fit(emb, k=8, iters=2).orderBy("cell_id", "d")
 
 
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": _knn_batch,
         "ann_lsh_topk": _ann_lsh_topk,
         "ivf_topk": _ivf_topk,
+        "kmeans_cells": _kmeans_cells,
         "embedding_near_dups": _embedding_near_dups,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
@@ -1384,6 +1430,7 @@ SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
 FROM ev GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
+    out["kmeans_cells"] = _kmeans_sql(k=8, iters=2)
     out["ivf_topk"] = f"""
 WITH {AU_ORIG},
 cent AS (SELECT vec_id AS cell_id, d, x AS cx FROM au WHERE vec_id < 8),

@@ -45,6 +45,7 @@ def main() -> None:
         "hash_sample_docs", "embedding_near_dups",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",
+        "kmeans_cells",
         # text analysis
         "lang_id", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long",

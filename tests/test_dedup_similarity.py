@@ -149,3 +149,31 @@ def test_banded_lsh_recall_and_occupancy(spark, sf_dir):
     assert SIM.planes_for(1_000_000, target_bucket=1024) == 10
     assert SIM.planes_for(100_000_000, target_bucket=1024) > \
         SIM.planes_for(1_000_000, target_bucket=1024)
+
+
+def test_kmeans_codebook_improves_on_seed(spark, sf_dir):
+    """kmeans_fit: 8x64 long-form codebook; two Lloyd iterations must
+    not worsen the mean assignment cosine vs the first-8 seed (Lloyd is
+    monotone up to the 6-dp rounding), and every cell keeps a row set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fitted = SIM.kmeans_fit(emb, k=8, iters=2)
+    rows = fitted.collect()
+    assert len(rows) == 8 * 64
+    assert {r["cell_id"] for r in rows} == set(range(8))
+
+    def mean_best_cos(cents):
+        from pyspark.sql import functions as F
+        arr = F.array(*[
+            SIM.cosine_expr(F.col("embedding"),
+                            F.array(*[F.lit(x) for x in cvec]))
+            for _, cvec in cents])
+        return emb.select(F.array_max(arr).alias("c")) \
+            .agg(F.avg("c")).head()[0]
+
+    seed = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.orderBy("vec_id").limit(8).collect()]
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], [0.0] * 64)[r["d"]] = r["centroid"]
+    trained = sorted(by_cell.items())
+    assert mean_best_cos(trained) >= mean_best_cos(seed) - 1e-6

@@ -168,19 +168,69 @@ def ivf_assign_cells(emb: DataFrame, centroids: DataFrame,
     100 TB the assigned table is written partitioned/bucketed by
     ``cell`` so probes prune to n_probe cells.
     """
-    cents = sorted(centroids.select("cell_id", "cell_vec").collect(),
-                   key=lambda r: r["cell_id"])
-    cos_arr = F.array(*[
-        pround(cosine_expr(
-            F.col(vec_col),
-            F.array(*[F.lit(float(x)) for x in r["cell_vec"]])), 6)
-        for r in cents
-    ])
-    cell_ids = F.array(*[F.lit(int(r["cell_id"])).cast("long") for r in cents])
-    best = F.array_position(cos_arr, F.array_max(cos_arr)).cast("int") - 1
+    cents = sorted(
+        [(int(r["cell_id"]), [float(x) for x in r["cell_vec"]])
+         for r in centroids.select("cell_id", "cell_vec").collect()])
     return emb.select(
         F.col(id_col), F.col(vec_col),
-        F.get(cell_ids, best).alias("cell"))
+        _nearest_cell_expr(F.col(vec_col), cents).alias("cell"))
+
+
+def _nearest_cell_expr(vec: Column,
+                       cents: list[tuple[int, list[float]]]) -> Column:
+    """Narrow nearest-centroid argmax over a literal codebook: rounded
+    cosine per cell, ``array_position(arr, array_max(arr))`` = first
+    match = lowest cell_id on ties. Zero exchanges."""
+    cos_arr = F.array(*[
+        pround(cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cvec])), 6)
+        for _, cvec in cents
+    ])
+    cell_ids = F.array(*[F.lit(cid).cast("long") for cid, _ in cents])
+    best = F.array_position(cos_arr, F.array_max(cos_arr)).cast("int") - 1
+    return F.get(cell_ids, best)
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic distributed Lloyd's k-means (the trained codebook
+    :func:`ivf_topk`'s docstring promises) → long-form
+    ``(cell_id, d, centroid)``, k×dims rows.
+
+    Per iteration:
+
+    - **assign** — the narrow literal-codebook argmax
+      (:func:`_nearest_cell_expr`): zero exchanges, the corpus is
+      scanned once;
+    - **recombine** — element-wise mean per cell: posexplode dims and
+      hash-aggregate ``(cell, d)`` — partial (map-side) aggregation
+      makes the one shuffle carry O(k × dims) sums per partition, not
+      the corpus;
+    - the k×dims means (tiny) round-trip through the driver into the
+      next iteration's literals — the J4 scalar pattern, exactly how
+      the SVM epochs chain.
+
+    Determinism contract (cross-engine, mirrors the unrolled-SQL
+    oracle): init = the first ``k`` vectors by id; cosine assignment
+    rounded 6 dp with ties → lowest cell; means rounded 6 dp; an empty
+    cell keeps its previous centroid."""
+    first = emb.orderBy(F.col(id_col)).limit(k) \
+        .select(F.col(id_col), F.col(vec_col)).collect()
+    cents = [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in first]
+    dims = len(cents[0][1])
+    for _ in range(iters):
+        cell = _nearest_cell_expr(F.col(vec_col), cents)
+        long_form = widen(emb).select(
+            cell.alias("cell"),
+            F.posexplode(F.transform(F.col(vec_col),
+                                     lambda x: x.cast("double"))).alias("d", "x"))
+        means = long_form.groupBy("cell", "d").agg(
+            pround(F.avg("x"), 6).alias("m"))
+        got = {(r["cell"], r["d"]): r["m"] for r in means.collect()}
+        cents = [(cid, [got.get((cid, d), prev[d]) for d in range(dims)])
+                 for cid, prev in cents]
+    rows = [(cid, d, cvec[d]) for cid, cvec in cents for d in range(dims)]
+    return emb.sparkSession.createDataFrame(
+        rows, "cell_id long, d int, centroid double")
 
 
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
