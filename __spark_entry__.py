@@ -800,6 +800,37 @@ def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_docs").orderBy("text_hash")
 
 
+def _stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming dedup (dropDuplicates, JVM state store) over the
+    same duplicated feed — the production path; the custom
+    applyInPandasWithState query above is the extension-point twin.
+    Same oracle: distinct md5 over the table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        dedup_native_stream,
+        run_stream_to_memory,
+    )
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    ensure_engine_confs(spark)
+    raw = (spark.readStream.schema(doc_schema).format("parquet")
+           .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    dup = raw.withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1)))) \
+        .select(F.md5("text").alias("text_hash"))
+    q = run_stream_to_memory(dedup_native_stream(dup),
+                             "stream_dedup_native", output_mode="append")
+    q.stop()
+    return spark.table("stream_dedup_native").orderBy("text_hash")
+
+
 def _tfidf_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = S.labeled_documents(spark, sf_dir).select("doc_id", "text")
     return TA.tfidf_long(docs).orderBy("doc_id", "word")
@@ -927,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_stream": _events_sliding_stream,
         "events_sessionize_stream": _events_sessionize_stream,
         "stream_dedup_docs": _stream_dedup_docs,
+        "stream_dedup_native": _stream_dedup_native,
         # --- round-1-green queries (48) ---
         # relational parity (SURVEY §2.1-2.8)
         "pricing_summary": R.pricing_summary,
@@ -1563,6 +1595,7 @@ FROM y GROUP BY user_id, session_id ORDER BY user_id, session_start
 SELECT md5(text) AS text_hash FROM documents
 GROUP BY md5(text) ORDER BY text_hash
 """
+    out["stream_dedup_native"] = out["stream_dedup_docs"]
     # result-identical demonstrations share their baseline's oracle:
     # the salted two-phase aggregation must equal the naive group-by,
     # and the spark.sql entry point runs the literal oracle text.

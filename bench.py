@@ -58,7 +58,7 @@ def main() -> None:
         "approx_distinct_users",
         # structured streaming
         "events_tumbling_stream", "events_sliding_stream",
-        "events_sessionize_stream", "stream_dedup_docs",
+        "events_sessionize_stream", "stream_dedup_docs", "stream_dedup_native",
     ]
     qs = entry.queries()
 

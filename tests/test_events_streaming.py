@@ -131,6 +131,26 @@ def test_stateful_dedup_stream_first_seen_only(spark, tmp_path_factory):
     assert got == want and len(got) == 7
 
 
+def test_native_dedup_stream_matches_custom(spark, tmp_path_factory):
+    """dropDuplicates (JVM state) and the applyInPandasWithState custom
+    operator must emit the identical first-seen key set."""
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import dedup_native_stream
+    p = str(tmp_path_factory.mktemp("ddn") / "docs")
+    spark.createDataFrame(
+        [(i, f"text {i % 9}") for i in range(60)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(p)
+    stream = (spark.readStream
+              .schema("doc_id long, text string").parquet(p)
+              .select(F.md5("text").alias("text_hash")))
+    q = run_stream_to_memory(dedup_native_stream(stream), "ddn_test",
+                             output_mode="append")
+    got = sorted(r["text_hash"] for r in spark.table("ddn_test").collect())
+    q.stop()
+    want = sorted({r["h"] for r in spark.read.parquet(p)
+                   .select(F.md5("text").alias("h")).collect()})
+    assert got == want and len(got) == 9
+
+
 def test_real_events_table(spark, sf_dir):
     tw = E.tumbling_counts(spark, sf_dir)
     assert tw.count() > 0

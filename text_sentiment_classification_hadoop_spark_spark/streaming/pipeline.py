@@ -110,6 +110,18 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     q.awaitTermination(timeout_s)
     return q
 
+def dedup_native_stream(df: DataFrame, key_col: str = "text_hash") -> DataFrame:
+    """Production streaming exact-dedup: Spark's native ``dropDuplicates``
+    — JVM state store keyed on ``key_col`` (state = |distinct keys|,
+    same bound as the custom operator below, none of its per-group
+    Python/Arrow tax). Pair with ``withWatermark`` upstream when
+    duplicates are known to arrive within a window, so state expires.
+    :func:`dedup_first_seen_stream` remains the custom-stateful-operator
+    form (the extension point for logic ``dropDuplicates`` can't
+    express, e.g. keep-best-by-quality instead of keep-first)."""
+    return df.dropDuplicates([key_col])
+
+
 def dedup_first_seen_stream(df: DataFrame, key_col: str = "text_hash") -> DataFrame:
     """Custom stateful streaming operator: emit each key's FIRST
     occurrence only — streaming exact-dedup for a document feed, the
