@@ -945,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _fingerprints,
         "tfidf_long": _tfidf_long,
         # events (north star)
+        "order_rank_stats": R.order_rank_stats,
         "events_tumbling": E.tumbling_counts,
         "events_sliding": E.sliding_counts,
         "events_sessionize": E.sessionize,
@@ -1462,6 +1463,21 @@ SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
 FROM ev GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }
+    out["order_rank_stats"] = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band,
+       CAST(rank() OVER wb AS INTEGER) AS band_rank,
+       CAST(dense_rank() OVER wb AS INTEGER) AS band_dense_rank,
+       percent_rank() OVER wb AS band_pct_rank,
+       cume_dist() OVER wb AS band_cume_dist,
+       CAST(ntile(4) OVER wu AS INTEGER) AS price_quartile,
+       floor(lag(o_totalprice) OVER wu * 100.0 + 0.5) / 100.0 AS prev_price,
+       floor(lead(o_totalprice) OVER wu * 100.0 + 0.5) / 100.0 AS next_price
+FROM orders
+WINDOW wb AS (PARTITION BY o_orderstatus ORDER BY floor(o_totalprice / 50000)),
+       wu AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderkey
+"""
     out["kmeans_cells"] = _kmeans_sql(k=8, iters=2)
     out["ivf_topk"] = f"""
 WITH {AU_ORIG},

@@ -37,7 +37,7 @@ def main() -> None:
         # relational
         "pricing_summary", "sql_pricing_summary", "revenue_by_region",
         "distinct_parts_per_supplier", "customer_order_totals",
-        "top_orders_per_customer", "orders_above_global_avg",
+        "top_orders_per_customer", "orders_above_global_avg", "order_rank_stats",
         "word_counts", "word_counts_salted",
         # dedup
         "dedup_exact", "minhash_signatures", "simhash_fingerprints",

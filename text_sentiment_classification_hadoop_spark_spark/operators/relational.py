@@ -435,6 +435,36 @@ def order_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (north-star §2.11 — the full ranking
+    family, not just row_number): rank / dense_rank / percent_rank /
+    cume_dist over a NON-unique ordering (price bands — these four are
+    tie-aware, so peers order-independently), plus ntile / lag / lead
+    over a unique ordering (ntile and offsets depend on peer order, so
+    the sort key must be total). One shuffle on o_orderstatus; both
+    windows share the partition, so Catalyst plans a single exchange
+    with two Window nodes."""
+    o = load_table(spark, "orders", sf_dir)
+    band = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    w_band = Window.partitionBy("o_orderstatus").orderBy(band)
+    w_uniq = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey", "o_orderstatus",
+            band.alias("price_band"),
+            F.rank().over(w_band).alias("band_rank"),
+            F.dense_rank().over(w_band).alias("band_dense_rank"),
+            F.percent_rank().over(w_band).alias("band_pct_rank"),
+            F.cume_dist().over(w_band).alias("band_cume_dist"),
+            F.ntile(4).over(w_uniq).alias("price_quartile"),
+            pround(F.lag("o_totalprice").over(w_uniq), 2).alias("prev_price"),
+            pround(F.lead("o_totalprice").over(w_uniq), 2).alias("next_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (north-star gap §2.11): all 4 grouping
     combinations of (status, priority) in one pass — Spark expands to a
