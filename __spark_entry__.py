@@ -800,6 +800,38 @@ def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_docs").orderBy("text_hash")
 
 
+def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks ⋈ purchases, same
+    user, click within the 5 minutes at-or-before the purchase) — the
+    two-source join Structured Streaming state-stores; batch theta-join
+    oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        purchase_click_join_stream,
+        run_stream_to_memory,
+    )
+    ensure_engine_confs(spark)
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in EVENTS_SCHEMA.fields
+    ])
+    raw = (spark.readStream.schema(schema)
+           .format("parquet")
+           .option("pathGlobFilter", "events.parquet")
+           .load(sf_dir)
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    q = run_stream_to_memory(purchase_click_join_stream(raw),
+                             "purchase_click_join_stream",
+                             output_mode="append")
+    q.stop()
+    return (spark.table("purchase_click_join_stream")
+            .orderBy("purchase_id", "click_id"))
+
+
 def _stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming dedup (dropDuplicates, JVM state store) over the
     same duplicated feed — the production path; the custom
@@ -960,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_stream": _events_sessionize_stream,
         "stream_dedup_docs": _stream_dedup_docs,
         "stream_dedup_native": _stream_dedup_native,
+        "stream_stream_join": _stream_stream_join,
         # --- round-1-green queries (48) ---
         # relational parity (SURVEY §2.1-2.8)
         "pricing_summary": R.pricing_summary,
@@ -1612,6 +1645,17 @@ SELECT md5(text) AS text_hash FROM documents
 GROUP BY md5(text) ORDER BY text_hash
 """
     out["stream_dedup_native"] = out["stream_dedup_docs"]
+    # stream-stream interval join == the batch theta join (no late data
+    # in a replayed file stream, so the watermark never drops a row)
+    out["stream_stream_join"] = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 5 MINUTE
+ORDER BY purchase_id, click_id
+"""
     # result-identical demonstrations share their baseline's oracle:
     # the salted two-phase aggregation must equal the naive group-by,
     # and the spark.sql entry point runs the literal oracle text.

@@ -158,3 +158,40 @@ def test_real_events_table(spark, sf_dir):
     assert sess.filter(F.col("session_end") < F.col("session_start")).count() == 0
     piv = E.user_event_pivot(spark, sf_dir)
     assert set(piv.columns) == {"user_id", "click", "error", "purchase", "signup", "view"}
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch theta-join pairs (file replay has no late data, so the
+    watermark drops nothing)."""
+    from pyspark.sql import types as T
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        EVENTS_SCHEMA, purchase_click_join_stream)
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in EVENTS_SCHEMA.fields])
+    raw = (spark.readStream.schema(schema).format("parquet")
+           .option("pathGlobFilter", "events.parquet").load(sf_dir)
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    q = run_stream_to_memory(purchase_click_join_stream(raw), "ssj_test",
+                             output_mode="append")
+    got = sorted((r["purchase_id"], r["click_id"], r["gap_us"])
+                 for r in spark.table("ssj_test").collect())
+    q.stop()
+    e = load_table(spark, "events", sf_dir)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"))
+    want = sorted(
+        (r["purchase_id"], r["click_id"], r["gap_us"]) for r in
+        p.join(c, (F.col("cu") == F.col("pu"))
+               & (F.col("cts") <= F.col("pts"))
+               & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 5 MINUTES")))
+        .select("purchase_id", "click_id",
+                (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"))
+        .collect())
+    assert got == want and len(got) > 0

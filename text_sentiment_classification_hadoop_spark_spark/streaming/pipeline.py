@@ -95,6 +95,45 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     )
 
 
+def purchase_click_join_stream(events: DataFrame,
+                               window_minutes: int = 5,
+                               watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: every purchase paired with the same
+    user's clicks in the preceding ``window_minutes`` (inclusive) →
+    ``(purchase_id, click_id, user_id, gap_us)``.
+
+    The canonical Structured Streaming two-source join: both sides carry
+    a watermark and the join predicate bounds click time relative to
+    purchase time, so the state store can discard a buffered click once
+    the purchase-side watermark passes ``click.ts + window`` — state is
+    O(events in the window), not O(stream). An unbounded (no time
+    bound) stream-stream join would be rejected by Spark for exactly
+    that reason. Batch oracle: the equivalent theta join."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", watermark))
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts")
+           - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return (
+        purchases.join(clicks, cond)
+        .select("purchase_id", "click_id",
+                F.col("p_user").alias("user_id"),
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                .alias("gap_us"))
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "update",
                          timeout_s: float = 60.0):
