@@ -239,25 +239,30 @@ docs_all AS (
 SIMHASH_BITS = 32
 
 
-def _simhash_sql() -> str:
+def _simhash_cte(src: str) -> str:
+    """CTE chunk computing ``fp(doc_id, simhash)`` over ``src(doc_id, text)``."""
     ones = ",\n         ".join(
         f"sum((h >> {b}) & 1) AS ones_{b}" for b in range(SIMHASH_BITS))
     val = " + ".join(
         f"(CASE WHEN 2 * ones_{b} >= total THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(SIMHASH_BITS))
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {src}
 ),
 h AS (SELECT doc_id, {PORTABLE_HASH.format(col='w')} AS h FROM toks),
 bits AS (
   SELECT doc_id, count(*) AS total,
          {ones}
   FROM h GROUP BY doc_id
-)
-SELECT doc_id, CAST({val} AS BIGINT) AS simhash
-FROM bits ORDER BY doc_id
+),
+fp AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM bits)
 """
+
+
+def _simhash_sql() -> str:
+    return (f"WITH {_simhash_cte('documents')}"
+            "SELECT doc_id, simhash FROM fp ORDER BY doc_id")
 
 
 def _cosine_sql(query_filter: str, k: int, partition: bool) -> str:
@@ -469,6 +474,11 @@ def _minhash_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(
         load_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dups(_augmented_docs(spark, sf_dir)) \
+        .orderBy("id_a", "id_b")
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_long": _tfidf_long,
         # events (north star)
         "order_rank_stats": R.order_rank_stats,
+        "simhash_near_dups": _simhash_near_dups,
         "events_tumbling": E.tumbling_counts,
         "events_sliding": E.sliding_counts,
         "events_sessionize": E.sessionize,
@@ -1229,6 +1240,25 @@ SELECT doc_id, p AS perm, mh AS minhash
 FROM sig_long ORDER BY doc_id, perm
 """,
         "simhash_fingerprints": _simhash_sql(),
+        "simhash_near_dups": f"""
+WITH {DOCS_ALL_AUGMENTED},
+{_simhash_cte('docs_all')},
+bd AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS sl
+  FROM fp, (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bd a JOIN bd b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+ORDER BY id_a, id_b
+""",
         "near_dup_pairs": f"""
 WITH {DOCS_ALL_AUGMENTED},
 {_minhash_long_cte()},

@@ -41,7 +41,7 @@ def main() -> None:
         "word_counts", "word_counts_salted",
         # dedup
         "dedup_exact", "minhash_signatures", "simhash_fingerprints",
-        "near_dup_pairs", "ngram_jaccard", "decontaminate_train",
+        "near_dup_pairs", "ngram_jaccard", "decontaminate_train", "simhash_near_dups",
         "hash_sample_docs", "embedding_near_dups",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",

@@ -177,3 +177,26 @@ def test_kmeans_codebook_improves_on_seed(spark, sf_dir):
         by_cell.setdefault(r["cell_id"], [0.0] * 64)[r["d"]] = r["centroid"]
     trained = sorted(by_cell.items())
     assert mean_best_cos(trained) >= mean_best_cos(seed) - 1e-6
+
+
+def test_simhash_near_dups_exact_recall(spark, sf_dir):
+    """Banding 32 bits into 4 slices is pigeonhole-EXACT for hamming ≤ 3:
+    the banded pair set must equal the brute-force pair set, and the
+    planted ' zzz' near-copies must appear for long documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat("text", F.lit(" zzz")).alias("text"))
+    corpus = docs.unionAll(near)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.simhash_near_dups(corpus).collect()}
+    fp = D.simhash_fingerprints(corpus)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {(r["id_a"], r["id_b"]): r["h"] for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                     .cast("int").alias("h"))
+             .filter(F.col("h") <= 3).collect()}
+    assert got == brute and len(got) > 0

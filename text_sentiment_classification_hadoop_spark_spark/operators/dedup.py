@@ -201,6 +201,47 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     return per_doc.select(F.col(id_col), acc.alias("simhash"))
 
 
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", bits: int = 32,
+                      bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs → ``(id_a, id_b, hamming)`` with hamming
+    distance ≤ ``max_hamming``.
+
+    Candidates by banding the fingerprint into ``bands`` equal bit
+    slices and equi-joining on (band, slice): by pigeonhole, any pair
+    within hamming ≤ bands−1 shares at least one identical band, so
+    recall is EXACT for ``max_hamming ≤ bands−1`` (unlike MinHash
+    banding's probabilistic recall). Verification is one
+    ``bit_count(xor)`` per candidate — integer ops, no array math.
+    Same scale shape as the MinHash path: the only join key is
+    (band, slice), never all-pairs; at 100 TB add bands (16 bits × 4
+    bands for 64-bit fingerprints) to keep slice-collision fan-out
+    bounded."""
+    assert bits % bands == 0
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), b * slice_bits)
+            .bitwiseAND(F.lit(mask)).cast("long")
+            for b in range(bands)
+        ])).alias("band", "slice"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "band", "slice")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "band", "slice")
+    return (
+        a.join(b, ["band", "slice"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                .cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def decontaminate(train: DataFrame, test: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:
