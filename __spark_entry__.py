@@ -949,6 +949,18 @@ def _hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
 
 
+STRATIFIED_RATES = {"en": 20, "es": 60, "fr": 60, "de": 60}  # zh -> default 100
+
+
+def _stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample: downsample dominant en,
+    keep more of the rest, all of unlisted strata (zh)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (TA.stratified_hash_sample(docs, STRATIFIED_RATES,
+                                      default_pct=100)
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -989,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events (north star)
         "order_rank_stats": R.order_rank_stats,
         "simhash_near_dups": _simhash_near_dups,
+        "stratified_sample_docs": _stratified_sample_docs,
         "events_tumbling": E.tumbling_counts,
         "events_sliding": E.sliding_counts,
         "events_sessionize": E.sessionize,
@@ -1852,6 +1865,15 @@ ORDER BY o_orderstatus, stat
     out["hash_sample_docs"] = f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE ({PORTABLE_HASH.format(col="'sample:v1' || CAST(doc_id AS VARCHAR)")} % 100) < 10
+ORDER BY doc_id
+"""
+    rate_case = ("CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN {p}"
+        for s, p in sorted(STRATIFIED_RATES.items(), reverse=True))
+        + " ELSE 100 END")
+    out["stratified_sample_docs"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ({PORTABLE_HASH.format(col="'sample:v1' || CAST(doc_id AS VARCHAR)")} % 100) < {rate_case}
 ORDER BY doc_id
 """
     return out

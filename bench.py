@@ -42,6 +42,7 @@ def main() -> None:
         # dedup
         "dedup_exact", "minhash_signatures", "simhash_fingerprints",
         "near_dup_pairs", "ngram_jaccard", "decontaminate_train", "simhash_near_dups",
+        "stratified_sample_docs",
         "hash_sample_docs", "embedding_near_dups",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",

@@ -200,3 +200,25 @@ def test_simhash_near_dups_exact_recall(spark, sf_dir):
                      .cast("int").alias("h"))
              .filter(F.col("h") <= 3).collect()}
     assert got == brute and len(got) > 0
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark, sf_dir):
+    """Per-stratum rates hold (hash uniformity) and membership is
+    reproducible and consistent with the flat hash_sample ranges."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import text_analysis as TA
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 20, "es": 60, "fr": 60, "de": 60}
+    out = TA.stratified_hash_sample(docs, rates, default_pct=100)
+    got = out.groupBy("lang").count().collect()
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in got:
+        pct = rates.get(r["lang"], 100)
+        expect = base[r["lang"]] * pct / 100
+        assert abs(r["count"] - expect) <= max(6, 0.35 * expect)
+    # unlisted stratum keeps everything
+    assert {r["lang"]: r["count"] for r in got}["zh"] == base["zh"]
+    # same salt => stratified sample ⊇ the flat 10% sample wherever rate ≥ 10
+    flat = {r["doc_id"] for r in TA.hash_sample(docs, pct=10)
+            .select("doc_id").collect()}
+    strat = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert flat <= strat

@@ -163,3 +163,22 @@ def hash_sample(df: DataFrame, id_col: str = "doc_id",
     corpus. Pure narrow map — no shuffle, filter runs scan-side."""
     h = portable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     return df.filter((h % mod) < pct)
+
+
+def stratified_hash_sample(df: DataFrame, rates: dict[str, int],
+                           stratum_col: str = "lang",
+                           id_col: str = "doc_id", mod: int = 100,
+                           default_pct: int = 0,
+                           salt: str = "sample:v1") -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep-rates (e.g.
+    downsample dominant languages, keep all of rare ones) with the same
+    hash-based reproducibility as :func:`hash_sample` — the idiomatic
+    replacement for ``df.sampleBy()``, whose seeded Bernoulli draws
+    differ across engines/partitionings. Strata absent from ``rates``
+    keep ``default_pct``. Pure narrow map: the rate lookup is a CASE
+    expression, the filter runs scan-side, no shuffle."""
+    h = portable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter((h % mod) < rate)
