@@ -545,6 +545,25 @@ def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.fingerprints(load_table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.repetition_stats(load_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents seeded with deterministic synthetic PII
+    (the testdata corpus has none — the seed makes every redaction rule
+    fire and keeps the oracle check non-trivial)."""
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "documents", sf_dir)
+    seeded = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 555-867-5309 from 10.0."),
+                 (F.col("doc_id") % 200).cast("string"), F.lit(".7")))
+    return TA.pii_scrub(seeded).orderBy("doc_id")
+
+
 def _classifier_metrics(kind: str):
     """A8+A9 as a one-row scalar table (the reference prints these to
     stdout — ``NB.java:343-349``; ``NaiveBayes.py:72-75``)."""
@@ -998,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _token_counts,
         "doc_fingerprints": _fingerprints,
         "tfidf_long": _tfidf_long,
+        "doc_repetition": _doc_repetition,
+        "pii_scrub": _pii_scrub,
         # events (north star)
         "order_rank_stats": R.order_rank_stats,
         "simhash_near_dups": _simhash_near_dups,
@@ -1662,6 +1683,67 @@ SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
        floor((tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
 FROM tf JOIN dfreq USING (word), n
 ORDER BY tf.doc_id, tf.word
+"""
+    # Gopher-style repetition screens: mode-of-list computed as
+    # max-over-distinct of filter counts — the same lambda shape Spark
+    # runs, so the int/int double divisions see identical operands.
+    # The `repetitive` flag compares the UNROUNDED ratios on both sides.
+    out["doc_repetition"] = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n, list_distinct(toks) AS uniq,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t
+),
+c AS (
+  SELECT doc_id, toks, n, uniq, bigrams,
+         len(bigrams) AS nb, list_distinct(bigrams) AS uniq_b
+  FROM b
+),
+r AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0 THEN CAST(len(uniq) AS DOUBLE) / n
+         ELSE CAST(0 AS DOUBLE) END AS distinct_frac,
+    CASE WHEN n > 0 THEN CAST(list_max(list_transform(uniq,
+              u -> len(list_filter(toks, t2 -> t2 = u)))) AS DOUBLE) / n
+         ELSE CAST(0 AS DOUBLE) END AS top_uni,
+    CASE WHEN nb > 0 THEN CAST(list_max(list_transform(uniq_b,
+              u -> len(list_filter(bigrams, t2 -> t2 = u)))) AS DOUBLE) / nb
+         ELSE CAST(0 AS DOUBLE) END AS top_bi,
+    CASE WHEN nb > 0 THEN CAST(1 AS DOUBLE) - CAST(len(uniq_b) AS DOUBLE) / nb
+         ELSE CAST(0 AS DOUBLE) END AS dup_bi
+  FROM c
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  floor(distinct_frac * 1000000.0 + 0.5) / 1000000.0 AS distinct_frac,
+  floor(top_uni * 1000000.0 + 0.5) / 1000000.0 AS top_unigram_frac,
+  floor(top_bi * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac,
+  floor(dup_bi * 1000000.0 + 0.5) / 1000000.0 AS dup_bigram_frac,
+  CAST((top_bi > CAST(0.18 AS DOUBLE))
+       OR (distinct_frac < CAST(0.30 AS DOUBLE)) AS INTEGER) AS repetitive
+FROM r ORDER BY doc_id
+"""
+    # PII scrub: patterns come from TA.PII_PATTERNS (valid in both Java
+    # regex and RE2); counts on the ORIGINAL seeded text, replacements
+    # chained in declaration order exactly like the Spark side.
+    pii_seed = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+                " || '@example.com or 555-867-5309 from 10.0.'"
+                " || CAST(doc_id % 200 AS VARCHAR) || '.7'")
+    pii_counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in TA.PII_PATTERNS)
+    pii_clean = "t"
+    for _, pat, rep in TA.PII_PATTERNS:
+        pii_clean = f"regexp_replace({pii_clean}, '{pat}', '{rep}', 'g')"
+    out["pii_scrub"] = f"""
+WITH seeded AS (SELECT doc_id, {pii_seed} AS t FROM documents)
+SELECT doc_id,
+  {pii_counts},
+  {pii_clean} AS clean_text
+FROM seeded ORDER BY doc_id
 """
     out["events_sessionize_stream"] = """
 WITH x AS (

@@ -205,6 +205,65 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert abs(r["n_users_approx"] - exact) <= max(1, 0.05 * exact)
 
 
+# --------------------------------------------- repetition / PII scrub
+
+def test_repetition_stats_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"),
+         (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+             " w17 w18 w19 w20"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TA.repetition_stats(docs).collect()}
+    r1 = out[1]                       # 4x the same token
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_frac"] == 0.25
+    assert r1["top_unigram_frac"] == 1.0
+    assert r1["top_bigram_frac"] == 1.0          # "a a" thrice
+    assert abs(r1["dup_bigram_frac"] - (1 - 1 / 3)) < 1e-6
+    assert r1["repetitive"] == 1
+    r2 = out[2]                       # 20 distinct tokens, 19 distinct bigrams
+    assert r2["distinct_frac"] == 1.0
+    assert r2["top_unigram_frac"] == 0.05
+    assert abs(r2["top_bigram_frac"] - 1 / 19) < 1e-6
+    assert r2["dup_bigram_frac"] == 0.0
+    assert r2["repetitive"] == 0
+    r3 = out[3]                       # split("") -> [""], no bigrams
+    assert r3["n_tokens"] == 1
+    assert r3["top_bigram_frac"] == 0.0 and r3["repetitive"] == 0
+
+
+def test_repetition_stats_is_narrow(spark):
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    plan = TA.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob@corp.io and alice@x.org, call 212-555-0199,"
+             " host 192.168.1.250 up"),
+         (2, "no pii here, just version 1.2 and year 2024")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TA.pii_scrub(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_emails"], r1["n_phones"], r1["n_ips"]) == (2, 1, 1)
+    assert r1["clean_text"] == ("mail <EMAIL> and <EMAIL>, call <PHONE>,"
+                                " host <IP> up")
+    r2 = out[2]
+    assert (r2["n_emails"], r2["n_phones"], r2["n_ips"]) == (0, 0, 0)
+    assert r2["clean_text"] == "no pii here, just version 1.2 and year 2024"
+
+
+def test_pii_scrub_email_wins_over_phone_digits(spark):
+    # the email rule runs first, so an address containing a digit run is
+    # redacted whole rather than half-eaten by the phone rule
+    docs = spark.createDataFrame(
+        [(1, "reach 555-123-4567x@ex.com maybe")], "doc_id long, text string")
+    r = TA.pii_scrub(docs).collect()[0]
+    assert r["clean_text"] == "reach <EMAIL> maybe"
+
+
 def test_order_stats_unpivot_roundtrip(spark, sf_dir):
     rows = E_rows = R.order_stats_unpivot(spark, sf_dir).collect()
     by_status = {}

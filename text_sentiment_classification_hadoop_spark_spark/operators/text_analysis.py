@@ -182,3 +182,85 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, int],
     for stratum, pct in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
     return df.filter((h % mod) < rate)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     top_bigram_max: float = 0.18,
+                     distinct_min: float = 0.30) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1) →
+    ``(doc_id, n_tokens, distinct_frac, top_unigram_frac,
+    top_bigram_frac, dup_bigram_frac, repetitive)``.
+
+    The cheap repetition screens a pretraining pipeline runs before
+    dedup: fraction of distinct tokens, coverage of the most frequent
+    unigram/bigram, duplicate-bigram fraction, and a composite
+    ``repetitive`` flag (top-bigram coverage > ``top_bigram_max`` or
+    distinct-token fraction < ``distinct_min``).
+
+    All pure array expressions — one narrow map pass, no shuffle, no
+    UDF; per-row cost is O(distinct_tokens x n_tokens), bounded by
+    document length, so a 100 TB corpus runs this scan-side. The
+    mode-of-array is computed as max-over-distinct of filter counts
+    (identical lambda semantics in DuckDB's list_* functions, which the
+    oracle mirrors)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    distinct_frac = F.when(n > 0, F.size(uniq) / n).otherwise(F.lit(0.0))
+    top_uni = F.when(
+        n > 0,
+        F.array_max(F.transform(uniq, lambda u: F.size(F.filter(toks, lambda t: t == u)))) / n,
+    ).otherwise(F.lit(0.0))
+    bigrams = F.zip_with(F.slice(toks, F.lit(1), n - 1), F.slice(toks, F.lit(2), n - 1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    nb = F.size(bigrams)
+    uniq_b = F.array_distinct(bigrams)
+    top_bi = F.when(
+        nb > 0,
+        F.array_max(F.transform(uniq_b, lambda u: F.size(F.filter(bigrams, lambda t: t == u)))) / nb,
+    ).otherwise(F.lit(0.0))
+    dup_bi = F.when(nb > 0, F.lit(1.0) - F.size(uniq_b) / nb).otherwise(F.lit(0.0))
+    repetitive = ((top_bi > F.lit(top_bigram_max)) |
+                  (distinct_frac < F.lit(distinct_min))).cast("int")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        pround(distinct_frac, 6).alias("distinct_frac"),
+        pround(top_uni, 6).alias("top_unigram_frac"),
+        pround(top_bi, 6).alias("top_bigram_frac"),
+        pround(dup_bi, 6).alias("dup_bigram_frac"),
+        repetitive.alias("repetitive"),
+    )
+
+
+# (pattern, replacement) — applied in order; counts are measured on the
+# ORIGINAL text so they are independent of replacement order. Patterns
+# are valid in both Java regex (Spark) and RE2 (DuckDB): \b, \d,
+# bounded repetition, and plain character classes only.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phones", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Regex PII redaction → ``(doc_id, n_emails, n_phones, n_ips,
+    clean_text)`` — the standard scrub pass a training-data pipeline
+    applies before publishing a corpus (emails, NANP-style phone
+    numbers, IPv4 addresses → typed placeholder tokens).
+
+    Counts come from ``regexp_count`` on the original text; the
+    replacement chain applies :data:`PII_PATTERNS` in order (emails
+    first so their digit runs can't be half-eaten by the phone rule).
+    Pure ``regexp_replace``/``regexp_count`` column expressions —
+    narrow, codegen'd, zero UDF; a single map pass at any scale."""
+    text = F.col(text_col)
+    counts = [F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+              for name, pat, _ in PII_PATTERNS]
+    clean = text
+    for _, pat, rep in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, rep)
+    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
