@@ -487,6 +487,15 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_a", "id_b")
 
 
+def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup resolution over the augmented corpus: LSH pairs →
+    connected components → (doc_id, canonical_id, is_dup)."""
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(docs, threshold=0.5,
+                                sigs=_aug_sigs(spark, sf_dir))
+    return D.canonical_docs(docs, pairs).orderBy("doc_id")
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     docs = _augmented_docs(spark, sf_dir)
@@ -1019,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_long": _tfidf_long,
         "doc_repetition": _doc_repetition,
         "pii_scrub": _pii_scrub,
+        "dedup_canonical": _dedup_canonical,
         # events (north star)
         "order_rank_stats": R.order_rank_stats,
         "simhash_near_dups": _simhash_near_dups,
@@ -1349,6 +1359,49 @@ LEFT JOIN sizes sa ON sa.doc_id = c.id_a
 LEFT JOIN sizes sb ON sb.doc_id = c.id_b
 LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 ORDER BY c.id_a, c.id_b
+""",
+        # same LSH pair graph as near_dup_pairs; the Spark side iterates
+        # min-label propagation to the fixpoint, the oracle walks the
+        # graph with a recursive CTE — both converge to min-reachable-id
+        "dedup_canonical": f"""
+WITH RECURSIVE {DOCS_ALL_AUGMENTED},
+{_minhash_long_cte()},
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+  FROM sig_long GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig_long sa ON sa.doc_id = c.id_a
+  JOIN sig_long sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS canonical_id,
+       CAST(CASE WHEN coalesce(c.component, d.doc_id) <> d.doc_id
+            THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM docs_all d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
 """,
         "cosine_topk": _cosine_sql("vec_id = 0", k=10, partition=False),
         "knn_batch": _cosine_sql("vec_id < 3", k=5, partition=True),

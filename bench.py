@@ -43,7 +43,7 @@ def main() -> None:
         "dedup_exact", "minhash_signatures", "simhash_fingerprints",
         "near_dup_pairs", "ngram_jaccard", "decontaminate_train", "simhash_near_dups",
         "stratified_sample_docs",
-        "hash_sample_docs", "embedding_near_dups",
+        "hash_sample_docs", "embedding_near_dups", "dedup_canonical",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",
         "kmeans_cells",

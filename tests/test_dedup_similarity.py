@@ -222,3 +222,38 @@ def test_stratified_hash_sample_rates_and_determinism(spark, sf_dir):
             .select("doc_id").collect()}
     strat = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert flat <= strat
+
+
+def test_connected_components_chain_and_islands(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "id_a long, id_b long")
+    comp = {r["node"]: r["component"]
+            for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path needs ~11 propagation rounds: exercises the
+    # fixpoint loop, not just the one-hop case
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 12)],
+                                  "id_a long, id_b long")
+    comp = {r["node"]: r["component"]
+            for r in D.connected_components(pairs).collect()}
+    assert comp == {i: 1 for i in range(1, 13)}
+
+
+def test_canonical_docs_marks_dups_and_keeps_unpaired(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    docs = spark.createDataFrame([(i, f"d{i}") for i in (1, 2, 3, 4, 5, 6)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "id_a long, id_b long")
+    out = {r["doc_id"]: (r["canonical_id"], r["is_dup"])
+           for r in D.canonical_docs(docs, pairs).collect()}
+    assert out == {1: (1, 0), 2: (1, 1), 3: (1, 1),
+                   4: (4, 0), 5: (5, 0), 6: (5, 1)}
+    # keeping is_dup == 0 retains exactly one doc per cluster
+    kept = [d for d, (_, dup) in out.items() if dup == 0]
+    assert sorted(kept) == [1, 4, 5]

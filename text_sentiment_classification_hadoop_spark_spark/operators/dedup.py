@@ -242,6 +242,79 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     )
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation → ``(node, component)`` where ``component`` is the
+    smallest id reachable from ``node``.
+
+    Each round is one shuffle: propagate every node's current label
+    across the (symmetrized, checkpointed) edge list, then take the min
+    per node — ``groupBy(node).min`` partial-aggregates map-side, so a
+    hub node duplicated a million times is absorbed before the
+    exchange. Convergence in O(cluster diameter) rounds; near-dup
+    clusters are shallow (a handful of mutually-similar docs), so this
+    terminates in 2-4 rounds in practice — the alternating
+    large-star/small-star trick (Kiveris et al., "Connected Components
+    in MapReduce") is the O(log n) fallback for adversarially long
+    chains, not needed for dedup graphs. The driver-side loop reads ONE
+    scalar per round (sum of labels, which strictly decreases until the
+    fixpoint — same pattern as the SVM epoch loop); every round
+    ``localCheckpoint``s to cut lineage."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        propagated = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+        labels = (
+            propagated.union(labels)
+            .groupBy("node").agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonical_docs(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy-dedup resolution — the step after LSH: collapse near-dup
+    pairs into clusters and elect the minimum id as each cluster's
+    canonical representative → ``(doc_id, canonical_id, is_dup)`` for
+    EVERY input doc (unpaired docs are their own canonical). Callers
+    keep the corpus with ``filter(is_dup == 0)``.
+
+    One broadcast-or-shuffle left join against the component table,
+    which holds only paired docs — at 100 TB the component table is
+    |near-dup docs|, typically orders of magnitude smaller than the
+    corpus."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+            (F.coalesce(F.col("component"), F.col(id_col)) != F.col(id_col))
+            .cast("int").alias("is_dup"),
+        )
+    )
+
+
 def decontaminate(train: DataFrame, test: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:
