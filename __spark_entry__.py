@@ -573,6 +573,34 @@ def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.pii_scrub(seeded).orderBy("doc_id")
 
 
+def _c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning over documents seeded with deterministic multi-line
+    structure (the corpus has no newlines/punctuation — the seed makes
+    every rule fire: shared boilerplate for the corpus-level line
+    dedup, a javascript line, a short line, an unterminated line, and
+    a '{'+'lorem' page for the doc-level drop)."""
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "documents", sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(".\n"),
+            F.lit("this page is all rights reserved.\n"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("please enable javascript to view this page."))
+            .otherwise(F.lit("a perfectly fine closing line.")),
+            F.lit("\ntoo short.\n"),
+            F.lit("a line with no terminal punctuation"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nconfig { lorem }"))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    return TA.c4_line_clean(seeded).orderBy("doc_id")
+
+
+def _lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.lm_score(load_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
 def _classifier_metrics(kind: str):
     """A8+A9 as a one-row scalar table (the reference prints these to
     stdout — ``NB.java:343-349``; ``NaiveBayes.py:72-75``)."""
@@ -1029,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _doc_repetition,
         "pii_scrub": _pii_scrub,
         "dedup_canonical": _dedup_canonical,
+        "lm_quality_score": _lm_quality_score,
+        "c4_clean_docs": _c4_clean_docs,
         # events (north star)
         "order_rank_stats": R.order_rank_stats,
         "simhash_near_dups": _simhash_near_dups,
@@ -1736,6 +1766,86 @@ SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
        floor((tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
 FROM tf JOIN dfreq USING (word), n
 ORDER BY tf.doc_id, tf.word
+"""
+    # C4 cleaning on the seeded multi-line corpus; first-occurrence
+    # line dedup arg-mins the encoded (doc_id, pos) key exactly like
+    # the Spark side (positions are 0- vs 1-based across engines, but
+    # only their per-doc ORDER enters the min)
+    out["c4_clean_docs"] = """
+WITH seeded AS (
+  SELECT doc_id,
+         text || '.' || chr(10)
+              || 'this page is all rights reserved.' || chr(10)
+              || CASE WHEN doc_id % 7 = 0
+                      THEN 'please enable javascript to view this page.'
+                      ELSE 'a perfectly fine closing line.' END
+              || chr(10) || 'too short.' || chr(10)
+              || 'a line with no terminal punctuation'
+              || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'config { lorem }'
+                      ELSE '' END AS text
+  FROM documents
+),
+pre AS (
+  SELECT * FROM seeded
+  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+),
+lines AS (
+  SELECT doc_id, i AS pos, l FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l,
+           generate_subscripts(string_split(text, chr(10)), 1) AS i
+    FROM pre)
+),
+kept AS (
+  SELECT doc_id, pos, l FROM lines
+  WHERE regexp_matches(trim(l), '[.!?"]$')
+    AND len(string_split(trim(l), ' ')) >= 4
+    AND NOT contains(lower(l), 'javascript')
+),
+firsts AS (
+  SELECT l, min(doc_id * 1000000 + pos) AS mk FROM kept GROUP BY l
+),
+ded AS (
+  SELECT k.doc_id, k.pos, k.l
+  FROM kept k JOIN firsts f
+    ON f.l = k.l AND k.doc_id * 1000000 + k.pos = f.mk
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+       string_agg(l, chr(10) ORDER BY pos) AS clean_text
+FROM ded GROUP BY doc_id
+HAVING count(*) >= 1
+ORDER BY doc_id
+"""
+    # Unigram LM scoring: log-probs quantized to INTEGER micro-nats at
+    # model build, so the per-doc score is a sum of bigints (exact,
+    # associative, engine-independent); only the final division and
+    # 6-dp rounding touch doubles, on identical operands both sides.
+    out["lm_quality_score"] = """
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents)
+  WHERE length(w) > 0
+),
+counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+tot AS (SELECT sum(cnt) AS n_total, count(*) AS v FROM counts),
+model AS (
+  SELECT w,
+         CAST(floor(ln((cnt + CAST(0.5 AS DOUBLE))
+                       / (CAST(n_total AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE) * (v + 1)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS logp_u
+  FROM counts, tot
+),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_scored, sum(m.logp_u) AS sum_u
+  FROM toks t JOIN model m ON m.w = t.w GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
+       floor((CAST(p.sum_u AS DOUBLE) / p.n_scored / 1000000.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_logp_nats
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
     # Gopher-style repetition screens: mode-of-list computed as
     # max-over-distinct of filter counts — the same lambda shape Spark

@@ -49,7 +49,8 @@ def main() -> None:
         "kmeans_cells",
         # text analysis
         "lang_id", "quality_score", "token_counts", "doc_fingerprints",
-        "tfidf_long", "doc_repetition", "pii_scrub",
+        "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",
+        "c4_clean_docs",
         # multimodal
         "mm_image_features", "mm_frame_samples", "mm_audio_features",
         # events (batch)

@@ -280,3 +280,54 @@ def test_order_stats_unpivot_roundtrip(spark, sf_dir):
         assert abs(stats["sum_price"] - direct[st]["s"]) < 0.01
         assert abs(stats["max_price"] - direct[st]["m"]) < 0.01
         assert stats["min_price"] <= stats["avg_price"] <= stats["max_price"]
+
+
+# ------------------------------------------------------ unigram LM score
+
+def test_lm_score_matches_hand_computation(spark):
+    import math
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TA.lm_score(docs).collect()}
+    # corpus: a:2 b:2 c:1 -> N=5, V=3; p(w) = (c+.5)/(N+.5*(V+1))
+    denom = 5 + 0.5 * 4
+    u = {w: math.floor(math.log((c + 0.5) / denom) * 1e6 + 0.5)
+         for w, c in {"a": 2, "b": 2, "c": 1}.items()}
+    exp1 = math.floor(((2 * u["a"] + u["b"]) / 3 / 1e6) * 1e6 + 0.5) / 1e6
+    exp2 = math.floor(((u["b"] + u["c"]) / 2 / 1e6) * 1e6 + 0.5) / 1e6
+    assert out[1]["n_scored"] == 3 and out[1]["avg_logp_nats"] == exp1
+    assert out[2]["n_scored"] == 2 and out[2]["avg_logp_nats"] == exp2
+    assert out[3]["n_scored"] == 0 and out[3]["avg_logp_nats"] is None
+    # rarer tokens -> more surprising -> lower mean log-prob
+    assert out[2]["avg_logp_nats"] < out[1]["avg_logp_nats"]
+
+
+def test_lm_score_model_join_is_broadcast(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    plan = TA.lm_score(load_table(spark, "documents", sf_dir)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_c4_line_clean_rules_and_global_line_dedup(spark):
+    docs = spark.createDataFrame([
+        (1, "good first sentence here.\nthis line is shared boilerplate.\n"
+            "no terminal punct\nshort one.\nenable javascript to continue."),
+        (2, "another good sentence right here!\n"
+            "this line is shared boilerplate."),
+        (3, "a lorem ipsum page that should vanish entirely."),
+        (4, "page with { brace goes away."),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TA.c4_line_clean(docs).collect()}
+    assert set(out) == {1, 2}                      # 3, 4: page-level drops
+    # doc 1: unterminated, <4-word, and javascript lines dropped
+    assert out[1]["clean_text"] == ("good first sentence here.\n"
+                                    "this line is shared boilerplate.")
+    assert out[1]["n_lines_kept"] == 2
+    # the shared line survives only at its first occurrence (doc 1)
+    assert out[2]["clean_text"] == "another good sentence right here!"
+    assert out[2]["n_lines_kept"] == 1
+    # min_lines raises the doc-survival bar
+    strict = {r["doc_id"] for r in
+              TA.c4_line_clean(docs, min_lines=2).collect()}
+    assert strict == {1}

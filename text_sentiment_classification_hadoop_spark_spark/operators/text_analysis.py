@@ -264,3 +264,124 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     for _, pat, rep in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, rep)
     return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+def unigram_lm(df: DataFrame, text_col: str = "text",
+               alpha: float = 0.5) -> DataFrame:
+    """Train an add-``alpha`` unigram language model over the corpus →
+    ``(w, cnt, logp_u)`` with the log-probability stored as an INTEGER
+    in micro-nats (``floor(ln(p)*1e6 + 0.5)``).
+
+    Integer log-probs are the determinism contract: downstream scoring
+    sums them, and integer sums are exact and associative, so the
+    result is independent of partial-aggregation order across runs,
+    plans, and engines (same reason the money aggregates use
+    DECIMAL(18,2)). One explode → count shuffle (map-side partial agg);
+    the corpus totals (N, V) enter as a broadcast 1-row join — the J4
+    scalar pattern, never a driver round-trip."""
+    toks = (df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+            .filter(F.length("w") > 0))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("n_total"),
+                        F.count(F.lit(1)).alias("v"))
+    p = (F.col("cnt") + F.lit(alpha)) \
+        / (F.col("n_total") + F.lit(alpha) * (F.col("v") + F.lit(1)))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("w", "cnt",
+                    F.floor(F.log(p) * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("long").alias("logp_u")))
+
+
+def lm_score(df: DataFrame, model: DataFrame | None = None,
+             text_col: str = "text", id_col: str = "doc_id",
+             alpha: float = 0.5) -> DataFrame:
+    """CCNet-style LM quality score: mean unigram log-prob per document
+    → ``(doc_id, n_scored, avg_logp_nats)`` (empty docs → NULL score).
+    Lower (more negative) = more surprising under the corpus LM — the
+    standard cheap perplexity proxy a pretraining pipeline uses to
+    rank/filter documents (Wenzek et al., CCNet, 2020 use a 5-gram
+    KenLM; the plan shape is identical, only the model table differs).
+
+    The model (vocab-sized, sub-linear in corpus size by Heaps' law) is
+    broadcast, so scoring is scan → broadcast-hash-join → partial-agg
+    sum of INTEGER micro-nats: no token-keyed shuffle, hence no "the"
+    hot-key skew; the only exchange is the doc_id aggregation. If the
+    vocab ever outgrows broadcast, drop the hint and AQE's skew-join
+    handles the token join."""
+    if model is None:
+        model = unigram_lm(df, text_col, alpha)
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+            .filter(F.length("w") > 0))
+    per_doc = (toks.join(F.broadcast(model.select("w", "logp_u")), "w")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_scored"),
+                    F.sum("logp_u").alias("sum_u")))
+    return (df.select(F.col(id_col))
+            .join(per_doc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_scored"), F.lit(0)).cast("long")
+                .alias("n_scored"),
+                pround(F.col("sum_u").cast("double") / F.col("n_scored")
+                       / F.lit(1000000.0), 6).alias("avg_logp_nats")))
+
+
+def c4_line_clean(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", min_words: int = 4,
+                  min_lines: int = 1) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020, §2.2) with corpus-level
+    line dedup → ``(doc_id, n_lines_kept, clean_text)`` for surviving
+    docs.
+
+    Rules, in pipeline order:
+
+    1. page-level drop: text containing ``lorem ipsum`` or ``{``;
+    2. line-level keep: trimmed line ends in terminal punctuation
+       (``. ! ? "``), has ≥ ``min_words`` whitespace words, and does
+       not mention ``javascript``;
+    3. corpus-level exact line dedup: every duplicated line survives
+       only at its FIRST occurrence — minimum (doc_id, position),
+       encoded as the single sortable key ``doc_id*1e6 + pos`` so the
+       arg-min is one ``min()`` (positions per doc are bounded by text
+       length; swap in ``min(struct(doc_id, pos))`` if a doc can exceed
+       1e6 lines);
+    4. reassemble in original line order; drop docs with fewer than
+       ``min_lines`` surviving lines.
+
+    Scale shape: filters are narrow and run BEFORE the dedup shuffle,
+    so the global exchange carries only surviving lines keyed by their
+    md5 (32 bytes + line text, uniform — boilerplate lines are heavy
+    keys but the min() partial-aggregates map-side). Reassembly is a
+    doc_id-keyed agg; ``array_sort(collect_list(struct(pos, line)))``
+    makes the rebuilt text deterministic regardless of arrival order.
+    C4 proper dedups three-sentence spans pre-filter; deduping
+    post-filter is the cheaper equivalent for line granularity (fewer
+    rows enter the only corpus-wide shuffle)."""
+    text = F.col(text_col)
+    pre = df.filter(~F.lower(text).contains("lorem ipsum")
+                    & ~text.contains("{"))
+    lines = pre.select(
+        F.col(id_col),
+        F.posexplode(F.split(text, "\n")).alias("pos", "l"))
+    t = F.trim(F.col("l"))
+    kept = lines.filter(
+        t.rlike('[.!?"]$')
+        & (F.size(F.split(t, " ")) >= min_words)
+        & ~F.lower(F.col("l")).contains("javascript"))
+    ordkey = (F.col(id_col) * F.lit(1000000) + F.col("pos")).alias("ordkey")
+    keyed = kept.select(F.col(id_col), "pos", "l",
+                        F.md5(F.col("l")).alias("h"), ordkey)
+    firsts = keyed.groupBy("h").agg(F.min("ordkey").alias("mk"))
+    ded = (keyed.join(firsts, "h")
+           .filter(F.col("ordkey") == F.col("mk")))
+    agg = (ded.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_lines_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "l"))),
+                        lambda s: s["l"]),
+                    "\n").alias("clean_text")))
+    return agg.filter(F.col("n_lines_kept") >= min_lines).select(
+        F.col(id_col), F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        "clean_text")
