@@ -573,6 +573,20 @@ def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.pii_scrub(seeded).orderBy("doc_id")
 
 
+def _random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.random_projection(load_table(spark, "embeddings", sf_dir)) \
+        .orderBy("vec_id", "d_out")
+
+
+def _token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.token_freq_histogram(load_table(spark, "documents", sf_dir)) \
+        .orderBy("log2_bucket")
+
+
+def _top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.top_tokens(load_table(spark, "documents", sf_dir)).orderBy("rank")
+
+
 def _c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning over documents seeded with deterministic multi-line
     structure (the corpus has no newlines/punctuation — the seed makes
@@ -1059,6 +1073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _dedup_canonical,
         "lm_quality_score": _lm_quality_score,
         "c4_clean_docs": _c4_clean_docs,
+        "random_projection": _random_projection,
+        "token_freq_histogram": _token_freq_histogram,
+        "top_tokens": _top_tokens,
         # events (north star)
         "order_rank_stats": R.order_rank_stats,
         "simhash_near_dups": _simhash_near_dups,
@@ -1766,6 +1783,51 @@ SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
        floor((tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
 FROM tf JOIN dfreq USING (word), n
 ORDER BY tf.doc_id, tf.word
+"""
+    # JL random projection: ±1 weights from the portable hash's parity,
+    # so products are exact and only the fold's additions round (6 dp)
+    out["random_projection"] = f"""
+WITH grid AS (
+  SELECT j, d,
+         CASE WHEN {PORTABLE_HASH.format(col=chr(39) + 'rp' + chr(39) + " || j || ':' || d")} % 2 = 0
+              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+  FROM (SELECT unnest(range(0, 16)) AS j)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT e.vec_id, CAST(g.j AS INTEGER) AS d_out,
+       floor((sum(e.x * g.w) / sqrt(CAST(16 AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM ev e JOIN grid g ON g.d = e.d
+GROUP BY e.vec_id, g.j
+ORDER BY vec_id, d_out
+"""
+    out["token_freq_histogram"] = """
+WITH toks AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+),
+counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+SELECT CAST(floor(log2(cnt)) AS INTEGER) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens
+FROM counts GROUP BY 1 ORDER BY log2_bucket
+"""
+    out["top_tokens"] = """
+WITH toks AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+),
+counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INTEGER) AS rank,
+       w, CAST(cnt AS BIGINT) AS cnt
+FROM counts ORDER BY cnt DESC, w LIMIT 50
 """
     # C4 cleaning on the seeded multi-line corpus; first-occurrence
     # line dedup arg-mins the encoded (doc_id, pos) key exactly like

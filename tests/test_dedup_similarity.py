@@ -257,3 +257,61 @@ def test_canonical_docs_marks_dups_and_keeps_unpaired(spark):
     # keeping is_dup == 0 retains exactly one doc per cluster
     kept = [d for d, (_, dup) in out.items() if dup == 0]
     assert sorted(kept) == [1, 4, 5]
+
+
+def test_random_projection_shape_norms_and_narrow(spark, sf_dir):
+    import math
+    from text_sentiment_classification_hadoop_spark_spark.operators import similarity as SIM
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.random_projection(emb)
+    rows = out.collect()
+    n_vecs = emb.count()
+    assert len(rows) == 16 * n_vecs
+    # JL: squared norms preserved in expectation — check the mean ratio
+    # over the corpus is near 1 (individual vectors vary at 16 dims)
+    proj_sq = {}
+    for r in rows:
+        proj_sq[r["vec_id"]] = proj_sq.get(r["vec_id"], 0.0) + r["value"] ** 2
+    orig_sq = {r["vec_id"]: sum(float(x) ** 2 for x in r["embedding"])
+               for r in emb.collect()}
+    ratios = [proj_sq[v] / orig_sq[v] for v in orig_sq if orig_sq[v] > 0]
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.8 < mean_ratio < 1.2, mean_ratio
+    # narrow: literal matrix — no keyed shuffle (the only Exchange is
+    # widen()'s round-robin input split for single-row-group parquet)
+    plan = SIM.random_projection(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_token_freq_histogram_partitions_vocab(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators import text_analysis as TA
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+            .filter(F.length("w") > 0))
+    vocab = toks.select("w").distinct().count()
+    total = toks.count()
+    rows = TA.token_freq_histogram(docs).collect()
+    assert sum(r["n_types"] for r in rows) == vocab
+    assert sum(r["n_tokens"] for r in rows) == total
+    for r in rows:
+        # bucket b holds counts in [2^b, 2^(b+1)): totals must fit
+        lo, hi = 2 ** r["log2_bucket"], 2 ** (r["log2_bucket"] + 1)
+        assert lo * r["n_types"] <= r["n_tokens"] < hi * r["n_types"]
+
+
+def test_top_tokens_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+    from text_sentiment_classification_hadoop_spark_spark.operators import text_analysis as TA
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].lower().split(" "):
+            if w:
+                c[w] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [(r["w"], r["cnt"]) for r in
+           TA.top_tokens(docs).orderBy("rank").collect()]
+    assert got == expect

@@ -262,3 +262,36 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         F.col(id_col),
         pround(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
     return _ranked_topk(scored, k, id_col)
+
+
+def rp_component(j: int, d: int) -> float:
+    """Deterministic Achlioptas ±1 projection weight: the parity of the
+    portable 60-bit hash of ``rp{j}:{d}`` — the same md5 derivation the
+    DuckDB oracle emits, namespaced away from the LSH planes."""
+    import hashlib
+    h = int(hashlib.md5(f"rp{j}:{d}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def random_projection(emb: DataFrame, out_dims: int = 16, dims: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003) → long-form ``(vec_id, d_out, value)``,
+    ``value = (vec · R_j) / sqrt(out_dims)`` rounded 6 dp.
+
+    The standard pre-ANN shrink: project once, then run the LSH / IVF
+    probes in the cheaper space. The ``out_dims × dims`` matrix is a
+    plan-time literal (same rationale as ``sign_lsh_bucket``), each
+    output dim one fused multiply-add fold — a single narrow map pass,
+    zero exchanges, no UDF. ±1 weights keep every product exact in fp
+    (only the fold's additions round), the safest variant of the
+    dot-product determinism contract the cosine oracles already use."""
+    projs = []
+    scale = F.sqrt(F.lit(float(out_dims)))
+    for j in range(out_dims):
+        w = F.array(*[F.lit(rp_component(j, d)) for d in range(dims)])
+        projs.append(pround(dot_expr(F.col(vec_col), w) / scale, 6))
+    return widen(emb).select(
+        F.col(id_col),
+        F.posexplode(F.array(*projs)).alias("d_out", "value"))

@@ -385,3 +385,40 @@ def c4_line_clean(df: DataFrame, text_col: str = "text",
     return agg.filter(F.col("n_lines_kept") >= min_lines).select(
         F.col(id_col), F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
         "clean_text")
+
+
+def token_freq_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token-frequency histogram (the Zipf diagnostic a pipeline
+    runs before choosing vocab/dedup thresholds) →
+    ``(log2_bucket, n_types, n_tokens)``: distinct token types and
+    total occurrences whose count falls in ``[2^b, 2^(b+1))``.
+
+    Two aggregations, both with map-side partials: token → count
+    (the only corpus-sized shuffle, uniform hash keys), then the tiny
+    bucket rollup. ``floor(log2(cnt))`` on exact integer counts is
+    engine-stable (log2 of an integer only sits on a boundary when cnt
+    is a power of two, where log2 is exact)."""
+    toks = (df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("w"))
+            .filter(F.length("w") > 0))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    return (counts
+            .groupBy(F.floor(F.log2("cnt")).cast("int").alias("log2_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_types"),
+                 F.sum("cnt").alias("n_tokens")))
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Top-``k`` corpus tokens → ``(rank, w, cnt)``. Sort+limit after
+    the count agg compiles to TakeOrderedAndProject — O(k) per
+    partition, no global sort; the rank window then runs over k rows.
+    Deterministic tie-break on the token itself."""
+    from pyspark.sql import Window
+    toks = (df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("w"))
+            .filter(F.length("w") > 0))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("w").asc()).limit(k)
+    win = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    return (top.withColumn("rank", F.row_number().over(win).cast("int"))
+            .select("rank", "w", "cnt"))
