@@ -573,6 +573,16 @@ def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.pii_scrub(seeded).orderBy("doc_id")
 
 
+def _rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.rp_cosine_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.pack_sequences(load_table(spark, "documents", sf_dir)) \
+        .orderBy("doc_id")
+
+
 def _random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.random_projection(load_table(spark, "embeddings", sf_dir)) \
         .orderBy("vec_id", "d_out")
@@ -1074,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_score": _lm_quality_score,
         "c4_clean_docs": _c4_clean_docs,
         "random_projection": _random_projection,
+        "rp_ann_topk": _rp_ann_topk,
+        "pack_sequences": _pack_sequences,
         "token_freq_histogram": _token_freq_histogram,
         "top_tokens": _top_tokens,
         # events (north star)
@@ -1805,6 +1817,68 @@ SELECT e.vec_id, CAST(g.j AS INTEGER) AS d_out,
 FROM ev e JOIN grid g ON g.d = e.d
 GROUP BY e.vec_id, g.j
 ORDER BY vec_id, d_out
+"""
+    # ANN in the projected space: both engines search over the SAME
+    # 6-dp-rounded projected components, so only the 16-term cosine
+    # fold touches engine addition order (the accepted cosine pattern)
+    out["rp_ann_topk"] = f"""
+WITH grid AS (
+  SELECT j, d,
+         CASE WHEN {PORTABLE_HASH.format(col=chr(39) + 'rp' + chr(39) + " || j || ':' || d")} % 2 = 0
+              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+  FROM (SELECT unnest(range(0, 16)) AS j)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, g.j,
+         floor((sum(e.x * g.w) / sqrt(CAST(16 AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0 AS v
+  FROM ev e JOIN grid g ON g.d = e.d GROUP BY e.vec_id, g.j
+),
+q AS (SELECT j, v FROM proj WHERE vec_id = 0),
+z AS (SELECT p.vec_id, p.v AS ex, q.v AS qx FROM proj p JOIN q ON q.j = p.j),
+prods AS (
+  SELECT vec_id, sum(ex * qx) AS dot, sum(ex * ex) AS na2,
+         sum(qx * qx) AS nq2
+  FROM z GROUP BY vec_id
+),
+scored AS (
+  SELECT vec_id, floor((dot / (sqrt(na2) * sqrt(nq2)))
+                       * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM prods
+),
+ranked AS (
+  SELECT vec_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
+    # all-integer packing arithmetic: token counts, hash buckets, and
+    # the cumsum are bigints — engine-exact, no rounding contract needed
+    out["pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST({PORTABLE_HASH.format(col=chr(39) + 'pack:' + chr(39) + " || doc_id")} % 8 AS INTEGER) AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket, n_tok,
+         sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+  FROM d
+)
+SELECT doc_id, bucket,
+       CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+       CAST(cum_before % 2048 AS BIGINT) AS offset_in_seq,
+       n_tok
+FROM c ORDER BY doc_id
 """
     out["token_freq_histogram"] = """
 WITH toks AS (

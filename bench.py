@@ -46,9 +46,9 @@ def main() -> None:
         "hash_sample_docs", "embedding_near_dups", "dedup_canonical",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",
-        "kmeans_cells", "random_projection",
-        # corpus stats
-        "token_freq_histogram", "top_tokens",
+        "kmeans_cells", "random_projection", "rp_ann_topk",
+        # corpus stats / training prep
+        "token_freq_histogram", "top_tokens", "pack_sequences",
         # text analysis
         "lang_id", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",

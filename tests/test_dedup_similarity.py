@@ -315,3 +315,35 @@ def test_top_tokens_matches_bruteforce(spark, sf_dir):
     got = [(r["w"], r["cnt"]) for r in
            TA.top_tokens(docs).orderBy("rank").collect()]
     assert got == expect
+
+
+def test_rp_ann_self_first_and_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from text_sentiment_classification_hadoop_spark_spark.operators import similarity as SIM
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    rows = SIM.rp_cosine_topk(emb, q, k=10).collect()
+    # projection is a function: the query projects to exactly its own
+    # row's projection, so vec 0 is a perfect cosine-1 match
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-6
+    assert all(-1.000001 <= r["cosine"] <= 1.000001 for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+
+
+def test_pack_sequences_cumsum_invariants(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators import text_analysis as TA
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 2048
+    rows = TA.pack_sequences(docs, budget=budget).collect()
+    assert len(rows) == docs.count()
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) > 1          # hash split actually spreads
+    for recs in by_bucket.values():
+        cum = 0
+        for r in recs:                 # replay the greedy fill
+            assert r["seq_id"] == cum // budget
+            assert r["offset_in_seq"] == cum % budget
+            assert 0 <= r["offset_in_seq"] < budget
+            cum += r["n_tok"]

@@ -422,3 +422,41 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     win = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
     return (top.withColumn("rank", F.row_number().over(win).cast("int"))
             .select("rank", "w", "cnt"))
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", budget: int = 2048,
+                   n_buckets: int = 8) -> DataFrame:
+    """Training-sequence packing: assign each document a (bucket,
+    seq_id, token offset) so writers can concatenate docs into
+    fixed-``budget``-token training sequences →
+    ``(doc_id, bucket, seq_id, offset_in_seq, n_tok)``.
+
+    Contiguous greedy fill (the TFDS/T5 packing shape): docs are
+    hash-split into ``n_buckets`` independent writer groups, ordered by
+    id within a group, and a running token cumsum places each doc at
+    ``seq = floor(cum_before / budget)``, ``offset = cum_before %
+    budget`` (a doc straddling a boundary belongs to the sequence where
+    it starts — the writer pads or splits at materialization time).
+
+    All-integer arithmetic → engine-exact. The only exchange is the
+    hash partition by bucket; the per-bucket window sort is the
+    honest cost of any deterministic packing — ``n_buckets`` scales
+    with the cluster (it is the write parallelism), keeping each sort
+    partition-sized, never global."""
+    from pyspark.sql import Window
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    bucketed = df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tok"),
+        (portable_hash64(F.concat(F.lit("pack:"),
+                                  F.col(id_col).cast("string")))
+         % n_buckets).cast("int").alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_before = (F.sum("n_tok").over(w) - F.col("n_tok"))
+    return bucketed.select(
+        F.col(id_col), "bucket",
+        (cum_before / budget).cast("long").alias("seq_id"),
+        (cum_before % budget).cast("long").alias("offset_in_seq"),
+        "n_tok")
