@@ -573,6 +573,12 @@ def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.pii_scrub(seeded).orderBy("doc_id")
 
 
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import curation_pipeline
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return curation_pipeline(docs).orderBy("doc_id")
+
+
 def _rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.rp_cosine_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
@@ -1081,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _doc_repetition,
         "pii_scrub": _pii_scrub,
         "dedup_canonical": _dedup_canonical,
+        "curation_pipeline": _curation_pipeline,
         "lm_quality_score": _lm_quality_score,
         "c4_clean_docs": _c4_clean_docs,
         "random_projection": _random_projection,
@@ -2247,6 +2254,65 @@ ORDER BY o_orderstatus, stat
 SELECT doc_id, lang, n_chars FROM documents
 WHERE ({PORTABLE_HASH.format(col="'sample:v1' || CAST(doc_id AS VARCHAR)")} % 100) < 10
 ORDER BY doc_id
+"""
+    # Flagship composition: the per-doc curation verdict. Reuses the
+    # individually-verified oracle texts as subqueries (lang / quality /
+    # repetition) plus the plain-corpus MinHash pair graph resolved by
+    # the recursive-CTE reachability walk — gate order = Spark's CASE.
+    out["curation_pipeline"] = f"""
+WITH RECURSIVE docs_all AS (SELECT doc_id, text FROM documents),
+{_minhash_long_cte()},
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+  FROM sig_long GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig_long sa ON sa.doc_id = c.id_a
+  JOIN sig_long sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+lang AS ({out["lang_id"]}),
+qual AS ({out["quality_score"]}),
+rep AS ({out["doc_repetition"]}),
+verdict AS (
+  SELECT d.doc_id,
+         CASE WHEN l.pred_lang = 'unk' THEN 'lang'
+              WHEN q.quality < CAST(0.6 AS DOUBLE) THEN 'quality'
+              WHEN r.repetitive = 1 THEN 'repetitive'
+              WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                   THEN 'duplicate'
+              ELSE NULL END AS reject_reason
+  FROM documents d
+  JOIN lang l ON l.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id
+  JOIN rep r ON r.doc_id = d.doc_id
+  LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
+       reject_reason
+FROM verdict ORDER BY doc_id
 """
     rate_case = ("CASE " + " ".join(
         f"WHEN lang = '{s}' THEN {p}"

@@ -331,3 +331,26 @@ def test_c4_line_clean_rules_and_global_line_dedup(spark):
     strict = {r["doc_id"] for r in
               TA.c4_line_clean(docs, min_lines=2).collect()}
     assert strict == {1}
+
+
+def test_curation_pipeline_reasons_and_precedence(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import curation_pipeline
+    A = ("the cat and the dog played in that big sunny garden"
+         " for hours today.")
+    docs = spark.createDataFrame([
+        (1, A),                                        # kept
+        (2, A),                                        # dup of 1 -> duplicate
+        (3, "zzz qqq www rrr ttt yyy uuu iii ooo ppp"),  # no stopwords -> lang
+        (4, "the is of."),                             # en but quality 1/3
+        (5, "the is " * 20),                           # repetitive boilerplate
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["kept"], r["reject_reason"])
+           for r in curation_pipeline(docs).collect()}
+    assert out[1] == (1, None)
+    assert out[2] == (0, "duplicate")      # min-id doc keeps the cluster
+    assert out[3] == (0, "lang")           # lang outranks its bad quality
+    assert out[4] == (0, "quality")        # quality outranks repetition
+    assert out[5] == (0, "repetitive")
+    # the kept set is exactly the filter a pipeline would materialize
+    kept = curation_pipeline(docs).filter(F.col("kept") == 1).count()
+    assert kept == 1
