@@ -750,6 +750,26 @@ def _mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(mm).orderBy("doc_id")
 
 
+def _mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video frame dedup over the augmented corpus (each doc +
+    a near-copy: shared prefixes → planted frame collisions): group
+    sampled frames by checksum, keep the first (doc, frame) occurrence.
+    The multimodal analogue of exact_dedup — the shuffle carries 8-byte
+    checksums, and the arg-min uses the same encoded-key pattern as
+    c4_line_clean."""
+    frames = MM.sample_video_frames(
+        MM.synth_multimodal(_augmented_docs(spark, sf_dir), "video"),
+        frame_bytes=64, every=2)
+    return MM.dedup_frames(frames).orderBy("frame_checksum")
+
+
+def _lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    labels = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return SIM.group_centroids(emb, labels, "lang", "doc_id") \
+        .orderBy("label", "d")
+
+
 def _mllib_confusion(algorithm: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -1095,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "token_freq_histogram": _token_freq_histogram,
         "top_tokens": _top_tokens,
+        "mm_frame_dedup": _mm_frame_dedup,
+        "lang_centroids": _lang_centroids,
         # events (north star)
         "order_rank_stats": R.order_rank_stats,
         "simhash_near_dups": _simhash_near_dups,
@@ -2254,6 +2276,41 @@ ORDER BY o_orderstatus, stat
 SELECT doc_id, lang, n_chars FROM documents
 WHERE ({PORTABLE_HASH.format(col="'sample:v1' || CAST(doc_id AS VARCHAR)")} % 100) < 10
 ORDER BY doc_id
+"""
+    out["mm_frame_dedup"] = f"""
+WITH {DOCS_ALL_AUGMENTED},
+frames AS (
+  SELECT doc_id, frame_idx,
+         {PORTABLE_HASH.format(col="'frame:' || substr(text, frame_idx * 64 + 1, 64)")} AS frame_checksum
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS frame_idx
+    FROM docs_all
+  )
+)
+SELECT frame_checksum, CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(min(doc_id * 100000 + frame_idx) // 100000 AS BIGINT) AS keeper_doc,
+       CAST(min(doc_id * 100000 + frame_idx) % 100000 AS BIGINT) AS keeper_frame
+FROM frames GROUP BY frame_checksum ORDER BY frame_checksum
+"""
+    # Per-group centroids: components quantized to integer micro-units
+    # pre-aggregation — exact associative sums, so the mean is immune
+    # to partial-agg order (the LM micro-nat contract)
+    out["lang_centroids"] = """
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS xu
+  FROM embeddings
+),
+j AS (
+  SELECT doc.lang AS label, ev.d, ev.xu
+  FROM ev JOIN documents doc ON doc.doc_id = ev.vec_id
+)
+SELECT label, d,
+       floor((CAST(sum(xu) AS DOUBLE) / count(*) / 1000000.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS centroid
+FROM j GROUP BY label, d ORDER BY label, d
 """
     # Flagship composition: the per-doc curation verdict. Reuses the
     # individually-verified oracle texts as subqueries (lang / quality /

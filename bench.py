@@ -56,6 +56,7 @@ def main() -> None:
         "c4_clean_docs",
         # multimodal
         "mm_image_features", "mm_frame_samples", "mm_audio_features",
+        "mm_frame_dedup", "lang_centroids",
         # events (batch)
         "events_tumbling", "events_sliding", "events_sessionize",
         "events_pivot", "events_json_props", "user_running_stats",

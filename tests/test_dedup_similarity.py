@@ -347,3 +347,16 @@ def test_pack_sequences_cumsum_invariants(spark, sf_dir):
             assert r["offset_in_seq"] == cum % budget
             assert 0 <= r["offset_in_seq"] < budget
             cum += r["n_tok"]
+
+
+def test_group_centroids_exact_means(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0])],
+        "vec_id long, embedding array<float>")
+    labels = spark.createDataFrame([(1, "en"), (2, "en"), (3, "fr")],
+                                   "doc_id long, lang string")
+    out = {(r["label"], r["d"]): r["centroid"]
+           for r in SIM.group_centroids(emb, labels, "lang", "doc_id")
+           .collect()}
+    assert out[("en", 0)] == 2.0 and out[("en", 1)] == 1.0
+    assert out[("fr", 0)] == 5.0 and out[("fr", 1)] == 6.0

@@ -87,3 +87,20 @@ def test_real_backend_gated(spark, docs):
         MM.decode_image_features(mm, backend="real")
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(mm, backend="real")
+
+
+def test_dedup_frames_planted_collisions(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators import multimodal as MM
+    docs = spark.createDataFrame(
+        [(1, "x" * 200), (2, "x" * 200 + "TAIL"), (3, "y" * 100)],
+        "doc_id long, text string")
+    frames = MM.sample_video_frames(MM.synth_multimodal(docs, "video"),
+                                    frame_bytes=64, every=2)
+    out = {r["frame_checksum"]: r for r in MM.dedup_frames(frames).collect()}
+    # docs 1 and 2 share the all-'x' 64-byte frame at indices 0 and 2
+    # (4 occurrences total); keeper is the earliest (doc 1, frame 0)
+    dup = [r for r in out.values() if r["dup_count"] == 4]
+    assert len(dup) == 1
+    assert (dup[0]["keeper_doc"], dup[0]["keeper_frame"]) == (1, 0)
+    # doc 3's frame is unique
+    assert sorted(r["dup_count"] for r in out.values()) == [1, 4]

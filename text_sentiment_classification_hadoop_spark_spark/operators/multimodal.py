@@ -204,3 +204,26 @@ def audio_features(mm: DataFrame, bytes_per_sample: int = 2,
     flat = mm.select("doc_id", "content", F.col("meta.sample_rate").alias("sample_rate"))
     return flat.mapInPandas(
         feats, "doc_id long, duration_s double, n_samples long, checksum long")
+
+
+def dedup_frames(frames: DataFrame) -> DataFrame:
+    """Cross-video frame dedup: group sampled frames by checksum, keep
+    the first (doc, frame_idx) occurrence →
+    ``(frame_checksum, dup_count, keeper_doc, keeper_frame)``.
+
+    The multimodal analogue of :func:`dedup.exact_dedup` — near-copy
+    videos share most frames, and collapsing them before feature
+    extraction is the big saving in a video pipeline. The shuffle
+    carries 8-byte checksums; the arg-min rides the same encoded
+    ``doc_id*1e5 + frame_idx`` key as ``c4_line_clean`` (frame counts
+    per doc are bounded far below 1e5) and partial-aggregates
+    map-side, so a viral clip duplicated a million times collapses
+    before the exchange."""
+    key = F.col("doc_id") * F.lit(100000) + F.col("frame_idx")
+    agg = (frames.groupBy("frame_checksum")
+           .agg(F.count(F.lit(1)).alias("dup_count"),
+                F.min(key).alias("mk")))
+    return agg.select(
+        "frame_checksum", "dup_count",
+        (F.col("mk") / 100000).cast("long").alias("keeper_doc"),
+        (F.col("mk") % 100000).cast("long").alias("keeper_frame"))

@@ -339,3 +339,32 @@ def rp_cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         pround(cosine_expr(rp_array_expr(F.col(vec_col), out_dims), qlit), 6)
         .alias("cosine"))
     return _ranked_topk(scored, k, id_col)
+
+
+def group_centroids(emb: DataFrame, labels: DataFrame, label_col: str,
+                    label_id_col: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding centroids (e.g. mean vector per language —
+    the drift/coverage diagnostic for multilingual corpora) →
+    long-form ``(label, d, centroid)``.
+
+    Components are quantized to INTEGER micro-units BEFORE aggregation
+    (``floor(x*1e6 + 0.5)``), so the group sums are exact and
+    associative — the mean is independent of partial-aggregation order
+    across runs and engines (same contract as the LM micro-nats; a
+    double ``avg`` over thousands of rows is exactly the
+    summation-order flake class the money aggregates eliminated).
+    Shape: id-keyed join with the label table (co-partitioned
+    downstream), posexplode ×dims, then a partial-agg shuffle carrying
+    only (label, d) sums — k×dims rows, never the corpus."""
+    xu = F.posexplode(
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(1000000.0)
+                                      + F.lit(0.5)).cast("long")))
+    j = (emb.join(labels, emb[id_col] == labels[label_id_col])
+         .select(F.col(label_col).alias("label"), xu.alias("d", "xu")))
+    return (j.groupBy("label", "d")
+            .agg(F.sum("xu").alias("su"), F.count(F.lit(1)).alias("n"))
+            .select("label", "d",
+                    pround(F.col("su").cast("double") / F.col("n")
+                           / F.lit(1000000.0), 6).alias("centroid")))
