@@ -916,6 +916,36 @@ def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_docs").orderBy("text_hash")
 
 
+def _stream_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation screens on a document STREAM: `repetition_stats` is
+    pure narrow column expressions, so the SAME operator runs on a
+    streaming DataFrame unchanged (stateless append, no watermark, no
+    state store) — the incremental form of the batch gate; oracle =
+    the batch `doc_repetition` SQL. This is the deployment shape for
+    continuous ingest: screens run per-file as data lands, dedup runs
+    in the nightly batch pass."""
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        run_stream_to_memory,
+    )
+    ensure_engine_confs(spark)
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    raw = (spark.readStream.schema(doc_schema).format("parquet")
+           .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    q = run_stream_to_memory(TA.repetition_stats(raw),
+                             "stream_doc_repetition", output_mode="append")
+    q.stop()
+    return spark.table("stream_doc_repetition").orderBy("doc_id")
+
+
 def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (clicks ⋈ purchases, same
     user, click within the 5 minutes at-or-before the purchase) — the
@@ -1136,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_docs": _stream_dedup_docs,
         "stream_dedup_native": _stream_dedup_native,
         "stream_stream_join": _stream_stream_join,
+        "stream_doc_repetition": _stream_doc_repetition,
         # --- round-1-green queries (48) ---
         # relational parity (SURVEY §2.1-2.8)
         "pricing_summary": R.pricing_summary,
@@ -2277,6 +2308,8 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE ({PORTABLE_HASH.format(col="'sample:v1' || CAST(doc_id AS VARCHAR)")} % 100) < 10
 ORDER BY doc_id
 """
+    # the streaming twin re-runs the identical narrow screen per file
+    out["stream_doc_repetition"] = out["doc_repetition"]
     out["mm_frame_dedup"] = f"""
 WITH {DOCS_ALL_AUGMENTED},
 frames AS (
