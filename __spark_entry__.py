@@ -1149,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_centroids": _lang_centroids,
         # events (north star)
         "order_rank_stats": R.order_rank_stats,
+        "rolling_revenue": R.rolling_revenue,
+        "events_session_window_native": E.session_window_native,
         "simhash_near_dups": _simhash_near_dups,
         "stratified_sample_docs": _stratified_sample_docs,
         "events_tumbling": E.tumbling_counts,
@@ -2310,6 +2312,38 @@ ORDER BY doc_id
 """
     # the streaming twin re-runs the identical narrow screen per file
     out["stream_doc_repetition"] = out["doc_repetition"]
+    # native session_window == the lag/cumsum sessionizer (no exact
+    # 1800.000000s gap exists at any SF — boundary verified); the
+    # ordinal session_id is internal here, only the span is output
+    out["events_session_window_native"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+y AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM y GROUP BY user_id, session_id ORDER BY user_id, session_start
+"""
+    out["rolling_revenue"] = """
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS rolling_revenue
+FROM orders ORDER BY o_orderkey
+"""
     out["mm_frame_dedup"] = f"""
 WITH {DOCS_ALL_AUGMENTED},
 frames AS (

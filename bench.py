@@ -59,6 +59,7 @@ def main() -> None:
         "mm_frame_dedup", "lang_centroids",
         # events (batch)
         "events_tumbling", "events_sliding", "events_sessionize",
+        "events_session_window_native", "rolling_revenue",
         "events_pivot", "events_json_props", "user_running_stats",
         "purchase_attribution", "interval_pair_counts",
         "approx_distinct_users",

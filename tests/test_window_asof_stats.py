@@ -354,3 +354,32 @@ def test_curation_pipeline_reasons_and_precedence(spark):
     # the kept set is exactly the filter a pipeline would materialize
     kept = curation_pipeline(docs).filter(F.col("kept") == 1).count()
     assert kept == 1
+
+
+def test_session_window_native_matches_lag_cumsum(spark, sf_dir):
+    native = E.session_window_native(spark, sf_dir).collect()
+    manual = E.sessionize(spark, sf_dir).collect()
+    sn = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+          for r in native}
+    sm = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+          for r in manual}
+    assert sn == sm and len(sn) > 0
+
+
+def test_rolling_revenue_bruteforce(spark, sf_dir):
+    rows = R.rolling_revenue(spark, sf_dir).collect()
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice").collect()
+    by_cust = {}
+    for r in o:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    cust = next(c for c, rs in sorted(by_cust.items()) if len(rs) >= 5)
+    expect = {}
+    for r in by_cust[cust]:
+        d = r["o_orderdate"]
+        expect[d] = sum(x["o_totalprice"] for x in by_cust[cust]
+                        if 0 <= (d - x["o_orderdate"]).days <= 30)
+    got = [r for r in rows if r["o_custkey"] == cust]
+    assert len(got) == len(by_cust[cust])
+    for r in got:
+        assert abs(r["rolling_revenue"] - expect[r["o_orderdate"]]) < 0.01

@@ -251,3 +251,29 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("k").alias("max_k"))
         .orderBy("event_type")
     )
+
+
+def session_window_native(spark: SparkSession, sf_dir: str,
+                          gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE ``session_window``
+    grouping (3.2+) → ``(user_id, session_start, session_end,
+    n_events)`` — the engine-level twin of :func:`sessionize`'s
+    lag/cumsum form; Catalyst plans it as a single UpdatingSessionsExec
+    + merge aggregate, one shuffle on the session key.
+
+    Boundary semantics: ``session_window`` chains events with gap
+    STRICTLY below the gap duration, while the lag/cumsum form breaks
+    on ``gap > 1800s`` (inclusive chain) — the two differ only for a
+    gap of exactly 1800.000000s (none exist in the testdata at any SF;
+    verified).  ``session_end`` here is max(ts), not the window's
+    ts+gap upper bound, to keep the output oracle-comparable."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("user_id",
+                  F.session_window("ts", f"{gap_minutes} minutes").alias("sw"))
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -479,3 +479,27 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_orderstatus").asc_nulls_first(),
                  F.col("o_orderpriority").asc_nulls_first())
     )
+
+
+def rolling_revenue(spark: SparkSession, sf_dir: str,
+                    days: int = 30) -> DataFrame:
+    """Per-customer rolling ``days``-day revenue — the RANGE window
+    frame (value-based, not row-based): every order sees the sum of
+    its customer's orders dated within the trailing window →
+    ``(o_orderkey, o_custkey, o_orderdate, rolling_revenue)``.
+
+    Ordering key is integer epoch-days (identical in both engines
+    regardless of timestamp time parts) so ``rangeBetween(-days, 0)``
+    is portable; the money sum is DECIMAL(18,2) over the frame — exact
+    and order-independent, the standard determinism contract. One
+    hash exchange on o_custkey; the per-customer sort is
+    partition-local."""
+    o = load_table(spark, "orders", sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+    w = (Window.partitionBy("o_custkey").orderBy(day)
+         .rangeBetween(-days, 0))
+    return (o.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("rolling_revenue"))
+        .orderBy("o_orderkey"))
