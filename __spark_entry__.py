@@ -579,6 +579,12 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(docs).orderBy("doc_id")
 
 
+def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_report
+    return corpus_report(load_table(spark, "documents", sf_dir)) \
+        .orderBy("group")
+
+
 def _rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.rp_cosine_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
@@ -916,6 +922,32 @@ def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_docs").orderBy("text_hash")
 
 
+def _events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink → JSON source roundtrip: events serialized to
+    JSON-lines with ``ts`` as unix_micros (text formats lose no
+    microseconds that way; doubles round-trip via shortest-repr), read
+    back with an explicit schema, then the tumbling aggregation — the
+    result must equal the parquet-sourced twin (shared oracle). Writes
+    land under /tmp with overwrite, so the query is idempotent."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    e = load_table(spark, "events", sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_json_rt_{os.path.basename(sf_dir.rstrip('/'))}")
+    (e.select("event_id", "user_id", "event_type",
+              F.unix_micros("ts").alias("ts_us"), "value", "props")
+     .write.mode("overwrite").json(path))
+    back = (spark.read
+            .schema("event_id long, user_id long, event_type string,"
+                    " ts_us long, value double, props string")
+            .json(path)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))
+    return E.tumbling_counts_df(back)
+
+
 def _stream_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation screens on a document STREAM: `repetition_stats` is
     pure narrow column expressions, so the SAME operator runs on a
@@ -1138,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "dedup_canonical": _dedup_canonical,
         "curation_pipeline": _curation_pipeline,
+        "corpus_report": _corpus_report,
         "lm_quality_score": _lm_quality_score,
         "c4_clean_docs": _c4_clean_docs,
         "random_projection": _random_projection,
@@ -1154,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _simhash_near_dups,
         "stratified_sample_docs": _stratified_sample_docs,
         "events_tumbling": E.tumbling_counts,
+        "events_json_roundtrip": _events_json_roundtrip,
         "events_sliding": E.sliding_counts,
         "events_sessionize": E.sessionize,
         "events_pivot": E.user_event_pivot,
@@ -2312,6 +2346,8 @@ ORDER BY doc_id
 """
     # the streaming twin re-runs the identical narrow screen per file
     out["stream_doc_repetition"] = out["doc_repetition"]
+    # the JSON sink→source roundtrip must reproduce the parquet agg
+    out["events_json_roundtrip"] = out["events_tumbling"]
     # native session_window == the lag/cumsum sessionizer (no exact
     # 1800.000000s gap exists at any SF — boundary verified); the
     # ordinal session_id is internal here, only the span is output
@@ -2437,6 +2473,28 @@ SELECT doc_id,
        CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
        reject_reason
 FROM verdict ORDER BY doc_id
+"""
+    # per-source health report: means from exact integer sums (quality
+    # is already 6-dp-quantized, so floor(q*1e6+0.5) is lossless)
+    out["corpus_report"] = f"""
+WITH qual AS ({out["quality_score"]}),
+rep AS ({out["doc_repetition"]}),
+tok AS ({out["token_counts"]}),
+j AS (
+  SELECT d.source AS "group", q.quality, r.repetitive, t.ws_tokens
+  FROM documents d
+  JOIN qual q ON q.doc_id = d.doc_id
+  JOIN rep r ON r.doc_id = d.doc_id
+  JOIN tok t ON t.doc_id = d.doc_id
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+  floor((CAST(sum(CAST(floor(quality * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mean_quality,
+  floor((CAST(sum(repetitive) AS DOUBLE) / count(*))
+        * 1000000.0 + 0.5) / 1000000.0 AS pct_repetitive,
+  floor((CAST(sum(ws_tokens) AS DOUBLE) / count(*))
+        * 1000000.0 + 0.5) / 1000000.0 AS mean_ws_tokens
+FROM j GROUP BY "group" ORDER BY "group"
 """
     rate_case = ("CASE " + " ".join(
         f"WHEN lang = '{s}' THEN {p}"

@@ -44,7 +44,7 @@ def main() -> None:
         "near_dup_pairs", "ngram_jaccard", "decontaminate_train", "simhash_near_dups",
         "stratified_sample_docs",
         "hash_sample_docs", "embedding_near_dups", "dedup_canonical",
-        "curation_pipeline",
+        "curation_pipeline", "corpus_report",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",
         "kmeans_cells", "random_projection", "rp_ann_topk",
@@ -58,7 +58,7 @@ def main() -> None:
         "mm_image_features", "mm_frame_samples", "mm_audio_features",
         "mm_frame_dedup", "lang_centroids",
         # events (batch)
-        "events_tumbling", "events_sliding", "events_sessionize",
+        "events_tumbling", "events_sliding", "events_sessionize", "events_json_roundtrip",
         "events_session_window_native", "rolling_revenue",
         "events_pivot", "events_json_props", "user_running_stats",
         "purchase_attribution", "interval_pair_counts",

@@ -383,3 +383,30 @@ def test_rolling_revenue_bruteforce(spark, sf_dir):
     assert len(got) == len(by_cust[cust])
     for r in got:
         assert abs(r["rolling_revenue"] - expect[r["o_orderdate"]]) < 0.01
+
+
+def test_corpus_report_partitions_and_cross_checks(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_report
+    docs = load_table(spark, "documents", sf_dir)
+    rows = corpus_report(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert 0.0 <= r["pct_repetitive"] <= 1.0
+        assert r["mean_ws_tokens"] > 0
+    # brute-force one group from the underlying gates
+    g = rows[0]["group"]
+    ids = {x["doc_id"] for x in
+           docs.filter(F.col("source") == g).select("doc_id").collect()}
+    qual = {x["doc_id"]: x["quality"]
+            for x in TA.quality_score(docs).collect() if x["doc_id"] in ids}
+    mean_q = sum(round(q * 1e6) for q in qual.values()) / len(qual) / 1e6
+    import math
+    assert rows[0]["mean_quality"] == math.floor(mean_q * 1e6 + 0.5) / 1e6
+
+
+def test_events_json_roundtrip_equals_parquet(spark, sf_dir):
+    import __spark_entry__ as entry
+    rt = entry.queries()["events_json_roundtrip"](spark, sf_dir).collect()
+    pq = E.tumbling_counts(spark, sf_dir).collect()
+    assert [tuple(r) for r in rt] == [tuple(r) for r in pq]

@@ -50,3 +50,40 @@ def curation_pipeline(docs: DataFrame, text_col: str = "text",
         F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("int").alias("kept"),
         reason.alias("reject_reason"))
+
+
+def corpus_report(docs: DataFrame, group_col: str = "source",
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-group corpus health report — the dashboard a curation run
+    publishes → ``(group, n_docs, mean_quality, pct_repetitive,
+    mean_ws_tokens)``.
+
+    Means are computed from exact integer sums: ``quality`` is already
+    6-dp-quantized, so ``floor(q*1e6 + 0.5)`` recovers its integer
+    micro-value losslessly; token counts are ints. Group sums are
+    therefore associative and order-independent (the micro-unit
+    contract). Shape: narrow gates + doc_id-keyed joins, then one tiny
+    group rollup."""
+    qual = TA.quality_score(docs, text_col, id_col).select(id_col, "quality")
+    rep = TA.repetition_stats(docs, text_col, id_col) \
+        .select(id_col, "repetitive")
+    toks = TA.token_counts(docs, text_col, id_col).select(id_col, "ws_tokens")
+    j = (docs.select(F.col(id_col), F.col(group_col).alias("group"))
+         .join(qual, id_col).join(rep, id_col).join(toks, id_col))
+    qu = F.floor(F.col("quality") * F.lit(1000000.0) + F.lit(0.5)) \
+        .cast("long")
+    agg = (j.groupBy("group")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(qu).alias("qsum"),
+                F.sum("repetitive").alias("nrep"),
+                F.sum(F.col("ws_tokens").cast("long")).alias("tsum")))
+    from ..functions.rounding import pround
+    return agg.select(
+        "group",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        pround(F.col("qsum").cast("double") / F.col("n_docs") / F.lit(1000000.0), 6)
+        .alias("mean_quality"),
+        pround(F.col("nrep").cast("double") / F.col("n_docs"), 6)
+        .alias("pct_repetitive"),
+        pround(F.col("tsum").cast("double") / F.col("n_docs"), 6)
+        .alias("mean_ws_tokens"))

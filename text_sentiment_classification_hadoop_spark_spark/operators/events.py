@@ -27,7 +27,13 @@ def tumbling_counts(spark: SparkSession, sf_dir: str,
 
     Bucket = epoch-floor arithmetic, equivalent to
     ``F.window(ts, '5 minutes')`` but trivially mirrored in ANSI SQL."""
-    e = load_table(spark, "events", sf_dir)
+    return tumbling_counts_df(load_table(spark, "events", sf_dir), minutes)
+
+
+def tumbling_counts_df(e: DataFrame, minutes: int = 5) -> DataFrame:
+    """DataFrame-level form of :func:`tumbling_counts` — reusable over
+    any events source (parquet, the JSON roundtrip, a stream's batch
+    twin)."""
     secs = minutes * 60
     # ts.cast(double) = fractional epoch seconds (unix_timestamp would
     # truncate sub-second parts and disagree with the oracle's epoch()).
