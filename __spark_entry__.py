@@ -972,7 +972,12 @@ def _stream_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     raw = (spark.readStream.schema(doc_schema).format("parquet")
            .option("pathGlobFilter", "documents.parquet").load(sf_dir))
-    q = run_stream_to_memory(TA.repetition_stats(raw),
+    # the single-row-group file scans as ONE task per micro-batch and
+    # the screen is expression-heavy (O(distinct×n) per row): widen()
+    # can't probe a stream's partitioning, so repartition explicitly —
+    # the same tiny round-robin exchange, applied per batch
+    wide = raw.repartition(spark.sparkContext.defaultParallelism)
+    q = run_stream_to_memory(TA.repetition_stats(wide),
                              "stream_doc_repetition", output_mode="append")
     q.stop()
     return spark.table("stream_doc_repetition").orderBy("doc_id")

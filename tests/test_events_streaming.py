@@ -195,3 +195,32 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
                 (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"))
         .collect())
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_store_exactly_once(spark, tmp_path):
+    """Persistent seen-store dedup across RESTARTED streams: novel keys
+    append once, historical keys suppress, replays are no-ops."""
+    from text_sentiment_classification_hadoop_spark_spark.streaming import pipeline as P
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "text_hash string"
+    spark.createDataFrame([("h1",), ("h2",), ("h2",)], schema) \
+        .write.mode("append").parquet(src)
+    P.incremental_dedup_to_store(
+        spark.readStream.schema(schema).parquet(src), store)
+    rows1 = spark.read.parquet(store).collect()
+    assert {r["text_hash"] for r in rows1} == {"h1", "h2"}
+    assert len(rows1) == 2                      # in-batch dup collapsed
+    # second run (same checkpoint): only the new file is processed,
+    # h2 is suppressed by the historical store, h3 appends
+    spark.createDataFrame([("h2",), ("h3",)], schema) \
+        .write.mode("append").parquet(src)
+    P.incremental_dedup_to_store(
+        spark.readStream.schema(schema).parquet(src), store)
+    rows2 = spark.read.parquet(store).collect()
+    assert {r["text_hash"] for r in rows2} == {"h1", "h2", "h3"}
+    assert len(rows2) == 3
+    # idle re-run: no new files, store unchanged
+    P.incremental_dedup_to_store(
+        spark.readStream.schema(schema).parquet(src), store)
+    assert spark.read.parquet(store).count() == 3

@@ -191,3 +191,48 @@ def dedup_first_seen_stream(df: DataFrame, key_col: str = "text_hash") -> DataFr
         .applyInPandasWithState(first_seen, out_schema, state_schema,
                                 "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def incremental_dedup_to_store(stream_df: DataFrame, store_dir: str,
+                               key_col: str = "text_hash",
+                               query_name: str = "incremental_dedup"):
+    """Exactly-once incremental dedup against a PERSISTENT seen-key
+    store — the production pattern for deduplicating continuous ingest
+    against the full historical corpus (not just this run's state
+    store): per micro-batch, anti-join the batch against the parquet
+    seen-store, append only novel keys.
+
+    Exactly-once mechanics: ``foreachBatch`` stamps every appended row
+    with its ``batch_id``; on restart/replay of a batch the write is
+    made idempotent by first dropping rows already recorded for that
+    ``batch_id`` (read-filter guard — the parquet-level equivalent of
+    the "skip if batchId committed" transaction a table format would
+    provide). Within a batch, duplicates collapse via dropDuplicates.
+
+    At 100 TB the seen-store is a bucketed-by-key table so the
+    anti-join is exchange-free on the store side; here it is plain
+    parquet. Returns the finished StreamingQuery."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        novel = batch_df.select(key_col).dropDuplicates([key_col])
+        if os.path.isdir(store_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(store_dir)):
+            seen = spark.read.parquet(store_dir)
+            if (seen.filter(F.col("batch_id") == batch_id).limit(1)
+                    .count() > 0):
+                return  # batch already committed — replay is a no-op
+            novel = novel.join(seen.select(key_col), key_col, "left_anti")
+        (novel.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(store_dir))
+
+    q = (stream_df.writeStream.foreachBatch(write_batch)
+         .queryName(query_name)
+         .option("checkpointLocation", store_dir + "_ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120.0)
+    return q
