@@ -799,6 +799,7 @@ def _events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
         EVENTS_SCHEMA,
         run_stream_to_memory,
+        stream_shuffle_partitions,
         tumbling_counts_stream,
     )
     from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
@@ -817,8 +818,9 @@ def _events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("pathGlobFilter", "events.parquet")
            .load(sf_dir)
            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-    q = run_stream_to_memory(tumbling_counts_stream(raw, minutes=5),
-                             "events_tumbling_stream", output_mode="complete")
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(tumbling_counts_stream(raw, minutes=5),
+                                 "events_tumbling_stream", output_mode="complete")
     q.stop()
     return (spark.table("events_tumbling_stream")
             .select("window_start", "event_type", "n",
@@ -838,6 +840,7 @@ def _events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVENTS_SCHEMA,
         run_stream_to_memory,
         sliding_counts_stream,
+        stream_shuffle_partitions,
     )
     from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
     ensure_engine_confs(spark)
@@ -850,9 +853,10 @@ def _events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("pathGlobFilter", "events.parquet")
            .load(sf_dir)
            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-    q = run_stream_to_memory(
-        sliding_counts_stream(raw, minutes=10, slide_minutes=5),
-        "events_sliding_stream", output_mode="complete")
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(
+            sliding_counts_stream(raw, minutes=10, slide_minutes=5),
+            "events_sliding_stream", output_mode="complete")
     q.stop()
     return (spark.table("events_sliding_stream")
             .select("window_start", "event_type", "n",
@@ -871,6 +875,7 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVENTS_SCHEMA,
         run_stream_to_memory,
         sessionize_stream,
+        stream_shuffle_partitions,
     )
     from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
     ensure_engine_confs(spark)
@@ -883,8 +888,10 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("pathGlobFilter", "events.parquet")
            .load(sf_dir)
            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-    q = run_stream_to_memory(sessionize_stream(raw),
-                             "events_sessionize_stream", output_mode="complete")
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(sessionize_stream(raw),
+                                 "events_sessionize_stream",
+                                 output_mode="complete")
     q.stop()
     return (spark.table("events_sessionize_stream")
             .select("user_id", "session_start", "session_end", "n_events")
@@ -902,6 +909,7 @@ def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
         dedup_first_seen_stream,
         run_stream_to_memory,
+        stream_shuffle_partitions,
     )
     doc_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -916,8 +924,9 @@ def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("pathGlobFilter", "documents.parquet").load(sf_dir))
     dup = raw.withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1)))) \
         .select(F.md5("text").alias("text_hash"))
-    q = run_stream_to_memory(dedup_first_seen_stream(dup),
-                             "stream_dedup_docs", output_mode="append")
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(dedup_first_seen_stream(dup),
+                                 "stream_dedup_docs", output_mode="append")
     q.stop()
     return spark.table("stream_dedup_docs").orderBy("text_hash")
 
@@ -996,6 +1005,7 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVENTS_SCHEMA,
         purchase_click_join_stream,
         run_stream_to_memory,
+        stream_shuffle_partitions,
     )
     ensure_engine_confs(spark)
     schema = T.StructType([
@@ -1007,9 +1017,10 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("pathGlobFilter", "events.parquet")
            .load(sf_dir)
            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-    q = run_stream_to_memory(purchase_click_join_stream(raw),
-                             "purchase_click_join_stream",
-                             output_mode="append")
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(purchase_click_join_stream(raw),
+                                 "purchase_click_join_stream",
+                                 output_mode="append")
     q.stop()
     return (spark.table("purchase_click_join_stream")
             .orderBy("purchase_id", "click_id"))
@@ -1027,6 +1038,7 @@ def _stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
         dedup_native_stream,
         run_stream_to_memory,
+        stream_shuffle_partitions,
     )
     doc_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -1040,8 +1052,9 @@ def _stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("pathGlobFilter", "documents.parquet").load(sf_dir))
     dup = raw.withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1)))) \
         .select(F.md5("text").alias("text_hash"))
-    q = run_stream_to_memory(dedup_native_stream(dup),
-                             "stream_dedup_native", output_mode="append")
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(dedup_native_stream(dup),
+                                 "stream_dedup_native", output_mode="append")
     q.stop()
     return spark.table("stream_dedup_native").orderBy("text_hash")
 
