@@ -579,6 +579,25 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(docs).orderBy("doc_id")
 
 
+def _corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff the corpus against a deterministically perturbed v2:
+    doc_id % 17 == 0 removed, % 13 == 0 text-changed, and fresh ids
+    (+1000000 for % 19 == 0) added — every status fires."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_diff
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    v2 = (docs.filter(F.col("doc_id") % 17 != 0)
+          .select("doc_id",
+                  F.when(F.col("doc_id") % 13 == 0,
+                         F.concat(F.col("text"), F.lit(" v2")))
+                  .otherwise(F.col("text")).alias("text"))
+          .unionAll(docs.filter(F.col("doc_id") % 19 == 0)
+                    .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                            "text")))
+    return corpus_diff(docs, v2).orderBy("doc_id")
+
+
 def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_report
     return corpus_report(load_table(spark, "documents", sf_dir)) \
@@ -1189,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _dedup_canonical,
         "curation_pipeline": _curation_pipeline,
         "corpus_report": _corpus_report,
+        "corpus_diff": _corpus_diff,
         "lm_quality_score": _lm_quality_score,
         "c4_clean_docs": _c4_clean_docs,
         "random_projection": _random_projection,
@@ -2491,6 +2511,25 @@ SELECT doc_id,
        CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
        reject_reason
 FROM verdict ORDER BY doc_id
+"""
+    # snapshot diff: FULL OUTER join over content digests; v2 is the
+    # same deterministic perturbation the Spark side constructs
+    out["corpus_diff"] = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM documents o FULL OUTER JOIN v2 n ON n.doc_id = o.doc_id
+ORDER BY doc_id
 """
     # per-source health report: means from exact integer sums (quality
     # is already 6-dp-quantized, so floor(q*1e6+0.5) is lossless)

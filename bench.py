@@ -44,7 +44,7 @@ def main() -> None:
         "near_dup_pairs", "ngram_jaccard", "decontaminate_train", "simhash_near_dups",
         "stratified_sample_docs",
         "hash_sample_docs", "embedding_near_dups", "dedup_canonical",
-        "curation_pipeline", "corpus_report",
+        "curation_pipeline", "corpus_report", "corpus_diff",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",
         "kmeans_cells", "random_projection", "rp_ann_topk",

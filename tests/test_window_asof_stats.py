@@ -410,3 +410,26 @@ def test_events_json_roundtrip_equals_parquet(spark, sf_dir):
     rt = entry.queries()["events_json_roundtrip"](spark, sf_dir).collect()
     pq = E.tumbling_counts(spark, sf_dir).collect()
     assert [tuple(r) for r in rt] == [tuple(r) for r in pq]
+
+
+def test_corpus_diff_statuses(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_diff
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_contract_oracle_completeness():
+    """Every driver query is either oracle-checked or one of the three
+    declared rows-only entries — no silent coverage gaps."""
+    import __spark_entry__ as entry
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert oracles <= qs, oracles - qs          # no orphan oracles
+    assert qs - oracles == {"approx_distinct_users", "mllib_nb_confusion",
+                            "mllib_svm_confusion"}

@@ -87,3 +87,24 @@ def corpus_report(docs: DataFrame, group_col: str = "source",
         .alias("pct_repetitive"),
         pround(F.col("tsum").cast("double") / F.col("n_docs"), 6)
         .alias("mean_ws_tokens"))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-
+    versioning audit (what changed between crawl N and N+1) →
+    ``(doc_id, status)`` with status ∈ {added, removed, changed,
+    unchanged}.
+
+    FULL OUTER join on the id over content digests: the shuffle
+    carries (id, 32-byte md5) pairs, never documents, and the join is
+    id-keyed — co-partitioned, uniform. At 100 TB both snapshots
+    would be bucketed by id so the diff is exchange-free."""
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("h_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("h_new"))
+    j = o.join(n, id_col, "full_outer")
+    status = (F.when(F.col("h_old").isNull(), F.lit("added"))
+              .when(F.col("h_new").isNull(), F.lit("removed"))
+              .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select(F.col(id_col), status.alias("status"))
