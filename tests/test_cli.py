@@ -17,3 +17,21 @@ def test_nb_compat_cli_golden():
     assert (got["True Positives"], got["False Positives"],
             got["True Negatives"], got["False Negatives"]) == ("14", "0", "17", "1")
     assert "Execution time" in out.stdout
+
+
+def test_curate_cli(tmp_path):
+    out_dir = str(tmp_path / "kept")
+    out = subprocess.run(
+        [sys.executable, "-m", "text_sentiment_classification_hadoop_spark_spark", "curate",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out_dir],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = {l.split(" = ")[0]: l.split(" = ")[1]
+           for l in out.stdout.strip().splitlines() if " = " in l}
+    total = int(got["Documents"])
+    kept = int(got["Kept"])
+    rejected = sum(int(v) for k, v in got.items() if k.startswith("Rejected["))
+    assert total > 0 and kept + rejected == total
+    assert "Source " in out.stdout          # per-source report printed
+    assert "Kept corpus written" in out.stdout

@@ -63,17 +63,48 @@ def _print_metrics(scored, with_weighted: bool = False) -> None:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="text_sentiment_classification_hadoop_spark_spark")
     p.add_argument("command", choices=[
-        "nb-compat", "svm-compat", "svm-strict", "nb-mllib", "svm-mllib"])
+        "nb-compat", "svm-compat", "svm-strict", "nb-mllib", "svm-mllib",
+        "curate"])
     p.add_argument("--train", help="training tweets CSV (compat commands)")
     p.add_argument("--test", help="test tweets CSV; defaults to --train")
     p.add_argument("--input", help="tweets CSV for the mllib commands (75/25 split inside)")
     p.add_argument("--model-out", help="optional parquet dir to persist the model")
+    p.add_argument("--docs", help="documents parquet path (curate)")
+    p.add_argument("--out", help="optional parquet dir for the kept corpus (curate)")
     args = p.parse_args(argv)
 
     from .functions.cleaning import clean_chain_a, clean_chain_b
     from .session import get_spark
     spark = get_spark(app_name=f"cli-{args.command}")
     t0 = time.perf_counter()
+
+    if args.command == "curate":
+        if not args.docs:
+            p.error("--docs is required for curate")
+        from .operators.curation import corpus_report, curation_pipeline
+        docs = spark.read.parquet(args.docs)
+        verdict = curation_pipeline(docs.select("doc_id", "text")) \
+            .localCheckpoint(eager=True)
+        counts = {r["reject_reason"]: r["cnt"] for r in
+                  verdict.groupBy("reject_reason")
+                  .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        print(f"Documents = {sum(counts.values())}")
+        print(f"Kept = {counts.pop(None, 0)}")
+        for reason in ("lang", "quality", "repetitive", "duplicate"):
+            print(f"Rejected[{reason}] = {counts.get(reason, 0)}")
+        if "source" in docs.columns:
+            for r in corpus_report(docs).orderBy("group").collect():
+                print(f"Source {r['group']}: n_docs={r['n_docs']} "
+                      f"mean_quality={r['mean_quality']} "
+                      f"pct_repetitive={r['pct_repetitive']}")
+        if args.out:
+            kept_ids = verdict.filter(F.col("kept") == 1).select("doc_id")
+            docs.join(kept_ids, "doc_id").write.mode("overwrite") \
+                .parquet(args.out)
+            print(f"Kept corpus written to {args.out}")
+        print(f"Execution time: {time.perf_counter() - t0:.2f} s")
+        spark.stop()
+        return 0
 
     if args.command in ("nb-compat", "svm-compat", "svm-strict"):
         if not args.train:
