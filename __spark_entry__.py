@@ -665,13 +665,8 @@ def _classifier_metrics(kind: str):
         from text_sentiment_classification_hadoop_spark_spark.operators import nb as NB
         from text_sentiment_classification_hadoop_spark_spark.operators import svm as SVM
 
-        train, test = S.train_test(S.labeled_documents(spark, sf_dir))
-        if kind == "nb":
-            model, stats = S._nb_trained(spark, sf_dir)
-            scored = NB.nb_score(test, model, stats)
-        else:
-            w = SVM.svm_effective_train(train)
-            scored = SVM.svm_score(test, w)
+        scored = (S.nb_scored if kind == "nb" else S.svm_scored)(
+            spark, sf_dir)
         c = M.confusion_counts(scored)
         b = M.binary_metrics(c)
         wf = M.weighted_f_measure(scored)

@@ -80,6 +80,32 @@ def _nb_trained(spark: SparkSession, sf_dir: str):
     return _NB_CACHE[key]
 
 
+# predictions/confusion/metrics all act on the identical scored test
+# split (3 driver queries per algorithm) — memoize the scored DF like
+# the model: checkpointed, test-split-sized, recomputation-free.
+_SCORED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "nb")
+    if key not in _SCORED_CACHE:
+        _, test = train_test(labeled_documents(spark, sf_dir))
+        model, stats = _nb_trained(spark, sf_dir)
+        _SCORED_CACHE[key] = NB.nb_score(test, model, stats) \
+            .localCheckpoint(eager=False)
+    return _SCORED_CACHE[key]
+
+
+def svm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "svm")
+    if key not in _SCORED_CACHE:
+        train, test = train_test(labeled_documents(spark, sf_dir))
+        w = SVM.svm_effective_train(train)
+        _SCORED_CACHE[key] = SVM.svm_score(test, w) \
+            .localCheckpoint(eager=False)
+    return _SCORED_CACHE[key]
+
+
 def nb_model_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/M2: the NB count model on the training split."""
     model, _ = _nb_trained(spark, sf_dir)
@@ -89,18 +115,14 @@ def nb_model_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nb_predictions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+M3+J1: train on 75%, score the 25% — returns
     ``(doc_id, label, prediction)``."""
-    _, test = train_test(labeled_documents(spark, sf_dir))
-    model, stats = _nb_trained(spark, sf_dir)
-    scored = NB.nb_score(test, model, stats)
+    scored = nb_scored(spark, sf_dir)
     return scored.select("doc_id", "label", "prediction").orderBy("doc_id")
 
 
 def nb_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 over the NB predictions."""
-    _, test = train_test(labeled_documents(spark, sf_dir))
-    model, stats = _nb_trained(spark, sf_dir)
-    scored = NB.nb_score(test, model, stats)
-    return M.confusion_matrix(scored).orderBy("prediction", "label")
+    return M.confusion_matrix(nb_scored(spark, sf_dir)) \
+        .orderBy("prediction", "label")
 
 
 def nb_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,14 +146,10 @@ def svm_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def svm_predictions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5+M6+J3: effective-SVM train + signed-sum scoring."""
-    train, test = train_test(labeled_documents(spark, sf_dir))
-    w = SVM.svm_effective_train(train)
-    scored = SVM.svm_score(test, w)
+    scored = svm_scored(spark, sf_dir)
     return scored.select("doc_id", "label", "prediction").orderBy("doc_id")
 
 
 def svm_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    train, test = train_test(labeled_documents(spark, sf_dir))
-    w = SVM.svm_effective_train(train)
-    scored = SVM.svm_score(test, w)
-    return M.confusion_matrix(scored).orderBy("prediction", "label")
+    return M.confusion_matrix(svm_scored(spark, sf_dir)) \
+        .orderBy("prediction", "label")
