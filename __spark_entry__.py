@@ -579,6 +579,19 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(docs).orderBy("doc_id")
 
 
+BM25_QUERY = "table scan merge fast window"
+
+
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import bm25_topk
+    return bm25_topk(load_table(spark, "documents", sf_dir), BM25_QUERY, k=20)
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import inverted_index
+    return inverted_index(load_table(spark, "documents", sf_dir)).orderBy("w")
+
+
 def _corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff the corpus against a deterministically perturbed v2:
     doc_id % 17 == 0 removed, % 13 == 0 text-changed, and fresh ids
@@ -1204,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _curation_pipeline,
         "corpus_report": _corpus_report,
         "corpus_diff": _corpus_diff,
+        "bm25_search": _bm25_search,
+        "inverted_index": _inverted_index,
         "lm_quality_score": _lm_quality_score,
         "c4_clean_docs": _c4_clean_docs,
         "random_projection": _random_projection,
@@ -2506,6 +2521,71 @@ SELECT doc_id,
        CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
        reject_reason
 FROM verdict ORDER BY doc_id
+"""
+    out["inverted_index"] = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents)
+  WHERE length(w) > 0
+)
+SELECT w, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY w ORDER BY w
+"""
+    # BM25: every fp constant is emitted via repr() of the exact Python
+    # double the Spark literal carries, and the SQL expression mirrors
+    # the Spark operand order token-for-token; per-term weights are
+    # integer-quantized before the per-doc sum (the micro-nat contract)
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import BM25_B, BM25_K1
+    terms_sql = ", ".join(
+        f"'{w}'" for w in sorted({t for t in BM25_QUERY.lower().split(" ") if t}))
+    k1p1, k1r, onebr, br = (repr(BM25_K1 + 1.0), repr(BM25_K1),
+                            repr(1.0 - BM25_B), repr(BM25_B))
+    out["bm25_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents)
+  WHERE length(w) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+scalars AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+qt AS (SELECT doc_id, w FROM toks WHERE w IN ({terms_sql})),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM qt GROUP BY doc_id, w),
+dfreq AS (
+  SELECT w, count(*) AS dfreq
+  FROM (SELECT DISTINCT doc_id, w FROM qt) GROUP BY w
+),
+j AS (
+  SELECT t.doc_id, t.tf, f.dfreq, d.dl, s.sum_dl, s.n_docs
+  FROM tf t JOIN dfreq f ON f.w = t.w
+  JOIN dl d ON d.doc_id = t.doc_id, scalars s
+),
+wt AS (
+  SELECT doc_id,
+    CAST(floor((ln((n_docs - dfreq + CAST(0.5 AS DOUBLE))
+                   / (dfreq + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+      * (tf * CAST({k1p1} AS DOUBLE))
+      / (tf + CAST({k1r} AS DOUBLE)
+              * (CAST({onebr} AS DOUBLE)
+                 + CAST({br} AS DOUBLE) * dl
+                   / (CAST(sum_dl AS DOUBLE) / n_docs))))
+      * 1000000.0 + 0.5) AS BIGINT) AS wu
+  FROM j
+),
+sc AS (
+  SELECT doc_id,
+         floor((CAST(sum(wu) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS score
+  FROM wt GROUP BY doc_id
+),
+rk AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT * FROM rk WHERE rank <= 20 ORDER BY rank
 """
     # snapshot diff: FULL OUTER join over content digests; v2 is the
     # same deterministic perturbation the Spark side constructs

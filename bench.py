@@ -50,6 +50,8 @@ def main() -> None:
         "kmeans_cells", "random_projection", "rp_ann_topk",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "pack_sequences",
+        # search
+        "bm25_search", "inverted_index",
         # text analysis
         "lang_id", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",

@@ -1,0 +1,46 @@
+"""Search/retrieval operators: inverted index + BM25 ranking."""
+
+import math
+
+from text_sentiment_classification_hadoop_spark_spark.operators import search as SR
+
+
+def test_inverted_index_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")], "doc_id long, text string")
+    out = {r["w"]: (r["df"], r["postings"])
+           for r in SR.inverted_index(docs).collect()}
+    assert out == {"a": (2, "1,3"), "b": (2, "1,2"), "c": (1, "2")}
+
+
+def test_bm25_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x y"),       # tf(x)=2, dl=3
+         (2, "x z z z"),     # tf(x)=1, dl=4
+         (3, "z z z")],      # no query terms
+        "doc_id long, text string")
+    rows = SR.bm25_topk(docs, "x", k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids == [1, 2]                   # doc 3 never matches
+    k1, b = SR.BM25_K1, SR.BM25_B
+    n, dfx, avgdl = 3, 2, (3 + 4 + 3) / 3
+    idf = math.log((n - dfx + 0.5) / (dfx + 0.5) + 1.0)
+
+    def w(tf, dl):
+        raw = idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert got[1] == math.floor(w(2, 3) * 1e6 + 0.5) / 1e6
+    assert got[2] == math.floor(w(1, 4) * 1e6 + 0.5) / 1e6
+    assert got[1] > got[2]                 # higher tf, shorter doc wins
+
+
+def test_bm25_multi_term_additivity(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x q"), (3, "q q")], "doc_id long, text string")
+    both = {r["doc_id"]: r["score"]
+            for r in SR.bm25_topk(docs, "x y", k=10).collect()}
+    # doc 1 matches both terms, doc 2 one; doc 3 none
+    assert set(both) == {1, 2}
+    assert both[1] > both[2]

@@ -1,0 +1,95 @@
+"""Search / retrieval operators (north star §2.11 adjacent): inverted
+index construction and BM25 ranking — the lexical-retrieval
+counterpart to the embedding ANN family (a training-data pipeline uses
+both: BM25 for decontamination-by-retrieval and hard-negative mining,
+ANN for semantic dedup).
+
+Determinism contract: per-term BM25 weights are quantized to INTEGER
+micro-units before the per-doc sum (the LM micro-nat pattern), so
+scores are independent of aggregation order across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import pround
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (df.select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("w"))
+            .filter(F.length("w") > 0))
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Inverted index → ``(w, df, postings)`` with postings as the
+    comma-joined ascending doc-id list.
+
+    One distinct + one hash aggregate, both map-side partial; the
+    postings string is built from ``array_sort`` so it is independent
+    of arrival order. At 100 TB postings become the bucketed join-side
+    table for retrieval — the string form here is the oracle-friendly
+    dump."""
+    pairs = _tokens(df, text_col, id_col).distinct()
+    return (pairs.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(id_col)),
+                                 lambda x: x.cast("string")),
+                     ",").alias("postings")))
+
+
+def bm25_topk(df: DataFrame, query: str, k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """BM25 (Robertson/Lucene idf variant) top-``k`` →
+    ``(doc_id, score, rank)`` for a literal query string.
+
+    Plan shape: one pass for doc lengths (partial-agg count), one pass
+    filtered to the query's terms for tf (the filter prunes the explode
+    to matching tokens before any shuffle), df per term, the N/avgdl
+    scalars as a broadcast 1-row join (J4). Per-(doc, term) weight:
+
+        idf  = ln((N - df + 0.5) / (df + 0.5) + 1)
+        w    = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    quantized to integer micro-units, summed per doc (exact), then
+    sort+limit → TakeOrderedAndProject, tie-break on doc_id."""
+    terms = sorted({w for w in query.lower().split(" ") if w})
+    toks = _tokens(df, text_col, id_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    scalars = dl.agg(F.sum("dl").alias("sum_dl"),
+                     F.count(F.lit(1)).alias("n_docs"))
+    qtoks = toks.filter(F.col("w").isin(terms))
+    tf = qtoks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (qtoks.select(id_col, "w").distinct()
+             .groupBy("w").agg(F.count(F.lit(1)).alias("dfreq")))
+    j = (tf.join(F.broadcast(dfreq), "w")
+         .join(dl, id_col)
+         .crossJoin(F.broadcast(scalars)))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+                / (F.col("dfreq") + F.lit(0.5)) + F.lit(1.0))
+    w = idf * (F.col("tf") * F.lit(k1 + 1.0)) \
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                      + F.lit(b) * F.col("dl") / avgdl))
+    per_term = j.select(
+        F.col(id_col),
+        F.floor(w * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("wu"))
+    scored = (per_term.groupBy(id_col)
+              .agg(F.sum("wu").alias("su"))
+              .select(F.col(id_col),
+                      pround(F.col("su").cast("double") / F.lit(1000000.0), 6)
+                      .alias("score")))
+    from pyspark.sql import Window
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    win = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (top.withColumn("rank", F.row_number().over(win).cast("int"))
+            .orderBy("rank"))
