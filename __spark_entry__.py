@@ -617,6 +617,11 @@ def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("group")
 
 
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pq_encode(load_table(spark, "embeddings", sf_dir)) \
+        .orderBy("vec_id", "segment")
+
+
 def _rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.rp_cosine_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
@@ -1223,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": _c4_clean_docs,
         "random_projection": _random_projection,
         "rp_ann_topk": _rp_ann_topk,
+        "pq_codes": _pq_codes,
         "pack_sequences": _pack_sequences,
         "token_freq_histogram": _token_freq_histogram,
         "top_tokens": _top_tokens,
@@ -2521,6 +2527,39 @@ SELECT doc_id,
        CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
        reject_reason
 FROM verdict ORDER BY doc_id
+"""
+    # PQ encode: the codebook is SELECTed from the table itself
+    # (vec_id < 8), so the oracle needs no literal dump; argmin ties
+    # break to the lowest code on both sides (array_position first
+    # match == row_number ordered by dist, cid)
+    out["pq_codes"] = """
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+corp AS (SELECT vec_id, d // 16 AS s, d % 16 AS i, x FROM ev),
+code AS (
+  SELECT vec_id AS cid, d // 16 AS s, d % 16 AS i, x AS c
+  FROM ev WHERE vec_id < 8
+),
+dists AS (
+  SELECT corp.vec_id, corp.s, code.cid,
+         floor(sum((corp.x - code.c) * (corp.x - code.c))
+               * 1000000.0 + 0.5) / 1000000.0 AS dist
+  FROM corp JOIN code ON code.s = corp.s AND code.i = corp.i
+  GROUP BY corp.vec_id, corp.s, code.cid
+),
+best AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM dists)
+  WHERE rn = 1
+)
+SELECT vec_id, CAST(s AS INTEGER) AS segment, CAST(cid AS BIGINT) AS code
+FROM best ORDER BY vec_id, segment
 """
     out["inverted_index"] = """
 WITH pairs AS (

@@ -360,3 +360,18 @@ def test_group_centroids_exact_means(spark):
            .collect()}
     assert out[("en", 0)] == 2.0 and out[("en", 1)] == 1.0
     assert out[("fr", 0)] == 5.0 and out[("fr", 1)] == 6.0
+
+
+def test_pq_encode_self_codes_and_narrow(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.pq_encode(emb)
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == 4 * n
+    assert all(0 <= r["code"] < 8 and 0 <= r["segment"] < 4 for r in rows)
+    # each codebook vector snaps to itself in every segment (dist 0)
+    for r in rows:
+        if r["vec_id"] < 8:
+            assert r["code"] == r["vec_id"], r
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan     # literal codebook, narrow

@@ -368,3 +368,46 @@ def group_centroids(emb: DataFrame, labels: DataFrame, label_col: str,
             .select("label", "d",
                     pround(F.col("su").cast("double") / F.col("n")
                            / F.lit(1000000.0), 6).alias("centroid")))
+
+
+def pq_encode(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
+              dims: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product quantization encode → long-form ``(vec_id, segment,
+    code)``: split each vector into ``n_segments`` contiguous
+    sub-vectors and snap each to its nearest codeword by squared L2
+    (rounded 6 dp; ties → lowest code).
+
+    The codebook is the first ``n_codes`` corpus vectors' segments —
+    the deterministic stand-in :func:`ivf_topk` also uses (a trained
+    per-segment k-means drops in unchanged via :func:`kmeans_fit`).
+    Collected to plan-time literals, so encoding is one narrow pass,
+    zero exchanges — at 100 TB the 64-dim float corpus compresses to
+    ``n_segments`` bytes/vector (64× here), which is what makes
+    billion-scale ANN fit in memory (ADC scans the codes, not the
+    floats)."""
+    seg_len = dims // n_segments
+    first = emb.filter(F.col(id_col) < n_codes) \
+        .select(id_col, vec_col).orderBy(id_col).collect()
+    books = [
+        [(int(r[id_col]),
+          [float(x) for x in r[vec_col]][s * seg_len:(s + 1) * seg_len])
+         for r in first]
+        for s in range(n_segments)
+    ]
+    seg_codes = []
+    for s, book in enumerate(books):
+        sub = F.slice(F.col(vec_col), s * seg_len + 1, seg_len)
+        dists = F.array(*[
+            pround(F.aggregate(
+                F.zip_with(sub, F.array(*[F.lit(c) for c in cvec]),
+                           lambda x, c: (x.cast("double") - c)
+                           * (x.cast("double") - c)),
+                F.lit(0.0), lambda acc, v: acc + v), 6)
+            for _, cvec in book])
+        ids = F.array(*[F.lit(cid).cast("long") for cid, _ in book])
+        best = F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        seg_codes.append(F.get(ids, best))
+    return widen(emb).select(
+        F.col(id_col),
+        F.posexplode(F.array(*seg_codes)).alias("segment", "code"))
