@@ -622,6 +622,11 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id", "segment")
 
 
+def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.pq_adc_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
+
+
 def _rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.rp_cosine_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
@@ -1229,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": _random_projection,
         "rp_ann_topk": _rp_ann_topk,
         "pq_codes": _pq_codes,
+        "pq_adc_topk": _pq_adc_topk,
         "pack_sequences": _pack_sequences,
         "token_freq_histogram": _token_freq_histogram,
         "top_tokens": _top_tokens,
@@ -2560,6 +2566,57 @@ best AS (
 )
 SELECT vec_id, CAST(s AS INTEGER) AS segment, CAST(cid AS BIGINT) AS code
 FROM best ORDER BY vec_id, segment
+"""
+    # ADC: the query LUT is exactly vec 0's segment-to-codeword
+    # distances (already in `dists`); integer micro-unit sums per vector
+    out["pq_adc_topk"] = """
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+corp AS (SELECT vec_id, d // 16 AS s, d % 16 AS i, x FROM ev),
+code AS (
+  SELECT vec_id AS cid, d // 16 AS s, d % 16 AS i, x AS c
+  FROM ev WHERE vec_id < 8
+),
+dists AS (
+  SELECT corp.vec_id, corp.s, code.cid,
+         floor(sum((corp.x - code.c) * (corp.x - code.c))
+               * 1000000.0 + 0.5) / 1000000.0 AS dist
+  FROM corp JOIN code ON code.s = corp.s AND code.i = corp.i
+  GROUP BY corp.vec_id, corp.s, code.cid
+),
+best AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+tab AS (
+  SELECT s, cid, CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS du
+  FROM dists WHERE vec_id = 0
+),
+su AS (
+  SELECT b.vec_id, sum(t.du) AS su
+  FROM best b JOIN tab t ON t.s = b.s AND t.cid = b.cid
+  GROUP BY b.vec_id
+),
+sc AS (
+  SELECT vec_id,
+         floor((CAST(su AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS approx_dist
+  FROM su
+),
+rk AS (
+  SELECT vec_id, approx_dist,
+         CAST(row_number() OVER (ORDER BY approx_dist ASC, vec_id ASC)
+              AS INTEGER) AS rank
+  FROM sc
+)
+SELECT * FROM rk WHERE rank <= 10 ORDER BY rank
 """
     out["inverted_index"] = """
 WITH pairs AS (

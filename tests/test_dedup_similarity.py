@@ -375,3 +375,15 @@ def test_pq_encode_self_codes_and_narrow(spark, sf_dir):
             assert r["code"] == r["vec_id"], r
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan     # literal codebook, narrow
+
+
+def test_pq_adc_query_is_own_best_match(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    rows = SIM.pq_adc_topk(emb, q, k=10).collect()
+    # vec 0 IS a codebook vector: its codes point at itself, so its
+    # ADC distance is exactly 0 and it ranks first
+    assert rows[0]["vec_id"] == 0 and rows[0]["approx_dist"] == 0.0
+    dists = [r["approx_dist"] for r in rows]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    assert [r["rank"] for r in rows] == list(range(1, 11))

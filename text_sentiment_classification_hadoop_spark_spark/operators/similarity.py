@@ -387,14 +387,7 @@ def pq_encode(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
     billion-scale ANN fit in memory (ADC scans the codes, not the
     floats)."""
     seg_len = dims // n_segments
-    first = emb.filter(F.col(id_col) < n_codes) \
-        .select(id_col, vec_col).orderBy(id_col).collect()
-    books = [
-        [(int(r[id_col]),
-          [float(x) for x in r[vec_col]][s * seg_len:(s + 1) * seg_len])
-         for r in first]
-        for s in range(n_segments)
-    ]
+    books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
     seg_codes = []
     for s, book in enumerate(books):
         sub = F.slice(F.col(vec_col), s * seg_len + 1, seg_len)
@@ -411,3 +404,62 @@ def pq_encode(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
     return widen(emb).select(
         F.col(id_col),
         F.posexplode(F.array(*seg_codes)).alias("segment", "code"))
+
+
+def _pq_codebooks(emb: DataFrame, n_segments: int, n_codes: int,
+                  seg_len: int, id_col: str, vec_col: str):
+    """Per-segment codebooks: the first ``n_codes`` corpus vectors'
+    segments, collected once (tiny) for plan-time embedding."""
+    first = emb.filter(F.col(id_col) < n_codes) \
+        .select(id_col, vec_col).orderBy(id_col).collect()
+    return [
+        [(int(r[id_col]),
+          [float(x) for x in r[vec_col]][s * seg_len:(s + 1) * seg_len])
+         for r in first]
+        for s in range(n_segments)
+    ]
+
+
+def pq_adc_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                n_segments: int = 4, n_codes: int = 8, dims: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ asymmetric-distance top-k → ``(vec_id, approx_dist, rank)``
+    (ascending squared-L2 estimate, ties → lowest id).
+
+    ADC is why PQ wins at scale: the query builds one tiny
+    ``n_segments × n_codes`` distance table DRIVER-side (in micro-unit
+    integers), and scanning the corpus costs ``n_segments`` integer
+    table lookups + an integer sum per vector — no float vector math
+    touches the scan, and the integer sums keep the estimate
+    aggregation-order independent. Here the lookup rides the long-form
+    code column (a 32-branch literal CASE); a production layout stores
+    packed code bytes and the same table. Re-rank the top-m with exact
+    cosine when precision matters (compose with cosine_topk)."""
+    import math
+    seg_len = dims // n_segments
+    books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
+    q = [float(x) for x in query_vec]
+    lut = F.lit(None).cast("long")
+    for s, book in enumerate(books):
+        qseg = q[s * seg_len:(s + 1) * seg_len]
+        for cid, cvec in book:
+            raw = 0.0
+            for a, b in zip(qseg, cvec):
+                raw += (a - b) * (a - b)
+            d6 = math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+            du = int(math.floor(d6 * 1000000.0 + 0.5))
+            lut = F.when((F.col("segment") == s) & (F.col("code") == cid),
+                         F.lit(du).cast("long")).otherwise(lut)
+    codes = pq_encode(emb, n_segments, n_codes, dims, id_col, vec_col)
+    scored = (codes.select(F.col(id_col), lut.alias("du"))
+              .groupBy(id_col)
+              .agg(F.sum("du").alias("su"))
+              .select(F.col(id_col),
+                      pround(F.col("su").cast("double") / F.lit(1000000.0), 6)
+                      .alias("approx_dist")))
+    from pyspark.sql import Window
+    top = scored.orderBy(F.col("approx_dist").asc(),
+                         F.col(id_col).asc()).limit(k)
+    win = Window.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+    return (top.withColumn("rank", F.row_number().over(win).cast("int"))
+            .orderBy("rank"))
