@@ -20,7 +20,12 @@ def test_revenue_joins_are_broadcast(spark, sf_dir):
 
 
 def test_nb_score_join_is_broadcast(spark, sf_dir):
-    assert_broadcast_join(S.nb_predictions_query(spark, sf_dir))
+    # assert on the uncached pipeline: the query-facing function serves
+    # a localCheckpointed scored DF whose plan hides the join
+    from text_sentiment_classification_hadoop_spark_spark.operators import nb as NB
+    _, test = S.train_test(S.labeled_documents(spark, sf_dir))
+    model, stats = S._nb_trained(spark, sf_dir)
+    assert_broadcast_join(NB.nb_score(test, model, stats))
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
@@ -81,7 +86,10 @@ def test_multimodal_decode_is_arrow_batched(spark, sf_dir):
 
 
 def test_svm_score_join_is_broadcast(spark, sf_dir):
-    assert_broadcast_join(S.svm_predictions_query(spark, sf_dir))
+    from text_sentiment_classification_hadoop_spark_spark.operators import svm as SVM
+    train, test = S.train_test(S.labeled_documents(spark, sf_dir))
+    w = SVM.svm_effective_train(train)
+    assert_broadcast_join(SVM.svm_score(test, w))
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):
