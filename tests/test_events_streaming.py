@@ -224,3 +224,38 @@ def test_incremental_dedup_store_exactly_once(spark, tmp_path):
     P.incremental_dedup_to_store(
         spark.readStream.schema(schema).parquet(src), store)
     assert spark.read.parquet(store).count() == 3
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Real watermark semantics, per-batch: the watermark computed from
+    batch N's data takes effect for filtering in batch N+1 (one batch
+    of propagation lag), so the late event rides in the THIRD file.
+    The finalized window must exclude it and the state operator must
+    report exactly one watermark-dropped row."""
+    import os
+    import time
+    p = str(tmp_path / "late_ev")
+    os.makedirs(p, exist_ok=True)
+    # batch 0: events at +0s and +3600s -> watermark becomes 3000s
+    _mk_events(spark, [(0, 1, "click", 1.0), (3600, 1, "click", 2.0)]) \
+        .coalesce(1).write.mode("append").parquet(p)
+    time.sleep(1.1)          # distinct mtimes => file (= batch) order
+    # batch 1: on-time event; runs with wm=3000s, finalizes window [0,300)
+    _mk_events(spark, [(3700, 1, "click", 3.0)]) \
+        .coalesce(1).write.mode("append").parquet(p)
+    time.sleep(1.1)
+    # batch 2: +100s is below the watermark -> dropped; +3500s accepted
+    _mk_events(spark, [(100, 1, "click", 10.0), (3500, 1, "click", 20.0)]) \
+        .coalesce(1).write.mode("append").parquet(p)
+    stream = events_stream_from_files(spark, p, max_files_per_trigger=1)
+    q = run_stream_to_memory(
+        tumbling_counts_stream(stream, minutes=5, watermark="10 minutes"),
+        "late_test", output_mode="append")
+    dropped = sum(pr["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for pr in q.recentProgress if pr["stateOperators"])
+    got = {(r["window_start"], r["event_type"]): r["n"]
+           for r in spark.sql("select * from late_test").collect()}
+    q.stop()
+    assert dropped == 1
+    # the only finalized window is [T0, T0+5min): n=1, late row excluded
+    assert got == {(T0, "click"): 1}
