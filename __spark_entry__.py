@@ -587,6 +587,13 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, "documents", sf_dir), BM25_QUERY, k=20)
 
 
+def _cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import cms_estimate
+    terms = sorted({t for t in BM25_QUERY.lower().split(" ") if t})
+    return cms_estimate(load_table(spark, "documents", sf_dir), terms) \
+        .orderBy("w")
+
+
 def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.search import inverted_index
     return inverted_index(load_table(spark, "documents", sf_dir)).orderBy("w")
@@ -1229,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _corpus_diff,
         "bm25_search": _bm25_search,
         "inverted_index": _inverted_index,
+        "cms_token_counts": _cms_token_counts,
         "lm_quality_score": _lm_quality_score,
         "c4_clean_docs": _c4_clean_docs,
         "random_projection": _random_projection,
@@ -2617,6 +2625,43 @@ rk AS (
   FROM sc
 )
 SELECT * FROM rk WHERE rank <= 10 ORDER BY rank
+"""
+    # Count-min sketch over the salted portable hash: bit-deterministic
+    # (unlike the HLL registers), so the sketch itself is hash-checked
+    cms_terms_sql = ", ".join(
+        f"('{w}')" for w in sorted({t for t in BM25_QUERY.lower().split(" ") if t}))
+    out["cms_token_counts"] = f"""
+WITH toks AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+),
+grid AS (SELECT unnest(range(0, 4)) AS j),
+cells AS (
+  SELECT g.j,
+         CAST({PORTABLE_HASH.format(col="'cms' || g.j || ':' || t.w")} % 1024 AS INTEGER) AS col
+  FROM toks t CROSS JOIN grid g
+),
+sketch AS (SELECT j, col, count(*) AS cnt FROM cells GROUP BY j, col),
+terms(w) AS (VALUES {cms_terms_sql}),
+probes AS (
+  SELECT t.w, g.j,
+         CAST({PORTABLE_HASH.format(col="'cms' || g.j || ':' || t.w")} % 1024 AS INTEGER) AS col
+  FROM terms t CROSS JOIN grid g
+),
+est AS (
+  SELECT p.w, min(s.cnt) AS est_count
+  FROM probes p JOIN sketch s ON s.j = p.j AND s.col = p.col
+  GROUP BY p.w
+),
+exact AS (
+  SELECT w, count(*) AS exact_count FROM toks
+  WHERE w IN (SELECT w FROM terms) GROUP BY w
+)
+SELECT e.w, CAST(e.est_count AS BIGINT) AS est_count,
+       CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
+FROM est e LEFT JOIN exact x ON x.w = e.w
+ORDER BY e.w
 """
     out["inverted_index"] = """
 WITH pairs AS (

@@ -51,7 +51,7 @@ def main() -> None:
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "pack_sequences",
         # search
-        "bm25_search", "inverted_index",
+        "bm25_search", "inverted_index", "cms_token_counts",
         # text analysis
         "lang_id", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",

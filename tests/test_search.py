@@ -44,3 +44,35 @@ def test_bm25_multi_term_additivity(spark):
     # doc 1 matches both terms, doc 2 one; doc 3 none
     assert set(both) == {1, 2}
     assert both[1] > both[2]
+
+
+def test_cms_never_underestimates_and_is_tight_here(spark, sf_dir):
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # probe every token in the corpus vocabulary
+    vocab = [r["w"] for r in
+             docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+             .filter(F.length("w") > 0).distinct().collect()]
+    rows = SR.cms_estimate(docs, vocab).collect()
+    assert len(rows) == len(vocab)
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"]      # CMS overestimates
+    # with |vocab| << width the collision rate is tiny: most estimates
+    # are exact
+    exact_hits = sum(r["est_count"] == r["exact_count"] for r in rows)
+    assert exact_hits >= 0.9 * len(rows)
+
+
+def test_cms_merge_by_addition(spark):
+    # sketches of two corpus halves summed == sketch of the union
+    from pyspark.sql import functions as F
+    a = spark.createDataFrame([(1, "x y"), (2, "x z")], "doc_id long, text string")
+    b = spark.createDataFrame([(3, "x q")], "doc_id long, text string")
+    u = a.unionAll(b)
+    sa = {(r["j"], r["col"]): r["cnt"] for r in SR.cms_build(a).collect()}
+    sb = {(r["j"], r["col"]): r["cnt"] for r in SR.cms_build(b).collect()}
+    su = {(r["j"], r["col"]): r["cnt"] for r in SR.cms_build(u).collect()}
+    merged = dict(sa)
+    for k, v in sb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == su

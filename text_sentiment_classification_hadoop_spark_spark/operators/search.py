@@ -93,3 +93,64 @@ def bm25_topk(df: DataFrame, query: str, k: int = 20,
     win = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (top.withColumn("rank", F.row_number().over(win).cast("int"))
             .orderBy("rank"))
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_build(df: DataFrame, text_col: str = "text",
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch of corpus token frequencies →
+    ``(j, col, cnt)``: ``depth × width`` counters, counter ``(j, c)``
+    summing every token whose ``j``-th salted portable hash lands in
+    column ``c``.
+
+    The canonical mergeable frequency sketch: counters are sums, so
+    partial aggregation combines map-side and sketches from separate
+    corpora/days merge by addition — the 100 TB path to "how often
+    does this phrase appear" without a full-vocab table. Unlike the
+    HLL sketch (engine-specific registers, rows-only checked), CMS
+    over the portable md5 hash is bit-deterministic, so the driver
+    hash-checks it end-to-end. One explode (constant ``depth``
+    fan-out) + one hash aggregate of at most depth×width groups."""
+    from ..functions.hashing import portable_hash64
+    toks = _tokens(df, text_col, "doc_id" if "doc_id" in df.columns
+                   else df.columns[0])
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (portable_hash64(F.concat(F.lit(f"cms{j}:"), F.col("w")))
+                  % width).cast("int").alias("col"))
+        for j in range(depth)])
+    return (toks.select(F.explode(rows).alias("r"))
+            .groupBy(F.col("r.j").alias("j"), F.col("r.col").alias("col"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(df: DataFrame, terms: list[str], text_col: str = "text",
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """CMS point estimates vs exact counts for ``terms`` →
+    ``(w, est_count, exact_count)``. The estimate is the min over the
+    term's ``depth`` counters (CMS never underestimates:
+    est ≥ exact, within ε·N with probability 1−δ for
+    ε = e/width, δ = e^−depth). The probe side is ``depth`` literal
+    (term, j, col) rows broadcast against the sketch."""
+    import hashlib
+    spark = df.sparkSession
+    probes = []
+    for t in sorted(set(terms)):
+        for j in range(depth):
+            h = int(hashlib.md5(f"cms{j}:{t}".encode()).hexdigest()[:15], 16)
+            probes.append((t, j, h % width))
+    probe_df = spark.createDataFrame(probes, "w string, j int, col int")
+    sketch = cms_build(df, text_col, depth, width)
+    est = (sketch.join(F.broadcast(probe_df), ["j", "col"])
+           .groupBy("w").agg(F.min("cnt").alias("est_count")))
+    toks = _tokens(df, text_col, "doc_id" if "doc_id" in df.columns
+                   else df.columns[0])
+    exact = (toks.filter(F.col("w").isin(list(set(terms))))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("exact_count")))
+    return est.join(exact, "w", "left") \
+        .select("w", "est_count",
+                F.coalesce("exact_count", F.lit(0)).cast("long")
+                .alias("exact_count"))
