@@ -1036,6 +1036,36 @@ def _stream_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_doc_repetition").orderBy("doc_id")
 
 
+def _stream_curation_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full stateless curation verdict on a document STREAM:
+    `narrow_verdict` chains the lang/quality/repetition gates through
+    `extra`-column pass-through selects — no join, no state, so the
+    composed screen streams append-mode exactly like a single gate.
+    Oracle: the batch SQL composition of the three gate oracles."""
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import narrow_verdict
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        run_stream_to_memory,
+    )
+    ensure_engine_confs(spark)
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    raw = (spark.readStream.schema(doc_schema).format("parquet")
+           .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    wide = raw.repartition(spark.sparkContext.defaultParallelism)
+    q = run_stream_to_memory(narrow_verdict(wide),
+                             "stream_curation_gates", output_mode="append")
+    q.stop()
+    return spark.table("stream_curation_gates").orderBy("doc_id")
+
+
 def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (clicks ⋈ purchases, same
     user, click within the 5 minutes at-or-before the purchase) — the
@@ -1271,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_native": _stream_dedup_native,
         "stream_stream_join": _stream_stream_join,
         "stream_doc_repetition": _stream_doc_repetition,
+        "stream_curation_gates": _stream_curation_gates,
         # --- round-1-green queries (48) ---
         # relational parity (SURVEY §2.1-2.8)
         "pricing_summary": R.pricing_summary,
@@ -2414,6 +2445,26 @@ ORDER BY doc_id
 """
     # the streaming twin re-runs the identical narrow screen per file
     out["stream_doc_repetition"] = out["doc_repetition"]
+    # stateless verdict on the stream == the batch gate composition
+    out["stream_curation_gates"] = f"""
+WITH lang AS ({out["lang_id"]}),
+qual AS ({out["quality_score"]}),
+rep AS ({out["doc_repetition"]})
+SELECT d.doc_id, l.pred_lang, q.quality, r.repetitive,
+       CAST(CASE WHEN l.pred_lang = 'unk' THEN 0
+                 WHEN q.quality < CAST(0.6 AS DOUBLE) THEN 0
+                 WHEN r.repetitive = 1 THEN 0 ELSE 1 END AS INTEGER)
+         AS kept_narrow,
+       CASE WHEN l.pred_lang = 'unk' THEN 'lang'
+            WHEN q.quality < CAST(0.6 AS DOUBLE) THEN 'quality'
+            WHEN r.repetitive = 1 THEN 'repetitive'
+            ELSE NULL END AS reject_reason
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN qual q ON q.doc_id = d.doc_id
+JOIN rep r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
     # the JSON sink→source roundtrip must reproduce the parquet agg
     out["events_json_roundtrip"] = out["events_tumbling"]
     # native session_window == the lag/cumsum sessionizer (no exact

@@ -433,3 +433,32 @@ def test_contract_oracle_completeness():
     assert oracles <= qs, oracles - qs          # no orphan oracles
     assert qs - oracles == {"approx_distinct_users", "mllib_nb_confusion",
                             "mllib_svm_confusion"}
+
+
+def test_narrow_verdict_join_free_and_agrees_with_pipeline(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        curation_pipeline,
+        narrow_verdict,
+    )
+    A = ("the cat and the dog played in that big sunny garden"
+         " for hours today.")
+    docs = spark.createDataFrame([
+        (1, A), (2, A),
+        (3, "zzz qqq www rrr ttt yyy uuu iii ooo ppp"),
+        (4, "the is of."),
+        (5, "the is " * 20),
+    ], "doc_id long, text string")
+    nv = {r["doc_id"]: (r["kept_narrow"], r["reject_reason"])
+          for r in narrow_verdict(docs).collect()}
+    full = {r["doc_id"]: r["reject_reason"]
+            for r in curation_pipeline(docs).collect()}
+    for d, reason in full.items():
+        if reason in ("lang", "quality", "repetitive"):
+            assert nv[d] == (0, reason)          # same gate, same verdict
+        else:                                    # kept or duplicate-only
+            assert nv[d] == (1, None)
+    # the chained-select composition is one map pass: no join, no
+    # keyed exchange anywhere in the plan
+    plan = narrow_verdict(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan and "hashpartitioning" not in plan

@@ -108,3 +108,30 @@ def corpus_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
               .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
               .otherwise(F.lit("unchanged")))
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def narrow_verdict(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_quality: float = 0.6) -> DataFrame:
+    """The curation verdict restricted to the STATELESS gates (lang,
+    quality, repetition) → ``(doc_id, pred_lang, quality, repetitive,
+    kept_narrow, reject_reason)``.
+
+    Built as chained narrow selects — each gate forwards what the next
+    needs via its ``extra`` columns — so there is NO join: the whole
+    verdict is one map pass, legal on a streaming DataFrame with no
+    watermark or state. This is the per-file screen of the continuous-
+    ingest deployment (`curation_pipeline` adds the near-dup gate in
+    the batch pass)."""
+    g1 = TA.lang_id(docs, text_col, id_col, extra=(text_col,))
+    g2 = TA.quality_score(g1, text_col, id_col, extra=(text_col, "pred_lang"))
+    g3 = TA.repetition_stats(g2, text_col, id_col,
+                             extra=("pred_lang", "quality"))
+    reason = (F.when(F.col("pred_lang") == "unk", F.lit("lang"))
+              .when(F.col("quality") < F.lit(min_quality), F.lit("quality"))
+              .when(F.col("repetitive") == 1, F.lit("repetitive")))
+    return g3.select(
+        F.col(id_col), "pred_lang", "quality", "repetitive",
+        F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("kept_narrow"),
+        reason.alias("reject_reason"))

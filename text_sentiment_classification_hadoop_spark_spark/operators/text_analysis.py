@@ -33,7 +33,8 @@ def _hit_ratio(tokens: Column, vocab: list[str]) -> Column:
 
 
 def lang_id(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", min_ratio: float = 0.05) -> DataFrame:
+            id_col: str = "doc_id", min_ratio: float = 0.05,
+            extra: tuple[str, ...] = ()) -> DataFrame:
     """Stopword-profile language ID → ``(doc_id, pred_lang, best_ratio)``.
 
     Scores each profile by stopword hit-ratio; argmax with deterministic
@@ -53,11 +54,13 @@ def lang_id(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.when(best["ratio"] >= min_ratio, best["lang"]).otherwise(F.lit("unk")).alias("pred_lang"),
         best["ratio"].alias("best_ratio"),
+        *[F.col(c) for c in extra],
     )
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  extra: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic quality features + composite score →
     ``(doc_id, n_chars, n_tokens, mean_token_len, alpha_ratio,
     stopword_ratio, quality)``.
@@ -87,6 +90,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
         pround(alpha_ratio, 6).alias("alpha_ratio"),
         pround(stop_ratio, 6).alias("stopword_ratio"),
         pround((sig_len + sig_stop + sig_tok) / 3.0, 6).alias("quality"),
+        *[F.col(c) for c in extra],
     )
 
 
@@ -187,7 +191,8 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, int],
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      top_bigram_max: float = 0.18,
-                     distinct_min: float = 0.30) -> DataFrame:
+                     distinct_min: float = 0.30,
+                     extra: tuple[str, ...] = ()) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, §A1.1) →
     ``(doc_id, n_tokens, distinct_frac, top_unigram_frac,
     top_bigram_frac, dup_bigram_frac, repetitive)``.
@@ -231,6 +236,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         pround(top_bi, 6).alias("top_bigram_frac"),
         pround(dup_bi, 6).alias("dup_bigram_frac"),
         repetitive.alias("repetitive"),
+        *[F.col(c) for c in extra],
     )
 
 
