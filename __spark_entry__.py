@@ -658,6 +658,10 @@ def _top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.top_tokens(load_table(spark, "documents", sf_dir)).orderBy("rank")
 
 
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.zipf_fit(load_table(spark, "documents", sf_dir))
+
+
 def _c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning over documents seeded with deterministic multi-line
     structure (the corpus has no newlines/punctuation — the seed makes
@@ -1276,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "token_freq_histogram": _token_freq_histogram,
         "top_tokens": _top_tokens,
+        "zipf_fit": _zipf_fit,
         "mm_frame_dedup": _mm_frame_dedup,
         "lang_centroids": _lang_centroids,
         # events (north star)
@@ -2086,6 +2091,45 @@ SELECT CAST(floor(log2(cnt)) AS INTEGER) AS log2_bucket,
        CAST(count(*) AS BIGINT) AS n_types,
        CAST(sum(cnt) AS BIGINT) AS n_tokens
 FROM counts GROUP BY 1 ORDER BY log2_bucket
+"""
+    # Zipf fit: regression moments as exact integer sums of micro-nat
+    # logs; slope/intercept from those scalars with identical double
+    # op order — no double accumulation anywhere
+    out["zipf_fit"] = """
+WITH toks AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+),
+counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank
+  FROM counts
+),
+xy AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM ranked
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_types,
+  floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS slope,
+  floor(((CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE)) / n / 1000000.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS intercept
+FROM m
 """
     out["top_tokens"] = """
 WITH toks AS (

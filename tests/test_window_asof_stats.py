@@ -462,3 +462,21 @@ def test_narrow_verdict_join_free_and_agrees_with_pipeline(spark):
     plan = narrow_verdict(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Join" not in plan and "hashpartitioning" not in plan
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    # corpus with counts following an exact power law cnt = 1000*rank^-1:
+    # tokens t1..t20 appearing 1000/rank times -> slope == -1 exactly
+    import math
+    rows = []
+    doc = 0
+    for rank in range(1, 21):
+        for _ in range(round(1000 / rank)):
+            rows.append((doc, f"t{rank:02d}"))
+            doc += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = TA.zipf_fit(docs).collect()[0]
+    assert r["n_types"] == 20
+    # rounding of 1000/rank to integers perturbs the fit slightly
+    assert abs(r["slope"] - (-1.0)) < 0.02, r["slope"]
+    assert abs(math.exp(r["intercept"]) - 1000) / 1000 < 0.05

@@ -466,3 +466,47 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
         (cum_before / budget).cast("long").alias("seq_id"),
         (cum_before % budget).cast("long").alias("offset_in_seq"),
         "n_tok")
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf-law fit over the token frequency distribution → one row
+    ``(n_types, slope, intercept)``: the least-squares line through
+    ``(ln rank, ln count)`` (a healthy natural-language corpus slopes
+    ≈ −1; word-soup or boilerplate-heavy corpora flatten it).
+
+    Determinism: ``ln rank`` / ``ln count`` are quantized to INTEGER
+    micro-nats per type, the regression moments (Σx, Σy, Σxy, Σx²) are
+    exact integer sums, and slope/intercept are computed from those
+    scalars with identical double-op order in both engines — no
+    double-accumulation anywhere. The rank is a global row_number over
+    the VOCAB (Heaps-law sublinear, not the corpus), with a
+    deterministic (count desc, token) order; Σxy stays < 2^63 for
+    vocabularies into the billions (|x·y| ≤ (ln 2^40 · 1e6)² ≈ 7.7e14
+    per term)."""
+    from pyspark.sql import Window
+    toks = (df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("w"))
+            .filter(F.length("w") > 0))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    win = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(win))
+    xy = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("y"))
+    m = xy.agg(F.count(F.lit(1)).alias("n"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / F.lit(1000000.0)
+    return m.select(
+        F.col("n").cast("long").alias("n_types"),
+        pround(slope, 6).alias("slope"),
+        pround(intercept, 6).alias("intercept"))
