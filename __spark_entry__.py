@@ -662,6 +662,10 @@ def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.zipf_fit(load_table(spark, "documents", sf_dir))
 
 
+def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.bigram_lm(load_table(spark, "documents", sf_dir)).orderBy("rank")
+
+
 def _c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning over documents seeded with deterministic multi-line
     structure (the corpus has no newlines/punctuation — the seed makes
@@ -1281,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_histogram": _token_freq_histogram,
         "top_tokens": _top_tokens,
         "zipf_fit": _zipf_fit,
+        "bigram_lm": _bigram_lm,
         "mm_frame_dedup": _mm_frame_dedup,
         "lang_centroids": _lang_centroids,
         # events (north star)
@@ -2130,6 +2135,32 @@ SELECT CAST(n AS BIGINT) AS n_types,
             * CAST(sx AS DOUBLE)) / n / 1000000.0)
         * 1000000.0 + 0.5) / 1000000.0 AS intercept
 FROM m
+"""
+    out["bigram_lm"] = """
+WITH t AS (
+  SELECT string_split(lower(text), ' ') AS toks FROM documents
+),
+bi AS (
+  SELECT w1, w2 FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t))
+  WHERE length(w1) > 0 AND length(w2) > 0
+),
+cnt AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY w1, w2),
+marg AS (SELECT w1, sum(cnt) AS w1_total FROM cnt GROUP BY w1),
+scored AS (
+  SELECT c.w1, c.w2, c.cnt,
+         floor(ln(CAST(c.cnt AS DOUBLE) / m.w1_total)
+               * 1000000.0 + 0.5) / 1000000.0 AS cond_logp
+  FROM cnt c JOIN marg m ON m.w1 = c.w1
+),
+rk AS (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC)
+              AS INTEGER) AS rank,
+         w1, w2, CAST(cnt AS BIGINT) AS cnt, cond_logp
+  FROM scored
+)
+SELECT * FROM rk WHERE rank <= 100 ORDER BY rank
 """
     out["top_tokens"] = """
 WITH toks AS (

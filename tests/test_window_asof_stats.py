@@ -480,3 +480,19 @@ def test_zipf_fit_recovers_planted_slope(spark):
     # rounding of 1000/rank to integers perturbs the fit slightly
     assert abs(r["slope"] - (-1.0)) < 0.02, r["slope"]
     assert abs(math.exp(r["intercept"]) - 1000) / 1000 < 0.05
+
+
+def test_bigram_lm_exact_conditionals(spark):
+    import math
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string")
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> cnt(a·)=3, cnt(b·)=1
+    rows = {(r["w1"], r["w2"]): r for r in
+            TA.bigram_lm(docs, top_k=10).collect()}
+    assert rows[("a", "b")]["cnt"] == 2
+    assert rows[("a", "b")]["cond_logp"] == \
+        math.floor(math.log(2 / 3) * 1e6 + 0.5) / 1e6
+    assert rows[("b", "a")]["cond_logp"] == 0.0          # ln(1/1)
+    assert rows[("a", "c")]["cond_logp"] == \
+        math.floor(math.log(1 / 3) * 1e6 + 0.5) / 1e6
+    assert rows[("a", "b")]["rank"] == 1                 # highest count

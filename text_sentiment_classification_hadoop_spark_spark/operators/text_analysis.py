@@ -510,3 +510,40 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("n").cast("long").alias("n_types"),
         pround(slope, 6).alias("slope"),
         pround(intercept, 6).alias("intercept"))
+
+
+def bigram_lm(df: DataFrame, text_col: str = "text",
+              top_k: int = 100) -> DataFrame:
+    """Top-``top_k`` corpus bigrams with conditional log-probability →
+    ``(w1, w2, cnt, cond_logp)`` where ``cond_logp = ln(cnt(w1 w2) /
+    cnt(w1·))`` (MLE, no smoothing — the building block of the n-gram
+    scorers CCNet-style pipelines use above unigrams).
+
+    Bigrams come from a per-row ``zip_with`` of the token array with
+    its shift (narrow), then one hash aggregate; the unigram
+    continuation counts ``cnt(w1·)`` reuse the bigram table (sum per
+    w1 — a second tiny agg, not a corpus pass). ``ln`` of an exact
+    count ratio with identical operands both engines + 6 dp rounding.
+    Top-k via sort+limit, deterministic tie-break on the pair."""
+    from pyspark.sql import Window
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1), F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bi = (df.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .filter((F.length("w1") > 0) & (F.length("w2") > 0)))
+    cnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    marg = cnt.groupBy("w1").agg(F.sum("cnt").alias("w1_total"))
+    scored = (cnt.join(marg, "w1")
+              .select("w1", "w2", "cnt",
+                      pround(F.log(F.col("cnt").cast("double")
+                                   / F.col("w1_total")), 6)
+                      .alias("cond_logp")))
+    top = scored.orderBy(F.col("cnt").desc(), F.col("w1").asc(),
+                         F.col("w2").asc()).limit(top_k)
+    win = Window.orderBy(F.col("cnt").desc(), F.col("w1").asc(),
+                         F.col("w2").asc())
+    return (top.withColumn("rank", F.row_number().over(win).cast("int"))
+            .select("rank", "w1", "w2", "cnt", "cond_logp"))
