@@ -666,6 +666,10 @@ def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.bigram_lm(load_table(spark, "documents", sf_dir)).orderBy("rank")
 
 
+def _heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.heaps_fit(load_table(spark, "documents", sf_dir))
+
+
 def _c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning over documents seeded with deterministic multi-line
     structure (the corpus has no newlines/punctuation — the seed makes
@@ -1286,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _top_tokens,
         "zipf_fit": _zipf_fit,
         "bigram_lm": _bigram_lm,
+        "heaps_fit": _heaps_fit,
         "mm_frame_dedup": _mm_frame_dedup,
         "lang_centroids": _lang_centroids,
         # events (north star)
@@ -2134,6 +2139,53 @@ SELECT CAST(n AS BIGINT) AS n_types,
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
             * CAST(sx AS DOUBLE)) / n / 1000000.0)
         * 1000000.0 + 0.5) / 1000000.0 AS intercept
+FROM m
+"""
+    # Heaps fit: V(n) via each token's first doc (one corpus pass);
+    # checkpoints = powers of two ≤ n_docs plus n_docs itself
+    out["heaps_fit"] = """
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents)
+  WHERE length(w) > 0
+),
+firsts AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY w),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+cps AS (
+  SELECT DISTINCT cp FROM (
+    SELECT CAST(power(2, g) AS BIGINT) AS cp
+    FROM (SELECT unnest(range(3, 40)) AS g), nd
+    WHERE CAST(power(2, g) AS BIGINT) <= n_docs
+    UNION ALL
+    SELECT n_docs FROM nd)
+),
+vocab AS (
+  SELECT cp, count(*) AS v FROM cps, firsts WHERE fd < cp GROUP BY cp
+),
+xy AS (
+  SELECT CAST(floor(ln(CAST(cp AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM vocab
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+  floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS beta,
+  floor(exp((CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE)) / n / 1000000.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS k
 FROM m
 """
     out["bigram_lm"] = """

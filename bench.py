@@ -49,7 +49,7 @@ def main() -> None:
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",
         "kmeans_cells", "random_projection", "rp_ann_topk", "pq_codes", "pq_adc_topk",
         # corpus stats / training prep
-        "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "pack_sequences",
+        "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
         # search
         "bm25_search", "inverted_index", "cms_token_counts",
         # text analysis

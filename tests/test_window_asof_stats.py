@@ -496,3 +496,17 @@ def test_bigram_lm_exact_conditionals(spark):
     assert rows[("a", "c")]["cond_logp"] == \
         math.floor(math.log(1 / 3) * 1e6 + 0.5) / 1e6
     assert rows[("a", "b")]["rank"] == 1                 # highest count
+
+
+def test_heaps_fit_closed_vs_open_vocab(spark):
+    # closed vocabulary: V(n) flat after the first docs -> beta ~ 0;
+    # one-new-word-per-doc: V(n) = n -> beta == 1 exactly on the log grid
+    closed = spark.createDataFrame(
+        [(i, "a b c") for i in range(64)], "doc_id long, text string")
+    rc = TA.heaps_fit(closed).collect()[0]
+    assert rc["beta"] < 0.05 and rc["n_points"] >= 4
+    openv = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(64)], "doc_id long, text string")
+    ro = TA.heaps_fit(openv).collect()[0]
+    assert abs(ro["beta"] - 1.0) < 1e-6       # V(n)=n: exact power law
+    assert abs(ro["k"] - 1.0) < 1e-6

@@ -547,3 +547,56 @@ def bigram_lm(df: DataFrame, text_col: str = "text",
                          F.col("w2").asc())
     return (top.withColumn("rank", F.row_number().over(win).cast("int"))
             .select("rank", "w1", "w2", "cnt", "cond_logp"))
+
+
+def heaps_fit(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law fit of vocabulary growth → one row
+    ``(n_points, beta, k)`` for ``V(n) ≈ k · n^beta`` over doc-count
+    prefixes (β ≈ 0.4-0.6 for natural language; β → 1 signals
+    near-random token soup, β → 0 a closed vocabulary).
+
+    The growth curve costs ONE corpus pass, not one per checkpoint:
+    each token's FIRST document (min doc_id) is a single aggregate,
+    and ``V(n) = |{tokens: first_doc < n}|`` falls out of a broadcast
+    join against the ≤ ~40 power-of-two checkpoints. The log-log fit
+    reuses the Zipf contract: integer micro-nat logs, exact integer
+    moments, scalar double arithmetic in identical order."""
+    from ..functions.rounding import pround as _pr
+    spark = df.sparkSession
+    n_docs = df.count()
+    cps, g = [], 3
+    while 2 ** g <= n_docs:
+        cps.append(2 ** g)
+        g += 1
+    if n_docs not in cps:
+        cps.append(n_docs)
+    cps_df = spark.createDataFrame([(c,) for c in sorted(cps)], "cp long")
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("w"))
+            .filter(F.length("w") > 0))
+    firsts = toks.groupBy("w").agg(F.min(id_col).alias("fd"))
+    vocab = (firsts.crossJoin(F.broadcast(cps_df))
+             .filter(F.col("fd") < F.col("cp"))
+             .groupBy("cp").agg(F.count(F.lit(1)).alias("v")))
+    xy = vocab.select(
+        F.floor(F.log(F.col("cp").cast("double")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.log(F.col("v").cast("double")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("y"))
+    m = xy.agg(F.count(F.lit(1)).alias("n"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / F.lit(1000000.0)
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        _pr(slope, 6).alias("beta"),
+        _pr(F.exp(intercept), 6).alias("k"))
