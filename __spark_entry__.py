@@ -670,6 +670,43 @@ def _heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.heaps_fit(load_table(spark, "documents", sf_dir))
 
 
+def _ann_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metric for the ANN family: |exact top-10 ∩ LSH top-10|/10
+    for the vec-0 probe — one scalar row, both sides reuse the verified
+    top-k operators."""
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    exact = SIM.cosine_topk(emb, q, k=10).select("vec_id")
+    ann = SIM.ann_lsh_topk(emb, q, k=10).select("vec_id")
+    return exact.join(ann, "vec_id").agg(
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"))
+
+
+def _bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact semi-join behind a broadcast Bloom bitmap pre-filter
+    (operators/skew.py:bloom_semi_join): lineitems of urgent high-value
+    orders, aggregated per returnflag. The bitmap filter is a narrow
+    codegen stage; the final semi-join removes false positives, so the
+    result is hash-identical to the plain ``IN`` subquery oracle."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import dsum
+    from text_sentiment_classification_hadoop_spark_spark.operators.skew import bloom_semi_join
+    li = load_table(spark, "lineitem", sf_dir)
+    hot = (load_table(spark, "orders", sf_dir)
+           .filter((F.col("o_orderpriority") == "1-URGENT")
+                   & (F.col("o_totalprice") > 150000.0))
+           .select(F.col("o_orderkey").alias("l_orderkey")))
+    return (
+        bloom_semi_join(li, hot, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum(F.col("l_extendedprice")).alias("revenue"))
+        .orderBy("l_returnflag")
+    )
+
+
 def _c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning over documents seeded with deterministic multi-line
     structure (the corpus has no newlines/punctuation — the seed makes
@@ -1291,6 +1328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _zipf_fit,
         "bigram_lm": _bigram_lm,
         "heaps_fit": _heaps_fit,
+        "ann_recall_at10": _ann_recall_at10,
+        "next_click_attribution": E.next_click_attribution,
         "mm_frame_dedup": _mm_frame_dedup,
         "lang_centroids": _lang_centroids,
         # events (north star)
@@ -1308,6 +1347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_stats": E.user_running_stats,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
+        "funnel_conversion": E.funnel_conversion,
+        "cohort_retention": E.cohort_retention,
+        "bloom_prefilter_join": _bloom_prefilter_join,
         # structured streaming (north star) — incremental plan, batch oracle
         "events_tumbling_stream": _events_tumbling_stream,
         "events_sliding_stream": _events_sliding_stream,
@@ -2141,6 +2183,25 @@ SELECT CAST(n AS BIGINT) AS n_types,
         * 1000000.0 + 0.5) / 1000000.0 AS intercept
 FROM m
 """
+    out["ann_recall_at10"] = f"""
+WITH a AS ({out["cosine_topk"]}),
+b AS ({out["ann_lsh_topk"]})
+SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+FROM a JOIN b ON b.vec_id = a.vec_id
+"""
+    # forward as-of: first click at-or-after each purchase (the Spark
+    # side is the linear union+window form; this join is oracle-only)
+    out["next_click_attribution"] = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       CAST(min(c.ts) AS TIMESTAMP) AS next_click_ts,
+       epoch_us(min(c.ts)) - epoch_us(p.ts) AS gap_us
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY purchase_id
+"""
     # Heaps fit: V(n) via each token's first doc (one corpus pass);
     # checkpoints = powers of two ≤ n_docs plus n_docs itself
     out["heaps_fit"] = """
@@ -2432,6 +2493,57 @@ SELECT p.event_id AS purchase_id, p.user_id,
 FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
 GROUP BY p.event_id, p.user_id, p.ts
 ORDER BY purchase_id
+"""
+    # strict sequential funnel: each stage's reach time = earliest
+    # stage event at-or-after the previous stage's reach time
+    out["funnel_conversion"] = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s3 ON s3.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY e.user_id),
+c AS (SELECT (SELECT count(*) FROM s1) AS c1, (SELECT count(*) FROM s2) AS c2,
+             (SELECT count(*) FROM s3) AS c3, (SELECT count(*) FROM s4) AS c4)
+SELECT * FROM (
+  SELECT CAST(1 AS INTEGER) AS stage_order, 'signup' AS stage,
+         CAST(c1 AS BIGINT) AS users,
+         CAST(c1 AS DOUBLE) / nullif(CAST(c1 AS DOUBLE), 0.0) AS pct_of_prev
+  FROM c
+  UNION ALL SELECT 2, 'view', c2,
+         CAST(c2 AS DOUBLE) / nullif(CAST(c1 AS DOUBLE), 0.0) FROM c
+  UNION ALL SELECT 3, 'click', c3,
+         CAST(c3 AS DOUBLE) / nullif(CAST(c2 AS DOUBLE), 0.0) FROM c
+  UNION ALL SELECT 4, 'purchase', c4,
+         CAST(c4 AS DOUBLE) / nullif(CAST(c3 AS DOUBLE), 0.0) FROM c
+) ORDER BY stage_order
+"""
+    out["cohort_retention"] = """
+WITH u AS (SELECT user_id, ts,
+                  min(ts) OVER (PARTITION BY user_id) AS ft FROM events)
+SELECT make_timestamp(CAST(floor(epoch(ft) / 604800) * 604800 AS BIGINT)
+                      * 1000000) AS cohort_start,
+       CAST(floor(epoch(ts) / 604800)
+            - floor(epoch(ft) / 604800) AS INTEGER) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # the Bloom bitmap is a pre-filter only — false positives are
+    # removed by the exact semi-join, so the plain IN-subquery is the
+    # exact oracle
+    out["bloom_prefilter_join"] = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT'
+                       AND o_totalprice > 150000.0)
+GROUP BY l_returnflag ORDER BY l_returnflag
 """
     bands_values = ", ".join(f"('{b}', {lo}, {hi})"
                              for b, lo, hi in R.QUANTITY_BANDS)

@@ -46,7 +46,7 @@ def main() -> None:
         "hash_sample_docs", "embedding_near_dups", "dedup_canonical",
         "curation_pipeline", "corpus_report", "corpus_diff",
         # similarity
-        "cosine_topk", "knn_batch", "ann_lsh_topk", "ivf_topk",
+        "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_recall_at10", "ivf_topk",
         "kmeans_cells", "random_projection", "rp_ann_topk", "pq_codes", "pq_adc_topk",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
@@ -63,7 +63,8 @@ def main() -> None:
         "events_tumbling", "events_sliding", "events_sessionize", "events_json_roundtrip",
         "events_session_window_native", "rolling_revenue",
         "events_pivot", "events_json_props", "user_running_stats",
-        "purchase_attribution", "interval_pair_counts",
+        "purchase_attribution", "next_click_attribution", "interval_pair_counts",
+        "funnel_conversion", "cohort_retention", "bloom_prefilter_join",
         "approx_distinct_users",
         # structured streaming
         "events_tumbling_stream", "events_sliding_stream",

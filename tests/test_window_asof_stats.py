@@ -510,3 +510,70 @@ def test_heaps_fit_closed_vs_open_vocab(spark):
     ro = TA.heaps_fit(openv).collect()[0]
     assert abs(ro["beta"] - 1.0) < 1e-6       # V(n)=n: exact power law
     assert abs(ro["k"] - 1.0) < 1e-6
+
+
+def test_next_click_attribution_forward_semantics(spark, sf_dir):
+    e = load_table(spark, "events", sf_dir)
+    out = E.next_click_attribution(spark, sf_dir).collect()
+    assert len(out) == e.filter(F.col("event_type") == "purchase").count()
+    for r in out:
+        if r["next_click_ts"] is not None:
+            assert r["next_click_ts"] >= r["purchase_ts"]
+            assert r["gap_us"] >= 0
+        else:
+            assert r["gap_us"] is None
+    # cross-check one attributed purchase against brute force
+    attributed = next(r for r in out if r["next_click_ts"] is not None)
+    nxt = (e.filter((F.col("event_type") == "click")
+                    & (F.col("user_id") == attributed["user_id"])
+                    & (F.col("ts") >= attributed["purchase_ts"]))
+           .agg(F.min("ts").alias("m")).collect()[0]["m"])
+    assert nxt == attributed["next_click_ts"]
+
+
+def test_funnel_conversion_monotone_and_bruteforce(spark, sf_dir):
+    rows = E.funnel_conversion(spark, sf_dir).collect()
+    assert [r["stage"] for r in rows] == ["signup", "view", "click", "purchase"]
+    users = [r["users"] for r in rows]
+    assert users == sorted(users, reverse=True)  # funnel can only narrow
+    assert rows[0]["pct_of_prev"] == 1.0
+    # brute-force one stage: users with a view at-or-after first signup
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_type").collect()
+    first_signup = {}
+    for r in e:
+        if r["event_type"] == "signup":
+            t = first_signup.get(r["user_id"])
+            first_signup[r["user_id"]] = r["ts"] if t is None else min(t, r["ts"])
+    stage2 = {r["user_id"] for r in e
+              if r["event_type"] == "view"
+              and r["user_id"] in first_signup
+              and r["ts"] >= first_signup[r["user_id"]]}
+    assert rows[1]["users"] == len(stage2)
+
+
+def test_cohort_retention_covers_all_users(spark, sf_dir):
+    out = E.cohort_retention(spark, sf_dir).collect()
+    # offset 0 rows cover every user (each user is active in their own
+    # first week by definition)
+    n_users = (load_table(spark, "events", sf_dir)
+               .select("user_id").distinct().count())
+    assert sum(r["active_users"] for r in out if r["week_offset"] == 0) == n_users
+    assert all(r["week_offset"] >= 0 for r in out)
+
+
+def test_bloom_semi_join_exact_and_narrow(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators.skew import bloom_semi_join
+    li = load_table(spark, "lineitem", sf_dir)
+    hot = (load_table(spark, "orders", sf_dir)
+           .filter(F.col("o_totalprice") > 150000.0)
+           .select(F.col("o_orderkey").alias("l_orderkey")))
+    got = bloom_semi_join(li, hot, "l_orderkey")
+    want = li.join(hot.distinct(), "l_orderkey", "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # the bitmap never rejects a true member (no false negatives):
+    # prefilter alone must be a superset of the exact semi-join
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # probe-side bloom test is a Filter, not a join: the string "xxhash64"
+    # must appear in a Filter node of the final plan
+    assert "xxhash64" in plan

@@ -283,3 +283,107 @@ def session_window_native(spark: SparkSession, sf_dir: str,
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+def next_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror of :func:`purchase_attribution`:
+    for every purchase, the first ``click`` by the same user at-or-after
+    it → ``(purchase_id, user_id, purchase_ts, next_click_ts, gap_us)``
+    (the post-purchase-engagement query).
+
+    Same linear shape: union both sides, one user_id shuffle, one
+    per-user time sort, ``first(click_ts, ignorenulls)`` over the
+    FORWARD frame. Ties (click at the purchase's exact ts) order the
+    purchase first so the frame includes the click — inclusive
+    ``c.ts >= p.ts``, matching the oracle."""
+    e = load_table(spark, "events", sf_dir)
+    sides = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "click").cast("int").alias("_is_c"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("_click_ts"),
+    )
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "_is_c", "event_id")
+         .rowsBetween(0, Window.unboundedFollowing))
+    carried = sides.withColumn(
+        "next_click_ts", F.first("_click_ts", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("_is_c") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("purchase_ts"), "next_click_ts",
+            (F.unix_micros("next_click_ts") - F.unix_micros("ts"))
+            .alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential conversion funnel signup → view → click →
+    purchase: a user reaches stage k when their earliest stage-k event
+    at-or-after their stage-(k-1) reach time exists →
+    ``(stage_order, stage, users, pct_of_prev)``.
+
+    Shape: four chained per-user window mins (conditional on the
+    previous stage's timestamp) — all share one ``user_id`` partitioning
+    so the plan has a SINGLE exchange followed by Window ops, then a
+    4-row scalar aggregation. No self-joins, no per-stage passes over
+    the table. ``pct_of_prev`` is an exact int/int → double division
+    (bit-identical across engines)."""
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    stages = ["signup", "view", "click", "purchase"]
+    prev = None
+    for i, s in enumerate(stages, start=1):
+        cond = F.col("event_type") == s
+        if prev is not None:
+            cond = cond & (F.col("ts") >= F.col(prev))
+        e = e.withColumn(f"_s{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"_s{i}"
+    per_user = e.groupBy("user_id").agg(
+        *[F.first(f"_s{i}").alias(f"_s{i}") for i in range(1, 5)])
+    counts = per_user.agg(
+        *[F.count(f"_s{i}").alias(f"c{i}") for i in range(1, 5)])
+    rows = [
+        F.struct(F.lit(i).alias("stage_order"), F.lit(s).alias("stage"),
+                 F.col(f"c{i}").alias("users"),
+                 (F.col(f"c{i}").cast("double")
+                  / F.col(f"c{i-1}" if i > 1 else f"c{i}").cast("double"))
+                 .alias("pct_of_prev"))
+        for i, s in enumerate(stages, start=1)
+    ]
+    return (
+        counts.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.stage_order", "r.stage", "r.users", "r.pct_of_prev")
+        .orderBy("stage_order")
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = epoch-week of the user's first
+    event; a user is retained at offset k if they have any event in
+    cohort_week + k → ``(cohort_start, week_offset, active_users)``.
+
+    Shape: per-user first-ts is a window min over ``user_id`` (one
+    exchange), week bucketing is epoch arithmetic (codegen), and the
+    retained-user count is an exact distinct over
+    ``(cohort, offset, user)`` — two more key-sized shuffles. At 100 TB
+    swap the exact distinct for the mergeable HLL sketch
+    (:func:`approx_distinct_users`) — same plan shape, no distinct
+    shuffle."""
+    week = 7 * 24 * 3600
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    bucketed = e.select(
+        "user_id",
+        F.floor(first_ts.cast("double") / week).alias("_cw"),
+        F.floor(F.col("ts").cast("double") / week).alias("_ew"),
+    )
+    return (
+        bucketed.groupBy(
+            F.to_timestamp(F.col("_cw") * week).alias("cohort_start"),
+            (F.col("_ew") - F.col("_cw")).cast("int").alias("week_offset"))
+        .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
+        .orderBy("cohort_start", "week_offset")
+    )

@@ -72,3 +72,51 @@ def salted_join(big: DataFrame, small: DataFrame, key_col: str,
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")))
     out = salted_big.join(salted_small, [key_col, "_salt"], how)
     return out.drop("_salt")
+
+
+def bloom_semi_join(big: DataFrame, small: DataFrame, key_col: str,
+                    n_bits: int = 1 << 16, k: int = 4) -> DataFrame:
+    """Exact semi-join with a Bloom-filter pre-filter on the big side —
+    the hand-rolled form of Spark's runtime-injected bloom filter
+    (InjectRuntimeFilter), for when the small side is too large to
+    broadcast as a hash relation but its *bitmap* (8 KiB here) is not.
+
+    Phase 1 builds the bitmap distributively: k seeded ``xxhash64``
+    positions per small-side key, packed into ``n_bits / 64`` longs via
+    ``bit_or`` partial aggregation — the shuffle carries at most
+    ``n_bits/64`` rows regardless of small-side size. The one-row
+    collect is the J4 scalar-broadcast pattern (SURVEY §2). Phase 2 is a
+    NARROW filter on the big side (array-literal word lookup + bit
+    test, whole-stage codegen, no exchange) that discards most
+    non-matching rows before the exact shuffle semi-join that removes
+    the Bloom's false positives. At 100 TB the win is shuffle volume:
+    only rows that pass the bitmap are exchanged."""
+    seeds = list(range(k))
+
+    def _pos(i: int) -> Column:
+        return (F.abs(F.xxhash64(F.col(key_col), F.lit(i)))
+                % F.lit(n_bits))
+
+    bits = small.select(
+        F.explode(F.array(*[_pos(i) for i in seeds])).alias("_bit"))
+    words = (
+        bits.select(
+            (F.col("_bit") / 64).cast("int").alias("_w"),
+            F.expr("shiftleft(1L, CAST(_bit % 64 AS INT))").alias("_m"))
+        .groupBy("_w").agg(F.bit_or("_m").alias("_word"))
+    )
+    packed = {r["_w"]: r["_word"] for r in words.collect()}
+    lit_words = F.array(*[F.lit(packed.get(i, 0)).cast("long")
+                          for i in range(n_bits // 64)])
+
+    probe = big.withColumn("_bf", lit_words)
+    cond = None
+    for i in seeds:
+        pos = f"abs(xxhash64(`{key_col}`, {i})) % {n_bits}"
+        hit = F.expr(
+            f"(shiftright(get(_bf, CAST(({pos}) / 64 AS INT)), "
+            f"CAST(({pos}) % 64 AS INT)) & 1) = 1")
+        cond = hit if cond is None else (cond & hit)
+    prefiltered = probe.filter(cond).drop("_bf")
+    return prefiltered.join(
+        small.select(key_col).distinct(), key_col, "left_semi")
