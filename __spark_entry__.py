@@ -401,6 +401,62 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
             + f"\nSELECT cell AS cell_id, CAST(d AS INTEGER) AS d, m AS centroid"
               f" FROM cent{iters} ORDER BY cell_id, d")
 
+def _pq_kmeans_sql(n_segments: int = 4, n_codes: int = 8, iters: int = 2,
+                   seg_len: int = 16) -> str:
+    """Unrolled-SQL mirror of ``similarity.pq_encode_trained``:
+    per-segment squared-L2 Lloyd iterations (6-dp rounding, ties →
+    lowest code, empty cell keeps its codeword) followed by the final
+    encode assignment."""
+    def r6(e: str) -> str:
+        return f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+
+    dist = "sum((corp.x - c.m) * (corp.x - c.m))"
+    parts = [
+        f"""corp AS (SELECT vec_id, d // {seg_len} AS s, d % {seg_len} AS i, x
+  FROM au)""",
+        f"""cent0 AS (SELECT d // {seg_len} AS s, vec_id AS cell,
+  d % {seg_len} AS i, x AS m FROM au WHERE vec_id < {n_codes})""",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        parts += [
+            f"""dist{it} AS (
+  SELECT corp.vec_id, corp.s, c.cell, {r6(dist)} AS dist
+  FROM corp JOIN {prev} c ON c.s = corp.s AND c.i = corp.i
+  GROUP BY corp.vec_id, corp.s, c.cell)""",
+            f"""asg{it} AS (
+  SELECT vec_id, s, cell FROM (
+    SELECT vec_id, s, cell,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, cell ASC) AS rn
+    FROM dist{it}) WHERE rn = 1)""",
+            f"""mn{it} AS (
+  SELECT a.s, a.cell, corp.i, {r6('avg(corp.x)')} AS m
+  FROM asg{it} a JOIN corp ON corp.vec_id = a.vec_id AND corp.s = a.s
+  GROUP BY a.s, a.cell, corp.i)""",
+            f"""cent{it} AS (
+  SELECT p.s, p.cell, p.i, coalesce(n.m, p.m) AS m
+  FROM {prev} p LEFT JOIN mn{it} n
+    ON n.s = p.s AND n.cell = p.cell AND n.i = p.i)""",
+        ]
+    parts += [
+        f"""distF AS (
+  SELECT corp.vec_id, corp.s, c.cell, {r6(dist)} AS dist
+  FROM corp JOIN cent{iters} c ON c.s = corp.s AND c.i = corp.i
+  GROUP BY corp.vec_id, corp.s, c.cell)""",
+        """bestF AS (
+  SELECT vec_id, s, cell FROM (
+    SELECT vec_id, s, cell,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, cell ASC) AS rn
+    FROM distF) WHERE rn = 1)""",
+    ]
+    return (f"WITH {AU_ORIG}, " + ",\n".join(parts)
+            + "\nSELECT vec_id, CAST(s AS INTEGER) AS segment,"
+              " CAST(cell AS BIGINT) AS code"
+              " FROM bestF ORDER BY vec_id, segment")
+
+
 # augmented corpus for embedding near-dup: originals, exact copies
 # (+1000000), and a dim-0-perturbed copy (+2000000, x0 + 2.0)
 AU_AUGMENTED = """
@@ -632,6 +688,11 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.pq_adc_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
+
+
+def _pq_trained_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pq_encode_trained(load_table(spark, "embeddings", sf_dir)) \
+        .orderBy("vec_id", "segment")
 
 
 def _rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1322,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_ann_topk": _rp_ann_topk,
         "pq_codes": _pq_codes,
         "pq_adc_topk": _pq_adc_topk,
+        "pq_trained_codes": _pq_trained_codes,
         "pack_sequences": _pack_sequences,
         "token_freq_histogram": _token_freq_histogram,
         "top_tokens": _top_tokens,
@@ -1940,6 +2002,7 @@ WINDOW wb AS (PARTITION BY o_orderstatus ORDER BY floor(o_totalprice / 50000)),
 ORDER BY o_orderkey
 """
     out["kmeans_cells"] = _kmeans_sql(k=8, iters=2)
+    out["pq_trained_codes"] = _pq_kmeans_sql()
     out["ivf_topk"] = f"""
 WITH {AU_ORIG},
 cent AS (SELECT vec_id AS cell_id, d, x AS cx FROM au WHERE vec_id < 8),

@@ -387,3 +387,30 @@ def test_pq_adc_query_is_own_best_match(spark, sf_dir):
     dists = [r["approx_dist"] for r in rows]
     assert dists == sorted(dists) and all(d >= 0 for d in dists)
     assert [r["rank"] for r in rows] == list(range(1, 11))
+
+
+def test_pq_training_reduces_quantization_error(spark, sf_dir):
+    """Lloyd iterations can only shrink (never grow) the summed
+    squared-L2 between sub-vectors and their assigned codewords."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def sq_err(books):
+        rows = emb.select("vec_id", "embedding").collect()
+        total = 0.0
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            for s in range(4):
+                sub = v[s * 16:(s + 1) * 16]
+                total += min(
+                    sum((a - b) ** 2 for a, b in zip(sub, cvec))
+                    for _, cvec in books[s])
+        return total
+
+    seed = SIM._pq_codebooks(emb, 4, 8, 16, "vec_id", "embedding")
+    trained = SIM.pq_train_books(emb, iters=2)
+    assert sq_err(trained) < sq_err(seed)
+    # encode shape: one code per (vec, segment), codes drawn from the book
+    codes = SIM.pq_encode_trained(emb)
+    n = emb.count()
+    assert codes.count() == n * 4
+    assert codes.select("code").distinct().count() <= 8

@@ -372,7 +372,7 @@ def group_centroids(emb: DataFrame, labels: DataFrame, label_col: str,
 
 def pq_encode(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
               dims: int = 64, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding", books=None) -> DataFrame:
     """Product quantization encode → long-form ``(vec_id, segment,
     code)``: split each vector into ``n_segments`` contiguous
     sub-vectors and snap each to its nearest codeword by squared L2
@@ -387,20 +387,10 @@ def pq_encode(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
     billion-scale ANN fit in memory (ADC scans the codes, not the
     floats)."""
     seg_len = dims // n_segments
-    books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
-    seg_codes = []
-    for s, book in enumerate(books):
-        sub = F.slice(F.col(vec_col), s * seg_len + 1, seg_len)
-        dists = F.array(*[
-            pround(F.aggregate(
-                F.zip_with(sub, F.array(*[F.lit(c) for c in cvec]),
-                           lambda x, c: (x.cast("double") - c)
-                           * (x.cast("double") - c)),
-                F.lit(0.0), lambda acc, v: acc + v), 6)
-            for _, cvec in book])
-        ids = F.array(*[F.lit(cid).cast("long") for cid, _ in book])
-        best = F.array_position(dists, F.array_min(dists)).cast("int") - 1
-        seg_codes.append(F.get(ids, best))
+    if books is None:
+        books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
+    seg_codes = [_pq_seg_cell(vec_col, book, s, seg_len)
+                 for s, book in enumerate(books)]
     return widen(emb).select(
         F.col(id_col),
         F.posexplode(F.array(*seg_codes)).alias("segment", "code"))
@@ -418,6 +408,82 @@ def _pq_codebooks(emb: DataFrame, n_segments: int, n_codes: int,
          for r in first]
         for s in range(n_segments)
     ]
+
+
+def _pq_seg_cell(vec_col: str, book, s: int, seg_len: int):
+    """Narrow literal-codebook argmax for one segment: squared-L2 to
+    each codeword (6-dp rounded), ties → lowest code id (first match of
+    ``array_position``, the book is id-ascending)."""
+    sub = F.slice(F.col(vec_col), s * seg_len + 1, seg_len)
+    dists = F.array(*[
+        pround(F.aggregate(
+            F.zip_with(sub, F.array(*[F.lit(c) for c in cvec]),
+                       lambda x, c: (x.cast("double") - c)
+                       * (x.cast("double") - c)),
+            F.lit(0.0), lambda acc, v: acc + v), 6)
+        for _, cvec in book])
+    ids = F.array(*[F.lit(cid).cast("long") for cid, _ in book])
+    best = F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    return F.get(ids, best)
+
+
+def pq_train_books(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
+                   iters: int = 2, dims: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Per-segment Lloyd's k-means over PQ sub-vectors (squared-L2) —
+    the trained codebooks :func:`pq_encode`'s docstring promises.
+
+    Scale shape: ALL segments train in one corpus pass per iteration —
+    assignment is ``n_segments`` narrow literal argmaxes (zero
+    exchanges), then one posexplode + hash aggregate on
+    ``(segment, cell, dim)`` whose shuffle carries
+    O(segments × codes × seg_len) partial sums per partition, never the
+    corpus. The tiny means round-trip through the driver into the next
+    iteration's literals (the J4 scalar pattern, same as the SVM epochs
+    and :func:`kmeans_fit`).
+
+    Determinism contract (mirrors the unrolled-SQL oracle): init = the
+    first ``n_codes`` vectors' segments; distances and means rounded
+    6 dp; assignment ties → lowest code; an empty cell keeps its
+    previous codeword."""
+    seg_len = dims // n_segments
+    books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
+    for _ in range(iters):
+        cells = F.array(*[
+            _pq_seg_cell(vec_col, books[s], s, seg_len)
+            for s in range(n_segments)])
+        lf = widen(emb).select(
+            cells.alias("_cells"),
+            F.posexplode(F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double"))).alias("d", "x"))
+        lf = lf.select(
+            (F.col("d") / seg_len).cast("int").alias("s"),
+            F.get(F.col("_cells"), (F.col("d") / seg_len).cast("int"))
+            .alias("cell"),
+            (F.col("d") % seg_len).alias("dl"), "x")
+        means = lf.groupBy("s", "cell", "dl").agg(
+            pround(F.avg("x"), 6).alias("m"))
+        got = {(r["s"], r["cell"], r["dl"]): r["m"]
+               for r in means.collect()}
+        books = [
+            [(cid, [got.get((s, cid, d), prev[d]) for d in range(seg_len)])
+             for cid, prev in books[s]]
+            for s in range(n_segments)
+        ]
+    return books
+
+
+def pq_encode_trained(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
+                      iters: int = 2, dims: int = 64, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """:func:`pq_encode` with codebooks from :func:`pq_train_books`
+    instead of the first-``n_codes`` stand-in — lower quantization
+    error, identical encode plan (narrow, zero exchanges)."""
+    books = pq_train_books(emb, n_segments, n_codes, iters, dims,
+                           id_col, vec_col)
+    return pq_encode(emb, n_segments, n_codes, dims, id_col, vec_col,
+                     books=books)
 
 
 def pq_adc_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
