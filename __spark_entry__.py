@@ -629,6 +629,11 @@ def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.pii_scrub(seeded).orderBy("doc_id")
 
 
+def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import mixture_sample
+    return mixture_sample(load_table(spark, "documents", sf_dir))
+
+
 def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import curation_pipeline
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
@@ -1372,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "dedup_canonical": _dedup_canonical,
         "curation_pipeline": _curation_pipeline,
+        "mixture_sample": _mixture_sample,
         "corpus_report": _corpus_report,
         "corpus_diff": _corpus_diff,
         "bm25_search": _bm25_search,
@@ -2840,6 +2846,20 @@ FROM j GROUP BY label, d ORDER BY label, d
     # individually-verified oracle texts as subqueries (lang / quality /
     # repetition) plus the plain-corpus MinHash pair graph resolved by
     # the recursive-CTE reachability walk — gate order = Spark's CASE.
+    out["mixture_sample"] = f"""
+WITH w(lang, w) AS (VALUES ('en', 1.5), ('de', 1.0), ('fr', 0.75), ('es', 0.5), ('zh', 0.25)),
+j AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(w.w) AS INTEGER)
+         + CASE WHEN ({PORTABLE_HASH.format(col="'mix:v1:' || CAST(d.doc_id AS VARCHAR)")} % 1000000)
+                     / 1000000.0 < w.w - floor(w.w)
+                THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN w USING (lang))
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(1, n)) AS INTEGER) AS epoch
+FROM j WHERE n >= 1
+ORDER BY doc_id, epoch
+"""
     out["curation_pipeline"] = f"""
 WITH RECURSIVE docs_all AS (SELECT doc_id, text FROM documents),
 {_minhash_long_cte()},

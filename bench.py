@@ -44,7 +44,7 @@ def main() -> None:
         "near_dup_pairs", "ngram_jaccard", "decontaminate_train", "simhash_near_dups",
         "stratified_sample_docs",
         "hash_sample_docs", "embedding_near_dups", "dedup_canonical",
-        "curation_pipeline", "corpus_report", "corpus_diff",
+        "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_recall_at10", "ivf_topk",
         "kmeans_cells", "random_projection", "rp_ann_topk", "pq_codes", "pq_adc_topk", "pq_trained_codes",

@@ -577,3 +577,31 @@ def test_bloom_semi_join_exact_and_narrow(spark, sf_dir):
     # probe-side bloom test is a Filter, not a join: the string "xxhash64"
     # must appear in a Filter node of the final plan
     assert "xxhash64" in plan
+
+
+def test_mixture_sample_weights_and_determinism(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import mixture_sample
+    docs = load_table(spark, "documents", sf_dir)
+    out = mixture_sample(docs)
+    rows = out.collect()
+    assert rows == mixture_sample(docs).collect()  # zero RNG state
+    per_lang_docs = {r["lang"]: r["n"] for r in
+                     docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {}
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    # full epochs are exact; the fractional epoch is hash-thinned, so
+    # achieved weight ≈ target within binomial noise
+    import math
+    for lang, w in [("en", 1.5), ("de", 1.0), ("fr", 0.75),
+                    ("es", 0.5), ("zh", 0.25)]:
+        n = per_lang_docs[lang]
+        tol = 4 * math.sqrt(n * 0.25) + 1  # 4σ on the Bernoulli part
+        assert abs(got.get(lang, 0) - w * n) <= tol, (lang, got.get(lang), w * n)
+    # de has weight exactly 1.0: every doc exactly once
+    assert got["de"] == per_lang_docs["de"]
+    # epochs are 1..n contiguous per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())

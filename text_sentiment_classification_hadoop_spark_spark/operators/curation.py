@@ -135,3 +135,46 @@ def narrow_verdict(docs: DataFrame, text_col: str = "text",
         F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("int").alias("kept_narrow"),
         reason.alias("reject_reason"))
+
+
+# target sampling weight per language: >1 upsamples (extra full
+# epochs), a fractional part admits a deterministic hash-chosen subset
+# for the final partial epoch — the LLaMA/C4-style mixture recipe
+MIXTURE_WEIGHTS = [("en", 1.5), ("de", 1.0), ("fr", 0.75),
+                   ("es", 0.5), ("zh", 0.25)]
+
+
+def mixture_sample(docs: DataFrame, weights=None, id_col: str = "doc_id",
+                   lang_col: str = "lang",
+                   seed: str = "mix:v1") -> DataFrame:
+    """Deterministic training-mixture sampler →
+    ``(doc_id, lang, epoch)``: each document appears ``floor(w)`` times
+    plus once more iff its seeded portable hash-fraction < frac(w) —
+    so every language converges to exactly its target weight with
+    zero RNG state and stable membership across runs/engines.
+
+    Scale shape: the weight table broadcasts (≤ |languages| rows), the
+    gate is a narrow hash expression, and the epoch fan-out is
+    ``explode(sequence(1, n))`` inside the same narrow stage — no
+    shuffle at all; at 100 TB this is a map-only pass whose output
+    feeds ``pack_sequences``. Languages absent from the weight table
+    sample at weight 0 (the inner join drops them)."""
+    from ..functions.hashing import portable_hash64
+    if weights is None:
+        weights = MIXTURE_WEIGHTS
+    w_df = docs.sparkSession.createDataFrame(
+        weights, f"{lang_col} string, w double")
+    h = portable_hash64(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    frac_gate = ((h % 1000000) / F.lit(1000000.0)) \
+        < (F.col("w") - F.floor(F.col("w")))
+    n = (F.floor(F.col("w")).cast("int")
+         + F.when(frac_gate, F.lit(1)).otherwise(F.lit(0)))
+    return (
+        docs.join(F.broadcast(w_df), lang_col)
+        .withColumn("_n", n)
+        .filter(F.col("_n") >= 1)
+        .select(F.col(id_col), F.col(lang_col),
+                F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("epoch"))
+        .orderBy(id_col, "epoch")
+    )
