@@ -164,16 +164,10 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     """The watermarked stream-stream interval join must produce exactly
     the batch theta-join pairs (file replay has no late data, so the
     watermark drops nothing)."""
-    from pyspark.sql import types as T
     from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
-        EVENTS_SCHEMA, purchase_click_join_stream)
+        events_raw_stream, purchase_click_join_stream)
     from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
-    schema = T.StructType([
-        f if f.name != "ts" else T.StructField("ts", T.LongType())
-        for f in EVENTS_SCHEMA.fields])
-    raw = (spark.readStream.schema(schema).format("parquet")
-           .option("pathGlobFilter", "events.parquet").load(sf_dir)
-           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    raw = events_raw_stream(spark, sf_dir)
     q = run_stream_to_memory(purchase_click_join_stream(raw), "ssj_test",
                              output_mode="append")
     got = sorted((r["purchase_id"], r["click_id"], r["gap_us"])

@@ -20,21 +20,36 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a time column at the table boundary so every downstream
+    operator sees plain TIMESTAMP regardless of the parquet encoding:
+
+    - INT64 TIMESTAMP(NANOS) + nanosAsLong → raw ns long: truncate to
+      microseconds (same as DuckDB's ns→us cast), restore TimestampType.
+    - ``timestamp[us]`` with no timezone → Spark 4 reads TIMESTAMP_NTZ,
+      which ``unix_micros()`` / ``cast(double)`` reject: cast to
+      TIMESTAMP. The session tz is pinned UTC (session.RUNTIME_CONFS),
+      so the wall values — and oracle parity — are unchanged.
+
+    Works on batch and streaming DataFrames (pure column expressions).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    for field in df.schema.fields:
+        if field.name == col:
+            if isinstance(field.dataType, T.LongType):
+                df = df.withColumn(
+                    col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            elif isinstance(field.dataType, T.TimestampNTZType):
+                df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     from ..session import ensure_engine_confs
     ensure_engine_confs(spark)  # caller-provided sessions included
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is INT64 TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as a raw ns long —
-    # truncate to microseconds (same as DuckDB's ns→us cast) and restore
-    # TimestampType so downstream time logic is engine-agnostic.
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-    for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -43,6 +43,27 @@ def events_stream_from_files(spark: SparkSession, path: str,
     )
 
 
+def events_raw_stream(spark: SparkSession, sf_dir: str,
+                      glob: str = "events.parquet") -> DataFrame:
+    """File stream over the driver's events parquet with ``ts``
+    normalized to plain TIMESTAMP, whatever the on-disk encoding
+    (raw-ns LONG under nanosAsLong, or Spark 4's TIMESTAMP_NTZ for
+    untimezoned ``timestamp[us]``).
+
+    A file stream cannot infer schema, so peek the footer with one
+    batch read (metadata-only — no data scan) and reuse that exact
+    schema for the stream; ``sources.tables.normalize_ts`` then applies
+    the same boundary normalization the batch loader uses, keeping the
+    batch operators valid oracles for every streaming query."""
+    from ..session import ensure_engine_confs
+    from ..sources.tables import normalize_ts
+    ensure_engine_confs(spark)
+    footer = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    raw = (spark.readStream.schema(footer).format("parquet")
+           .option("pathGlobFilter", glob).load(sf_dir))
+    return normalize_ts(raw)
+
+
 def tumbling_counts_stream(events: DataFrame, minutes: int = 5,
                            watermark: str = "10 minutes") -> DataFrame:
     """Streaming tumbling-window counts per event_type. Watermark bounds
