@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.rounding import pround
-from ..functions.tokenize import explode_tokens
+from ..functions.tokenize import explode_tokens, tokens_array
 
 # Hinge margins are rounded here before the `< 1` test so the violation
 # set (and hence the whole epoch chain) is independent of fp summation
@@ -41,6 +41,12 @@ MARGIN_DP = 9
 EPOCHS = 5
 LR = 0.1
 LAMBDA = 0.01
+
+# Pseudo-token used by the fused per-epoch aggregation in
+# svm_train_declared to carry the violation count through the same
+# word-grouped shuffle as the gradients. NUL never survives the
+# whitespace tokenizer, so it cannot collide with a real token.
+_NV_SENTINEL = "\x00__nv__"
 
 
 def epoch_lr(epoch: int) -> float:
@@ -91,79 +97,156 @@ def svm_score(docs: DataFrame, weights: DataFrame, id_col: str = "doc_id",
 def svm_train_declared(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", label_col: str = "label",
                        epochs: int = EPOCHS, lr: float = LR,
-                       lam: float = LAMBDA) -> DataFrame:
+                       lam: float = LAMBDA,
+                       literal_map_max: int = 4096) -> DataFrame:
     """M4 strict training with the epoch chain actually wired up
     (the fix for the reference's load-path bug).
 
-    Per epoch: margin per doc via broadcast join of current weights;
-    for violating docs emit ``+η·y`` per token; every violating sample
-    also emits L2 decay ``−η·λ·w_j`` for ALL weights, so the summed
-    decay is ``−η·λ·V·w_j`` with V = violation count; new weights =
-    old + deltas (``SVM.java:87-106``).
+    Per epoch: margin per doc against the current weights; for violating
+    docs emit ``+η·y`` per token; every violating sample also emits L2
+    decay ``−η·λ·w_j`` for ALL weights, so the summed decay is
+    ``−η·λ·V·w_j`` with V = violation count; new weights = old + deltas
+    (``SVM.java:87-106``).
 
-    The tokenized corpus is cached across epochs — the in-memory
+    Execution shape — two paths, chosen by vocabulary size after the
+    first epoch (the epoch-1 gradient IS the vocabulary):
+
+    - **Literal-map path** (vocab ≤ ``literal_map_max``): the weights
+      ride into each epoch as a plan-time ``create_map`` literal (the
+      same pattern as the IVF/PQ codebooks), so the margin is a
+      partition-local ``F.aggregate`` over each doc's cached token
+      array — ZERO doc-side exchanges. The only shuffle per epoch is
+      the word-grouped gradient aggregation over violating docs, with
+      a sentinel pseudo-token riding along to carry the violation
+      count V; its vocabulary-sized result round-trips the driver
+      (same class of tiny collect as the k-means/PQ codebooks).
+    - **Distributed fallback** (large vocab): margin via broadcast
+      join + per-doc aggregation that carries the token list along,
+      so violating docs re-emit tokens via explode instead of a
+      second corpus scan — two exchanges per epoch (doc, word), all
+      models stay DataFrames, nothing driver-sized.
+
+    Both paths share the cached doc-level token-array frame (built
+    once), the MARGIN_DP rounding that pins the violation set across
+    engines, and bit-identical update arithmetic — the in-memory epoch
     iteration the reference's own report credits for Spark's 21×
-    speedup (report §4.2 p.23).
+    speedup over MR (report §4.2 p.23).
     """
-    tokens = explode_tokens(
-        docs.select(id_col, label_col, text_col), text_col=text_col
-    ).cache()  # materialized by epoch 1's first job, reused by all epochs
+    from pyspark.sql import types as T
 
+    spark = docs.sparkSession
     y_expr = F.when(F.col(label_col) == 1.0, F.lit(1.0)).otherwise(F.lit(-1.0))
-    weights: DataFrame | None = None  # epoch 1 starts empty (w = 0)
+    # doc-level token arrays, cached once: both the partition-local
+    # margin and the gradient explode read this frame; the empty-text
+    # filter replicates explode_tokens' P5 guard.
+    base = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(id_col, y_expr.alias("_y"),
+                tokens_array(F.col(text_col)).alias("_words"))
+        .cache()
+    )
 
-    for epoch in range(1, epochs + 1):
-        eta = epoch_lr(epoch)
-        if weights is None:
-            # w = 0 ⇒ every sample violates the margin, and there are no
-            # weights to decay — no violation count needed.
-            violating = tokens.select(id_col, y_expr.alias("_y"), "word")
-            grads = (
-                violating.groupBy("word")
-                .agg((F.lit(eta) * F.sum("_y")).alias("delta"))
-            )
-            new_weights = grads.select("word", F.col("delta").alias("weight"))
-        else:
-            w = F.broadcast(weights)
-            margins = (
-                tokens.join(w, "word", "left")
-                .groupBy(id_col)
-                .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_dot"),
-                     F.first(y_expr).alias("_y"))
-                .withColumn("_violates",
-                            (F.col("_y") * pround(F.col("_dot"), MARGIN_DP)) < 1.0)
-            )
-            # violations feed two consumers (the decay factor's count,
-            # the gradient join): materialize the doc-sized table once
-            # instead of re-running the margin join
-            viol = margins.filter("_violates").select(id_col, "_y") \
-                .localCheckpoint(eager=True)
-            grads = (
-                tokens.join(viol, id_col, "inner")
+    # epoch 1: w = 0 ⇒ every sample violates and there is nothing to
+    # decay — the gradient is one word-grouped aggregation.
+    eta1 = epoch_lr(1)
+    w1 = (
+        base.select("_y", F.explode("_words").alias("word"))
+        .groupBy("word")
+        .agg((F.lit(eta1) * F.sum("_y")).alias("weight"))
+    )
+    if epochs <= 1:
+        return w1
+
+    first = w1.collect()  # vocabulary-sized either way; decides the path
+    if len(first) <= literal_map_max:
+        weights = {r["word"]: r["weight"] for r in first}
+        for epoch in range(2, epochs + 1):
+            eta = epoch_lr(epoch)
+            wmap = F.create_map(
+                *[F.lit(x) for kv in sorted(weights.items()) for x in kv])
+            # try_element_at: missing token → NULL → 0 (ANSI-safe;
+            # plain element_at raises under Spark 4's default ANSI mode)
+            dot = F.aggregate(F.col("_words"), F.lit(0.0),
+                              lambda acc, tok: acc
+                              + F.coalesce(F.try_element_at(wmap, tok), F.lit(0.0)))
+            fused = (
+                base.filter((F.col("_y") * pround(dot, MARGIN_DP)) < 1.0)
+                .select("_y", F.explode(
+                    F.concat(F.col("_words"),
+                             F.array(F.lit(_NV_SENTINEL)))).alias("word"))
                 .groupBy("word")
-                .agg((F.lit(eta) * F.sum("_y")).alias("delta"))
+                .agg(F.sum("_y").alias("_sy"), F.count(F.lit(1)).alias("_n"))
+                .collect()
             )
-            # the violation count stays in-plan (broadcast 1-row cross
-            # join) rather than round-tripping a driver collect per
-            # epoch; ((η·λ)·V) evaluation order matches the SQL oracle
-            nv = viol.agg(F.count(F.lit(1)).alias("_v"))
-            decayed = weights.crossJoin(F.broadcast(nv)).select(
-                "word",
-                (F.col("weight")
-                 * (F.lit(1.0) - F.lit(eta) * F.lit(lam) * F.col("_v"))).alias("weight"),
-            )
-            new_weights = (
-                decayed.join(grads, "word", "outer")
-                .select("word",
-                        (F.coalesce(F.col("weight"), F.lit(0.0))
-                         + F.coalesce(F.col("delta"), F.lit(0.0))).alias("weight"))
-            )
-        # Materialize the (vocabulary-sized) model each epoch to cut the
-        # lineage — the columnar analog of the reference's per-epoch
-        # model_epoch_{e} files, but in memory.
-        weights = new_weights.localCheckpoint(eager=True)
-    tokens.unpersist()
-    return weights
+            nv = 0
+            deltas: dict[str, float] = {}
+            for r in fused:
+                if r["word"] == _NV_SENTINEL:
+                    nv = r["_n"]
+                else:
+                    deltas[r["word"]] = eta * r["_sy"]
+            # same association as the SQL oracle: (η·λ)·V
+            decay = 1.0 - eta * lam * nv
+            new_weights = {w: v * decay for w, v in weights.items()}
+            for word, d in deltas.items():
+                new_weights[word] = new_weights.get(word, 0.0) + d
+            weights = new_weights
+        base.unpersist()
+        return spark.createDataFrame(
+            sorted(weights.items()),
+            T.StructType([T.StructField("word", T.StringType()),
+                          T.StructField("weight", T.DoubleType())]))
+
+    # ---- distributed fallback: vocabulary too large for a plan literal
+    tokens = base.select(id_col, "_y", F.explode("_words").alias("word"))
+    weights_df = w1.localCheckpoint(eager=True)
+    for epoch in range(2, epochs + 1):
+        eta = epoch_lr(epoch)
+        w = F.broadcast(weights_df)
+        viol_tokens = (
+            tokens.join(w, "word", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_dot"),
+                 F.first("_y").alias("_y"),
+                 F.collect_list("word").alias("_words"))
+            .filter((F.col("_y") * pround(F.col("_dot"), MARGIN_DP)) < 1.0)
+            .select("_y", F.explode(
+                F.concat(F.col("_words"),
+                         F.array(F.lit(_NV_SENTINEL)))).alias("word"))
+        )
+        # vocabulary-sized; materialized once for its two consumers
+        fused = (
+            viol_tokens.groupBy("word")
+            .agg(F.sum("_y").alias("_sy"), F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint(eager=True)
+        )
+        grads = (
+            fused.filter(F.col("word") != _NV_SENTINEL)
+            .select("word", (F.lit(eta) * F.col("_sy")).alias("delta"))
+        )
+        # global agg (not filter) so zero violations still yields the
+        # one row the decay cross-join needs; stays in-plan, no driver
+        # round-trip on this path.
+        nv_df = fused.agg(F.coalesce(
+            F.sum(F.when(F.col("word") == _NV_SENTINEL, F.col("_n"))),
+            F.lit(0).cast("long")).alias("_v"))
+        decayed = weights_df.crossJoin(F.broadcast(nv_df)).select(
+            "word",
+            (F.col("weight")
+             * (F.lit(1.0) - F.lit(eta) * F.lit(lam) * F.col("_v"))).alias("weight"),
+        )
+        new_weights_df = (
+            decayed.join(grads, "word", "outer")
+            .select("word",
+                    (F.coalesce(F.col("weight"), F.lit(0.0))
+                     + F.coalesce(F.col("delta"), F.lit(0.0))).alias("weight"))
+        )
+        # materialize the (vocabulary-sized) model each epoch to cut
+        # the lineage — the columnar analog of the reference's
+        # per-epoch model_epoch_{e} files, but in memory.
+        weights_df = new_weights_df.localCheckpoint(eager=True)
+    base.unpersist()
+    return weights_df
 
 
 def mllib_pipeline(docs: DataFrame, algorithm: str = "nb", text_col: str = "text",
