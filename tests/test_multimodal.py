@@ -80,13 +80,74 @@ def test_audio_duration(spark, docs):
 
 
 def test_real_backend_gated(spark, docs):
-    """backend='real' must fail loudly (codecs absent here), not decode
-    garbage silently."""
-    mm = MM.synth_multimodal(docs, "image")
-    with pytest.raises(NotImplementedError):
-        MM.decode_image_features(mm, backend="real")
+    """Video real decode must fail loudly (no codec library here); the
+    real image path must fail loudly on a non-PPM payload rather than
+    decode garbage silently."""
+    mm = MM.synth_multimodal(docs, "video")
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(mm, backend="real")
+    img = MM.synth_multimodal(docs, "image")  # text bytes, not PPM
+    with pytest.raises(Exception, match="PPM|PYTHON"):
+        MM.decode_image_features(img, backend="real").collect()
+
+
+FIXDIR = __file__.rsplit("/", 2)[0] + "/fixtures/multimodal"
+
+
+def _mm_row(spark, raw: bytes, modality: str):
+    meta = (modality + "/x-real", 0, 0, 0, 0, 0)
+    return spark.createDataFrame(
+        [(1, modality, bytearray(raw), meta)],
+        f"doc_id long, modality string, content binary, "
+        f"meta struct<{MM.META_FIELDS.replace(' string', ':string').replace(' int', ':int').replace(', ', ',')}>")
+
+
+def test_real_ppm_decode(spark):
+    """backend='real' on the committed tiny.ppm: dimensions from the
+    actual netpbm header, checksum over the decoded pixel buffer."""
+    raw = open(f"{FIXDIR}/tiny.ppm", "rb").read()
+    r = MM.decode_image_features(
+        _mm_row(spark, raw, "image"), backend="real").head()
+    assert (r["width"], r["height"], r["channels"]) == (4, 3, 3)
+    # independent expectation: pixels start after the 4th header token
+    pixels = raw.split(b"255\n", 1)[1]
+    assert len(pixels) == 4 * 3 * 3
+    assert r["checksum"] == int(hashlib.md5(pixels).hexdigest()[:15], 16)
+    assert r["byte_len"] == len(raw)
+
+
+def test_real_ppm_resize(spark):
+    """Nearest-neighbor 4x3 → 2x2, expected buffer built independently."""
+    raw = open(f"{FIXDIR}/tiny.ppm", "rb").read()
+    pixels = raw.split(b"255\n", 1)[1]
+    expect = bytearray()
+    for y in (0, 1):
+        sy = y * 3 // 2
+        for x in (0, 1):
+            sx = x * 4 // 2
+            off = (sy * 4 + sx) * 3
+            expect += pixels[off:off + 3]
+    r = MM.resize_images(_mm_row(spark, raw, "image"), 2, 2,
+                         backend="real").head()
+    assert r["resized_checksum"] == int(
+        hashlib.md5(bytes(expect)).hexdigest()[:15], 16)
+
+
+def test_real_wav_audio(spark):
+    """backend='real' on the committed tiny.wav: rate/frames from the
+    WAV header via the stdlib wave module, checksum over PCM frames."""
+    import io
+    import wave
+    raw = open(f"{FIXDIR}/tiny.wav", "rb").read()
+    with wave.open(io.BytesIO(raw)) as wf:
+        n, rate = wf.getnframes(), wf.getframerate()
+        pcm = wf.readframes(n)
+    assert (n, rate) == (40, 8000)
+    r = MM.audio_features(_mm_row(spark, raw, "audio"),
+                          backend="real").head()
+    assert r["n_samples"] == 40
+    assert r["duration_s"] == pytest.approx(40 / 8000)
+    assert r["checksum"] == int(hashlib.md5(pcm).hexdigest()[:15], 16)
 
 
 def test_dedup_frames_planted_collisions(spark):

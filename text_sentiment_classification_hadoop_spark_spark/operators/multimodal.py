@@ -14,12 +14,16 @@ payloads through the same engine:
   to the driver. This is the designed slow path: everything else in the
   engine is JVM-side expressions; bytes → features is the one stage that
   genuinely needs Python (or a JVM codec library at production scale).
-- **Codec stubbing**: real decoders (PIL / soundfile / av) are NOT in this
-  container. ``backend="real"`` raises ``NotImplementedError`` behind an
-  import-try; the default ``backend="fake"`` is a *deterministic* fake
-  decode — md5-derived dimensions, byte-level checksums — so the Spark
-  plumbing (schema, batch shape, exchange placement, row fan-out) is real
-  and oracle-checkable even though no pixels are decoded.
+- **Codec backends**: the default ``backend="fake"`` is a *deterministic*
+  fake decode — md5-derived dimensions, byte-level checksums — so the
+  Spark plumbing (schema, batch shape, exchange placement, row fan-out)
+  is real and oracle-checkable even though no pixels are decoded.
+  ``backend="real"`` decodes genuinely, stdlib-only: binary PPM (P6)
+  for images (hand-rolled netpbm header parse + nearest-neighbor
+  resample) and WAV for audio (the ``wave`` module). Video decode needs
+  a codec library absent from this container and raises
+  ``NotImplementedError``; at deploy time swap in PIL/soundfile/av
+  inside the same mapInPandas bodies — the plumbing doesn't change.
 
 Scale notes (100 TB): binary rows are wide — keep
 ``spark.sql.files.maxPartitionBytes`` at/below 128 MB so a partition of
@@ -56,19 +60,79 @@ def _h60(b: bytes) -> int:
 
 
 def _require_real_codecs(modality: str) -> None:
+    """Video (and any non-PPM/WAV format) needs a codec library this
+    container doesn't have; image/PPM and audio/WAV have stdlib-only
+    real decoders below and never reach this guard."""
     try:  # pragma: no cover - container has no codec libs
-        if modality == "image":
-            import PIL  # noqa: F401
-        elif modality == "audio":
-            import soundfile  # noqa: F401
-        else:
-            import av  # noqa: F401
+        import av  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
             f"real {modality} decode needs a codec library not present in "
             "this container; use backend='fake' (deterministic, tested "
             "plumbing) — swap in the real decoder here at deploy time"
         ) from exc
+
+
+def parse_ppm(raw: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) payload → ``(width, height, pixel_bytes)``.
+
+    Netpbm header grammar: ``P6``, then three whitespace-separated
+    decimal fields (width, height, maxval) with ``#`` comments allowed
+    between them, then ONE whitespace byte, then ``3·w·h`` raw RGB
+    bytes. Stdlib-only on purpose — the container has no PIL."""
+    if raw[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3:
+        while i < len(raw) and raw[i:i + 1].isspace():
+            i += 1
+        if raw[i:i + 1] == b"#":
+            while i < len(raw) and raw[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(raw) and not raw[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(raw[i:j]))
+        i = j
+    i += 1  # the single whitespace byte terminating the header
+    width, height, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = width * height * 3
+    pixels = raw[i:i + need]
+    if len(pixels) != need:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, pixels
+
+
+def resize_ppm_nearest(width: int, height: int, pixels: bytes,
+                       out_width: int, out_height: int) -> bytes:
+    """Nearest-neighbor RGB resample (floor mapping ``src = y·H/H'``) —
+    the real resize for the stdlib PPM path."""
+    out = bytearray(out_width * out_height * 3)
+    o = 0
+    for y in range(out_height):
+        sy = y * height // out_height
+        row = sy * width * 3
+        for x in range(out_width):
+            sx = row + (x * width // out_width) * 3
+            out[o:o + 3] = pixels[sx:sx + 3]
+            o += 3
+    return bytes(out)
+
+
+def parse_wav(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a WAV payload with the stdlib ``wave`` module →
+    ``(sample_rate, n_channels, n_frames, pcm_bytes)``."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(raw), "rb") as wf:
+        return (wf.getframerate(), wf.getnchannels(), wf.getnframes(),
+                wf.readframes(wf.getnframes()))
 
 
 def synth_multimodal(docs: DataFrame, modality: str = "image",
@@ -102,22 +166,40 @@ def decode_image_features(mm: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode stage: bytes → ``(doc_id, width, height, channels, byte_len,
     checksum)``. Fake backend re-derives width/height from the *payload*
     (as a real header parse would) rather than trusting ``meta`` — tests
-    assert the two agree."""
-    if backend != "fake":
-        _require_real_codecs("image")
-
-    def decode(batches: Iterator) -> Iterator:
-        import pandas as pd
-        for pdf in batches:
-            content = pdf["content"]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "width": [16 + _h60(b"img:w:" + bytes(c)) % 112 for c in content],
-                "height": [16 + _h60(b"img:h:" + bytes(c)) % 112 for c in content],
-                "channels": 3,
-                "byte_len": [len(bytes(c)) for c in content],
-                "checksum": [_h60(bytes(c)) for c in content],
-            })
+    assert the two agree. ``backend="real"`` parses binary PPM (P6)
+    headers/pixels with the stdlib-only :func:`parse_ppm` (checksum over
+    the decoded pixel buffer, not the container bytes)."""
+    if backend == "real":
+        def decode(batches: Iterator) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                ws, hs, bls, cks = [], [], [], []
+                for c in pdf["content"]:
+                    raw = bytes(c)
+                    w, h, px = parse_ppm(raw)
+                    ws.append(w)
+                    hs.append(h)
+                    bls.append(len(raw))
+                    cks.append(_h60(px))
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"], "width": ws, "height": hs,
+                    "channels": 3, "byte_len": bls, "checksum": cks,
+                })
+    elif backend == "fake":
+        def decode(batches: Iterator) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                content = pdf["content"]
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "width": [16 + _h60(b"img:w:" + bytes(c)) % 112 for c in content],
+                    "height": [16 + _h60(b"img:h:" + bytes(c)) % 112 for c in content],
+                    "channels": 3,
+                    "byte_len": [len(bytes(c)) for c in content],
+                    "checksum": [_h60(bytes(c)) for c in content],
+                })
+    else:
+        raise ValueError(f"unknown backend: {backend!r}")
 
     out_schema = ("doc_id long, width int, height int, channels int, "
                   "byte_len long, checksum long")
@@ -128,20 +210,38 @@ def resize_images(mm: DataFrame, out_width: int = 64, out_height: int = 64,
                   backend: str = "fake") -> DataFrame:
     """Resize stage: ``(doc_id, out_width, out_height, resized_checksum)``.
     The fake 'resample' checksums ``b'resize{W}x{H}:' + content`` — a
-    deterministic stand-in for the resampled pixel buffer."""
-    if backend != "fake":
-        _require_real_codecs("image")
+    deterministic stand-in for the resampled pixel buffer.
+    ``backend="real"`` decodes PPM and checksums the actual
+    nearest-neighbor-resampled RGB buffer."""
     prefix = f"resize{out_width}x{out_height}:".encode()
 
-    def resize(batches: Iterator) -> Iterator:
-        import pandas as pd
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "out_width": out_width,
-                "out_height": out_height,
-                "resized_checksum": [_h60(prefix + bytes(c)) for c in pdf["content"]],
-            })
+    if backend == "real":
+        def resize(batches: Iterator) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                cks = []
+                for c in pdf["content"]:
+                    w, h, px = parse_ppm(bytes(c))
+                    cks.append(_h60(
+                        resize_ppm_nearest(w, h, px, out_width, out_height)))
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "resized_checksum": cks,
+                })
+    elif backend == "fake":
+        def resize(batches: Iterator) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "resized_checksum": [_h60(prefix + bytes(c)) for c in pdf["content"]],
+                })
+    else:
+        raise ValueError(f"unknown backend: {backend!r}")
 
     return mm.select("doc_id", "content").mapInPandas(
         resize, "doc_id long, out_width int, out_height int, resized_checksum long")
@@ -184,22 +284,38 @@ def audio_features(mm: DataFrame, bytes_per_sample: int = 2,
                    backend: str = "fake") -> DataFrame:
     """Audio feature stage: ``(doc_id, duration_s, n_samples, checksum)``
     assuming PCM at ``meta.sample_rate`` — duration math is real, the
-    'waveform' is the fake payload."""
-    if backend != "fake":
-        _require_real_codecs("audio")
-
-    def feats(batches: Iterator) -> Iterator:
-        import pandas as pd
-        for pdf in batches:
-            content = [bytes(c) for c in pdf["content"]]
-            rates = pdf["sample_rate"]
-            n_samples = [len(c) // bytes_per_sample for c in content]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "duration_s": [n / r for n, r in zip(n_samples, rates)],
-                "n_samples": n_samples,
-                "checksum": [_h60(c) for c in content],
-            })
+    'waveform' is the fake payload. ``backend="real"`` parses WAV
+    containers with the stdlib ``wave`` module (rate/frames from the
+    header, checksum over the decoded PCM frames)."""
+    if backend == "real":
+        def feats(batches: Iterator) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                durs, ns, cks = [], [], []
+                for c in pdf["content"]:
+                    rate, _nch, n_frames, pcm = parse_wav(bytes(c))
+                    durs.append(n_frames / rate)
+                    ns.append(n_frames)
+                    cks.append(_h60(pcm))
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"], "duration_s": durs,
+                    "n_samples": ns, "checksum": cks,
+                })
+    elif backend == "fake":
+        def feats(batches: Iterator) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                content = [bytes(c) for c in pdf["content"]]
+                rates = pdf["sample_rate"]
+                n_samples = [len(c) // bytes_per_sample for c in content]
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "duration_s": [n / r for n, r in zip(n_samples, rates)],
+                    "n_samples": n_samples,
+                    "checksum": [_h60(c) for c in content],
+                })
+    else:
+        raise ValueError(f"unknown backend: {backend!r}")
 
     flat = mm.select("doc_id", "content", F.col("meta.sample_rate").alias("sample_rate"))
     return flat.mapInPandas(
