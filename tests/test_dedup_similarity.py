@@ -244,6 +244,62 @@ def test_connected_components_long_chain_converges(spark):
     assert comp == {i: 1 for i in range(1, 13)}
 
 
+def test_cc_alternating_matches_label_prop(spark):
+    """Property: both algorithms give identical components on a long
+    chain (alternating's worst-case motivator), a star, islands, and a
+    pseudo-random graph."""
+    import random
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(1, 40)],                   # 40-node path
+        [(100, j) for j in range(101, 120)],                  # star hub
+        [(1, 2), (2, 3), (5, 6), (9, 9)],                     # islands + self
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(60)],
+    ]
+
+    def union_find(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for edges in cases:
+        want = union_find(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        # label_prop needs O(diameter) rounds — give it enough
+        lp = {r["node"]: r["component"]
+              for r in D.connected_components(pairs, max_iters=60).collect()}
+        alt = {r["node"]: r["component"]
+               for r in D.connected_components(
+                   pairs, algorithm="alternating").collect()}
+        assert lp == want
+        assert alt == want
+
+
+def test_cc_alternating_chain_round_count(spark):
+    """The alternating algorithm must collapse a 64-node path well
+    inside max_iters (geometric contraction), where label propagation
+    would need ~63 rounds."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  "id_a long, id_b long")
+    comp = {r["node"]: r["component"]
+            for r in D.connected_components(
+                pairs, max_iters=10, algorithm="alternating").collect()}
+    assert comp == {i: 0 for i in range(65)}
+
+
 def test_canonical_docs_marks_dups_and_keeps_unpaired(spark):
     from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
     docs = spark.createDataFrame([(i, f"d{i}") for i in (1, 2, 3, 4, 5, 6)],

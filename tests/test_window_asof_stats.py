@@ -561,6 +561,21 @@ def test_cohort_retention_covers_all_users(spark, sf_dir):
     assert all(r["week_offset"] >= 0 for r in out)
 
 
+def test_cohort_retention_sketch_bounded_error(spark, sf_dir):
+    """The HLL path (use_sketch=True) must produce the same
+    (cohort, offset) keys with counts within ~5x the configured rsd of
+    the exact counts (HLL++ error is probabilistic; 5 sigma at
+    rsd=0.01 is a comfortably non-flaky bound)."""
+    exact = {(r["cohort_start"], r["week_offset"]): r["active_users"]
+             for r in E.cohort_retention(spark, sf_dir).collect()}
+    approx = {(r["cohort_start"], r["week_offset"]): r["active_users"]
+              for r in E.cohort_retention(
+                  spark, sf_dir, use_sketch=True, rsd=0.01).collect()}
+    assert exact.keys() == approx.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+
+
 def test_bloom_semi_join_exact_and_narrow(spark, sf_dir):
     from text_sentiment_classification_hadoop_spark_spark.operators.skew import bloom_semi_join
     li = load_table(spark, "lineitem", sf_dir)

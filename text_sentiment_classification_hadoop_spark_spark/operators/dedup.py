@@ -242,24 +242,39 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
-    """Connected components over a near-dup pair graph by min-label
-    propagation → ``(node, component)`` where ``component`` is the
-    smallest id reachable from ``node``.
+def connected_components(pairs: DataFrame, max_iters: int = 25,
+                         algorithm: str = "label_prop") -> DataFrame:
+    """Connected components over a near-dup pair graph →
+    ``(node, component)`` where ``component`` is the smallest id
+    reachable from ``node``.
 
-    Each round is one shuffle: propagate every node's current label
-    across the (symmetrized, checkpointed) edge list, then take the min
-    per node — ``groupBy(node).min`` partial-aggregates map-side, so a
-    hub node duplicated a million times is absorbed before the
-    exchange. Convergence in O(cluster diameter) rounds; near-dup
-    clusters are shallow (a handful of mutually-similar docs), so this
-    terminates in 2-4 rounds in practice — the alternating
-    large-star/small-star trick (Kiveris et al., "Connected Components
-    in MapReduce") is the O(log n) fallback for adversarially long
-    chains, not needed for dedup graphs. The driver-side loop reads ONE
-    scalar per round (sum of labels, which strictly decreases until the
-    fixpoint — same pattern as the SVM epoch loop); every round
-    ``localCheckpoint``s to cut lineage."""
+    ``algorithm="label_prop"`` (default): min-label propagation. Each
+    round is one shuffle: propagate every node's current label across
+    the (symmetrized, checkpointed) edge list, then take the min per
+    node — ``groupBy(node).min`` partial-aggregates map-side, so a hub
+    node duplicated a million times is absorbed before the exchange.
+    Convergence in O(cluster diameter) rounds; near-dup clusters are
+    shallow (a handful of mutually-similar docs), so this terminates in
+    2-4 rounds in practice.
+
+    ``algorithm="alternating"``: the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log² n) rounds worst-case and per-round cost bounded
+    by the CURRENT edge set, which contracts geometrically. The scale
+    path for adversarial graphs (long chains, giant components) where
+    label propagation needs O(diameter) full-edge-list rounds. Both
+    star operations are min-aggregations + an equi-join on node id —
+    no collect_list, no driver adjacency; skewed hubs partial-aggregate
+    map-side exactly like label_prop's min.
+
+    The driver-side loop reads ONE scalar fingerprint per round (count
+    + label sum, both monotone under contraction — same pattern as the
+    SVM epoch loop); every round ``localCheckpoint``s to cut lineage.
+    """
+    if algorithm == "alternating":
+        return _cc_alternating(pairs, max_iters)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"),
@@ -288,6 +303,79 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _cc_alternating(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14).
+
+    large-star(E): per node u over the symmetrized neighborhood,
+    ``m = min(Γ(u) ∪ {u})``; rewire every STRICTLY LARGER neighbor to m.
+    small-star(E): direct edges large→small, ``m = min(Γ(u) ∪ {u})``;
+    rewire u and all its (smaller) neighbors to m.
+
+    Both are one min-aggregation + one equi-join on u — shuffle keys
+    are node ids, partial aggregation absorbs hub skew map-side. At the
+    fixpoint E is a star forest: every node points at its component's
+    minimum."""
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        r = e.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("u").alias("su"), F.sum("v").alias("sv"),
+                  F.sum(F.hash("u", "v").cast("long")).alias("sh")
+                  ).collect()[0]
+        return (r["n"], r["su"], r["sv"], r["sh"])
+
+    prev = None
+    for _ in range(max_iters):
+        # large-star over the symmetric neighborhood
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
+                .select("u", F.least(F.col("u"), F.col("_mn")).alias("m")))
+        edges = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large→small orientation
+        dir_e = edges.select(F.greatest("u", "v").alias("u"),
+                             F.least("u", "v").alias("v")).distinct()
+        mins = (dir_e.groupBy("u").agg(F.min("v").alias("m")))
+        edges = (
+            dir_e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edge set is (node → component-min) for every non-root;
+    # the min-agg is a no-op on a converged star forest and a safe
+    # collapse if max_iters cut the loop short of the fixpoint
+    star = edges.groupBy("u").agg(F.min("v").alias("v"))
+    return (
+        nodes.join(star, nodes["node"] == star["u"], "left")
+        .select("node",
+                F.coalesce(F.col("v"), F.col("node")).alias("component"))
+    )
 
 
 def canonical_docs(df: DataFrame, pairs: DataFrame,

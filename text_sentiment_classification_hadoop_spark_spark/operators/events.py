@@ -360,18 +360,28 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cohort_retention(spark: SparkSession, sf_dir: str,
+                     use_sketch: bool = False,
+                     rsd: float = 0.01) -> DataFrame:
     """Weekly cohort retention: cohort = epoch-week of the user's first
     event; a user is retained at offset k if they have any event in
     cohort_week + k → ``(cohort_start, week_offset, active_users)``.
 
     Shape: per-user first-ts is a window min over ``user_id`` (one
     exchange), week bucketing is epoch arithmetic (codegen), and the
-    retained-user count is an exact distinct over
-    ``(cohort, offset, user)`` — two more key-sized shuffles. At 100 TB
-    swap the exact distinct for the mergeable HLL sketch
-    (:func:`approx_distinct_users`) — same plan shape, no distinct
-    shuffle."""
+    retained-user count groups on ``(cohort, offset)``.
+
+    ``use_sketch=False`` (default, the oracle-checked form) counts
+    exactly — Spark plans ``count_distinct`` as a two-phase partial/
+    final aggregate, so the shuffle carries every distinct
+    ``(cohort, offset, user)`` triple. ``use_sketch=True`` is the
+    100 TB path: ``approx_count_distinct`` (HyperLogLog++) makes the
+    partial aggregate a fixed-size mergeable sketch, so the exchange
+    carries one sketch per (cohort, offset) per map partition instead
+    of the distinct-triple stream — same plan shape, same single
+    logical aggregation, orders-of-magnitude smaller shuffle on wide
+    cohorts. The pytest bounds the sketch's relative error against the
+    exact twin."""
     week = 7 * 24 * 3600
     e = load_table(spark, "events", sf_dir).select("user_id", "ts")
     first_ts = F.min("ts").over(Window.partitionBy("user_id"))
@@ -380,10 +390,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(first_ts.cast("double") / week).alias("_cw"),
         F.floor(F.col("ts").cast("double") / week).alias("_ew"),
     )
+    counter = (F.approx_count_distinct("user_id", rsd) if use_sketch
+               else F.count_distinct(F.col("user_id")))
     return (
         bucketed.groupBy(
             F.to_timestamp(F.col("_cw") * week).alias("cohort_start"),
             (F.col("_ew") - F.col("_cw")).cast("int").alias("week_offset"))
-        .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
+        .agg(counter.alias("active_users"))
         .orderBy("cohort_start", "week_offset")
     )
