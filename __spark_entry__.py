@@ -552,6 +552,19 @@ def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.canonical_docs(docs, pairs).orderBy("doc_id")
 
 
+def _dedup_canonical_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same resolution as ``dedup_canonical`` but with the
+    large-star/small-star connected-components algorithm (Kiveris et
+    al.) — identical output by construction, so it shares the same
+    DuckDB oracle: a green row here hash-proves the alternating
+    algorithm end-to-end."""
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(docs, threshold=0.5,
+                                sigs=_aug_sigs(spark, sf_dir))
+    return D.canonical_docs(docs, pairs,
+                            cc_algorithm="alternating").orderBy("doc_id")
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     docs = _augmented_docs(spark, sf_dir)
@@ -1341,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_click_attribution": E.next_click_attribution,
         # --- r1 rows-match / hash-mismatch, re-verify ---
         "sql_pricing_summary": _sql_pricing_summary,
+        # --- new this round: alternating-CC twin, shares dedup_canonical's oracle ---
+        "dedup_canonical_alternating": _dedup_canonical_alternating,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2500,6 +2515,8 @@ ORDER BY purchase_id, click_id
     # and the spark.sql entry point runs the literal oracle text.
     out["word_counts_salted"] = out["word_counts"]
     out["sql_pricing_summary"] = out["pricing_summary"]
+    # identical semantics, different distributed algorithm — same oracle
+    out["dedup_canonical_alternating"] = out["dedup_canonical"]
 
     out["user_running_stats"] = """
 SELECT user_id, event_id,

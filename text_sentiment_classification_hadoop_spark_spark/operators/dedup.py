@@ -379,7 +379,8 @@ def _cc_alternating(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
 
 
 def canonical_docs(df: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   cc_algorithm: str = "label_prop") -> DataFrame:
     """Fuzzy-dedup resolution — the step after LSH: collapse near-dup
     pairs into clusters and elect the minimum id as each cluster's
     canonical representative → ``(doc_id, canonical_id, is_dup)`` for
@@ -390,7 +391,7 @@ def canonical_docs(df: DataFrame, pairs: DataFrame,
     which holds only paired docs — at 100 TB the component table is
     |near-dup docs|, typically orders of magnitude smaller than the
     corpus."""
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, algorithm=cc_algorithm)
     return (
         df.select(F.col(id_col))
         .join(comp, df[id_col] == comp["node"], "left")
