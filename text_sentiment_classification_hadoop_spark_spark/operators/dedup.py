@@ -468,7 +468,7 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     from .similarity import dot_expr, norm_expr, pround, sign_lsh_bucket
 
     band_buckets = F.array(*[
-        sign_lsh_bucket(F.col(vec_col), n_planes=n_planes,
+        sign_lsh_bucket(vec_col, n_planes=n_planes,
                         plane_offset=b * n_planes)
         for b in range(n_bands)
     ])

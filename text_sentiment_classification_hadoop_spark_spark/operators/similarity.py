@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import exprtext as X
 from ..functions.hashing import portable_hash64
 from ..functions.rounding import pround
 from ..session import widen
@@ -75,8 +76,8 @@ def planes_for(n_rows: int, target_bucket: int = 1024) -> int:
     return max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
 
 
-def sign_lsh_bucket(vec: Column, n_planes: int = 8, dims: int = 64,
-                    plane_offset: int = 0) -> Column:
+def sign_lsh_bucket(vec: Column | str | list, n_planes: int = 8,
+                    dims: int = 64, plane_offset: int = 0) -> Column:
     """Random-hyperplane sign bucket: bit p = 1 iff ``vec · plane_p ≥ 0``.
     Narrow, per-row; the bucket id is the shuffle/join key downstream.
 
@@ -85,10 +86,22 @@ def sign_lsh_bucket(vec: Column, n_planes: int = 8, dims: int = 64,
     multiply-add folds — no hashing on the executors. ``dims`` must
     match the embedding dimensionality. ``plane_offset`` selects an
     independent plane set (band b uses planes [b·n_planes, (b+1)·n_planes) —
-    the banded-LSH recall pattern)."""
+    the banded-LSH recall pattern).
+
+    Pass ``vec`` as a column NAME (or a float list for a literal query
+    vector) to get the fast single-``F.expr`` build (constant lambda
+    count — see ``functions.exprtext``); a Column falls back to the
+    node-by-node build with identical numerics."""
+    planes = [(p, [plane_component(plane_offset + p, d) for d in range(dims)])
+              for p in range(n_planes)]
+    if isinstance(vec, str):
+        return F.expr(X.sign_lsh_bucket_txt(vec, planes))
+    if isinstance(vec, (list, tuple)):
+        return F.expr(X.sign_lsh_bucket_txt(
+            X.vec_lit([float(x) for x in vec]), planes))
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        w = F.array(*[F.lit(plane_component(plane_offset + p, d)) for d in range(dims)])
+    for p, wvals in planes:
+        w = F.array(*[F.lit(c) for c in wvals])
         dot = F.aggregate(
             F.zip_with(vec, w, lambda x, ww: x.cast("double") * ww),
             F.lit(0.0), lambda acc, v: acc + v,
@@ -102,10 +115,10 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     """Brute-force exact top-k by cosine against a literal query vector →
     ``(vec_id, cosine, rank)``. Deterministic tie-break on (rounded
     cosine desc, vec_id asc) so results are oracle-stable."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qtxt = X.vec_lit([float(x) for x in query_vec])
     scored = widen(emb).select(
         F.col(id_col),
-        pround(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        F.expr(X.pround_txt(X.cos_txt(vec_col, qtxt), 6)).alias("cosine"),
     )
     return _ranked_topk(scored, k, id_col)
 
@@ -116,17 +129,18 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     """ANN: restrict the exact search to the query's sign-LSH bucket.
     At scale the bucketed table is written bucketed-by(bucket) so a
     probe is a single partition read."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = [float(x) for x in query_vec]
+    qtxt = X.vec_lit(q)
     bucketed = widen(emb).select(
         F.col(id_col), F.col(vec_col),
-        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        sign_lsh_bucket(vec_col, n_planes).alias("bucket"),
     )
     qdf = emb.sparkSession.range(1).select(
         sign_lsh_bucket(q, n_planes).alias("qbucket"))
     cands = bucketed.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
     scored = cands.select(
         F.col(id_col),
-        pround(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        F.expr(X.pround_txt(X.cos_txt(vec_col, qtxt), 6)).alias("cosine"),
     )
     return _ranked_topk(scored, k, id_col)
 
@@ -173,21 +187,13 @@ def ivf_assign_cells(emb: DataFrame, centroids: DataFrame,
          for r in centroids.select("cell_id", "cell_vec").collect()])
     return emb.select(
         F.col(id_col), F.col(vec_col),
-        _nearest_cell_expr(F.col(vec_col), cents).alias("cell"))
+        F.expr(X.nearest_cell_txt(vec_col, cents)).alias("cell"))
 
 
-def _nearest_cell_expr(vec: Column,
-                       cents: list[tuple[int, list[float]]]) -> Column:
-    """Narrow nearest-centroid argmax over a literal codebook: rounded
-    cosine per cell, ``array_position(arr, array_max(arr))`` = first
-    match = lowest cell_id on ties. Zero exchanges."""
-    cos_arr = F.array(*[
-        pround(cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cvec])), 6)
-        for _, cvec in cents
-    ])
-    cell_ids = F.array(*[F.lit(cid).cast("long") for cid, _ in cents])
-    best = F.array_position(cos_arr, F.array_max(cos_arr)).cast("int") - 1
-    return F.get(cell_ids, best)
+# nearest-centroid / nearest-codeword argmaxes are emitted as single
+# SQL-text expressions (functions.exprtext.nearest_cell_txt /
+# pq_seg_cell_txt): numerically identical to the old node-by-node
+# Column builds, but one py4j call and a constant lambda count.
 
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -199,7 +205,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     Per iteration:
 
     - **assign** — the narrow literal-codebook argmax
-      (:func:`_nearest_cell_expr`): zero exchanges, the corpus is
+      (``exprtext.nearest_cell_txt``): zero exchanges, the corpus is
       scanned once;
     - **recombine** — element-wise mean per cell: posexplode dims and
       hash-aggregate ``(cell, d)`` — partial (map-side) aggregation
@@ -218,7 +224,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     cents = [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in first]
     dims = len(cents[0][1])
     for _ in range(iters):
-        cell = _nearest_cell_expr(F.col(vec_col), cents)
+        cell = F.expr(X.nearest_cell_txt(vec_col, cents))
         long_form = widen(emb).select(
             cell.alias("cell"),
             F.posexplode(F.transform(F.col(vec_col),
@@ -250,17 +256,18 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cell_vec"))
     assigned = ivf_assign_cells(widen(emb), centroids, id_col, vec_col)
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qtxt = X.vec_lit([float(x) for x in query_vec])
     probe = (centroids
              .select("cell_id",
-                     pround(cosine_expr(F.col("cell_vec"), q), 6).alias("_c"))
+                     F.expr(X.pround_txt(X.cos_txt("cell_vec", qtxt), 6))
+                     .alias("_c"))
              .orderBy(F.col("_c").desc(), F.col("cell_id").asc())
              .limit(n_probe)
              .select(F.col("cell_id").alias("cell")))
     cands = assigned.join(F.broadcast(probe), "cell")
     scored = cands.select(
         F.col(id_col),
-        pround(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+        F.expr(X.pround_txt(X.cos_txt(vec_col, qtxt), 6)).alias("cosine"))
     return _ranked_topk(scored, k, id_col)
 
 
@@ -289,14 +296,24 @@ def random_projection(emb: DataFrame, out_dims: int = 16, dims: int = 64,
     dot-product determinism contract the cosine oracles already use."""
     return widen(emb).select(
         F.col(id_col),
-        F.posexplode(rp_array_expr(F.col(vec_col), out_dims, dims))
+        F.posexplode(rp_array_expr(vec_col, out_dims, dims))
         .alias("d_out", "value"))
 
 
-def rp_array_expr(vec: Column, out_dims: int = 16, dims: int = 64) -> Column:
+def _rp_matrix(out_dims: int, dims: int) -> list:
+    return [(j, [rp_component(j, d) for d in range(dims)])
+            for j in range(out_dims)]
+
+
+def rp_array_expr(vec: Column | str, out_dims: int = 16,
+                  dims: int = 64) -> Column:
     """The projection as an ``array<double>`` column (each component
     rounded 6 dp) — the composable form :func:`rp_cosine_topk` searches
-    over; :func:`random_projection` is its long-form dump."""
+    over; :func:`random_projection` is its long-form dump. Pass the
+    column NAME for the fast single-``F.expr`` build."""
+    if isinstance(vec, str):
+        return F.expr(X.rp_array_txt(vec, _rp_matrix(out_dims, dims),
+                                     out_dims))
     scale = F.sqrt(F.lit(float(out_dims)))
     return F.array(*[
         pround(dot_expr(vec, F.array(*[F.lit(rp_component(j, d))
@@ -333,10 +350,10 @@ def rp_cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     :func:`cosine_topk` over the candidate ids). Still one narrow scan
     + TakeOrderedAndProject — no shuffle before the final top-k."""
     q = project_query(query_vec, out_dims)
-    qlit = F.array(*[F.lit(float(x)) for x in q])
+    rp_txt = X.rp_array_txt(vec_col, _rp_matrix(out_dims, 64), out_dims)
     scored = widen(emb).select(
         F.col(id_col),
-        pround(cosine_expr(rp_array_expr(F.col(vec_col), out_dims), qlit), 6)
+        F.expr(X.pround_txt(X.cos_txt(rp_txt, X.vec_lit(q)), 6))
         .alias("cosine"))
     return _ranked_topk(scored, k, id_col)
 
@@ -389,11 +406,12 @@ def pq_encode(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
     seg_len = dims // n_segments
     if books is None:
         books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
-    seg_codes = [_pq_seg_cell(vec_col, book, s, seg_len)
-                 for s, book in enumerate(books)]
+    cells_txt = "array(" + ", ".join(
+        X.pq_seg_cell_txt(vec_col, book, s, seg_len)
+        for s, book in enumerate(books)) + ")"
     return widen(emb).select(
         F.col(id_col),
-        F.posexplode(F.array(*seg_codes)).alias("segment", "code"))
+        F.posexplode(F.expr(cells_txt)).alias("segment", "code"))
 
 
 def _pq_codebooks(emb: DataFrame, n_segments: int, n_codes: int,
@@ -408,23 +426,6 @@ def _pq_codebooks(emb: DataFrame, n_segments: int, n_codes: int,
          for r in first]
         for s in range(n_segments)
     ]
-
-
-def _pq_seg_cell(vec_col: str, book, s: int, seg_len: int):
-    """Narrow literal-codebook argmax for one segment: squared-L2 to
-    each codeword (6-dp rounded), ties → lowest code id (first match of
-    ``array_position``, the book is id-ascending)."""
-    sub = F.slice(F.col(vec_col), s * seg_len + 1, seg_len)
-    dists = F.array(*[
-        pround(F.aggregate(
-            F.zip_with(sub, F.array(*[F.lit(c) for c in cvec]),
-                       lambda x, c: (x.cast("double") - c)
-                       * (x.cast("double") - c)),
-            F.lit(0.0), lambda acc, v: acc + v), 6)
-        for _, cvec in book])
-    ids = F.array(*[F.lit(cid).cast("long") for cid, _ in book])
-    best = F.array_position(dists, F.array_min(dists)).cast("int") - 1
-    return F.get(ids, best)
 
 
 def pq_train_books(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
@@ -449,9 +450,9 @@ def pq_train_books(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
     seg_len = dims // n_segments
     books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
     for _ in range(iters):
-        cells = F.array(*[
-            _pq_seg_cell(vec_col, books[s], s, seg_len)
-            for s in range(n_segments)])
+        cells = F.expr("array(" + ", ".join(
+            X.pq_seg_cell_txt(vec_col, books[s], s, seg_len)
+            for s in range(n_segments)) + ")")
         lf = widen(emb).select(
             cells.alias("_cells"),
             F.posexplode(F.transform(
@@ -505,7 +506,11 @@ def pq_adc_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     seg_len = dims // n_segments
     books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
     q = [float(x) for x in query_vec]
-    lut = F.lit(None).cast("long")
+    # the (segment, code) → micro-unit distance table as ONE literal map
+    # (codebook ids are 0..n_codes-1 by construction, so the key packs
+    # as segment·n_codes + code); try_element_at mirrors the old chained
+    # CASE's null-for-unseen behavior under ANSI mode
+    entries = []
     for s, book in enumerate(books):
         qseg = q[s * seg_len:(s + 1) * seg_len]
         for cid, cvec in book:
@@ -514,8 +519,10 @@ def pq_adc_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 raw += (a - b) * (a - b)
             d6 = math.floor(raw * 1000000.0 + 0.5) / 1000000.0
             du = int(math.floor(d6 * 1000000.0 + 0.5))
-            lut = F.when((F.col("segment") == s) & (F.col("code") == cid),
-                         F.lit(du).cast("long")).otherwise(lut)
+            entries.append((s * n_codes + cid, du))
+    map_txt = "map(" + ", ".join(f"{k}, {v}L" for k, v in entries) + ")"
+    lut = F.expr(f"try_element_at({map_txt}, "
+                 f"CAST(segment * {n_codes} + code AS INT))")
     codes = pq_encode(emb, n_segments, n_codes, dims, id_col, vec_col)
     scored = (codes.select(F.col(id_col), lut.alias("du"))
               .groupBy(id_col)
