@@ -111,3 +111,31 @@ def test_ivf_assignment_is_narrow(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec"))
     assert_no_exchange(ivf_assign_cells(emb, centroids))
+
+
+def test_pq_encode_is_narrow(spark, sf_dir):
+    """PQ encode (text-built literal codebooks) must stay shuffle-free
+    apart from widen()'s round-robin fan-out (a no-op at scale): no
+    hash or range partitioning anywhere in the plan."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import pq_encode
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = plan_string(pq_encode(emb))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_exprtext_matches_column_build(spark, sf_dir):
+    """The SQL-text builders must be bit-identical to the legacy
+    Column-API builds (same fold order, same rounding)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import similarity as SIM
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir).limit(200)
+    # sign-LSH: text path (column name) vs legacy path (Column)
+    both = emb.select(
+        SIM.sign_lsh_bucket("embedding", n_planes=6).alias("a"),
+        SIM.sign_lsh_bucket(F.col("embedding"), n_planes=6).alias("b"),
+        SIM.rp_array_expr("embedding", out_dims=4).alias("ra"),
+        SIM.rp_array_expr(F.col("embedding"), out_dims=4).alias("rb"),
+    )
+    assert both.filter("a != b OR ra != rb").count() == 0
