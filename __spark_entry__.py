@@ -552,6 +552,31 @@ def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.canonical_docs(docs, pairs).orderBy("doc_id")
 
 
+def _nb_model_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 interop closed loop: train the NB model, export it in the
+    reference's on-disk text-KV layout (``word\\tpos@neg``), then read
+    the artifact back through the custom ``refmodel`` Python Data
+    Source — the result must hash-match the in-memory model, so it
+    shares ``nb_model``'s oracle. Writes under /tmp with overwrite
+    (idempotent)."""
+    import os
+    import tempfile
+
+    from text_sentiment_classification_hadoop_spark_spark.sources.model_store import (
+        export_reference_format,
+    )
+    from text_sentiment_classification_hadoop_spark_spark.sources.refmodel_source import (
+        register_refmodel,
+    )
+    register_refmodel(spark)
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_nb_model_kv")
+    model, _ = S._nb_trained(spark, sf_dir)
+    export_reference_format(
+        model.select("word", "pos_count", "neg_count"), path, fmt="nb")
+    return (spark.read.format("refmodel").option("model", "nb").load(path)
+            .orderBy("word"))
+
+
 def _dedup_canonical_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same resolution as ``dedup_canonical`` but with the
     large-star/small-star connected-components algorithm (Kiveris et
@@ -1356,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pricing_summary": _sql_pricing_summary,
         # --- new this round: alternating-CC twin, shares dedup_canonical's oracle ---
         "dedup_canonical_alternating": _dedup_canonical_alternating,
+        # text-KV export -> Python Data Source read-back; shares nb_model's oracle
+        "nb_model_kv_roundtrip": _nb_model_kv_roundtrip,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2517,6 +2544,8 @@ ORDER BY purchase_id, click_id
     out["sql_pricing_summary"] = out["pricing_summary"]
     # identical semantics, different distributed algorithm — same oracle
     out["dedup_canonical_alternating"] = out["dedup_canonical"]
+    # lossless text-KV roundtrip — same model, same oracle
+    out["nb_model_kv_roundtrip"] = out["nb_model"]
 
     out["user_running_stats"] = """
 SELECT user_id, event_id,

@@ -1,0 +1,147 @@
+"""Custom Python Data Source for the reference's text-KV model format.
+
+The reference persists models as tab-separated text that every map task
+re-reads from HDFS: ``word\\tpos@neg`` for NB (``NB.java:100-102``) and
+``word\\tweight`` for SVM (``SVM.java:104``). ``model_store`` already
+exports that layout byte-for-byte (S6); this module makes the SAME
+on-disk artifacts first-class DataFrame sources/sinks via Spark 4's
+Python Data Source API:
+
+    spark.dataSource.register(RefModelDataSource)
+    nb = spark.read.format("refmodel").option("model", "nb").load(path)
+    svm_df.write.format("refmodel").option("model", "svm").save(path)
+
+so a user migrating from the reference can point the engine at existing
+model directories without a conversion pass.
+
+Scale/shape notes:
+- one input partition PER FILE — a model dir written by N reducers
+  loads N-wide; models are vocabulary-sized, so the Python-row path is
+  driver-adjacent cost, not a corpus scan (the corpus never flows
+  through a Python data source in this engine);
+- reads tolerate the layouts the reference produces: ``part-*`` files,
+  ``_SUCCESS`` markers, blank trailing lines;
+- the writer emits one ``part-<pid>.tsv`` per partition plus
+  ``_SUCCESS``, mirroring the MR output contract (commit via rename is
+  left to the deploy filesystem — local here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+NB_SCHEMA = StructType([
+    StructField("word", StringType()),
+    StructField("pos_count", LongType()),
+    StructField("neg_count", LongType()),
+])
+SVM_SCHEMA = StructType([
+    StructField("word", StringType()),
+    StructField("weight", DoubleType()),
+])
+
+
+def _data_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and not f.endswith(".crc"))
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class RefModelReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        self.model = options.get("model", "nb")
+
+    def partitions(self):
+        return [_FilePartition(f) for f in _data_files(self.path)]
+
+    def read(self, partition):
+        with open(partition.file_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                word, _, val = line.partition("\t")
+                if self.model == "nb":
+                    pos, _, neg = val.partition("@")
+                    yield (word, int(pos), int(neg))
+                else:
+                    yield (word, float(val))
+
+
+class RefModelWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        self.model = options.get("model", "nb")
+        if overwrite and os.path.isdir(self.path):
+            for f in _data_files(self.path):
+                os.remove(f)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.tsv")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                if self.model == "nb":
+                    fh.write(f"{row[0]}\t{row[1]}@{row[2]}\n")
+                else:
+                    fh.write(f"{row[0]}\t{row[1]!r}\n")
+                n += 1
+        if n == 0:
+            os.remove(out)
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+
+    def abort(self, messages):
+        pass
+
+
+class RefModelDataSource(DataSource):
+    """``format("refmodel")`` — option ``model`` selects ``nb``
+    (``word\\tpos@neg``) or ``svm`` (``word\\tweight``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "refmodel"
+
+    def schema(self):
+        return NB_SCHEMA if self.options.get("model", "nb") == "nb" \
+            else SVM_SCHEMA
+
+    def reader(self, schema):
+        return RefModelReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return RefModelWriter(self.options, overwrite)
+
+
+def register_refmodel(spark) -> None:
+    """Idempotent registration of the ``refmodel`` format."""
+    spark.dataSource.register(RefModelDataSource)
