@@ -552,6 +552,21 @@ def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.canonical_docs(docs, pairs).orderBy("doc_id")
 
 
+def _zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (o_custkey, epoch-day of
+    o_orderdate) — the multi-dimensional sort key
+    ``sources.layout.write_zordered`` clusters files by. Plain integer
+    shifts/masks, so the key is bit-identical in DuckDB and the oracle
+    hash-checks the interleaving itself; the layout's locality effect
+    is asserted quantitatively in tests/test_bucketing.py."""
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import zorder_key_txt
+    o = load_table(spark, "orders", sf_dir)
+    day = "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+    z = zorder_key_txt([f"(o_custkey & 65535)", f"(({day}) & 65535)"], bits=16)
+    return (o.selectExpr("o_orderkey", f"{z} AS zkey")
+            .orderBy("o_orderkey"))
+
+
 def _nb_model_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 interop closed loop: train the NB model, export it in the
     reference's on-disk text-KV layout (``word\\tpos@neg``), then read
@@ -1383,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_alternating": _dedup_canonical_alternating,
         # text-KV export -> Python Data Source read-back; shares nb_model's oracle
         "nb_model_kv_roundtrip": _nb_model_kv_roundtrip,
+        # Morton-key layout clustering (write_zordered's sort key)
+        "zorder_keys": _zorder_keys,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2546,6 +2563,14 @@ ORDER BY purchase_id, click_id
     out["dedup_canonical_alternating"] = out["dedup_canonical"]
     # lossless text-KV roundtrip — same model, same oracle
     out["nb_model_kv_roundtrip"] = out["nb_model"]
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import zorder_key_txt
+    _duck_day = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    _duck_z = zorder_key_txt(
+        ["(o_custkey & 65535)", f"(({_duck_day}) & 65535)"], bits=16)
+    out["zorder_keys"] = f"""
+SELECT o_orderkey, {_duck_z} AS zkey
+FROM orders ORDER BY o_orderkey
+"""
 
     out["user_running_stats"] = """
 SELECT user_id, event_id,

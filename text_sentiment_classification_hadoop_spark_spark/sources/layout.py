@@ -57,3 +57,41 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     `PartitionFilters` in the plan, zero I/O elsewhere. The standard
     layout for time-organized 100 TB tables."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_key_txt(col_exprs: list[str], bits: int = 16) -> str:
+    """SQL text for a Morton (Z-order) key over ``len(col_exprs)``
+    non-negative integer expressions: output bit ``i·n + j`` is bit
+    ``i`` of column ``j``, so the key interleaves the columns'
+    low-order bits and rows close in EVERY dimension get close keys.
+
+    Plain integer shifts/masks — bit-identical in DuckDB, so the key
+    itself is oracle-checkable (``zorder_keys`` driver query). ``bits``
+    low bits of each column participate; pre-bucket wider domains
+    (e.g. ``value % 65536`` or an epoch-day) before interleaving."""
+    n = len(col_exprs)
+    terms = [
+        f"(((({e}) >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j, e in enumerate(col_exprs)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(df: DataFrame, path: str, col_exprs: list[str],
+                   n_files: int = 8, bits: int = 16) -> None:
+    """Z-order-clustered parquet: range-partition + sort on the Morton
+    key of ``col_exprs``, then drop the key. Each output file then
+    covers a small range of EVERY interleaved dimension, so parquet
+    row-group/file min-max stats prune scans filtered on ANY of the
+    columns — the multi-dimensional generalization of sorting by one
+    column, and the standard recurring-scan layout at 100 TB (a sort
+    by custkey alone leaves orderdate spans at full width; Z-order
+    bounds both). Locality is asserted quantitatively in
+    ``tests/test_bucketing.py``."""
+    from pyspark.sql import functions as F
+    keyed = df.withColumn("_zkey", F.expr(zorder_key_txt(col_exprs, bits)))
+    (keyed.repartitionByRange(n_files, "_zkey")
+     .sortWithinPartitions("_zkey")
+     .drop("_zkey")
+     .write.mode("overwrite").parquet(path))
