@@ -913,6 +913,11 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
 
 
+def _ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.ann_multiprobe_topk(emb, _query_vec(spark, sf_dir, 0), k=10)
+
+
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.ivf_topk(emb, _query_vec(spark, sf_dir, 0), k=10,
@@ -1400,6 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_model_kv_roundtrip": _nb_model_kv_roundtrip,
         # Morton-key layout clustering (write_zordered's sort key)
         "zorder_keys": _zorder_keys,
+        # multi-probe LSH (query bucket + Hamming-1 neighbors)
+        "ann_multiprobe_topk": _ann_multiprobe_topk,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -1815,6 +1822,38 @@ WITH {AU_ORIG},
 qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
 q AS (SELECT d, x AS qx FROM au WHERE vec_id = 0),
 cand AS (SELECT b.vec_id FROM buckets b, qb WHERE b.bucket = qb.qbucket),
+prods AS (
+  SELECT au.vec_id,
+         sum(au.x * q.qx) AS dot,
+         sum(au.x * au.x) AS na2,
+         sum(q.qx * q.qx) AS nq2
+  FROM au JOIN cand USING (vec_id) JOIN q ON au.d = q.d
+  GROUP BY au.vec_id
+),
+scored AS (
+  SELECT vec_id,
+         floor((dot / (sqrt(na2) * sqrt(nq2))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM prods
+),
+ranked AS (
+  SELECT vec_id, cosine,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY rank
+""",
+        "ann_multiprobe_topk": f"""
+WITH {AU_ORIG},
+{LSH_BUCKET_CTE},
+qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+probes AS (
+  SELECT qbucket AS pb FROM qb
+  UNION ALL
+  SELECT xor(qbucket, CAST(1 AS BIGINT) << p.p)
+  FROM qb, (SELECT unnest(range(0, 8)) AS p) p
+),
+q AS (SELECT d, x AS qx FROM au WHERE vec_id = 0),
+cand AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN probes ON b.bucket = probes.pb),
 prods AS (
   SELECT au.vec_id,
          sum(au.x * q.qx) AS dot,

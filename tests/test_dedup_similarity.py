@@ -470,3 +470,27 @@ def test_pq_training_reduces_quantization_error(spark, sf_dir):
     n = emb.count()
     assert codes.count() == n * 4
     assert codes.select("code").distinct().count() <= 8
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe must (a) compute the same cosines, (b) probe a
+    superset of the single bucket, so its recall@k vs the exact top-k
+    is >= single-probe recall."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import similarity as SIM
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {r["vec_id"] for r in SIM.cosine_topk(emb, q, k=10).collect()}
+    single = {r["vec_id"] for r in SIM.ann_lsh_topk(emb, q, k=10).collect()}
+    multi = {r["vec_id"] for r in
+             SIM.ann_multiprobe_topk(emb, q, k=10).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    # the probed candidate set strictly contains the single bucket's
+    b = emb.select(SIM.sign_lsh_bucket("embedding").alias("bk"),
+                   "vec_id")
+    qb = SIM.query_bucket(q)
+    single_cands = {r["vec_id"] for r in b.filter(F.col("bk") == qb).collect()}
+    probes = [qb] + [qb ^ (1 << p) for p in range(8)]
+    multi_cands = {r["vec_id"]
+                   for r in b.filter(F.col("bk").isin(probes)).collect()}
+    assert single_cands <= multi_cands

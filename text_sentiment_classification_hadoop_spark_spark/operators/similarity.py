@@ -145,6 +145,53 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return _ranked_topk(scored, k, id_col)
 
 
+def query_bucket(query_vec: list[float], n_planes: int = 8,
+                 plane_offset: int = 0) -> int:
+    """Driver-side sign-LSH bucket of a literal query vector — Python's
+    left-to-right accumulation matches the executor fold order
+    (same precedent as :func:`project_query`), so the literal bucket is
+    bit-identical to bucketing on-cluster."""
+    bucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for d, x in enumerate(query_vec):
+            acc = acc + float(x) * plane_component(plane_offset + p, d)
+        if acc >= 0:
+            bucket |= 1 << p
+    return bucket
+
+
+def ann_multiprobe_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                        n_planes: int = 8, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe sign-LSH ANN: search the query's bucket AND every
+    Hamming-1 neighbor bucket (flip each plane bit once) →
+    ``(vec_id, cosine, rank)``.
+
+    The standard recall lever that costs NO extra index: a true
+    neighbor lands outside the query's bucket exactly when it straddles
+    ≥1 hyperplane, and single-plane straddles (the dominant miss mode)
+    are recovered by probing the n_planes adjacent buckets — recall
+    rises from ≈(1-s)^p toward 1 without the extra storage of banding
+    (`embedding_near_dups`' replica approach). The probe set is a
+    plan-time literal IN-list over the bucket column, so on a
+    bucket-partitioned 100 TB layout this reads n_planes+1 partitions
+    instead of 1 — still O(candidates), never a scan."""
+    q = [float(x) for x in query_vec]
+    qb = query_bucket(q, n_planes)
+    probes = [qb] + [qb ^ (1 << p) for p in range(n_planes)]
+    bucketed = widen(emb).select(
+        F.col(id_col), F.col(vec_col),
+        sign_lsh_bucket(vec_col, n_planes).alias("bucket"),
+    )
+    scored = bucketed.filter(F.col("bucket").isin(probes)).select(
+        F.col(id_col),
+        F.expr(X.pround_txt(X.cos_txt(vec_col, X.vec_lit(q)), 6))
+        .alias("cosine"),
+    )
+    return _ranked_topk(scored, k, id_col)
+
+
 def pairwise_topk_join(emb: DataFrame, queries: DataFrame, k: int = 5,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
