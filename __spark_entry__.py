@@ -854,6 +854,11 @@ def _lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.lm_score(load_table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
+def _doc_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.bigram_lm_score(
+        load_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
 def _classifier_metrics(kind: str):
     """A8+A9 as a one-row scalar table (the reference prints these to
     stdout — ``NB.java:343-349``; ``NaiveBayes.py:72-75``)."""
@@ -1407,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _zorder_keys,
         # multi-probe LSH (query bucket + Hamming-1 neighbors)
         "ann_multiprobe_topk": _ann_multiprobe_topk,
+        # interpolated bigram LM document scoring (n-gram ppl filter)
+        "doc_bigram_ppl": _doc_bigram_ppl,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2404,6 +2411,53 @@ rk AS (
   FROM scored
 )
 SELECT * FROM rk WHERE rank <= 100 ORDER BY rank
+"""
+    out["doc_bigram_ppl"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+bi_pos AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t))
+  WHERE length(w1) > 0 AND length(w2) > 0
+),
+cnt AS (SELECT w1, w2, count(*) AS bcnt FROM bi_pos GROUP BY w1, w2),
+marg AS (SELECT w1, sum(bcnt) AS w1_total FROM cnt GROUP BY w1),
+bim AS (
+  SELECT c.w1, c.w2, CAST(c.bcnt AS DOUBLE) / m.w1_total AS p_bi
+  FROM cnt c JOIN marg m ON m.w1 = c.w1
+),
+toku AS (
+  SELECT w FROM (SELECT unnest(toks) AS w FROM t) WHERE length(w) > 0
+),
+ucnt AS (SELECT w, count(*) AS cnt FROM toku GROUP BY w),
+tot AS (SELECT sum(cnt) AS n_total, count(*) AS v FROM ucnt),
+uni AS (
+  SELECT w AS w2,
+         (cnt + CAST(0.5 AS DOUBLE))
+         / (CAST(n_total AS DOUBLE) + 0.5 * (v + 1)) AS p_u
+  FROM ucnt, tot
+),
+pos_scored AS (
+  SELECT b.doc_id,
+         CAST(floor(ln({0.7!r} * COALESCE(bm.p_bi, 0.0)
+                       + {1 - 0.7!r} * u.p_u)
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp
+  FROM bi_pos b
+  LEFT JOIN bim bm ON bm.w1 = b.w1 AND bm.w2 = b.w2
+  JOIN uni u ON u.w2 = b.w2
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, sum(lp) AS s
+  FROM pos_scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_pairs, 0) AS n_pairs,
+       floor((CAST(p.s AS DOUBLE) / p.n_pairs / 1000000.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_logp_nats
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
 """
     out["top_tokens"] = """
 WITH toks AS (

@@ -47,7 +47,8 @@ def main() -> None:
         "dedup_canonical_alternating",
         "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",
         # similarity
-        "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_recall_at10", "ivf_topk",
+        "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_multiprobe_topk",
+        "ann_recall_at10", "ivf_topk",
         "kmeans_cells", "random_projection", "rp_ann_topk", "pq_codes", "pq_adc_topk", "pq_trained_codes",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
@@ -56,7 +57,8 @@ def main() -> None:
         # text analysis
         "lang_id", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",
-        "c4_clean_docs",
+        "doc_bigram_ppl", "c4_clean_docs", "zorder_keys",
+        "nb_model_kv_roundtrip",
         # multimodal
         "mm_image_features", "mm_frame_samples", "mm_audio_features",
         "mm_frame_dedup", "lang_centroids",

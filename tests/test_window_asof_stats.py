@@ -302,6 +302,24 @@ def test_lm_score_matches_hand_computation(spark):
     assert out[2]["avg_logp_nats"] < out[1]["avg_logp_nats"]
 
 
+def test_bigram_lm_score_backoff_and_pair_counts(spark):
+    """Interpolated bigram scoring: n_pairs = tokens−1; a doc made of
+    the corpus's dominant bigram outscores one whose pairs were never
+    adjacent (pure unigram backoff); <2-token docs → 0/NULL."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d c d"), (3, "a b"), (4, "a d"),
+         (5, "a"), (6, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TA.bigram_lm_score(docs).collect()}
+    assert out[1]["n_pairs"] == 5 and out[2]["n_pairs"] == 3
+    assert out[3]["n_pairs"] == 1 and out[4]["n_pairs"] == 1
+    assert out[5]["n_pairs"] == 0 and out[5]["avg_logp_nats"] is None
+    assert out[6]["n_pairs"] == 0
+    # "a b" is a frequent bigram; "a d" never occurs adjacently, so it
+    # only gets the (1-lambda) unigram backoff mass
+    assert out[3]["avg_logp_nats"] > out[4]["avg_logp_nats"]
+
+
 def test_lm_score_model_join_is_broadcast(spark, sf_dir):
     from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
     plan = TA.lm_score(load_table(spark, "documents", sf_dir)) \

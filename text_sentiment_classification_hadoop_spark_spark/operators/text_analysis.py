@@ -333,6 +333,69 @@ def lm_score(df: DataFrame, model: DataFrame | None = None,
                        / F.lit(1000000.0), 6).alias("avg_logp_nats")))
 
 
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", lam: float = 0.7,
+                    alpha: float = 0.5) -> DataFrame:
+    """Interpolated-bigram LM document score — the n-gram upgrade of
+    :func:`lm_score`'s unigram proxy → ``(doc_id, n_pairs,
+    avg_logp_nats)`` (docs with <2 tokens → 0/NULL).
+
+    Per bigram position: ``p = λ·p_bi(w2|w1) + (1−λ)·p_uni(w2)`` with
+    MLE bigram ratios (unseen bigram → 0, the interpolation's backoff)
+    and the add-α unigram. Each position's log-prob is floored to
+    INTEGER micro-nats before the per-doc sum — the same exactness
+    contract as :func:`unigram_lm`, so results are independent of
+    aggregation order across runs/engines.
+
+    Shape: doc bigrams are a narrow ``zip_with`` shift; the bigram and
+    unigram models are broadcast (bigram table ≈ corpus distinct pairs;
+    at 100 TB cap it to top-K pairs — the interpolation already backs
+    off for the dropped tail, same plan) — so scoring is scan →
+    broadcast joins → one doc_id aggregation, no token-keyed shuffle,
+    no hot-key skew."""
+    toks_arr = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks_arr)
+    pairs = F.zip_with(
+        F.slice(toks_arr, F.lit(1), n - 1), F.slice(toks_arr, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    doc_bi = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+              .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                      F.col("p.w2").alias("w2"))
+              .filter((F.length("w1") > 0) & (F.length("w2") > 0)))
+    cnt = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    marg = cnt.groupBy("w1").agg(F.sum("bcnt").alias("w1_total"))
+    bi_model = cnt.join(marg, "w1").select(
+        "w1", "w2",
+        (F.col("bcnt").cast("double") / F.col("w1_total")).alias("p_bi"))
+    toks = (df.select(F.explode(toks_arr).alias("w"))
+            .filter(F.length("w") > 0))
+    ucnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = ucnt.agg(F.sum("cnt").alias("n_total"),
+                   F.count(F.lit(1)).alias("v"))
+    uni = (ucnt.crossJoin(F.broadcast(tot))
+           .select(F.col("w").alias("w2"),
+                   ((F.col("cnt") + F.lit(alpha))
+                    / (F.col("n_total") + F.lit(alpha) * (F.col("v") + F.lit(1))))
+                   .alias("p_u")))
+    # 1−λ is pinned driver-side so the oracle embeds the identical
+    # IEEE value (1-0.7 != 0.3 in binary)
+    p = (F.lit(lam) * F.coalesce(F.col("p_bi"), F.lit(0.0))
+         + F.lit(1 - lam) * F.col("p_u"))
+    scored = (doc_bi.join(F.broadcast(bi_model), ["w1", "w2"], "left")
+              .join(F.broadcast(uni), "w2")
+              .select(F.col(id_col),
+                      F.floor(F.log(p) * F.lit(1000000.0) + F.lit(0.5))
+                      .cast("long").alias("lp")))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("lp").alias("s"))
+    return (df.select(F.col(id_col)).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    pround(F.col("s").cast("double") / F.col("n_pairs")
+                           / F.lit(1000000.0), 6).alias("avg_logp_nats")))
+
+
 def c4_line_clean(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", min_words: int = 4,
                   min_lines: int = 1) -> DataFrame:
