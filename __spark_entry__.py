@@ -859,6 +859,38 @@ def _doc_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
+# data-quality expectations over orders — rule texts are portable SQL
+# (valid verbatim in Spark and DuckDB), so the oracle is generated from
+# the SAME dict and cannot drift
+DQ_ORDERS_RULES = {
+    "total_positive": "o_totalprice > 0",
+    "custkey_present": "o_custkey IS NOT NULL",
+    "status_known": "o_orderstatus IN ('F', 'O', 'P')",
+    "date_in_range": ("CAST(o_orderdate AS DATE) >= DATE '1992-01-01' "
+                      "AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'"),
+    "priority_format": "o_orderpriority LIKE '%-%'",
+}
+
+
+def _dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import expectation_report
+    return expectation_report(load_table(spark, "orders", sf_dir),
+                              DQ_ORDERS_RULES)
+
+
+def _dq_oracle_sql() -> str:
+    base_aggs = ", ".join(
+        f"sum(CASE WHEN ({cond}) IS NOT TRUE THEN 1 ELSE 0 END) AS v{i}"
+        for i, cond in enumerate(DQ_ORDERS_RULES.values()))
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS rule_order, '{name}' AS rule, "
+        f"CAST(v{i} AS BIGINT) AS n_violations, "
+        f"CAST(v{i} AS DOUBLE) / n AS violation_rate FROM base"
+        for i, name in enumerate(DQ_ORDERS_RULES))
+    return (f"WITH base AS (SELECT count(*) AS n, {base_aggs} FROM orders)\n"
+            f"{arms}\nORDER BY rule_order")
+
+
 def _classifier_metrics(kind: str):
     """A8+A9 as a one-row scalar table (the reference prints these to
     stdout — ``NB.java:343-349``; ``NaiveBayes.py:72-75``)."""
@@ -1414,6 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": _ann_multiprobe_topk,
         # interpolated bigram LM document scoring (n-gram ppl filter)
         "doc_bigram_ppl": _doc_bigram_ppl,
+        # one-pass data-quality expectation report
+        "dq_orders_report": _dq_orders_report,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2656,6 +2690,7 @@ ORDER BY purchase_id, click_id
     out["dedup_canonical_alternating"] = out["dedup_canonical"]
     # lossless text-KV roundtrip — same model, same oracle
     out["nb_model_kv_roundtrip"] = out["nb_model"]
+    out["dq_orders_report"] = _dq_oracle_sql()
     from text_sentiment_classification_hadoop_spark_spark.sources.layout import zorder_key_txt
     _duck_day = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
     _duck_z = zorder_key_txt(

@@ -253,3 +253,36 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     assert dropped == 1
     # the only finalized window is [T0, T0+5min): n=1, late row excluded
     assert got == {(T0, "click"): 1}
+
+
+def test_incremental_counts_store_exactly_once(spark, tmp_path):
+    """Versioned count store: batch partials merge into running totals,
+    a new immutable version per batch, replays are no-ops."""
+    from text_sentiment_classification_hadoop_spark_spark.streaming import pipeline as P
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "word string"
+    spark.createDataFrame([("a",), ("a",), ("b",)], schema) \
+        .write.mode("append").parquet(src)
+    P.incremental_counts_to_store(
+        spark.readStream.schema(schema).parquet(src), store,
+        key_col="word", query_name="ic1")
+    got1 = {r["word"]: r["cnt"]
+            for r in P.read_count_store(spark, store).collect()}
+    assert got1 == {"a": 2, "b": 1}
+    # second ingest batch merges, doesn't replace
+    spark.createDataFrame([("b",), ("c",)], schema) \
+        .write.mode("append").parquet(src)
+    P.incremental_counts_to_store(
+        spark.readStream.schema(schema).parquet(src), store,
+        key_col="word", query_name="ic2")
+    got2 = {r["word"]: r["cnt"]
+            for r in P.read_count_store(spark, store).collect()}
+    assert got2 == {"a": 2, "b": 2, "c": 1}
+    # no new input: running again must not change the store
+    P.incremental_counts_to_store(
+        spark.readStream.schema(schema).parquet(src), store,
+        key_col="word", query_name="ic3")
+    got3 = {r["word"]: r["cnt"]
+            for r in P.read_count_store(spark, store).collect()}
+    assert got3 == got2

@@ -178,3 +178,34 @@ def mixture_sample(docs: DataFrame, weights=None, id_col: str = "doc_id",
                 F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("epoch"))
         .orderBy(id_col, "epoch")
     )
+
+
+def expectation_report(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Data-quality expectations (the dbt-test / Great-Expectations
+    pattern, rebuilt as ONE aggregation): each rule is a SQL boolean
+    over a row; the report is ``(rule, n_violations, violation_rate)``
+    per rule, in rule-declaration order.
+
+    Shape matters at 100 TB: all rules evaluate in a single corpus
+    pass — one scan, one scalar aggregate (every ``sum(CASE …)``
+    partial-aggregates map-side), then a constant-size explode to long
+    form. NULL rule results count as violations (an expectation that
+    cannot be evaluated is not satisfied), matching SQL oracles via
+    ``cond IS NOT TRUE``."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, cond in enumerate(rules.values()):
+        aggs.append(F.sum(
+            F.when(F.expr(cond).isNotNull() & F.expr(cond), 0).otherwise(1)
+        ).cast("long").alias(f"_v{i}"))
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(F.lit(i + 1).alias("rule_order"), F.lit(name).alias("rule"),
+                 F.col(f"_v{i}").alias("n_violations"),
+                 (F.col(f"_v{i}").cast("double") / F.col("_n"))
+                 .alias("violation_rate"))
+        for i, name in enumerate(rules)
+    ]
+    return (one.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.rule_order", "r.rule", "r.n_violations",
+                    "r.violation_rate")
+            .orderBy("rule_order"))

@@ -279,3 +279,70 @@ def stream_shuffle_partitions(spark, n: int = 8):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def incremental_counts_to_store(stream_df: DataFrame, store_dir: str,
+                                key_col: str = "word",
+                                query_name: str = "incremental_counts"):
+    """Continuously-maintained aggregate against a PERSISTENT store —
+    the production pattern for keeping a corpus-wide statistic (word
+    counts, per-source doc counts) current under continuous ingest
+    without ever re-scanning history: per micro-batch, aggregate the
+    batch (map-side partials only — batch-sized, not history-sized),
+    merge with the store's running totals via a full-outer sum, and
+    publish a NEW immutable store version ``v<batch_id>``.
+
+    Exactly-once mechanics: the version directory name IS the commit
+    record — a replayed batch finds its ``v<batch_id>`` already
+    present and skips (same idempotence contract as
+    :func:`incremental_dedup_to_store`, with a directory swap instead
+    of an append guard because counts MERGE rather than union).
+    Readers always see a complete version (parquet dirs appear only
+    after their write completes). At scale, old versions are the
+    time-travel history; compact/expire them like any table-format
+    checkpoint. Returns the finished StreamingQuery."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def _versions() -> list[str]:
+        if not os.path.isdir(store_dir):
+            return []
+        return sorted(d for d in os.listdir(store_dir)
+                      if d.startswith("v") and d[1:].isdigit())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vname = f"v{batch_id:010d}"
+        vs = _versions()
+        if vname in vs:
+            return  # batch already committed — replay is a no-op
+        merged = batch_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        if vs:
+            prev = spark.read.parquet(os.path.join(store_dir, vs[-1]))
+            merged = (
+                merged.withColumnRenamed("cnt", "_new")
+                .join(prev, key_col, "full_outer")
+                .select(key_col,
+                        (F.coalesce(F.col("_new"), F.lit(0))
+                         + F.coalesce(F.col("cnt"), F.lit(0))).alias("cnt")))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_dir, vname))
+
+    q = (stream_df.writeStream.foreachBatch(write_batch)
+         .queryName(query_name)
+         .option("checkpointLocation", store_dir + "_ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120.0)
+    return q
+
+
+def read_count_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Latest committed version of an :func:`incremental_counts_to_store`
+    store (empty-schema-safe: raises if no version exists yet)."""
+    import os
+    versions = sorted(d for d in os.listdir(store_dir)
+                      if d.startswith("v") and d[1:].isdigit())
+    return spark.read.parquet(os.path.join(store_dir, versions[-1]))
