@@ -872,6 +872,11 @@ DQ_ORDERS_RULES = {
 }
 
 
+def _pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.pps_systematic_sample(
+        load_table(spark, "documents", sf_dir), k=50, weight_col="n_chars")
+
+
 def _dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import expectation_report
     return expectation_report(load_table(spark, "orders", sf_dir),
@@ -1448,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_ppl": _doc_bigram_ppl,
         # one-pass data-quality expectation report
         "dq_orders_report": _dq_orders_report,
+        # deterministic PPS systematic sampling (distributed prefix sum)
+        "pps_sample_docs": _pps_sample_docs,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2691,6 +2698,20 @@ ORDER BY purchase_id, click_id
     # lossless text-KV roundtrip — same model, same oracle
     out["nb_model_kv_roundtrip"] = out["nb_model"]
     out["dq_orders_report"] = _dq_oracle_sql()
+    out["pps_sample_docs"] = """
+WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
+tot AS (SELECT sum(wt) AS total FROM w),
+c AS (
+  SELECT doc_id, wt,
+         sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS ce
+  FROM w
+)
+SELECT c.doc_id, c.wt AS weight
+FROM c, tot
+WHERE floor(CAST(c.ce * 50 AS DOUBLE) / total)
+      > floor(CAST((c.ce - c.wt) * 50 AS DOUBLE) / total)
+ORDER BY c.doc_id
+"""
     from text_sentiment_classification_hadoop_spark_spark.sources.layout import zorder_key_txt
     _duck_day = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
     _duck_z = zorder_key_txt(

@@ -494,3 +494,23 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     multi_cands = {r["vec_id"]
                    for r in b.filter(F.col("bk").isin(probes)).collect()}
     assert single_cands <= multi_cands
+
+
+def test_pps_systematic_sample_properties(spark):
+    """PPS invariants on a planted corpus: boundary-crossing count sums
+    to k (so |sample| <= k with equality when no weight spans two
+    strides), determinism across partitioning widths, and a
+    2000x-heavier row is always selected."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import text_analysis as TA
+    rows = [(i, 1) for i in range(100)] + [(100, 2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = TA.pps_systematic_sample(df, k=10, weight_col="n_chars")
+    sel = [r["doc_id"] for r in got.collect()]
+    assert 100 in sel                      # the heavy row dominates
+    assert 0 < len(sel) <= 10
+    # partitioning must not change the outcome (distributed prefix sum
+    # == the sequential one)
+    sel2 = [r["doc_id"] for r in
+            TA.pps_systematic_sample(df, k=10, weight_col="n_chars",
+                                     n_parts=3).collect()]
+    assert sel2 == sel

@@ -663,3 +663,56 @@ def heaps_fit(df: DataFrame, text_col: str = "text",
         F.col("n").cast("long").alias("n_points"),
         _pr(slope, 6).alias("beta"),
         _pr(F.exp(intercept), 6).alias("k"))
+
+
+def pps_systematic_sample(df: DataFrame, k: int, weight_col: str,
+                          id_col: str = "doc_id",
+                          n_parts: int = 8) -> DataFrame:
+    """Deterministic probability-proportional-to-size (PPS) systematic
+    sampling → the ``k``-ish rows whose integer-weight interval crosses
+    an equally-spaced selection boundary. The classic one-pass weighted
+    sampler for training-data mixtures (heavier documents
+    proportionally more likely), with NO randomness: selection depends
+    only on ids, weights, and ``k``, so it is reproducible across
+    engines and re-runs — the weighted analogue of :func:`hash_sample`.
+
+    A row with prefix-sum interval ``[cum, cum+w)`` over the id-sorted
+    corpus is selected iff ``floor((cum+w)·k / total) > floor(cum·k /
+    total)`` — pure BIGINT arithmetic (exact in every engine; no pow/ln
+    boundary flakes like exponential-key A-ES sampling would have).
+
+    The prefix sum is the genuinely distributed two-phase form, not a
+    single-partition window: range-partition by id, one in-partition
+    cumulative sum, then per-partition offsets collected once
+    (``n_parts`` longs — the J4 scalar pattern) and added back as a
+    literal map. One range exchange + one tiny driver round-trip,
+    corpus never serializes through a global Window."""
+    from pyspark.sql import Window
+
+    ranged = (df.select(F.col(id_col), F.col(weight_col).cast("long")
+                        .alias("_w"))
+              .repartitionByRange(n_parts, F.col(id_col))
+              .sortWithinPartitions(id_col)
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))  # pin partitioning for both passes
+    part_totals = {r["_pid"]: r["t"] for r in
+                   ranged.groupBy("_pid").agg(F.sum("_w").alias("t"))
+                   .collect()}
+    total = sum(part_totals.values())
+    offsets, acc = {}, 0
+    for pid in sorted(part_totals):
+        offsets[pid] = acc
+        acc += part_totals[pid]
+    # per-partition offsets as a literal map (try_element_at: ANSI-safe)
+    map_txt = "map(" + ", ".join(
+        f"{pid}, {offsets[pid]}L" for pid in sorted(offsets)) + ")"
+    w = Window.partitionBy("_pid").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum_end = (F.sum("_w").over(w)
+               + F.expr(f"try_element_at({map_txt}, _pid)"))
+    with_ce = ranged.withColumn("_ce", cum_end)
+    sel = (F.floor(F.col("_ce") * F.lit(k) / F.lit(total))
+           > F.floor((F.col("_ce") - F.col("_w")) * F.lit(k) / F.lit(total)))
+    return (with_ce.filter(sel)
+            .select(F.col(id_col), F.col("_w").alias("weight"))
+            .orderBy(id_col))
