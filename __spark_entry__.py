@@ -605,6 +605,23 @@ def _dedup_canonical_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
                             cc_algorithm="alternating").orderBy("doc_id")
 
 
+def _dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup resolution: canonical = the LONGEST member of
+    each near-dup cluster (ties → lowest id) — what production
+    pipelines keep, vs dedup_canonical's id-min. On the augmented
+    corpus the planted near-copy is 4 chars longer than its original,
+    so the two resolutions provably differ and each needs its own
+    oracle."""
+    from pyspark.sql import functions as F
+    docs = _augmented_docs(spark, sf_dir).withColumn(
+        "_len", F.length("text"))
+    pairs = D.minhash_near_dups(docs.select("doc_id", "text"),
+                                threshold=0.5,
+                                sigs=_aug_sigs(spark, sf_dir))
+    return D.canonical_docs_best(docs, pairs,
+                                 score_col="_len").orderBy("doc_id")
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     docs = _augmented_docs(spark, sf_dir)
@@ -1455,6 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_orders_report": _dq_orders_report,
         # deterministic PPS systematic sampling (distributed prefix sum)
         "pps_sample_docs": _pps_sample_docs,
+        # keep-best (longest) dedup resolution
+        "dedup_canonical_best": _dedup_canonical_best,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2698,6 +2717,31 @@ ORDER BY purchase_id, click_id
     # lossless text-KV roundtrip — same model, same oracle
     out["nb_model_kv_roundtrip"] = out["nb_model"]
     out["dq_orders_report"] = _dq_oracle_sql()
+    out["dedup_canonical_best"] = out["dedup_canonical"].replace(
+        """comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS canonical_id,
+       CAST(CASE WHEN coalesce(c.component, d.doc_id) <> d.doc_id
+            THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM docs_all d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id""",
+        """comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+best AS (
+  SELECT component, node AS best_id FROM (
+    SELECT c.component, c.node,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY length(d.text) DESC, c.node ASC) AS rn
+    FROM comp c JOIN docs_all d ON d.doc_id = c.node)
+  WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(b.best_id, d.doc_id) AS canonical_id,
+       CAST(CASE WHEN coalesce(b.best_id, d.doc_id) <> d.doc_id
+            THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM docs_all d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN best b ON b.component = c.component
+ORDER BY d.doc_id""")
     out["pps_sample_docs"] = """
 WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
 tot AS (SELECT sum(wt) AS total FROM w),

@@ -514,3 +514,19 @@ def test_pps_systematic_sample_properties(spark):
             TA.pps_systematic_sample(df, k=10, weight_col="n_chars",
                                      n_parts=3).collect()]
     assert sel2 == sel
+
+
+def test_canonical_docs_best_keeps_highest_score(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1), (5, 2), (6, 7)],
+        "doc_id long, score long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "id_a long, id_b long")
+    out = {r["doc_id"]: (r["canonical_id"], r["is_dup"])
+           for r in D.canonical_docs_best(docs, pairs,
+                                          score_col="score").collect()}
+    # cluster {1,2,3}: max score 9 tie (2,3) -> lowest id 2;
+    # cluster {5,6}: 6 wins; 4 unpaired
+    assert out == {1: (2, 1), 2: (2, 0), 3: (2, 1),
+                   4: (4, 0), 5: (6, 1), 6: (6, 0)}

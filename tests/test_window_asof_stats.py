@@ -638,3 +638,41 @@ def test_mixture_sample_weights_and_determinism(spark, sf_dir):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+# ------------------------------------------------------ generic as-of join
+
+def test_asof_join_backward_forward_golden(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p10"), (1, 20, "p20"), (2, 5, "p5")],
+        "user_id long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 8, "c8"), (1, 10, "c10"), (1, 25, "c25"), (3, 1, "cX")],
+        "user_id long, ts long, label string")
+    back = {(r["user_id"], r["ts"]): (r["r_ts"], r["r_label"]) for r in
+            E.asof_join(left, right, "user_id").collect()}
+    # ties are inclusive: left ts=10 matches right ts=10
+    assert back[(1, 10)] == (10, "c10")
+    assert back[(1, 20)] == (10, "c10")
+    assert back[(2, 5)] == (None, None)       # no right rows for key 2
+    fwd = {(r["user_id"], r["ts"]): (r["r_ts"], r["r_label"]) for r in
+           E.asof_join(left, right, "user_id",
+                       direction="forward").collect()}
+    assert fwd[(1, 10)] == (10, "c10")        # inclusive forward tie
+    assert fwd[(1, 20)] == (25, "c25")
+    assert fwd[(2, 5)] == (None, None)
+
+
+def test_asof_join_matches_purchase_attribution(spark, sf_dir):
+    """The generic operator must reproduce the specialized attribution
+    query on the real events table (backward, inclusive)."""
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts")
+    got = {(r["purchase_id"]): r["r_ts"] for r in
+           E.asof_join(purchases, clicks, "user_id").collect()}
+    want = {r["purchase_id"]: r["last_click_ts"] for r in
+            E.purchase_attribution(spark, sf_dir).collect()}
+    assert got == want

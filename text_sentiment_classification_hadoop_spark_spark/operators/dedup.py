@@ -404,6 +404,42 @@ def canonical_docs(df: DataFrame, pairs: DataFrame,
     )
 
 
+def canonical_docs_best(df: DataFrame, pairs: DataFrame,
+                        score_col: str, id_col: str = "doc_id",
+                        cc_algorithm: str = "label_prop") -> DataFrame:
+    """Keep-BEST dedup resolution: like :func:`canonical_docs`, but each
+    cluster's canonical representative is its highest-``score_col``
+    member (ties → lowest id) instead of the minimum id →
+    ``(doc_id, canonical_id, is_dup)``. This is what production
+    pipelines actually keep — the longest / highest-quality duplicate,
+    not the accidental id-min.
+
+    Shape: the component table (|near-dup docs|, small) joins the
+    scores once; the per-cluster argmax is a ``min_by`` on
+    ``(-score, id)`` struct ordering — one aggregation over the
+    component table, never the corpus; the corpus sees the same single
+    left join as the keep-first form."""
+    comp = connected_components(pairs, algorithm=cc_algorithm)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
+        "node")
+    best = (scored.groupBy("component")
+            .agg(F.min(F.struct((-F.col("_s")).alias("s"),
+                                F.col("node").alias("n"))).alias("b"))
+            .select("component", F.col("b.n").alias("best_id")))
+    resolved = comp.join(best, "component").select("node", "best_id")
+    return (
+        df.select(F.col(id_col))
+        .join(resolved, df[id_col] == resolved["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("best_id"), F.col(id_col)).alias("canonical_id"),
+            (F.coalesce(F.col("best_id"), F.col(id_col)) != F.col(id_col))
+            .cast("int").alias("is_dup"),
+        )
+    )
+
+
 def decontaminate(train: DataFrame, test: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:

@@ -319,6 +319,68 @@ def next_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(left: DataFrame, right: DataFrame, by: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              direction: str = "backward",
+              right_prefix: str = "r_") -> DataFrame:
+    """Generic as-of join — the reusable operator behind
+    :func:`purchase_attribution` / :func:`next_click_attribution`: for
+    every left row, attach the right row with the largest
+    ``right_ts ≤ left_ts`` (``direction="backward"``, inclusive) or the
+    smallest ``right_ts ≥ left_ts`` (``"forward"``) sharing the ``by``
+    key. Output = all left columns + every right column (ts included)
+    under ``right_prefix``, NULL when no match exists.
+
+    Scale shape (same as the attribution queries): union both sides,
+    ONE shuffle on ``by``, one per-key time sort, then a single
+    ignorenulls last/first window carry — O(n log n_partition) with one
+    exchange, vs the O(n²-per-key) theta join the naive SQL form runs.
+    Ties at the exact same timestamp: the right row is included
+    (inclusive semantics both directions); among multiple same-ts right
+    rows the carry picks the struct-greatest (backward) /
+    struct-least (forward) — deterministic for any payload."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    rpayload = [c for c in right.columns if c != by]
+    lpayload = [c for c in left.columns if c != by]
+    rs = F.struct(*[F.col(c) for c in rpayload])
+    # unified frame: key, event time, side marker, left payload, right struct
+    l_side = left.select(
+        F.col(by), F.col(left_ts).alias("_t"), F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in lpayload]).alias("_ls"),
+        F.lit(None).cast(
+            right.select(rs.alias("_rs")).schema["_rs"].dataType
+        ).alias("_rs"),
+    )
+    r_side = right.select(
+        F.col(by), F.col(right_ts).alias("_t"), F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lpayload]).alias("_ls"))
+            .schema["_ls"].dataType
+        ).alias("_ls"),
+        rs.alias("_rs"),
+    )
+    u = l_side.unionByName(r_side)
+    if direction == "backward":
+        # right rows order before left at equal ts → inclusive match
+        w = (Window.partitionBy(by).orderBy("_t", "_is_left", "_rs")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        carried = F.last("_rs", ignorenulls=True).over(w)
+    else:
+        # left rows order before right at equal ts → inclusive match
+        w = (Window.partitionBy(by)
+             .orderBy("_t", (1 - F.col("_is_left")), "_rs")
+             .rowsBetween(0, Window.unboundedFollowing))
+        carried = F.first("_rs", ignorenulls=True).over(w)
+    matched = (u.withColumn("_m", carried)
+               .filter(F.col("_is_left") == 1))
+    return matched.select(
+        F.col(by),
+        *[F.col("_ls")[c].alias(c) for c in lpayload],
+        *[F.col("_m")[c].alias(f"{right_prefix}{c}") for c in rpayload],
+    )
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict sequential conversion funnel signup → view → click →
     purchase: a user reaches stage k when their earliest stage-k event
