@@ -894,6 +894,38 @@ def _pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir), k=50, weight_col="n_chars")
 
 
+def _fuzzy_part_names(spark: SparkSession, sf_dir: str,
+                      max_dist: int = 2) -> DataFrame:
+    """Banded Levenshtein fuzzy matching over part names — the string
+    analogue of the LSH dedup path: candidates are generated by an
+    EQUI-join on (brand, first word, length bucket) — never all-pairs —
+    and only candidates pay the O(n·m) edit-distance verify. Distance
+    ≤ ``max_dist`` bounds the length difference by ``max_dist`` < 8,
+    so a true pair's length bands differ by at most 1; the left side
+    explodes into (band−1, band, band+1) — the pigeonhole pattern of
+    interval_pair_counts — making band recall EXACT and letting the
+    oracle be the plain theta join → ``(key_a, key_b, dist)``."""
+    from pyspark.sql import functions as F
+    p = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("key"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name"))
+    first = F.split(F.col("name"), " ")[0]
+    band = (F.length("name") / 8).cast("int")
+    left = p.select("key", "name", "brand", first.alias("w0"),
+                    F.explode(F.array(band - 1, band, band + 1)).alias("bk"))
+    right = p.select(F.col("key").alias("key_b"),
+                     F.col("name").alias("name_b"), "brand",
+                     first.alias("w0"), band.alias("bk"))
+    cand = (left.join(right, ["brand", "w0", "bk"])
+            .filter(F.col("key") < F.col("key_b")))
+    dist = F.levenshtein(F.col("name"), F.col("name_b"))
+    return (cand.select(F.col("key").alias("key_a"), "key_b",
+                        dist.alias("dist"))
+            .filter(F.col("dist") <= max_dist)
+            .distinct()
+            .orderBy("key_a", "key_b"))
+
+
 def _dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import expectation_report
     return expectation_report(load_table(spark, "orders", sf_dir),
@@ -1474,6 +1506,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample_docs": _pps_sample_docs,
         # keep-best (longest) dedup resolution
         "dedup_canonical_best": _dedup_canonical_best,
+        # per-user event-type Markov transitions
+        "event_transitions": E.event_transition_matrix,
+        # banded Levenshtein fuzzy part-name matching
+        "fuzzy_part_names": _fuzzy_part_names,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2717,6 +2753,35 @@ ORDER BY purchase_id, click_id
     # lossless text-KV roundtrip — same model, same oracle
     out["nb_model_kv_roundtrip"] = out["nb_model"]
     out["dq_orders_report"] = _dq_oracle_sql()
+    out["event_transitions"] = """
+WITH s AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM s WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+),
+marg AS (SELECT from_type, sum(n) AS rt FROM cnt GROUP BY from_type)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       floor((CAST(c.n AS DOUBLE) / m.rt) * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM cnt c JOIN marg m USING (from_type)
+ORDER BY from_type, to_type
+"""
+    # the band explode has exact recall (|len diff| <= max_dist < band
+    # width), so the oracle is the plain theta join
+    out["fuzzy_part_names"] = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY key_a, key_b
+"""
     out["dedup_canonical_best"] = out["dedup_canonical"].replace(
         """comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
 SELECT d.doc_id,

@@ -67,7 +67,8 @@ def main() -> None:
         "events_session_window_native", "rolling_revenue",
         "events_pivot", "events_json_props", "user_running_stats",
         "purchase_attribution", "next_click_attribution", "interval_pair_counts",
-        "funnel_conversion", "cohort_retention", "bloom_prefilter_join",
+        "funnel_conversion", "cohort_retention", "event_transitions",
+        "fuzzy_part_names", "bloom_prefilter_join",
         "approx_distinct_users",
         # structured streaming
         "events_tumbling_stream", "events_sliding_stream",

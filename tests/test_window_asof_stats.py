@@ -676,3 +676,18 @@ def test_asof_join_matches_purchase_attribution(spark, sf_dir):
     want = {r["purchase_id"]: r["last_click_ts"] for r in
             E.purchase_attribution(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_event_transition_matrix_rows_normalize(spark, sf_dir):
+    rows = E.event_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    n_events = load_table(spark, "events", sf_dir).count()
+    n_users = (load_table(spark, "events", sf_dir)
+               .select("user_id").distinct().count())
+    # one transition per event except each user's first
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    for recs in by_from.values():
+        assert abs(sum(r["p"] for r in recs) - 1.0) < 1e-4

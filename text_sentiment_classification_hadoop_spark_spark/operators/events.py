@@ -422,6 +422,32 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types per user
+    stream → ``(from_type, to_type, n, p)`` with MLE row-normalized
+    probabilities — the sequence-mining summary behind next-action
+    prediction and funnel-anomaly detection.
+
+    Shape: one ``user_id`` shuffle feeds the lag window (same exchange
+    class as sessionize), then a 5×5-bounded aggregation — partial
+    map-side, output size |event types|², independent of corpus size.
+    ``p`` is an exact count ratio (identical operands both engines) at
+    6 dp."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (e.select(F.lag("event_type").over(w).alias("from_type"),
+                      F.col("event_type").alias("to_type"))
+             .filter(F.col("from_type").isNotNull()))
+    cnt = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    marg = cnt.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (cnt.join(marg, "from_type")
+            .select("from_type", "to_type", "n",
+                    pround(F.col("n").cast("double")
+                           / F.col("row_total"), 6).alias("p"))
+            .orderBy("from_type", "to_type"))
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str,
                      use_sketch: bool = False,
                      rsd: float = 0.01) -> DataFrame:
