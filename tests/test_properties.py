@@ -131,3 +131,59 @@ def test_java_split_empty_text_field_goldens(spark):
     assert parse_tweets_lines(df, mode="svm", java_split=True).count() == 0
     assert parse_tweets_lines(df, mode="nb").head()["text"] == ""
     assert parse_tweets_lines(df, mode="svm").count() == 1
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                min_size=1, max_size=12),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                min_size=0, max_size=12),
+       st.sampled_from(["backward", "forward"]))
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows, direction):
+    """asof_join == the theta-join argmin/argmax on arbitrary inputs
+    (keys 0-3, integer times, both directions, inclusive ties)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import asof_join
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(rrows)],
+        "k long, ts long, rid long") if rrows else spark.createDataFrame(
+        [], "k long, ts long, rid long")
+    got = {r["lid"]: r["r_rid"] for r in
+           asof_join(left, right, "k", direction=direction).collect()}
+
+    def brute(k, t):
+        if direction == "backward":
+            c = [(rt, rid) for (rk, rt), rid in
+                 zip(rrows, range(1000, 1000 + len(rrows)))
+                 if rk == k and rt <= t]
+            # engine tie-break: struct-greatest (rt, rid) among matches
+            return max(c)[1] if c else None
+        c = [(rt, rid) for (rk, rt), rid in
+             zip(rrows, range(1000, 1000 + len(rrows)))
+             if rk == k and rt >= t]
+        # engine tie-break: struct-least (rt, rid) among matches
+        return min(c)[1] if c else None
+
+    for i, (k, t) in enumerate(lrows):
+        assert got[i] == brute(k, t), (k, t, direction)
+
+
+@given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_zorder_key_is_injective_and_monotone(spark, pts):
+    """Morton keys are injective over the (a, b) domain and preserve
+    per-dimension order when the other coordinate is fixed."""
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import zorder_key_txt
+    df = spark.createDataFrame(list(set(pts)), "a long, b long") \
+        if len(set(pts)) == len(pts) else spark.createDataFrame(
+        list(set(pts)), "a long, b long")
+    rows = df.selectExpr("a", "b",
+                         zorder_key_txt(["a", "b"], bits=8) + " AS z").collect()
+    seen = {}
+    for r in rows:
+        assert (r["a"], r["b"]) not in seen or seen[(r["a"], r["b"])] == r["z"]
+        seen[(r["a"], r["b"])] = r["z"]
+    assert len({r["z"] for r in rows}) == len(rows)  # injective
