@@ -894,6 +894,12 @@ def _pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir), k=50, weight_col="n_chars")
 
 
+def _dup_kgram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-k-gram coverage over the documents corpus
+    (exact-substring-dedup signal, Lee et al. 2022)."""
+    return D.dup_kgram_stats(load_table(spark, "documents", sf_dir))
+
+
 def _fuzzy_part_names(spark: SparkSession, sf_dir: str,
                       max_dist: int = 2) -> DataFrame:
     """Banded Levenshtein fuzzy matching over part names — the string
@@ -1510,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": E.event_transition_matrix,
         # banded Levenshtein fuzzy part-name matching
         "fuzzy_part_names": _fuzzy_part_names,
+        # duplicated-k-gram coverage (exact-substring-dedup signal)
+        "dup_kgram_stats": _dup_kgram_stats,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2753,6 +2761,36 @@ ORDER BY purchase_id, click_id
     # lossless text-KV roundtrip — same model, same oracle
     out["nb_model_kv_roundtrip"] = out["nb_model"]
     out["dq_orders_report"] = _dq_oracle_sql()
+    out["dup_kgram_stats"] = f"""
+WITH docs_all AS (SELECT doc_id, text FROM documents),
+{SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {PORTABLE_HASH.format(col='sh')} AS h
+  FROM shingles WHERE sh IS NOT NULL
+),
+corpus AS (
+  SELECT h FROM (SELECT h, count(*) AS c FROM hashed GROUP BY h)
+  WHERE c >= 2
+),
+tot AS (SELECT doc_id, count(*) AS n_kgrams FROM hashed GROUP BY doc_id),
+dups AS (
+  SELECT hashed.doc_id, count(*) AS dup_positions,
+         count(DISTINCT hashed.h) AS dup_distinct
+  FROM hashed JOIN corpus USING (h) GROUP BY hashed.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_kgrams, 0) AS BIGINT) AS n_kgrams,
+       CAST(COALESCE(p.dup_positions, 0) AS BIGINT) AS dup_positions,
+       CAST(COALESCE(p.dup_distinct, 0) AS BIGINT) AS dup_distinct,
+       CASE WHEN COALESCE(t.n_kgrams, 0) > 0
+            THEN floor((CAST(COALESCE(p.dup_positions, 0) AS DOUBLE)
+                        / t.n_kgrams) * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS dup_frac
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN dups p USING (doc_id)
+ORDER BY d.doc_id
+"""
     out["event_transitions"] = """
 WITH s AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id

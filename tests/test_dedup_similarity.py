@@ -530,3 +530,21 @@ def test_canonical_docs_best_keeps_highest_score(spark):
     # cluster {5,6}: 6 wins; 4 unpaired
     assert out == {1: (2, 1), 2: (2, 0), 3: (2, 1),
                    4: (4, 0), 5: (6, 1), 6: (6, 0)}
+
+
+def test_dup_kgram_stats_planted(spark):
+    """Planted repeats: the shared 3-gram across docs is flagged, a
+    unique doc scores 0, short docs get n_kgrams 0."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),      # shares 'alpha beta gamma' w/ 2
+         (2, "alpha beta gamma epsilon"),
+         (3, "one two three four"),          # all unique
+         (4, "hi there")],                   # < 3 tokens
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dup_kgram_stats(docs).collect()}
+    assert out[1]["n_kgrams"] == 2 and out[2]["n_kgrams"] == 2
+    assert out[1]["dup_positions"] == 1 and out[1]["dup_distinct"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert out[3]["dup_positions"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_kgrams"] == 0 and out[4]["dup_frac"] == 0.0

@@ -28,6 +28,7 @@ from ..functions.hashing import (
     shingles_expr,
     simhash_expr,
 )
+from ..functions.rounding import pround
 from ..session import widen
 
 DEFAULT_NUM_PERM = 16
@@ -524,3 +525,47 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+def dup_kgram_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Exact duplicated-k-gram statistics per document → ``(doc_id,
+    n_kgrams, dup_positions, dup_distinct, dup_frac)``: how much of
+    each doc consists of token k-grams that occur ≥2 times ANYWHERE in
+    the corpus — the per-document signal behind exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): docs with high ``dup_frac`` are boilerplate /
+    template content even when no single whole-document near-dup
+    exists.
+
+    Shape: explode k-gram hashes (8-byte portable hashes, not strings),
+    one corpus count keyed on the hash (map-side partials; uniform
+    keys), filter to the duplicated set, join back, and two doc-keyed
+    aggregations. Every shuffle carries hashes or per-doc counters —
+    O(tokens) total, the same budget as MinHash signatures. A full
+    suffix-array span merge is the precision upgrade; the k-gram form
+    is the standard first-pass at corpus scale."""
+    sh = df.select(F.col(id_col),
+                   F.explode(shingles_expr(F.col(text_col), k=k)).alias("_sh"))
+    hashed = sh.select(F.col(id_col), portable_hash64(F.col("_sh")).alias("h"))
+    dup = (hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= 2).select("h"))
+    tot = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_kgrams"))
+    dups = (hashed.join(dup, "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("dup_positions"),
+                 F.countDistinct("h").alias("dup_distinct")))
+    n_kg = F.coalesce(F.col("n_kgrams"), F.lit(0))
+    dp = F.coalesce(F.col("dup_positions"), F.lit(0))
+    return (df.select(F.col(id_col))
+            .join(tot, id_col, "left").join(dups, id_col, "left")
+            .select(
+                F.col(id_col),
+                n_kg.cast("long").alias("n_kgrams"),
+                dp.cast("long").alias("dup_positions"),
+                F.coalesce(F.col("dup_distinct"), F.lit(0)).cast("long")
+                .alias("dup_distinct"),
+                F.when(n_kg > 0,
+                       pround(dp.cast("double") / n_kg, 6))
+                .otherwise(F.lit(0.0)).alias("dup_frac"))
+            .orderBy(id_col))
