@@ -135,8 +135,6 @@ def tfidf_long(df: DataFrame, text_col: str = "text",
     map-side. tfidf is portably rounded at 6 dp (cross-engine ln/sum
     order safety).
     """
-    import math
-
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")) \
         .filter(F.length("word") > 0)
     n_docs = df.select(id_col).distinct().count()
