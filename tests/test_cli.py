@@ -35,3 +35,20 @@ def test_curate_cli(tmp_path):
     assert total > 0 and kept + rejected == total
     assert "Source " in out.stdout          # per-source report printed
     assert "Kept corpus written" in out.stdout
+
+
+def test_dedup_cli(tmp_path):
+    out_dir = str(tmp_path / "deduped")
+    out = subprocess.run(
+        [sys.executable, "-m", "text_sentiment_classification_hadoop_spark_spark", "dedup",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--keep", "best", "--score-col", "n_chars",
+         "--out", out_dir],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = {l.split(" = ")[0]: l.split(" = ")[1]
+           for l in out.stdout.strip().splitlines() if " = " in l}
+    total = int(got["Documents"])
+    kept = int(got["Kept"])
+    assert total > 0 and kept + int(got["Duplicates removed"]) == total
+    assert "Deduplicated corpus written" in out.stdout

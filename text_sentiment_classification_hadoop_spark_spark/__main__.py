@@ -64,13 +64,20 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="text_sentiment_classification_hadoop_spark_spark")
     p.add_argument("command", choices=[
         "nb-compat", "svm-compat", "svm-strict", "nb-mllib", "svm-mllib",
-        "curate"])
+        "curate", "dedup"])
     p.add_argument("--train", help="training tweets CSV (compat commands)")
     p.add_argument("--test", help="test tweets CSV; defaults to --train")
     p.add_argument("--input", help="tweets CSV for the mllib commands (75/25 split inside)")
     p.add_argument("--model-out", help="optional parquet dir to persist the model")
-    p.add_argument("--docs", help="documents parquet path (curate)")
-    p.add_argument("--out", help="optional parquet dir for the kept corpus (curate)")
+    p.add_argument("--docs", help="documents parquet path (curate/dedup)")
+    p.add_argument("--out", help="optional parquet dir for the kept corpus (curate/dedup)")
+    p.add_argument("--keep", choices=["first", "best"], default="first",
+                   help="dedup canonical policy: min-id (first) or "
+                        "highest --score-col (best)")
+    p.add_argument("--score-col", default="n_chars",
+                   help="score column for --keep best (default n_chars)")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="estimated-Jaccard near-dup threshold (dedup)")
     args = p.parse_args(argv)
 
     from .functions.cleaning import clean_chain_a, clean_chain_b
@@ -102,6 +109,40 @@ def main(argv: list[str] | None = None) -> int:
             docs.join(kept_ids, "doc_id").write.mode("overwrite") \
                 .parquet(args.out)
             print(f"Kept corpus written to {args.out}")
+        print(f"Execution time: {time.perf_counter() - t0:.2f} s")
+        spark.stop()
+        return 0
+
+    if args.command == "dedup":
+        if not args.docs:
+            p.error("--docs is required for dedup")
+        from .operators.dedup import (
+            canonical_docs,
+            canonical_docs_best,
+            minhash_near_dups,
+        )
+        docs = spark.read.parquet(args.docs)
+        pairs = minhash_near_dups(docs.select("doc_id", "text"),
+                                  threshold=args.threshold)
+        if args.keep == "best":
+            if args.score_col not in docs.columns:
+                p.error(f"--score-col {args.score_col!r} not in the docs "
+                        f"schema {docs.columns}")
+            resolved = canonical_docs_best(docs, pairs,
+                                           score_col=args.score_col)
+        else:
+            resolved = canonical_docs(docs, pairs)
+        resolved = resolved.localCheckpoint(eager=True)
+        n = resolved.count()
+        n_dup = resolved.filter(F.col("is_dup") == 1).count()
+        print(f"Documents = {n}")
+        print(f"Duplicates removed = {n_dup}")
+        print(f"Kept = {n - n_dup}")
+        if args.out:
+            keep_ids = resolved.filter(F.col("is_dup") == 0).select("doc_id")
+            docs.join(keep_ids, "doc_id").write.mode("overwrite") \
+                .parquet(args.out)
+            print(f"Deduplicated corpus written to {args.out}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
         spark.stop()
         return 0
