@@ -819,6 +819,26 @@ def _ann_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"))
 
 
+def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-user sketch, driver-checkable: the raw sketch
+    value is engine-specific (Spark vs DuckDB HLL differ), so the query
+    exports the exact count plus a Spark-computed ``approx_within_3rsd``
+    bound check — the oracle asserts the bound holds (``TRUE``) and
+    hash-checks the exact column, converting the old rows-only row into
+    a full rows+schema+hash row without faking the sketch."""
+    from pyspark.sql import functions as F
+
+    rsd = 0.01
+    return (
+        E.approx_distinct_users(spark, sf_dir, rsd=rsd)
+        .select(
+            "event_type", "n_users_exact",
+            (F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+             <= F.lit(3 * rsd) * F.col("n_users_exact"))
+            .alias("approx_within_3rsd"))
+    )
+
+
 def _bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact semi-join behind a broadcast Bloom bitmap pre-filter
     (operators/skew.py:bloom_semi_join): lineitems of urgent high-value
@@ -1479,7 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": E.cohort_retention,
         "events_json_props": E.json_props_extract,
         "bloom_prefilter_join": _bloom_prefilter_join,
-        "approx_distinct_users": E.approx_distinct_users,  # rows-only (HLL)
+        "approx_distinct_users": _approx_distinct_users,
         # structured streaming (north star) — incremental plan, batch oracle
         "events_tumbling_stream": _events_tumbling_stream,
         "events_sliding_stream": _events_sliding_stream,
@@ -1611,9 +1631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svm_declared_weights": _svm_declared_weights,
         "nb_metrics": _classifier_metrics("nb"),
         "svm_metrics": _classifier_metrics("svm"),
-        # skew + SQL-layer demonstrations (result-identical oracles)
+        # skew demonstration (result-identical oracle); the SQL-layer
+        # twin sql_pricing_summary is registered once, near the top
         "word_counts_salted": _word_counts_salted,
-        "sql_pricing_summary": _sql_pricing_summary,
         # dedup (north star)
         "dedup_exact": _dedup_exact,
         "decontaminate_train": _decontaminate_train,
@@ -1637,12 +1657,15 @@ def oracle_sql() -> dict[str, str]:
     de = ", ".join(f"'{w}'" for w in TA.LANG_PROFILES["de"])
     out = {
         "pricing_summary": """
+-- avg_qty uses 1e6 (double literal in BOTH dialects); 1000000.0 parses
+-- as DECIMAL in Spark SQL and the result column comes back DECIMAL(…)
+-- instead of DOUBLE, which value-hash-mismatches the DuckDB run.
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+       floor((avg(l_quantity)) * 1e6 + 0.5) / 1e6 AS avg_qty,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-02'
@@ -3073,9 +3096,15 @@ UNION ALL SELECT o_orderstatus, 'min_price', min_price FROM s
 UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM s
 ORDER BY o_orderstatus, stat
 """
-    # approx_distinct_users: intentionally NO oracle — HLL++ sketch values
-    # are implementation-specific (Spark vs DuckDB differ); the pytest
-    # bounds relative error against the exact count in the same row.
+    # approx_distinct_users: the sketch value itself is engine-specific,
+    # so the Spark side exports a bound-check boolean instead of the raw
+    # estimate; the oracle pins the exact counts and asserts the bound.
+    out["approx_distinct_users"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS approx_within_3rsd
+FROM events GROUP BY event_type ORDER BY event_type
+"""
     out["hash_sample_docs"] = f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE ({PORTABLE_HASH.format(col="'sample:v1' || CAST(doc_id AS VARCHAR)")} % 100) < 10

@@ -109,6 +109,31 @@ def test_svm_declared_differs_and_converges(train_df):
     assert got3 != got  # epochs actually chain (reference bug fixed)
 
 
+def test_svm_declared_fallback_no_driver_collect(train_df, monkeypatch):
+    """The large-vocab path must never materialize the vocabulary on
+    the driver — the path DECISION is a limit(N+1).count() probe and
+    the epoch loop is collect-free (all models stay DataFrames). A
+    spy on DataFrame.collect proves it structurally, not by timing."""
+    from pyspark.sql import DataFrame
+
+    literal = {r["word"]: r["weight"]
+               for r in SVM.svm_train_declared(train_df, epochs=3).collect()}
+
+    real_collect = DataFrame.collect
+    calls = []
+    monkeypatch.setattr(DataFrame, "collect",
+                        lambda self: calls.append(self) or real_collect(self))
+    # literal_map_max=0 forces the distributed fallback for any vocab
+    w = SVM.svm_train_declared(train_df, epochs=3, literal_map_max=0)
+    assert calls == [], "fallback training path called DataFrame.collect"
+    monkeypatch.undo()
+
+    fallback = {r["word"]: r["weight"] for r in w.collect()}
+    assert fallback.keys() == literal.keys()
+    for k in literal:
+        assert math.isclose(fallback[k], literal[k], rel_tol=1e-9, abs_tol=1e-12)
+
+
 def test_confusion_and_binary_metrics(spark):
     preds = spark.createDataFrame(
         [(1.0, 1.0)] * 3 + [(1.0, 0.0)] * 1 + [(0.0, 0.0)] * 4 + [(0.0, 1.0)] * 2,
@@ -140,6 +165,27 @@ def test_mllib_pipeline_runs(spark, sf_dir):
     preds, model = SVM.mllib_pipeline(docs, algorithm="nb")
     assert preds.filter(F.col("prediction").isNotNull()).count() > 0
     assert "features" in preds.columns
+
+
+def test_mllib_confusion_goldens_sf001(spark):
+    """Value-level pin for the two rows-only driver queries
+    (mllib_nb_confusion / mllib_svm_confusion): seeded
+    randomSplit(1234) + deterministic HashingTF/IDF make the confusion
+    counts reproducible run-over-run, same protocol as the reference's
+    own evaluation (``NaiveBayes.py:61-75``, ``SVM.py:63-76``).
+
+    The counts depend on the input partitioning (randomSplit seeds
+    per-partition), so the pin holds under THIS session's config —
+    local[4], 4 shuffle partitions, sf0.01 — which conftest fixes."""
+    import __spark_entry__ as em
+
+    golden = {
+        "nb": [(0.0, 0.0, 15), (0.0, 1.0, 13), (1.0, 0.0, 52), (1.0, 1.0, 60)],
+        "svm": [(0.0, 0.0, 47), (0.0, 1.0, 41), (1.0, 0.0, 20), (1.0, 1.0, 32)],
+    }
+    for alg, expected in golden.items():
+        df = em.queries()[f"mllib_{alg}_confusion"](spark, "/root/testdata/sf0.01")
+        assert [tuple(r) for r in df.collect()] == expected, alg
 
 
 def test_nb_compat_raw_underflow_quirk(spark, model_stats):

@@ -198,11 +198,13 @@ def test_sliding_counts_fanout_is_exactly_two(spark, sf_dir):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    rows = E.approx_distinct_users(spark, sf_dir).collect()
+    """|approx − exact| ≤ 3·rsd·exact — the same bound the registered
+    query exports as ``approx_within_3rsd`` for the driver's oracle."""
+    rows = E.approx_distinct_users(spark, sf_dir, rsd=0.01).collect()
     assert rows
     for r in rows:
         exact = r["n_users_exact"]
-        assert abs(r["n_users_approx"] - exact) <= max(1, 0.05 * exact)
+        assert abs(r["n_users_approx"] - exact) <= max(1, 3 * 0.01 * exact)
 
 
 # --------------------------------------------- repetition / PII scrub
@@ -449,8 +451,7 @@ def test_contract_oracle_completeness():
     qs = set(entry.queries())
     oracles = set(entry.oracle_sql())
     assert oracles <= qs, oracles - qs          # no orphan oracles
-    assert qs - oracles == {"approx_distinct_users", "mllib_nb_confusion",
-                            "mllib_svm_confusion"}
+    assert qs - oracles == {"mllib_nb_confusion", "mllib_svm_confusion"}
 
 
 def test_narrow_verdict_join_free_and_agrees_with_pipeline(spark):

@@ -157,9 +157,13 @@ def svm_train_declared(docs: DataFrame, id_col: str = "doc_id",
     if epochs <= 1:
         return w1
 
-    first = w1.collect()  # vocabulary-sized either way; decides the path
-    if len(first) <= literal_map_max:
-        weights = {r["word"]: r["weight"] for r in first}
+    # Path decision WITHOUT materializing the vocabulary on the driver:
+    # a limit(N+1).count() probe is executor-side and returns a scalar,
+    # so at 100× vocab the decision itself can never OOM the driver —
+    # only a probe that comes back under the threshold earns a collect.
+    probe = w1.limit(literal_map_max + 1).count()
+    if probe <= literal_map_max:
+        weights = {r["word"]: r["weight"] for r in w1.collect()}
         for epoch in range(2, epochs + 1):
             eta = epoch_lr(epoch)
             wmap = F.create_map(
