@@ -179,6 +179,42 @@ def test_kmeans_codebook_improves_on_seed(spark, sf_dir):
     assert mean_best_cos(trained) >= mean_best_cos(seed) - 1e-6
 
 
+def test_large_codebook_broadcast_path_identical(spark, sf_dir):
+    """The broadcast-codebook fallback (plan-size scale path for large
+    k) must be bit-identical to the literal path — same expression
+    text, different array source. Forced both ways at k=64 for
+    kmeans/IVF and 4×32 codewords for PQ."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    force_lit = dict(literal_codebook_max=10**6)
+    force_bc = dict(literal_codebook_max=0)
+
+    lit = SIM.kmeans_fit(emb, k=64, iters=1, **force_lit).collect()
+    bc = SIM.kmeans_fit(emb, k=64, iters=1, **force_bc).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, bc))
+
+    cents = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec"))
+    a_lit = SIM.ivf_assign_cells(emb, cents, **force_lit) \
+        .select("vec_id", "cell").collect()
+    a_bc = SIM.ivf_assign_cells(emb, cents, **force_bc) \
+        .select("vec_id", "cell").collect()
+    assert sorted(map(tuple, a_lit)) == sorted(map(tuple, a_bc))
+    # the CORPUS side stays shuffle-free: the only exchange allowed is
+    # the centroid-sized SinglePartition gather feeding collect_list
+    plan = SIM.ivf_assign_cells(emb, cents, **force_bc) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+    c_lit = SIM.pq_encode(emb, n_codes=32, **force_lit).collect()
+    c_bc = SIM.pq_encode(emb, n_codes=32, **force_bc).collect()
+    assert sorted(map(tuple, c_lit)) == sorted(map(tuple, c_bc))
+
+    b_lit = SIM.pq_train_books(emb, n_codes=32, iters=1, **force_lit)
+    b_bc = SIM.pq_train_books(emb, n_codes=32, iters=1, **force_bc)
+    assert b_lit == b_bc
+
+
 def test_simhash_near_dups_exact_recall(spark, sf_dir):
     """Banding 32 bits into 4 slices is pigeonhole-EXACT for hamming ≤ 3:
     the banded pair set must equal the brute-force pair set, and the

@@ -72,27 +72,44 @@ def pround_txt(e: str, n: int) -> str:
     return f"(floor(({e}) * {m!r}D + 0.5D) / {m!r}D)"
 
 
-def nearest_cell_txt(vec: str, cents) -> str:
-    """Nearest centroid by 6-dp-rounded cosine, ties → LOWEST cell id:
+def nearest_cell_over_txt(vec: str, books_expr: str) -> str:
+    """Nearest centroid by 6-dp-rounded cosine, ties → LOWEST cell id,
+    over ANY ``array<struct<i,v>>`` expression — a :func:`books_lit`
+    literal (small codebooks) or a broadcast-joined column (large ones;
+    see ``similarity._codebook_df``). Identical ops either way, so both
+    paths are bit-identical and share one oracle.
+
     ``array_max`` over ``struct(cosine, -id)`` (struct ordering is
     lexicographic, so the negated id turns max-tie into min-id) —
     numerically identical to the Column-API
     ``array_position(arr, array_max(arr))`` first-match form."""
     cos6 = pround_txt(cos_txt(vec, "p.v"), 6)
-    return (f"(- array_max(transform({books_lit(cents)}, "
+    return (f"(- array_max(transform({books_expr}, "
             f"p -> named_struct('c', {cos6}, 'i', -p.i))).i)")
 
 
-def pq_seg_cell_txt(vec: str, book, s: int, seg_len: int) -> str:
+def nearest_cell_txt(vec: str, cents) -> str:
+    """:func:`nearest_cell_over_txt` over a plan-time codebook literal."""
+    return nearest_cell_over_txt(vec, books_lit(cents))
+
+
+def pq_seg_cell_over_txt(vec: str, books_expr: str, s: int,
+                         seg_len: int) -> str:
     """Nearest codeword for PQ segment ``s`` by 6-dp-rounded squared
-    L2, ties → lowest code id (``array_min`` over struct(dist, id))."""
+    L2, ties → lowest code id (``array_min`` over struct(dist, id)),
+    over ANY ``array<struct<i,v>>`` expression (literal or column)."""
     sub = f"slice({vec}, {s * seg_len + 1}, {seg_len})"
     dist6 = pround_txt(
         f"aggregate(zip_with({sub}, p.v, "
         "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
         "0.0D, (acc, v) -> acc + v)", 6)
-    return (f"(array_min(transform({books_lit(book)}, "
+    return (f"(array_min(transform({books_expr}, "
             f"p -> named_struct('d', {dist6}, 'i', p.i))).i)")
+
+
+def pq_seg_cell_txt(vec: str, book, s: int, seg_len: int) -> str:
+    """:func:`pq_seg_cell_over_txt` over a plan-time codebook literal."""
+    return pq_seg_cell_over_txt(vec, books_lit(book), s, seg_len)
 
 
 def sign_lsh_bucket_txt(vec: str, planes) -> str:

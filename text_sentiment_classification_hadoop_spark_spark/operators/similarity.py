@@ -213,28 +213,72 @@ def pairwise_topk_join(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+# Codebooks ride into the assignment expression one of two ways, chosen
+# by codeword count (the same two-path pattern as the SVM epoch loop):
+#
+# - ≤ LITERAL_CODEBOOK_MAX codewords: plan-time literals (the J4
+#   scalar-broadcast pattern) — zero exchanges, but plan text grows
+#   O(k·dims) and would hit codegen/plan-size limits near k ≈ 10³;
+# - above it: the SAME expression over a broadcast ONE-ROW DataFrame
+#   holding the codebook as an array<struct<i,v>> column — the
+#   BroadcastNestedLoopJoin against one row is still narrow (no
+#   shuffle), plan size is O(1) in k, and because the expression text
+#   is identical apart from where the array comes from, both paths are
+#   bit-identical and share one oracle.
+LITERAL_CODEBOOK_MAX = 64
+
+
+def _one_row_book(spark, book):
+    """The broadcast-codebook relation: one row, one array column."""
+    return spark.createDataFrame(
+        [([(int(i), [float(x) for x in v]) for i, v in book],)],
+        "_cb array<struct<i: bigint, v: array<double>>>")
+
+
+def _one_row_books(spark, books):
+    """Per-segment codebooks (PQ) as one nested-array row."""
+    return spark.createDataFrame(
+        [([[(int(i), [float(x) for x in v]) for i, v in b]
+           for b in books],)],
+        "_cbs array<array<struct<i: bigint, v: array<double>>>>")
+
+
 def ivf_assign_cells(emb: DataFrame, centroids: DataFrame,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     literal_codebook_max: int | None = None) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid by cosine (rounded 6 dp; ties -> lowest centroid id) →
     ``(vec_id, embedding, cell)``.
 
-    The codebook is ≤ n_cells rows, so it is collected to PLAN-TIME
-    LITERALS (the J4 scalar-broadcast pattern, like ``sign_lsh_bucket``'s
-    planes) and the per-row argmax is a narrow array expression:
-    ``array_position(cos_array, array_max(cos_array))`` — first match,
-    i.e. lowest cell_id on rounded ties. ZERO exchanges — the round-1
+    Small codebooks are collected to PLAN-TIME LITERALS and the per-row
+    argmax is a narrow array expression — ZERO exchanges (the round-1
     form windowed over the unique ``vec_id`` key, which hash-shuffled
-    the whole corpus just to reduce 8 candidate rows per vector. At
-    100 TB the assigned table is written partitioned/bucketed by
-    ``cell`` so probes prune to n_probe cells.
+    the whole corpus just to reduce 8 candidate rows per vector). Above
+    ``literal_codebook_max`` cells the codebook instead arrives as a
+    broadcast one-row array column (never collected to the driver at
+    all on this path — a ``limit(N+1).count()`` probe decides, and the
+    array is built by a Spark-side ``collect_list``), same expression,
+    same numerics. At 100 TB the assigned table is written
+    partitioned/bucketed by ``cell`` so probes prune to n_probe cells.
     """
-    cents = sorted(
-        [(int(r["cell_id"]), [float(x) for x in r["cell_vec"]])
-         for r in centroids.select("cell_id", "cell_vec").collect()])
-    return emb.select(
-        F.col(id_col), F.col(vec_col),
-        F.expr(X.nearest_cell_txt(vec_col, cents)).alias("cell"))
+    lim = LITERAL_CODEBOOK_MAX if literal_codebook_max is None \
+        else literal_codebook_max
+    if centroids.limit(lim + 1).count() <= lim:
+        cents = sorted(
+            [(int(r["cell_id"]), [float(x) for x in r["cell_vec"]])
+             for r in centroids.select("cell_id", "cell_vec").collect()])
+        return emb.select(
+            F.col(id_col), F.col(vec_col),
+            F.expr(X.nearest_cell_txt(vec_col, cents)).alias("cell"))
+    book = (
+        centroids.select(
+            F.struct(F.col("cell_id").cast("long").alias("i"),
+                     F.col("cell_vec").alias("v")).alias("_s"))
+        .agg(F.array_sort(F.collect_list("_s")).alias("_cb")))
+    return (
+        emb.crossJoin(F.broadcast(book))
+        .select(F.col(id_col), F.col(vec_col),
+                F.expr(X.nearest_cell_over_txt(vec_col, "_cb")).alias("cell")))
 
 
 # nearest-centroid / nearest-codeword argmaxes are emitted as single
@@ -244,7 +288,8 @@ def ivf_assign_cells(emb: DataFrame, centroids: DataFrame,
 
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               literal_codebook_max: int | None = None) -> DataFrame:
     """Deterministic distributed Lloyd's k-means (the trained codebook
     :func:`ivf_topk`'s docstring promises) → long-form
     ``(cell_id, d, centroid)``, k×dims rows.
@@ -265,14 +310,31 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     Determinism contract (cross-engine, mirrors the unrolled-SQL
     oracle): init = the first ``k`` vectors by id; cosine assignment
     rounded 6 dp with ties → lowest cell; means rounded 6 dp; an empty
-    cell keeps its previous centroid."""
+    cell keeps its previous centroid.
+
+    Above ``literal_codebook_max`` cells the per-iteration codebook
+    rides as a broadcast one-row array column instead of plan-text
+    literals (identical expression, O(1) plan size — see
+    ``LITERAL_CODEBOOK_MAX``). The k×dims means still round-trip the
+    driver between iterations on both paths: at k=10³, dims=64 that is
+    ~0.5 MB — driver traffic was never the scale problem, plan text
+    was."""
+    lim = LITERAL_CODEBOOK_MAX if literal_codebook_max is None \
+        else literal_codebook_max
+    spark = emb.sparkSession
     first = emb.orderBy(F.col(id_col)).limit(k) \
         .select(F.col(id_col), F.col(vec_col)).collect()
     cents = [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in first]
     dims = len(cents[0][1])
     for _ in range(iters):
-        cell = F.expr(X.nearest_cell_txt(vec_col, cents))
-        long_form = widen(emb).select(
+        if k <= lim:
+            src = widen(emb)
+            cell = F.expr(X.nearest_cell_txt(vec_col, cents))
+        else:
+            src = widen(emb).crossJoin(
+                F.broadcast(_one_row_book(spark, cents)))
+            cell = F.expr(X.nearest_cell_over_txt(vec_col, "_cb"))
+        long_form = src.select(
             cell.alias("cell"),
             F.posexplode(F.transform(F.col(vec_col),
                                      lambda x: x.cast("double"))).alias("d", "x"))
@@ -436,7 +498,8 @@ def group_centroids(emb: DataFrame, labels: DataFrame, label_col: str,
 
 def pq_encode(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
               dims: int = 64, id_col: str = "vec_id",
-              vec_col: str = "embedding", books=None) -> DataFrame:
+              vec_col: str = "embedding", books=None,
+              literal_codebook_max: int | None = None) -> DataFrame:
     """Product quantization encode → long-form ``(vec_id, segment,
     code)``: split each vector into ``n_segments`` contiguous
     sub-vectors and snap each to its nearest codeword by squared L2
@@ -451,12 +514,24 @@ def pq_encode(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
     billion-scale ANN fit in memory (ADC scans the codes, not the
     floats)."""
     seg_len = dims // n_segments
+    lim = LITERAL_CODEBOOK_MAX if literal_codebook_max is None \
+        else literal_codebook_max
     if books is None:
         books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
-    cells_txt = "array(" + ", ".join(
-        X.pq_seg_cell_txt(vec_col, book, s, seg_len)
-        for s, book in enumerate(books)) + ")"
-    return widen(emb).select(
+    if n_segments * n_codes <= lim:
+        cells_txt = "array(" + ", ".join(
+            X.pq_seg_cell_txt(vec_col, book, s, seg_len)
+            for s, book in enumerate(books)) + ")"
+        src = widen(emb)
+    else:
+        # large total codeword count: same expression over the
+        # broadcast nested-array column (O(1) plan size)
+        cells_txt = "array(" + ", ".join(
+            X.pq_seg_cell_over_txt(vec_col, f"_cbs[{s}]", s, seg_len)
+            for s in range(n_segments)) + ")"
+        src = widen(emb).crossJoin(
+            F.broadcast(_one_row_books(emb.sparkSession, books)))
+    return src.select(
         F.col(id_col),
         F.posexplode(F.expr(cells_txt)).alias("segment", "code"))
 
@@ -477,7 +552,8 @@ def _pq_codebooks(emb: DataFrame, n_segments: int, n_codes: int,
 
 def pq_train_books(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
                    iters: int = 2, dims: int = 64, id_col: str = "vec_id",
-                   vec_col: str = "embedding"):
+                   vec_col: str = "embedding",
+                   literal_codebook_max: int | None = None):
     """Per-segment Lloyd's k-means over PQ sub-vectors (squared-L2) —
     the trained codebooks :func:`pq_encode`'s docstring promises.
 
@@ -495,12 +571,22 @@ def pq_train_books(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
     6 dp; assignment ties → lowest code; an empty cell keeps its
     previous codeword."""
     seg_len = dims // n_segments
+    lim = LITERAL_CODEBOOK_MAX if literal_codebook_max is None \
+        else literal_codebook_max
     books = _pq_codebooks(emb, n_segments, n_codes, seg_len, id_col, vec_col)
     for _ in range(iters):
-        cells = F.expr("array(" + ", ".join(
-            X.pq_seg_cell_txt(vec_col, books[s], s, seg_len)
-            for s in range(n_segments)) + ")")
-        lf = widen(emb).select(
+        if n_segments * n_codes <= lim:
+            src = widen(emb)
+            cells = F.expr("array(" + ", ".join(
+                X.pq_seg_cell_txt(vec_col, books[s], s, seg_len)
+                for s in range(n_segments)) + ")")
+        else:
+            src = widen(emb).crossJoin(
+                F.broadcast(_one_row_books(emb.sparkSession, books)))
+            cells = F.expr("array(" + ", ".join(
+                X.pq_seg_cell_over_txt(vec_col, f"_cbs[{s}]", s, seg_len)
+                for s in range(n_segments)) + ")")
+        lf = src.select(
             cells.alias("_cells"),
             F.posexplode(F.transform(
                 F.col(vec_col),
