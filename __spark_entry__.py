@@ -2878,8 +2878,7 @@ c AS (
 )
 SELECT c.doc_id, c.wt AS weight
 FROM c, tot
-WHERE floor(CAST(c.ce * 50 AS DOUBLE) / total)
-      > floor(CAST((c.ce - c.wt) * 50 AS DOUBLE) / total)
+WHERE (c.ce * 50) // total > ((c.ce - c.wt) * 50) // total
 ORDER BY c.doc_id
 """
     from text_sentiment_classification_hadoop_spark_spark.sources.layout import zorder_key_txt

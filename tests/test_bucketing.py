@@ -85,6 +85,28 @@ def test_zorder_key_matches_python_reference(spark):
         assert r["z"] == morton(r["a"], r["b"]), (r["a"], r["b"])
 
 
+def test_zorder_key_int_columns_full_width(spark):
+    """bits=16 over two INT columns shifts to bit 31 — without the
+    builder's BIGINT cast that hits the INT sign bit (ANSI overflow or
+    negative keys). Keys must be non-negative and match Python."""
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import zorder_key_txt
+
+    def morton16(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(65535, 65535), (65535, 0), (32768, 32768), (12345, 54321)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = df.selectExpr(
+        "a", "b", zorder_key_txt(["a", "b"], bits=16) + " AS z").collect()
+    for r in got:
+        assert r["z"] >= 0
+        assert r["z"] == morton16(r["a"], r["b"]), (r["a"], r["b"])
+
+
 def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
     """After write_zordered on (custkey, day), every output file must
     cover a narrow range of BOTH columns — the property single-column

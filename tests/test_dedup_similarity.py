@@ -336,6 +336,25 @@ def test_cc_alternating_chain_round_count(spark):
     assert comp == {i: 0 for i in range(65)}
 
 
+def test_cc_alternating_warns_when_truncated(spark):
+    """max_iters exhausted before the edge-set fixpoint must surface a
+    RuntimeWarning (labels may split components) instead of silently
+    returning a collapsed min-agg."""
+    import warnings
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="fixpoint not reached"):
+        D.connected_components(pairs, max_iters=1,
+                               algorithm="alternating").collect()
+    # converged runs stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        D.connected_components(pairs, max_iters=10,
+                               algorithm="alternating").collect()
+
+
 def test_canonical_docs_marks_dups_and_keeps_unpaired(spark):
     from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
     docs = spark.createDataFrame([(i, f"d{i}") for i in (1, 2, 3, 4, 5, 6)],

@@ -286,3 +286,29 @@ def test_incremental_counts_store_exactly_once(spark, tmp_path):
     got3 = {r["word"]: r["cnt"]
             for r in P.read_count_store(spark, store).collect()}
     assert got3 == got2
+
+
+def test_incremental_counts_store_heals_torn_version(spark, tmp_path):
+    """A crash mid-parquet-write leaves a version dir WITHOUT _SUCCESS;
+    the replayed batch must rewrite it (not skip it as committed), and
+    readers must never select it."""
+    import os
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming import pipeline as P
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "word string"
+    spark.createDataFrame([("a",), ("a",), ("b",)], schema) \
+        .write.mode("append").parquet(src)
+    # simulate the torn first-batch write: garbage part file, no marker
+    torn = os.path.join(store, "v0000000000")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    P.incremental_counts_to_store(
+        spark.readStream.schema(schema).parquet(src), store,
+        key_col="word", query_name="ic_torn")
+    got = {r["word"]: r["cnt"]
+           for r in P.read_count_store(spark, store).collect()}
+    assert got == {"a": 2, "b": 1}
+    assert os.path.exists(os.path.join(torn, "_SUCCESS"))

@@ -339,6 +339,7 @@ def _cc_alternating(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         return (r["n"], r["su"], r["sv"], r["sh"])
 
     prev = None
+    converged = False
     for _ in range(max_iters):
         # large-star over the symmetric neighborhood
         sym = edges.union(edges.select(F.col("v").alias("u"),
@@ -366,8 +367,18 @@ def _cc_alternating(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         cur = _fingerprint(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a truncated run can emit labels that are NOT component minima
+        # (split components) — surface it instead of silently collapsing
+        import warnings
+        warnings.warn(
+            f"_cc_alternating: edge-set fixpoint not reached within "
+            f"max_iters={max_iters}; component labels may be split. "
+            "Raise max_iters or use cc_algorithm='label_prop'.",
+            RuntimeWarning, stacklevel=2)
     # fixpoint edge set is (node → component-min) for every non-root;
     # the min-agg is a no-op on a converged star forest and a safe
     # collapse if max_iters cut the loop short of the fixpoint

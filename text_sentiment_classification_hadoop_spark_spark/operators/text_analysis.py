@@ -684,9 +684,12 @@ def pps_systematic_sample(df: DataFrame, k: int, weight_col: str,
     engines and re-runs — the weighted analogue of :func:`hash_sample`.
 
     A row with prefix-sum interval ``[cum, cum+w)`` over the id-sorted
-    corpus is selected iff ``floor((cum+w)·k / total) > floor(cum·k /
-    total)`` — pure BIGINT arithmetic (exact in every engine; no pow/ln
-    boundary flakes like exponential-key A-ES sampling would have).
+    corpus is selected iff ``(cum+w)·k div total > cum·k div total`` —
+    pure BIGINT arithmetic: ``div`` is TRUE integer division (the
+    DuckDB oracle mirrors it with ``//``), so boundaries are exact at
+    any corpus size, unlike ``floor(x·k / total)`` whose double
+    division drifts once ``x·k`` passes 2^53 (no pow/ln boundary
+    flakes like exponential-key A-ES sampling would have either).
 
     The prefix sum is the genuinely distributed two-phase form, not a
     single-partition window: range-partition by id, one in-partition
@@ -718,8 +721,8 @@ def pps_systematic_sample(df: DataFrame, k: int, weight_col: str,
     cum_end = (F.sum("_w").over(w)
                + F.expr(f"try_element_at({map_txt}, _pid)"))
     with_ce = ranged.withColumn("_ce", cum_end)
-    sel = (F.floor(F.col("_ce") * F.lit(k) / F.lit(total))
-           > F.floor((F.col("_ce") - F.col("_w")) * F.lit(k) / F.lit(total)))
+    sel = F.expr(f"((_ce * {int(k)}L) div {int(total)}L) > "
+                 f"(((_ce - _w) * {int(k)}L) div {int(total)}L)")
     return (with_ce.filter(sel)
             .select(F.col(id_col), F.col("_w").alias("weight"))
             .orderBy(id_col))

@@ -68,10 +68,15 @@ def zorder_key_txt(col_exprs: list[str], bits: int = 16) -> str:
     Plain integer shifts/masks — bit-identical in DuckDB, so the key
     itself is oracle-checkable (``zorder_keys`` driver query). ``bits``
     low bits of each column participate; pre-bucket wider domains
-    (e.g. ``value % 65536`` or an epoch-day) before interleaving."""
+    (e.g. ``value % 65536`` or an epoch-day) before interleaving.
+
+    Each column expression is CAST to BIGINT first: shift positions
+    reach ``bits·n − 1``, which on an INT column would hit the sign
+    bit (an ANSI overflow error, or negative keys) as soon as
+    ``bits·n > 31``."""
     n = len(col_exprs)
     terms = [
-        f"(((({e}) >> {i}) & 1) << {i * n + j})"
+        f"((((CAST(({e}) AS BIGINT)) >> {i}) & 1) << {i * n + j})"
         for i in range(bits)
         for j, e in enumerate(col_exprs)
     ]

@@ -21,9 +21,10 @@ Scale/shape notes:
   through a Python data source in this engine);
 - reads tolerate the layouts the reference produces: ``part-*`` files,
   ``_SUCCESS`` markers, blank trailing lines;
-- the writer emits one ``part-<pid>.tsv`` per partition plus
-  ``_SUCCESS``, mirroring the MR output contract (commit via rename is
-  left to the deploy filesystem — local here).
+- the writer stages one ``part-<pid>.tsv`` per partition in a hidden
+  ``_staging-*`` dir and swaps it into place at ``commit()`` (then
+  marks ``_SUCCESS``), mirroring the MR output-committer contract: a
+  failed write never damages the previous artifact.
 """
 
 from __future__ import annotations
@@ -92,18 +93,26 @@ class RefModelReader(DataSourceReader):
 
 
 class RefModelWriter(DataSourceWriter):
+    """Staged two-phase commit: tasks write into a hidden
+    ``_staging-<job>`` subdir (readers skip ``_``-prefixed names), and
+    only ``commit()`` deletes the previous artifact and swaps the new
+    part files in — so a failed or aborted write leaves the existing
+    model untouched and never yields a mixed directory."""
+
     def __init__(self, options, overwrite: bool):
+        import uuid
         self.path = options.get("path")
         self.model = options.get("model", "nb")
-        if overwrite and os.path.isdir(self.path):
-            for f in _data_files(self.path):
-                os.remove(f)
+        self.overwrite = overwrite
+        # one staging namespace per write job; the writer instance is
+        # pickled to every task, so all tasks agree on it
+        self.staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
 
     def write(self, iterator):
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.tsv")
+        os.makedirs(self.staging, exist_ok=True)
+        out = os.path.join(self.staging, f"part-{pid:05d}.tsv")
         n = 0
         with open(out, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -117,10 +126,23 @@ class RefModelWriter(DataSourceWriter):
         return WriterCommitMessage()
 
     def commit(self, messages):
+        import shutil
+        if self.overwrite and os.path.isdir(self.path):
+            for f in _data_files(self.path):
+                os.remove(f)
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                os.remove(success)
+        if os.path.isdir(self.staging):
+            for f in sorted(os.listdir(self.staging)):
+                os.replace(os.path.join(self.staging, f),
+                           os.path.join(self.path, f))
+            shutil.rmtree(self.staging, ignore_errors=True)
         open(os.path.join(self.path, "_SUCCESS"), "w").close()
 
     def abort(self, messages):
-        pass
+        import shutil
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class RefModelDataSource(DataSource):

@@ -292,24 +292,31 @@ def incremental_counts_to_store(stream_df: DataFrame, store_dir: str,
     merge with the store's running totals via a full-outer sum, and
     publish a NEW immutable store version ``v<batch_id>``.
 
-    Exactly-once mechanics: the version directory name IS the commit
-    record — a replayed batch finds its ``v<batch_id>`` already
-    present and skips (same idempotence contract as
+    Exactly-once mechanics: a version counts as committed only when its
+    ``_SUCCESS`` marker exists (Spark writes it at job commit, after
+    every part file) — the directory name alone is NOT the commit
+    record, because a crash mid-write leaves a partial ``v<batch_id>``
+    dir that a replayed batch must rewrite, not skip. A replayed batch
+    that finds the marker is a no-op; one that finds a torn dir
+    overwrites it (same idempotence contract as
     :func:`incremental_dedup_to_store`, with a directory swap instead
     of an append guard because counts MERGE rather than union).
-    Readers always see a complete version (parquet dirs appear only
-    after their write completes). At scale, old versions are the
-    time-travel history; compact/expire them like any table-format
-    checkpoint. Returns the finished StreamingQuery."""
+    Readers likewise only see ``_SUCCESS``-committed versions. At
+    scale, old versions are the time-travel history; compact/expire
+    them like any table-format checkpoint. Returns the finished
+    StreamingQuery."""
     import os
 
     from pyspark.sql import functions as F
 
     def _versions() -> list[str]:
+        """Committed (``_SUCCESS``-marked) versions only."""
         if not os.path.isdir(store_dir):
             return []
-        return sorted(d for d in os.listdir(store_dir)
-                      if d.startswith("v") and d[1:].isdigit())
+        return sorted(
+            d for d in os.listdir(store_dir)
+            if d.startswith("v") and d[1:].isdigit()
+            and os.path.exists(os.path.join(store_dir, d, "_SUCCESS")))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -317,6 +324,9 @@ def incremental_counts_to_store(stream_df: DataFrame, store_dir: str,
         vs = _versions()
         if vname in vs:
             return  # batch already committed — replay is a no-op
+        # not committed: a partial dir from a crashed attempt may
+        # exist; mode("overwrite") below replaces it atomically enough
+        # for a store whose readers gate on _SUCCESS
         merged = batch_df.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("cnt"))
         if vs:
@@ -340,9 +350,11 @@ def incremental_counts_to_store(stream_df: DataFrame, store_dir: str,
 
 
 def read_count_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    """Latest committed version of an :func:`incremental_counts_to_store`
-    store (empty-schema-safe: raises if no version exists yet)."""
+    """Latest committed (``_SUCCESS``-marked) version of an
+    :func:`incremental_counts_to_store` store (raises if none yet)."""
     import os
-    versions = sorted(d for d in os.listdir(store_dir)
-                      if d.startswith("v") and d[1:].isdigit())
+    versions = sorted(
+        d for d in os.listdir(store_dir)
+        if d.startswith("v") and d[1:].isdigit()
+        and os.path.exists(os.path.join(store_dir, d, "_SUCCESS")))
     return spark.read.parquet(os.path.join(store_dir, versions[-1]))
