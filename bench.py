@@ -101,14 +101,22 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    })
+    # survive tail-buffer capture: persist the full JSON to a file,
+    # stop Spark FIRST (JVM shutdown logs would otherwise land after
+    # the line and can push its head out of a bounded capture buffer),
+    # and make the JSON line the very last output.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_result.json"), "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
