@@ -79,6 +79,15 @@ def test_audio_duration(spark, docs):
     assert r["duration_s"] == pytest.approx((nbytes // 2) / 16000)
 
 
+def _has_av() -> bool:
+    try:
+        import av  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_av(), reason="codec library present: guard inactive")
 def test_real_backend_gated(spark, docs):
     """Video real decode must fail loudly (no codec library here); the
     real image path must fail loudly on a non-PPM payload rather than
@@ -89,6 +98,38 @@ def test_real_backend_gated(spark, docs):
     img = MM.synth_multimodal(docs, "image")  # text bytes, not PPM
     with pytest.raises(Exception, match="PPM|PYTHON"):
         MM.decode_image_features(img, backend="real").collect()
+
+
+@pytest.mark.skipif(not _has_av(), reason="PyAV not installed")
+def test_real_video_decode_with_av(spark):
+    """Runs only where PyAV exists: encode a 6-frame synthetic mp4,
+    sample every 2nd frame through backend='real', and check the
+    fan-out (frames 0, 2, 4) and checksum determinism."""
+    import io
+
+    import av
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        vs = out.add_stream("mpeg4", rate=4)
+        vs.width, vs.height, vs.pix_fmt = 32, 16, "yuv420p"
+        for i in range(6):
+            arr = np.full((16, 32, 3), i * 40, dtype=np.uint8)
+            for packet in vs.encode(av.VideoFrame.from_ndarray(arr, format="rgb24")):
+                out.mux(packet)
+        for packet in vs.encode():
+            out.mux(packet)
+    raw = buf.getvalue()
+    rows = (MM.sample_video_frames(_mm_row(spark, raw, "video"),
+                                   every=2, backend="real")
+            .orderBy("frame_idx").collect())
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    again = (MM.sample_video_frames(_mm_row(spark, raw, "video"),
+                                    every=2, backend="real")
+             .orderBy("frame_idx").collect())
+    assert [r["frame_checksum"] for r in rows] == \
+        [r["frame_checksum"] for r in again]
 
 
 FIXDIR = __file__.rsplit("/", 2)[0] + "/fixtures/multimodal"
