@@ -1233,6 +1233,33 @@ def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_docs").orderBy("text_hash")
 
 
+def _stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup (state expires past the
+    horizon — the scale path vs ``dropDuplicates``' unbounded store):
+    the events stream duplicated 2× must come back exactly once per
+    event_id. All copies co-arrive inside the watermark, so the result
+    equals the batch table and the oracle is a plain projection."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        dedup_watermarked_stream,
+        events_raw_stream,
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+    )
+    raw = events_raw_stream(spark, sf_dir)
+    dup = (raw.withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1))))
+           .select("event_id", "user_id", "event_type", "ts"))
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(
+            dedup_watermarked_stream(dup, ["event_id"], delay="10 minutes"),
+            "stream_dedup_watermarked", output_mode="append")
+    q.stop()
+    return (spark.table("stream_dedup_watermarked")
+            .select("event_id", "user_id", "event_type")
+            .orderBy("event_id"))
+
+
 def _events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON sink → JSON source roundtrip: events serialized to
     JSON-lines with ``ts`` as unix_micros (text formats lose no
@@ -1505,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_stream": _events_sessionize_stream,
         "stream_dedup_docs": _stream_dedup_docs,
         "stream_dedup_native": _stream_dedup_native,
+        "stream_dedup_watermarked": _stream_dedup_watermarked,
         "stream_stream_join": _stream_stream_join,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
@@ -1659,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "mllib_nb_confusion", "mllib_svm_confusion",
+    "stream_dedup_watermarked",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -1672,15 +1701,15 @@ _R4_FRONT = [
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
-    "dedup_exact", "decontaminate_train", "hash_sample_docs",
+    "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints", "near_dup_pairs",
     "ngram_jaccard", "cosine_topk",
 ]
 
-# Positions 51+ in staleness order: the rotated-out r1 twin, then the
+# Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "word_counts_salted",
+    "hash_sample_docs", "word_counts_salted",
     "tfidf_long", "doc_repetition", "pii_scrub", "dedup_canonical",
     "curation_pipeline", "mixture_sample", "corpus_report", "corpus_diff",
     "bm25_search", "inverted_index", "cms_token_counts",
@@ -2805,6 +2834,12 @@ SELECT md5(text) AS text_hash FROM documents
 GROUP BY md5(text) ORDER BY text_hash
 """
     out["stream_dedup_native"] = out["stream_dedup_docs"]
+    # watermark-bounded dedup of a 2x-duplicated co-arriving stream ==
+    # one row per event_id
+    out["stream_dedup_watermarked"] = """
+SELECT event_id, user_id, event_type
+FROM events ORDER BY event_id
+"""
     # stream-stream interval join == the batch theta join (no late data
     # in a replayed file stream, so the watermark never drops a row)
     out["stream_stream_join"] = """

@@ -74,6 +74,7 @@ def main() -> None:
         # structured streaming
         "events_tumbling_stream", "events_sliding_stream",
         "events_sessionize_stream", "stream_dedup_docs", "stream_dedup_native",
+        "stream_dedup_watermarked",
         "stream_stream_join", "stream_doc_repetition", "stream_curation_gates",
     ]
     qs = entry.queries()

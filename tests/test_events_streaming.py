@@ -288,6 +288,49 @@ def test_incremental_counts_store_exactly_once(spark, tmp_path):
     assert got3 == got2
 
 
+def test_dedup_watermarked_stream_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: a duplicate arriving
+    while its key's state is live is suppressed; once the watermark
+    passes the key's event time (advanced by an intermediate batch),
+    the state expires and a later duplicate re-emits — bounded state,
+    which plain dropDuplicates (suppress-forever) cannot do."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming import pipeline as P
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "k string, ts timestamp"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, name))
+
+    from datetime import datetime as dt
+    write_file("b1", [("A", dt(2024, 1, 1, 0, 0))])
+    # advances the watermark far past A@t0 + the 10-minute delay
+    write_file("b2", [("F", dt(2024, 1, 1, 1, 0))])
+    # state eviction applies the advanced watermark one batch later, so
+    # a spacer batch sits between the advance and the re-arrival
+    write_file("b3", [("G", dt(2024, 1, 1, 1, 2))])
+    # A again, far past the horizon — state expired, re-emit (its
+    # same-batch duplicate still suppressed)
+    write_file("b4", [("A", dt(2024, 1, 1, 1, 5)),
+                      ("A", dt(2024, 1, 1, 1, 5))])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*/"))
+    with P.stream_shuffle_partitions(spark):
+        q = P.run_stream_to_memory(
+            P.dedup_watermarked_stream(stream, ["k"], delay="10 minutes"),
+            "dedup_wm_state", output_mode="append")
+    q.stop()
+    got = sorted((r["k"], str(r["ts"])) for r in
+                 spark.table("dedup_wm_state").collect())
+    assert [k for k, _ in got] == ["A", "A", "F", "G"]
+
+
 def test_incremental_counts_store_heals_torn_version(spark, tmp_path):
     """A crash mid-parquet-write leaves a version dir WITHOUT _SUCCESS;
     the replayed batch must rewrite it (not skip it as committed), and

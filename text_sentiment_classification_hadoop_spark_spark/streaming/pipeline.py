@@ -184,6 +184,23 @@ def dedup_native_stream(df: DataFrame, key_col: str = "text_hash") -> DataFrame:
     return df.dropDuplicates([key_col])
 
 
+def dedup_watermarked_stream(df: DataFrame, key_cols: list[str],
+                             ts_col: str = "ts",
+                             delay: str = "10 minutes") -> DataFrame:
+    """Watermark-bounded streaming exact-dedup — the 100 TB form:
+    ``dropDuplicatesWithinWatermark`` expires a key's suppression state
+    once the watermark passes its event time, so the state store is
+    bounded by keys *within the watermark horizon*, not by every
+    distinct key ever seen (``dropDuplicates``' unbounded growth — fine
+    for bounded replays, fatal for a year-long feed). The dedup
+    guarantee narrows correspondingly: duplicates are only suppressed
+    when they arrive within ``delay`` of each other — exactly the
+    contract ingest dedup needs (retries/replays are near-in-time;
+    genuine far-apart repeats are batch dedup's job)."""
+    return (df.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(key_cols))
+
+
 def dedup_first_seen_stream(df: DataFrame, key_col: str = "text_hash") -> DataFrame:
     """Custom stateful streaming operator: emit each key's FIRST
     occurrence only — streaming exact-dedup for a document feed, the
