@@ -920,6 +920,13 @@ def _dup_kgram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_kgram_stats(load_table(spark, "documents", sf_dir))
 
 
+def _dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup removal (Lee et al. 2022): strip every
+    token covered by a corpus-duplicated 3-gram; the measuring twin is
+    ``dup_kgram_stats``."""
+    return D.remove_duplicated_spans(load_table(spark, "documents", sf_dir))
+
+
 def _fuzzy_part_names(spark: SparkSession, sf_dir: str,
                       max_dist: int = 2) -> DataFrame:
     """Banded Levenshtein fuzzy matching over part names — the string
@@ -1565,6 +1572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_names": _fuzzy_part_names,
         # duplicated-k-gram coverage (exact-substring-dedup signal)
         "dup_kgram_stats": _dup_kgram_stats,
+        # exact-substring dedup, removal form (Lee et al. 2022)
+        "dedup_span_removal": _dedup_span_removal,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -1687,7 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "mllib_nb_confusion", "mllib_svm_confusion",
-    "stream_dedup_watermarked",
+    "stream_dedup_watermarked", "dedup_span_removal",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -1703,13 +1712,13 @@ _R4_FRONT = [
     "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints", "near_dup_pairs",
-    "ngram_jaccard", "cosine_topk",
+    "cosine_topk",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "hash_sample_docs", "word_counts_salted",
+    "ngram_jaccard", "hash_sample_docs", "word_counts_salted",
     "tfidf_long", "doc_repetition", "pii_scrub", "dedup_canonical",
     "curation_pipeline", "mixture_sample", "corpus_report", "corpus_diff",
     "bm25_search", "inverted_index", "cms_token_counts",
@@ -2890,6 +2899,50 @@ FROM documents d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN dups p USING (doc_id)
 ORDER BY d.doc_id
+"""
+    # removal twin of dup_kgram_stats: token i covered iff a duplicated
+    # 3-gram starts in [i-2, i] (ROWS frame works because token
+    # positions are dense)
+    out["dedup_span_removal"] = f"""
+WITH docs_all AS (SELECT doc_id, text FROM documents),
+toks_i AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM docs_all
+),
+grams AS (
+  SELECT doc_id, i AS s,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+  FROM toks_i WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+hashed AS (
+  SELECT doc_id, s, {PORTABLE_HASH.format(col='sh')} AS h
+  FROM grams WHERE sh IS NOT NULL
+),
+dup AS (
+  SELECT h FROM (SELECT h, count(*) AS c FROM hashed GROUP BY h)
+  WHERE c >= 2
+),
+starts AS (SELECT DISTINCT doc_id, s FROM hashed JOIN dup USING (h)),
+flags AS (
+  SELECT t.doc_id, t.i, t.w,
+         CASE WHEN st.s IS NOT NULL THEN 1 ELSE 0 END AS f
+  FROM toks_i t LEFT JOIN starts st
+    ON st.doc_id = t.doc_id AND st.s = t.i
+),
+cov AS (
+  SELECT doc_id, i, w,
+         max(f) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+  FROM flags
+)
+SELECT doc_id,
+       COALESCE(string_agg(w, ' ' ORDER BY i) FILTER (WHERE covered = 0),
+                '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(covered) AS BIGINT) AS n_removed
+FROM cov GROUP BY doc_id ORDER BY doc_id
 """
     out["event_transitions"] = """
 WITH s AS (

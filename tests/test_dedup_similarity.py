@@ -355,6 +355,27 @@ def test_cc_alternating_warns_when_truncated(spark):
                                algorithm="alternating").collect()
 
 
+def test_remove_duplicated_spans_hand_computed(spark):
+    """Two docs share the 4-token prefix 'the quick brown fox' (two
+    corpus-duplicated 3-grams starting at tokens 1 and 2, covering
+    tokens 1-4); those tokens vanish from both docs, the unique doc is
+    untouched, and an all-duplicate doc empties to ''."""
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a totally unique sentence here"),
+        (3, "the quick brown fox runs fast today ok"),
+        (4, "the quick brown fox"),
+        (5, "the quick brown fox"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in D.remove_duplicated_spans(docs, k=3).collect()}
+    assert got[1] == ("jumps over the lazy dog", 9, 4)
+    assert got[2] == ("a totally unique sentence here", 5, 0)
+    assert got[3] == ("runs fast today ok", 8, 4)
+    assert got[4] == ("", 4, 4)
+    assert got[5] == ("", 4, 4)
+
+
 def test_canonical_docs_marks_dups_and_keeps_unpaired(spark):
     from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
     docs = spark.createDataFrame([(i, f"d{i}") for i in (1, 2, 3, 4, 5, 6)],

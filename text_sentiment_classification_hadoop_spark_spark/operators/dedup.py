@@ -538,6 +538,49 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
+def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Exact-substring dedup, REMOVAL form (Lee et al. 2022 §3 — the
+    step :func:`dup_kgram_stats` only measures): drop every token
+    covered by a k-gram occurring ≥2 times anywhere in the corpus →
+    ``(doc_id, clean_text, n_tokens, n_removed)``.
+
+    Token ``i`` (1-based) is covered iff some duplicated k-gram starts
+    at ``s ∈ [i−k+1, i]``. Shape: explode k-gram hashes with their
+    start offsets (8-byte hashes, O(tokens)), ONE corpus count on the
+    hash (map-side partials, uniform keys), filter to the duplicated
+    set, collect each doc's duplicated start offsets (only dup starts —
+    usually a tiny fraction of tokens), join back, and a narrow array
+    rebuild keeps uncovered tokens. Shuffle budget identical to
+    ``dup_kgram_stats`` plus one doc-keyed array; the rebuild is
+    per-token O(|dup starts in doc|) inside codegen, no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(shingles_expr(F.col(text_col), k=k)).alias("_s", "_sh"))
+    hashed = sh.select(F.col(id_col), (F.col("_s") + 1).alias("s"),
+                       portable_hash64(F.col("_sh")).alias("h"))
+    dup = (hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= 2).select("h"))
+    dup_starts = (hashed.join(dup, "h")
+                  .groupBy(id_col)
+                  .agg(F.array_sort(F.collect_set("s")).alias("_ds")))
+    ds = F.coalesce(F.col("_ds"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            ds, lambda s: (s >= i + 1 - (k - 1)) & (s <= i + 1)))
+    return (
+        df.join(dup_starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"))
+        .orderBy(id_col)
+    )
+
+
 def dup_kgram_stats(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Exact duplicated-k-gram statistics per document → ``(doc_id,
