@@ -780,6 +780,13 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token chunks with stride 24 (RAG/embedding prep;
+    the splitting twin of pack_sequences' concatenation)."""
+    return TA.chunk_documents(load_table(spark, "documents", sf_dir),
+                              chunk_tokens=32, stride=24)
+
+
 def _random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.random_projection(load_table(spark, "embeddings", sf_dir)) \
         .orderBy("vec_id", "d_out")
@@ -1615,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _pq_adc_topk,
         "pq_trained_codes": _pq_trained_codes,
         "pack_sequences": _pack_sequences,
+        "chunk_documents": _chunk_documents,
         "token_freq_histogram": _token_freq_histogram,
         "top_tokens": _top_tokens,
         "zipf_fit": _zipf_fit,
@@ -1696,7 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "mllib_nb_confusion", "mllib_svm_confusion",
-    "stream_dedup_watermarked", "dedup_span_removal",
+    "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -1712,13 +1720,12 @@ _R4_FRONT = [
     "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints", "near_dup_pairs",
-    "cosine_topk",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "ngram_jaccard", "hash_sample_docs", "word_counts_salted",
+    "cosine_topk", "ngram_jaccard", "hash_sample_docs", "word_counts_salted",
     "tfidf_long", "doc_repetition", "pii_scrub", "dedup_canonical",
     "curation_pipeline", "mixture_sample", "corpus_report", "corpus_diff",
     "bm25_search", "inverted_index", "cms_token_counts",
@@ -2475,6 +2482,25 @@ SELECT doc_id, bucket,
        CAST(cum_before % 2048 AS BIGINT) AS offset_in_seq,
        n_tok
 FROM c ORDER BY doc_id
+"""
+    # chunk j covers tokens [j*24+1, j*24+32] (1-based, clamped slice);
+    # chunk count = 1 + ceil(max(0, n-32)/24) via nonnegative int div
+    out["chunk_documents"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+j AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, 1 + (greatest(0, n - 32) + 23) // 24)) AS chunk_id
+  FROM d
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                                  chunk_id * 24 + 32), ' ') AS chunk_text,
+       CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_chunk_tokens
+FROM j ORDER BY doc_id, chunk_id
 """
     out["token_freq_histogram"] = """
 WITH toks AS (

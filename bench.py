@@ -45,7 +45,7 @@ def main() -> None:
         "stratified_sample_docs",
         "hash_sample_docs", "embedding_near_dups", "dedup_canonical",
         "dedup_canonical_alternating", "dedup_canonical_best",
-        "dup_kgram_stats",
+        "dup_kgram_stats", "dedup_span_removal",
         "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_multiprobe_topk",
@@ -53,6 +53,7 @@ def main() -> None:
         "kmeans_cells", "random_projection", "rp_ann_topk", "pq_codes", "pq_adc_topk", "pq_trained_codes",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
+        "chunk_documents",
         # search
         "bm25_search", "inverted_index", "cms_token_counts",
         # text analysis

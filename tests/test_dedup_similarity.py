@@ -481,6 +481,30 @@ def test_pack_sequences_cumsum_invariants(spark, sf_dir):
             cum += r["n_tok"]
 
 
+def test_chunk_documents_windows_and_coverage(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators import text_analysis as TA
+    words = " ".join(f"w{i}" for i in range(10))   # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc")], "doc_id long, text string")
+    rows = TA.chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+           for r in rows}
+    # doc 1: starts 0,3,6 cover w0..w9 with 1-token overlap; last is full
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in got
+    # short doc: one (short) chunk
+    assert got[(2, 0)] == ("short doc", 2)
+    # coverage property: every token of every doc appears in some chunk
+    rebuilt = {}
+    for (doc, cid), (text, _n) in sorted(got.items()):
+        rebuilt.setdefault(doc, set()).update(text.split(" "))
+    assert rebuilt[1] == set(words.split(" "))
+    with pytest.raises(ValueError):
+        TA.chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
 def test_group_centroids_exact_means(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, -2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0])],

@@ -500,6 +500,51 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
             .select("rank", "w", "cnt"))
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    stride: int = 96, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding prep twin
+    of :func:`pack_sequences` (that op concatenates short docs; this
+    one splits long ones) → one row per chunk:
+    ``(doc_id, chunk_id, chunk_text, n_chunk_tokens)``.
+
+    Chunk ``j`` covers tokens ``[j·stride, j·stride + chunk_tokens)``;
+    ``stride < chunk_tokens`` gives the standard overlap so no span is
+    split across a boundary unseen. Chunk count is
+    ``1 + ceil(max(0, n − chunk_tokens) / stride)`` — every doc emits
+    at least one chunk and the last one may be short.
+
+    Shape: a narrow ``posexplode`` over plan-computed chunk starts —
+    zero shuffles, the fan-out happens inside the scan stage, and each
+    chunk's text is an ``slice``+``array_join`` over the cached token
+    array. At 100 TB this is the map-side prep before an embedding
+    ``mapInPandas`` or a bucketed write by ``(doc_id, chunk_id)``."""
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("require 0 < stride <= chunk_tokens "
+                         "(otherwise chunks skip tokens)")
+    toks = F.split(F.col(text_col), " ")
+    # nonnegative numerator keeps integer division floor==truncate in
+    # both engines (the DuckDB oracle mirrors this formula with //)
+    m = (F.lit(1)
+         + F.expr(f"(greatest(0, size(split({text_col}, ' ')) - "
+                  f"{chunk_tokens}) + {stride - 1}) div {stride}"))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), m.alias("_m"))
+        .select(F.col(id_col),
+                F.posexplode(F.sequence(F.lit(0), F.col("_m") - 1))
+                .alias("chunk_id", "_j"), "_toks")
+        .select(
+            F.col(id_col), F.col("chunk_id"),
+            F.array_join(F.slice(F.col("_toks"),
+                                 F.col("chunk_id") * stride + 1,
+                                 chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens),
+                    F.size(F.col("_toks")) - F.col("chunk_id") * stride)
+            .cast("long").alias("n_chunk_tokens"))
+        .orderBy(id_col, "chunk_id")
+    )
+
+
 def pack_sequences(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", budget: int = 2048,
                    n_buckets: int = 8) -> DataFrame:
