@@ -927,6 +927,13 @@ def _dup_kgram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_kgram_stats(load_table(spark, "documents", sf_dir))
 
 
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the dup-planted embeddings corpus (same augmented
+    protocol as embedding_near_dups): within-cell cosine >= 0.9 pairs
+    collapse to min-id canonicals (Abbas et al. 2023)."""
+    return D.semdedup(_augmented_embeddings(spark, sf_dir), threshold=0.9)
+
+
 def _dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup removal (Lee et al. 2022): strip every
     token covered by a corpus-duplicated 3-gram; the measuring twin is
@@ -1581,6 +1588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_kgram_stats": _dup_kgram_stats,
         # exact-substring dedup, removal form (Lee et al. 2022)
         "dedup_span_removal": _dedup_span_removal,
+        # semantic dedup via embedding clusters (Abbas et al. 2023)
+        "semdedup": _semdedup,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -1705,6 +1714,7 @@ _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "mllib_nb_confusion", "mllib_svm_confusion",
     "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
+    "semdedup",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -1719,13 +1729,14 @@ _R4_FRONT = [
     "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
-    "minhash_signatures", "simhash_fingerprints", "near_dup_pairs",
+    "minhash_signatures", "simhash_fingerprints",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "cosine_topk", "ngram_jaccard", "hash_sample_docs", "word_counts_salted",
+    "near_dup_pairs", "cosine_topk", "ngram_jaccard", "hash_sample_docs",
+    "word_counts_salted",
     "tfidf_long", "doc_repetition", "pii_scrub", "dedup_canonical",
     "curation_pipeline", "mixture_sample", "corpus_report", "corpus_diff",
     "bm25_search", "inverted_index", "cms_token_counts",
@@ -2031,6 +2042,73 @@ SELECT d.doc_id,
             THEN 1 ELSE 0 END AS INTEGER) AS is_dup
 FROM docs_all d LEFT JOIN comp c ON c.node = d.doc_id
 ORDER BY d.doc_id
+""",
+        # SemDeDup: ivf_topk's rounded-cosine cell assignment +
+        # within-cell pairwise cosine + dedup_canonical's recursive
+        # component walk
+        "semdedup": f"""
+WITH RECURSIVE {AU_AUGMENTED},
+cent AS (SELECT vec_id AS cell_id, d, x AS cx FROM au WHERE vec_id < 8),
+vc AS (
+  SELECT au.vec_id, c.cell_id,
+         sum(au.x * c.cx) AS dot,
+         sum(au.x * au.x) AS nv2,
+         sum(c.cx * c.cx) AS nc2
+  FROM au JOIN cent c ON au.d = c.d
+  GROUP BY au.vec_id, c.cell_id
+),
+vc_scored AS (
+  SELECT vec_id, cell_id,
+         floor((dot / (sqrt(nv2) * sqrt(nc2))) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM vc
+),
+assigned AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell_id ASC) AS rk
+    FROM vc_scored
+  ) WHERE rk = 1
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM au GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(x1.x * x2.x) AS dot
+  FROM cand c
+  JOIN au x1 ON x1.vec_id = c.id_a
+  JOIN au x2 ON x2.vec_id = c.id_b AND x2.d = x1.d
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT d.id_a, d.id_b
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE floor((d.dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0
+        >= 0.9
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+ids AS (SELECT DISTINCT vec_id FROM au)
+SELECT i.vec_id,
+       coalesce(c.component, i.vec_id) AS canonical_id,
+       CAST(CASE WHEN coalesce(c.component, i.vec_id) <> i.vec_id
+            THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM ids i LEFT JOIN comp c ON c.node = i.vec_id
+ORDER BY i.vec_id
 """,
         "cosine_topk": _cosine_sql("vec_id = 0", k=10, partition=False),
         "knn_batch": _cosine_sql("vec_id < 3", k=5, partition=True),

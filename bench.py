@@ -45,7 +45,7 @@ def main() -> None:
         "stratified_sample_docs",
         "hash_sample_docs", "embedding_near_dups", "dedup_canonical",
         "dedup_canonical_alternating", "dedup_canonical_best",
-        "dup_kgram_stats", "dedup_span_removal",
+        "dup_kgram_stats", "dedup_span_removal", "semdedup",
         "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_multiprobe_topk",

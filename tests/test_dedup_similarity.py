@@ -355,6 +355,27 @@ def test_cc_alternating_warns_when_truncated(spark):
                                algorithm="alternating").collect()
 
 
+def test_semdedup_clusters_and_canonicals(spark):
+    """Two semantic groups (parallel vectors → cosine 1.0) plus one
+    singleton: each group collapses to its min id; cross-group cosine
+    is far below threshold. Uses 2 cells so groups land in cells."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),     # parallel to 0
+        (3, [0.0, 3.0, 0.0, 0.0]),     # parallel to 1
+        (4, [0.70710678, 0.70710678, 0.0, 0.0]),  # 45 deg to both cells
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["canonical_id"], r["is_dup"])
+           for r in D.semdedup(emb, n_cells=2, threshold=0.95).collect()}
+    assert got[0] == (0, 0)
+    assert got[2] == (0, 1)
+    assert got[1] == (1, 0)
+    assert got[3] == (1, 1)
+    assert got[4][1] == 0               # 45 deg: cos ~0.707 < 0.95
+
+
 def test_remove_duplicated_spans_hand_computed(spark):
     """Two docs share the 4-token prefix 'the quick brown fox' (two
     corpus-duplicated 3-grams starting at tokens 1 and 2, covering

@@ -538,6 +538,70 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
+def semdedup(emb: DataFrame, centroids: DataFrame | None = None,
+             n_cells: int = 8, threshold: float = 0.95,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic dedup via
+    embedding CLUSTERS — candidate pairs are generated within coarse
+    cells, exact 6-dp-rounded cosine marks pairs ≥ ``threshold``, and
+    connected components elect the minimum id per semantic group →
+    ``(vec_id, canonical_id, is_dup)`` for every input vector.
+
+    Complements :func:`embedding_near_dups`: LSH bounds candidates by
+    hash-collision buckets, SemDeDup by cluster membership — which the
+    IVF ANN path already maintains, so at 100 TB the cells (and the
+    cell-partitioned layout) come for free and the within-cell
+    self-join is Σ|cell|², sized by choosing k ∝ n / target_occupancy
+    exactly like ``planes_for``. Default centroids are the first
+    ``n_cells`` corpus vectors (the same deterministic stand-in
+    :func:`~..similarity.ivf_topk` uses); pass a trained
+    ``(cell_id, cell_vec)`` frame (e.g. reshaped ``kmeans_fit``
+    output) to cluster on a real codebook — the plan is unchanged.
+
+    Norms are computed once per row before the pair join (the
+    ``embedding_near_dups`` hoist)."""
+    from .similarity import dot_expr, ivf_assign_cells, norm_expr
+
+    # each join side is BUILT fresh (own expression ids): sharing one
+    # projected sub-plan across a self-join trips Spark 4's attribute
+    # dedup over local relations (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND);
+    # two independent builds of the same narrow scan are equivalent at
+    # scale (the exchange-reuse rule collapses them when beneficial)
+    def side(tag: str) -> DataFrame:
+        cents = centroids
+        if cents is None:
+            cents = emb.filter(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cell_id"),
+                F.col(vec_col).alias("cell_vec"))
+        assigned = ivf_assign_cells(emb, cents, id_col, vec_col)
+        return assigned.select(
+            F.col(id_col).alias(f"id_{tag}"), "cell",
+            F.col(vec_col).alias(f"_v{tag}"),
+            norm_expr(F.col(vec_col)).alias(f"_n{tag}"))
+
+    pairs = (
+        side("a").join(side("b"), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                pround(dot_expr(F.col("_va"), F.col("_vb"))
+                       / (F.col("_na") * F.col("_nb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b"))
+    comp = connected_components(pairs)
+    return (
+        emb.select(F.col(id_col))
+        .join(comp, emb[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+            (F.coalesce(F.col("component"), F.col(id_col)) != F.col(id_col))
+            .cast("int").alias("is_dup"))
+        .orderBy(id_col)
+    )
+
+
 def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Exact-substring dedup, REMOVAL form (Lee et al. 2022 §3 — the
