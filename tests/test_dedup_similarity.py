@@ -375,6 +375,14 @@ def test_semdedup_clusters_and_canonicals(spark):
     assert got[3] == (1, 1)
     assert got[4][1] == 0               # 45 deg: cos ~0.707 < 0.95
 
+    # trained-codebook path: kmeans_fit + kmeans_books centroids give
+    # the same canonical structure on this separable corpus
+    cents = SIM.kmeans_books(SIM.kmeans_fit(emb, k=2, iters=1))
+    trained = {r["vec_id"]: (r["canonical_id"], r["is_dup"])
+               for r in D.semdedup(emb, centroids=cents,
+                                   threshold=0.95).collect()}
+    assert trained == got
+
 
 def test_remove_duplicated_spans_hand_computed(spark):
     """Two docs share the 4-token prefix 'the quick brown fox' (two

@@ -561,25 +561,41 @@ def semdedup(emb: DataFrame, centroids: DataFrame | None = None,
     output) to cluster on a real codebook — the plan is unchanged.
 
     Norms are computed once per row before the pair join (the
-    ``embedding_near_dups`` hoist)."""
+    ``embedding_near_dups`` hoist). NOTE on the centroid choice: the
+    first-``n_cells`` stand-in gives arbitrary occupancy — one fat
+    cell can hold most of the corpus and its |cell|² pair block then
+    dominates the join (observed 22% of rows in one cell on the test
+    corpus). A trained codebook (``kmeans_fit`` + :func:`kmeans_books`)
+    balances cells and is the production configuration."""
+    from ..session import widen
     from .similarity import dot_expr, ivf_assign_cells, norm_expr
 
-    # each join side is BUILT fresh (own expression ids): sharing one
-    # projected sub-plan across a self-join trips Spark 4's attribute
-    # dedup over local relations (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND);
-    # two independent builds of the same narrow scan are equivalent at
-    # scale (the exchange-reuse rule collapses them when beneficial)
+    emb = widen(emb)
+    cents, n_cents = centroids, None
+    if cents is None:
+        cents = emb.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cell_vec"))
+        n_cents = n_cells
+    # materialize the assigned+normed corpus ONCE before the pair
+    # self-join: the per-row nearest-cell argmax is the expensive
+    # expression here (higher-order functions evaluate interpreted,
+    # O(k·dims) per row), so each join side must read the computed
+    # result, not recompute it — the in-memory analog of the IVF docs'
+    # "write the assigned table partitioned by cell". The checkpoint
+    # also sidesteps Spark 4's self-join attribute dedup bug on local
+    # relations (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    base = (
+        ivf_assign_cells(emb, cents, id_col, vec_col, n_centroids=n_cents)
+        .select(F.col(id_col), F.col("cell"), F.col(vec_col),
+                norm_expr(F.col(vec_col)).alias("_n"))
+        .localCheckpoint(eager=True))
+
     def side(tag: str) -> DataFrame:
-        cents = centroids
-        if cents is None:
-            cents = emb.filter(F.col(id_col) < n_cells).select(
-                F.col(id_col).alias("cell_id"),
-                F.col(vec_col).alias("cell_vec"))
-        assigned = ivf_assign_cells(emb, cents, id_col, vec_col)
-        return assigned.select(
+        return base.select(
             F.col(id_col).alias(f"id_{tag}"), "cell",
             F.col(vec_col).alias(f"_v{tag}"),
-            norm_expr(F.col(vec_col)).alias(f"_n{tag}"))
+            F.col("_n").alias(f"_n{tag}"))
 
     pairs = (
         side("a").join(side("b"), "cell")

@@ -245,7 +245,8 @@ def _one_row_books(spark, books):
 
 def ivf_assign_cells(emb: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     literal_codebook_max: int | None = None) -> DataFrame:
+                     literal_codebook_max: int | None = None,
+                     n_centroids: int | None = None) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid by cosine (rounded 6 dp; ties -> lowest centroid id) →
     ``(vec_id, embedding, cell)``.
@@ -263,7 +264,11 @@ def ivf_assign_cells(emb: DataFrame, centroids: DataFrame,
     """
     lim = LITERAL_CODEBOOK_MAX if literal_codebook_max is None \
         else literal_codebook_max
-    if centroids.limit(lim + 1).count() <= lim:
+    # callers that constructed the codebook know its size — passing
+    # n_centroids skips the limit(N+1).count() probe job entirely
+    n_cents = (centroids.limit(lim + 1).count()
+               if n_centroids is None else n_centroids)
+    if n_cents <= lim:
         cents = sorted(
             [(int(r["cell_id"]), [float(x) for x in r["cell_vec"]])
              for r in centroids.select("cell_id", "cell_vec").collect()])
@@ -348,6 +353,16 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
         rows, "cell_id long, d int, centroid double")
 
 
+def kmeans_books(fitted: DataFrame) -> DataFrame:
+    """Reshape :func:`kmeans_fit`'s long-form ``(cell_id, d, centroid)``
+    into the ``(cell_id, cell_vec)`` frame :func:`ivf_assign_cells` /
+    ``dedup.semdedup`` consume (dims restored in ``d`` order)."""
+    return (fitted.groupBy("cell_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "centroid"))),
+                lambda s: s["centroid"]).alias("cell_vec")))
+
+
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              n_cells: int = 8, n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -363,7 +378,8 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     """
     centroids = emb.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cell_vec"))
-    assigned = ivf_assign_cells(widen(emb), centroids, id_col, vec_col)
+    assigned = ivf_assign_cells(widen(emb), centroids, id_col, vec_col,
+                                n_centroids=n_cells)
 
     qtxt = X.vec_lit([float(x) for x in query_vec])
     probe = (centroids
