@@ -334,6 +334,66 @@ def _svm_declared_sql(epochs: int = EPOCHS, lam: float = LAMBDA) -> str:
               f" FROM w{epochs} ORDER BY word")
 
 
+# ---------------------------------------------------------------------------
+# unrolled BPE training oracle (mirror of operators/bpe.py — Sennrich
+# et al. 2016). Pure BIGINT counts + left-to-right non-overlapping
+# replace: bit-identical across engines by construction.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _bpe_dict_ctes(n_merges: int = BPE_MERGES) -> str:
+    """CTE chain: word-freq dictionary, then per merge a pair-count
+    aggregation, the deterministic argmax (freq desc, pair asc), and the
+    REPLACE_PASSES-pass rewrite — exactly ``bpe.bpe_train``'s loop."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.bpe import REPLACE_PASSES
+    # AS MATERIALIZED (DuckDB planner hint; the oracle only ever runs on
+    # DuckDB): without it each stage's CTE references are inlined and
+    # the chain re-expands into ~6^n parquet scans.
+    parts = [
+        """wf AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents) u
+  GROUP BY w)""",
+        "s0 AS MATERIALIZED (SELECT word, freq, "
+        "regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM wf)",
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"s{k - 1}"
+        rep = "' ' || seq || ' '"
+        for _ in range(REPLACE_PASSES):
+            rep = (f"replace({rep}, (SELECT ' ' || pair || ' ' FROM b{k}), "
+                   f"(SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b{k}))")
+        parts += [
+            f"""p{k} AS MATERIALIZED (
+  SELECT sym || ' ' || nxt AS pair, sum(freq) AS f FROM (
+    SELECT freq, unnest(l[1:len(l)-1]) AS sym, unnest(l[2:len(l)]) AS nxt
+    FROM (SELECT freq, string_split(seq, ' ') AS l FROM {prev}) t) u
+  GROUP BY pair)""",
+            f"b{k} AS MATERIALIZED (SELECT pair, f FROM p{k} "
+            "ORDER BY f DESC, pair ASC LIMIT 1)",
+            f"s{k} AS MATERIALIZED (SELECT word, freq, trim({rep}) AS seq FROM {prev})",
+        ]
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
+    arms = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_rank, pair, replace(pair, ' ', '') AS merged, "
+        f"CAST(f AS BIGINT) AS freq FROM b{k}"
+        for k in range(1, n_merges + 1))
+    return f"WITH {_bpe_dict_ctes(n_merges)}\n{arms}\nORDER BY merge_rank"
+
+
+def _bpe_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
+    return (f"WITH {_bpe_dict_ctes(n_merges)}\n"
+            "SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM ("
+            f"SELECT freq, unnest(string_split(seq, ' ')) AS token FROM s{n_merges}) t\n"
+            "GROUP BY token ORDER BY token")
+
+
 # sign-LSH bucket assignment over long-form embeddings `au(vec_id, d, x)`
 # — mirror of similarity.sign_lsh_bucket (8 deterministic hyperplanes).
 LSH_BUCKET_CTE = f"""
@@ -1099,6 +1159,24 @@ def _word_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(toks, "word", n_salts=8).orderBy("word")
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (rank, pair, merged, freq) — the
+    distributed-tokenizer-training artifact. Oracle: the unrolled CTE
+    chain ``_bpe_merges_sql`` (pure BIGINT + replace semantics)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    docs = load_table(spark, "documents", sf_dir)
+    return BPE.bpe_merges_df(docs, n_merges=BPE_MERGES)
+
+
+def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: frequency-weighted subword vocabulary counts
+    after BPE_MERGES learned merges."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [p for p, _ in BPE.bpe_train(BPE.word_freqs(docs), BPE_MERGES)]
+    return BPE.bpe_segment_counts(docs, merges).orderBy("token")
+
+
 def _sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: the literal ANSI oracle text executed by
     ``spark.sql`` over registered views — dialect-portable by
@@ -1662,6 +1740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": _dedup_span_removal,
         # semantic dedup via embedding clusters (Abbas et al. 2023)
         "semdedup": _semdedup,
+        # --- new this round: distributed BPE tokenizer training ---
+        "bpe_merges": _bpe_merges,
+        "bpe_token_counts": _bpe_token_counts,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -1786,7 +1867,7 @@ _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "mllib_nb_confusion", "mllib_svm_confusion",
     "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
-    "semdedup",
+    "semdedup", "bpe_merges", "bpe_token_counts",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -1801,12 +1882,12 @@ _R4_FRONT = [
     "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
-    "minhash_signatures", "simhash_fingerprints",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "minhash_signatures", "simhash_fingerprints",
     "near_dup_pairs", "cosine_topk", "ngram_jaccard", "hash_sample_docs",
     "word_counts_salted",
     "tfidf_long", "doc_repetition", "pii_scrub", "dedup_canonical",
@@ -2125,6 +2206,10 @@ ORDER BY d.doc_id
         "cosine_topk": _cosine_sql("vec_id = 0", k=10, partition=False),
         "knn_batch": _cosine_sql("vec_id < 3", k=5, partition=True),
         "svm_declared_weights": _svm_declared_sql(),
+        # distributed BPE training: unrolled merge loop (pure BIGINT +
+        # identical replace semantics — see operators/bpe.py docstring)
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_token_counts": _bpe_token_counts_sql(),
         "nb_metrics": _metrics_sql(NB_PRED_SQL),
         "svm_metrics": _metrics_sql(SVM_PRED_SQL),
         "ann_lsh_topk": f"""

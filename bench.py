@@ -53,7 +53,7 @@ def main() -> None:
         "kmeans_cells", "random_projection", "rp_ann_topk", "pq_codes", "pq_adc_topk", "pq_trained_codes",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
-        "chunk_documents",
+        "chunk_documents", "bpe_merges", "bpe_token_counts",
         # search
         "bm25_search", "inverted_index", "cms_token_counts",
         # text analysis

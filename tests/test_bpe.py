@@ -1,0 +1,99 @@
+"""BPE tokenizer training/apply: hand-computed merges on a tiny corpus,
+run-of-repeats replace semantics, and train->apply consistency.
+
+Reference context: the reference tokenizes by whitespace only
+(`SVM.py:29`, `NB.java:118`); BPE is north-star LLM-pipeline surface
+(Sennrich et al. 2016).
+"""
+
+import pytest
+
+from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_word_freqs(spark):
+    wf = {r["word"]: r["freq"] for r in
+          BPE.word_freqs(_docs(spark, ["the cat the", "Cat hat!"])).collect()}
+    assert wf == {"the": 2, "cat": 2, "hat": 1}
+
+
+def test_bpe_merges_hand_computed(spark):
+    # corpus: low x5, lower x2, newest x6, widest x3  (the classic
+    # Sennrich worked example). Symbol pairs, freq-weighted:
+    #   'e s' appears in newest(6)+widest(3) = 9  -> merge 1
+    #   'es t' then 9 -> merge 2; 'est </w>' 9 -> merge 3; 'l o' 7 ...
+    texts = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    wf = BPE.word_freqs(_docs(spark, [" ".join(texts)]))
+    merges = BPE.bpe_train(wf, n_merges=4)
+    assert merges[0] == ("e s", 9)
+    assert merges[1] == ("es t", 9)
+    assert merges[2] == ("est </w>", 9)
+    assert merges[3] == ("l o", 7)
+
+
+def test_bpe_tie_break_is_pair_ascending(spark):
+    # 'ab' and 'cd' both once: tie on freq -> lexicographically smallest
+    # pair of the maximal pairs wins. Pairs: 'a b','b </w>','c d','d </w>'
+    # all freq 1 -> 'a b' first.
+    wf = BPE.word_freqs(_docs(spark, ["ab cd"]))
+    merges = BPE.bpe_train(wf, n_merges=1)
+    assert merges[0] == ("a b", 1)
+
+
+def test_merge_run_of_repeats_left_to_right(spark):
+    # 'aaaa' -> 'a a a a </w>'; merging 'a a' left-to-right greedily
+    # gives 'aa aa </w>' (the canonical BPE result) thanks to the
+    # multi-pass replace (one pass alone under-merges to 'aa a a </w>').
+    wf = BPE.word_freqs(_docs(spark, ["aaaa aaaa aab"]))
+    merges = BPE.bpe_train(wf, n_merges=1)
+    assert merges[0][0] == "a a"
+    toks = {r["token"]: r["freq"] for r in
+            BPE.bpe_segment_counts(
+                _docs(spark, ["aaaa aaaa aab"]), ["a a"]).collect()}
+    # aaaa x2 -> aa aa </w>;  aab -> aa b </w>
+    assert toks == {"aa": 5, "b": 1, "</w>": 3}
+
+
+def test_segment_counts_conserve_symbols(spark):
+    # total merged-symbol mass: each merge of a pair reduces the symbol
+    # count by 1 per occurrence; with zero merges, token mass equals
+    # chars + one </w> per word occurrence.
+    texts = ["the cat sat", "the hat"]
+    toks = BPE.bpe_segment_counts(_docs(spark, texts), []).collect()
+    total = sum(r["freq"] for r in toks)
+    n_chars = sum(len(w) for t in texts for w in t.split())
+    n_words = sum(len(t.split()) for t in texts)
+    assert total == n_chars + n_words
+
+
+def test_entry_oracle_parity_sf0001(spark):
+    """The unrolled SQL oracle reproduces the Spark merge table exactly
+    at sf0.001 (the driver checks sf0.01 — same mechanism)."""
+    import json
+    import subprocess
+    import sys
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in entry.queries()["bpe_merges"](spark, sf).collect()]
+    # DuckDB runs in a subprocess: the long-lived Spark JVM in this
+    # pytest session can exhaust the process fd limit, which surfaces
+    # as a spurious duckdb "Too many open files".
+    script = (
+        "import json, sys, duckdb\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as entry\n"
+        "con = duckdb.connect()\n"
+        f"con.execute(\"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'\")\n"
+        "print(json.dumps(con.execute(entry.oracle_sql()['bpe_merges']).fetchall()))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, check=True)
+    want = [tuple(r) for r in json.loads(out.stdout)]
+    assert got == want

@@ -1,0 +1,157 @@
+"""Distributed byte-pair-encoding (BPE) tokenizer training + apply
+(north-star LLM-data-pipeline surface; the tokenizer the reference's
+whitespace/HashingTF pipeline lacks — `SVM.py:29` tokenizes by
+``split(' ')``, `NB.java:118` by ``StringTokenizer``).
+
+Architecture (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units" — the published BPE algorithm):
+
+1. **Corpus -> word-frequency dictionary** (`word_freqs`). This is the
+   100 TB-scale stage: one regexp-extract + explode + groupBy over the
+   corpus; the output is vocabulary-sized (~10^6-10^7 rows at web
+   scale), i.e. ~10^6x smaller than the input. Everything after runs on
+   the dictionary, never the corpus — exactly how production BPE
+   trainers operate (they aggregate counts first, then learn merges on
+   the count table).
+2. **Merge loop** (`bpe_train`): each iteration counts adjacent symbol
+   pairs weighted by word frequency (distributed groupBy over the
+   dictionary), picks the most frequent pair (deterministic tie-break:
+   frequency desc, pair asc), and rewrites the symbol sequences with
+   the pair merged. The driver reads ONE row per iteration (the winning
+   pair) — the same scalar-only driver/cluster split as the dedup CC
+   loop. Each iteration ``localCheckpoint``s the (vocabulary-sized)
+   dictionary to cut lineage, so plan depth stays O(1) per iteration.
+3. **Apply** (`bpe_segment_counts`): the learned merge list (driver-side,
+   n_merges entries) is replayed as a chain of ``replace`` column
+   expressions — pure narrow JVM string ops over the corpus, zero UDF,
+   zero shuffle until the final count aggregation.
+
+Determinism / oracle parity: all arithmetic is BIGINT counts and all
+rewriting is plain left-to-right non-overlapping ``replace`` (identical
+semantics in Spark SQL and DuckDB). One ``replace`` pass can leave
+unmerged odd occurrences inside runs of repeats (" a a a a " merges to
+" aa a a " in one pass because the match consumes its boundary space);
+we apply ``REPLACE_PASSES`` fixed passes per merge on both engines, which
+fully merges runs of up to 2^REPLACE_PASSES repeats — beyond that both
+engines under-merge *identically*, so results stay bit-equal. Natural-
+language words essentially never repeat a symbol 8+ times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# End-of-word marker (multi-char, cannot collide with single-char symbols).
+EOW = "</w>"
+
+# Fixed number of replace passes per merge (see module docstring).
+REPLACE_PASSES = 3
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> ``(word, freq)`` dictionary: lowercase, ``[a-z]+`` word
+    extraction, exact count. The one corpus-sized stage of BPE training;
+    map-side partial aggregation makes the shuffle vocabulary-sized."""
+    return (
+        df.select(F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word"))
+        .groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def symbol_seq(word: Column) -> Column:
+    """``'hello' -> 'h e l l o </w>'``: space-separated symbols with the
+    end-of-word marker appended (regexp char-interleave; identical to the
+    oracle's ``regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>'``)."""
+    return F.concat(F.regexp_replace(word, "(.)", "$1 "), F.lit(EOW))
+
+
+def _merge_once(seq: Column, pair: str, merged: str) -> Column:
+    """Rewrite one learned merge: pad, REPLACE_PASSES left-to-right
+    non-overlapping replaces of ``' pair '`` with ``' merged '``, trim."""
+    padded = F.concat(F.lit(" "), seq, F.lit(" "))
+    for _ in range(REPLACE_PASSES):
+        padded = F.replace(padded, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return F.btrim(padded)
+
+
+def _pair_counts(dic: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the dictionary:
+    ``(pair, f)`` where f = sum of word frequencies containing the pair
+    (counted once per occurrence). zip_with over two off-by-one slices —
+    zero UDF, one vocabulary-sized shuffle."""
+    syms = F.split(F.col("seq"), " ")
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        dic.select(F.col("freq"), F.explode(pairs).alias("pair"))
+        .groupBy("pair").agg(F.sum("freq").alias("f"))
+    )
+
+
+def bpe_train(words: DataFrame, n_merges: int = 8) -> list[tuple[str, int]]:
+    """Learn ``n_merges`` BPE merges from a ``(word, freq)`` dictionary.
+
+    Returns ``[(pair, pair_freq), ...]`` in merge order (driver-side —
+    merge lists are tokenizer-sized, 32-64k entries at production
+    scale). Each iteration: one distributed pair-count aggregation, one
+    single-row driver read, one narrow rewrite + localCheckpoint.
+    """
+    dic = words.select(
+        "word", "freq", symbol_seq(F.col("word")).alias("seq")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, int]] = []
+    for _ in range(n_merges):
+        best = (_pair_counts(dic)
+                .orderBy(F.desc("f"), F.asc("pair"))
+                .limit(1).collect())
+        if not best:
+            break
+        pair, f = best[0]["pair"], int(best[0]["f"])
+        merges.append((pair, f))
+        merged = pair.replace(" ", "")
+        dic = dic.select(
+            "word", "freq", _merge_once(F.col("seq"), pair, merged).alias("seq")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(df: DataFrame, n_merges: int = 8,
+                  text_col: str = "text") -> DataFrame:
+    """End-to-end train -> merge table ``(merge_rank, pair, merged,
+    freq)`` — the driver-checkable learned-tokenizer artifact."""
+    spark = df.sparkSession
+    merges = bpe_train(word_freqs(df, text_col), n_merges)
+    rows = [(i + 1, p, p.replace(" ", ""), f)
+            for i, (p, f) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, pair string, merged string, freq bigint"
+    ).orderBy("merge_rank")
+
+
+def bpe_segment_counts(df: DataFrame, merges: list[str],
+                       text_col: str = "text") -> DataFrame:
+    """Apply a learned merge list to the corpus and count the resulting
+    subword vocabulary -> ``(token, freq)``.
+
+    Rewrites run over the *word-frequency dictionary*, not the corpus
+    (segmenting 'the' once and weighting by its count beats segmenting
+    it 10^10 times) — so the merge cascade is a fixed chain of narrow
+    ``replace`` expressions over vocabulary-sized data, and the token
+    counts come out frequency-weighted. At 100 TB the only corpus-sized
+    stage is the word_freqs aggregation.
+    """
+    seq = symbol_seq(F.col("word"))
+    for pair in merges:
+        seq = _merge_once(seq, pair, pair.replace(" ", ""))
+    return (
+        word_freqs(df, text_col)
+        .select("freq", F.explode(F.split(seq, " ")).alias("token"))
+        .groupBy("token").agg(F.sum("freq").alias("freq"))
+    )
