@@ -379,6 +379,46 @@ def _bpe_dict_ctes(n_merges: int = BPE_MERGES) -> str:
     return ",\n".join(parts)
 
 
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled fixed-point PageRank oracle (mirror of
+    operators/graph.py): pure BIGINT arithmetic — rank div outdeg
+    contributions, (mass * 17) div 20 damping — bit-identical across
+    engines by construction."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        RESET_MICRO,
+        SCALE,
+        SUPP_OFFSET,
+    )
+    parts = [
+        f"""rel AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + {SUPP_OFFSET} AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "ed AS MATERIALIZED (SELECT cust AS src, supp AS dst FROM rel "
+        "UNION ALL SELECT supp, cust FROM rel)",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg "
+        "FROM ed GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM deg)",
+        f"r0 AS MATERIALIZED (SELECT node, CAST({SCALE} AS BIGINT) AS rank_micro "
+        "FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            f"""c{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank_micro // d.outdeg) AS mass
+  FROM ed e JOIN r{k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst)""",
+            f"""r{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({RESET_MICRO} + (coalesce(c.mass, 0) * {DAMP_NUM}) // {DAMP_DEN}
+              AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""",
+        ]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank_micro FROM r{iters} ORDER BY node")
+
+
 def _bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
     arms = "\nUNION ALL ".join(
         f"SELECT {k} AS merge_rank, pair, replace(pair, ' ', '') AS merged, "
@@ -1159,6 +1199,16 @@ def _word_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(toks, "word", n_salts=8).orderBy("word")
 
 
+def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration fixed-point PageRank over the customer<->supplier
+    co-purchase graph — bit-exact BIGINT ranks (operators/graph.py)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return G.pagerank_fixed_point(
+        G.copurchase_edges(orders, li), iters=3).orderBy("node")
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (rank, pair, merged, freq) — the
     distributed-tokenizer-training artifact. Oracle: the unrolled CTE
@@ -1743,6 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round: distributed BPE tokenizer training ---
         "bpe_merges": _bpe_merges,
         "bpe_token_counts": _bpe_token_counts,
+        # --- new this round: fixed-point PageRank (graph analytics) ---
+        "copurchase_pagerank": _copurchase_pagerank,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -1867,7 +1919,7 @@ _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "mllib_nb_confusion", "mllib_svm_confusion",
     "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
-    "semdedup", "bpe_merges", "bpe_token_counts",
+    "semdedup", "bpe_merges", "bpe_token_counts", "copurchase_pagerank",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -1881,13 +1933,13 @@ _R4_FRONT = [
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
-    "dedup_exact", "decontaminate_train",
+    "dedup_exact",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "minhash_signatures", "simhash_fingerprints",
+    "decontaminate_train", "minhash_signatures", "simhash_fingerprints",
     "near_dup_pairs", "cosine_topk", "ngram_jaccard", "hash_sample_docs",
     "word_counts_salted",
     "tfidf_long", "doc_repetition", "pii_scrub", "dedup_canonical",
@@ -2210,6 +2262,8 @@ ORDER BY d.doc_id
         # identical replace semantics — see operators/bpe.py docstring)
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
+        # fixed-point PageRank: unrolled power iterations, pure BIGINT
+        "copurchase_pagerank": _pagerank_sql(iters=3),
         "nb_metrics": _metrics_sql(NB_PRED_SQL),
         "svm_metrics": _metrics_sql(SVM_PRED_SQL),
         "ann_lsh_topk": f"""

@@ -1,0 +1,57 @@
+"""Fixed-point PageRank: hand-computed ranks on a tiny graph,
+determinism under repartitioning, and mass-conservation bounds.
+"""
+
+from pyspark.sql import functions as F
+
+from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    sym = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def test_pagerank_two_node_symmetric(spark):
+    # a <-> b, outdeg 1 each: contrib = rank; rank' = 150000 + 0.85*rank
+    # -> both nodes stay equal every iteration (exact integer check):
+    # r1 = 150000 + 1000000*17//20 = 1000000 (fixed point immediately).
+    r = {row["node"]: row["rank_micro"] for row in
+         G.pagerank_fixed_point(_edges(spark, [(1, 2)]), iters=3).collect()}
+    assert r == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: center 0 <-> leaves 1..4. Center receives 4 leaf ranks,
+    # leaves receive 1/4 of the center's. Hand-compute iteration 1:
+    #   leaf contrib   = 1e6 div 1 = 1e6 each -> center mass 4e6
+    #   center contrib = 1e6 div 4 = 250000 -> each leaf mass 250000
+    #   center r1 = 150000 + 4e6*17//20   = 3550000
+    #   leaf   r1 = 150000 + 250000*17//20 = 362500
+    edges = _edges(spark, [(0, i) for i in range(1, 5)])
+    r1 = {row["node"]: row["rank_micro"] for row in
+          G.pagerank_fixed_point(edges, iters=1).collect()}
+    assert r1[0] == 3_550_000
+    assert all(r1[i] == 362_500 for i in range(1, 5))
+
+
+def test_pagerank_deterministic_under_partitioning(spark):
+    edges = _edges(spark, [(i, (i * 7) % 23) for i in range(23)])
+    a = G.pagerank_fixed_point(edges, iters=3)
+    b = G.pagerank_fixed_point(edges.repartition(13), iters=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_copurchase_edges_symmetric(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ed = G.copurchase_edges(orders, li)
+    fwd = ed.filter(F.col("src") < G.SUPP_OFFSET).count()
+    rev = ed.filter(F.col("src") >= G.SUPP_OFFSET).count()
+    assert fwd == rev and fwd > 0
+    # total rank mass stays within [n*RESET, n*SCALE] (floor-div decay
+    # only loses mass, damping reset only adds RESET_MICRO per node)
+    pr = G.pagerank_fixed_point(ed, iters=2)
+    n = pr.count()
+    total = pr.agg(F.sum("rank_micro")).collect()[0][0]
+    assert n * G.RESET_MICRO <= total <= n * G.SCALE

@@ -1,0 +1,95 @@
+"""Distributed graph analytics: fixed-point PageRank (Page et al. 1999)
+over DataFrame edge lists.
+
+The reference engine has no graph surface; this extends the rebuild's
+iterative-algorithm family (SVM epochs, Lloyd k-means, CC label
+propagation — SURVEY §2.11) with the canonical link-analysis workload.
+
+Why *fixed-point* (integer micro-unit) arithmetic: PageRank sums
+floating contributions per node, and double addition order differs
+between engines and between runs at different partition counts — the
+exact failure mode the repo's `pround` discipline exists for. Here we go
+further: ranks live in BIGINT micro-units (1.0 == 1_000_000), per-edge
+contributions are ``rank div out_degree`` and damping is ``(x * 17) div
+20`` — every operation is exact 64-bit integer arithmetic, so results
+are bit-identical on any engine, any partitioning, any summation order.
+(A production deployment can widen SCALE to 1e9 for more resolution;
+overflow headroom: node mass <= n * SCALE, safe to ~9e12 nodes.)
+Mass lost to floor division simply decays — the same effect as the
+standard dangling-mass approximation, and it is deterministic.
+
+Scale shape per iteration: one join of the edge list against the
+node-sized rank table on ``src`` (shuffle on the edge partitioning — at
+100 TB pre-partition both sides by ``src`` so the join is co-located),
+one groupBy ``dst``, one left join back to the node table.
+``localCheckpoint`` each round cuts lineage (same pattern as the dedup
+CC loop); the driver reads nothing until the caller materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 1.0 rank unit == 1_000_000 micro-units.
+SCALE = 1_000_000
+# damping 0.85 as the exact rational 17/20.
+DAMP_NUM, DAMP_DEN = 17, 20
+# (1 - 0.85) * SCALE, exact.
+RESET_MICRO = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+
+# offset distinguishing supplier nodes from customer nodes in the
+# co-purchase graph (disjoint id spaces).
+SUPP_OFFSET = 1_000_000
+
+
+def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Symmetric customer<->supplier edge list from orders x lineitem:
+    an undirected 'bought from' bipartite graph, as two directed edges
+    per relation. Symmetrization guarantees every node has out-degree
+    >= 1, so there is no dangling-mass special case."""
+    rel = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("cust"),
+                (F.col("l_suppkey") + SUPP_OFFSET).alias("supp"))
+        .distinct()
+    )
+    fwd = rel.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+    rev = rel.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """``iters`` power iterations of fixed-point PageRank over a
+    directed edge list ``(src, dst)`` where every node appears as a
+    ``src`` (symmetrize first if needed) -> ``(node, rank_micro)``.
+
+    rank'_micro(v) = RESET_MICRO
+                   + (sum_{u->v} (rank_micro(u) div outdeg(u)) * 17) div 20
+    """
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    ranks = nodes.select(
+        "node", F.lit(SCALE).cast("long").alias("rank_micro")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .select(F.col("dst"),
+                    F.expr("rank_micro div outdeg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(RESET_MICRO)
+                 + F.expr(f"(coalesce(mass, 0) * {DAMP_NUM}) div {DAMP_DEN}")
+                 ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
