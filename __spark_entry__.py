@@ -1572,6 +1572,33 @@ def _stream_curation_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_curation_gates").orderBy("doc_id")
 
 
+def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the events stream joined to
+    the (static) customer market-segment dimension, then aggregated per
+    (segment, event_type). Oracle: the equivalent batch left join."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        enrich_stream_static,
+        events_raw_stream,
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    raw = events_raw_stream(spark, sf_dir)
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(enrich_stream_static(raw, cust),
+                                 "stream_static_enrich",
+                                 output_mode="complete")
+    q.stop()
+    return (spark.table("stream_static_enrich")
+            .select("segment", "event_type", "n",
+                    F.col("total_value").cast("double").alias("total_value"))
+            .orderBy("segment", "event_type"))
+
+
 def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (clicks ⋈ purchases, same
     user, click within the 5 minutes at-or-before the purchase) — the
@@ -1755,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_native": _stream_dedup_native,
         "stream_dedup_watermarked": _stream_dedup_watermarked,
         "stream_stream_join": _stream_stream_join,
+        # --- new this round: stream-static broadcast enrichment ---
+        "stream_static_enrich": _stream_static_enrich,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -1920,6 +1949,7 @@ _R4_FRONT = [
     "mllib_nb_confusion", "mllib_svm_confusion",
     "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
     "semdedup", "bpe_merges", "bpe_token_counts", "copurchase_pagerank",
+    "stream_static_enrich",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -1933,13 +1963,13 @@ _R4_FRONT = [
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
-    "dedup_exact",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "decontaminate_train", "minhash_signatures", "simhash_fingerprints",
+    "dedup_exact", "decontaminate_train",
+    "minhash_signatures", "simhash_fingerprints",
     "near_dup_pairs", "cosine_topk", "ngram_jaccard", "hash_sample_docs",
     "word_counts_salted",
     "tfidf_long", "doc_repetition", "pii_scrub", "dedup_canonical",
@@ -3114,6 +3144,14 @@ FROM events p JOIN events c
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 5 MINUTE
 ORDER BY purchase_id, click_id
+"""
+    # stream-static broadcast enrichment == the batch left join
+    out["stream_static_enrich"] = """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     # result-identical demonstrations share their baseline's oracle:
     # the salted two-phase aggregation must equal the naive group-by,

@@ -76,7 +76,8 @@ def main() -> None:
         "events_tumbling_stream", "events_sliding_stream",
         "events_sessionize_stream", "stream_dedup_docs", "stream_dedup_native",
         "stream_dedup_watermarked",
-        "stream_stream_join", "stream_doc_repetition", "stream_curation_gates",
+        "stream_stream_join", "stream_static_enrich",
+        "stream_doc_repetition", "stream_curation_gates",
     ]
     qs = entry.queries()
 

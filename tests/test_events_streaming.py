@@ -355,3 +355,24 @@ def test_incremental_counts_store_heals_torn_version(spark, tmp_path):
            for r in P.read_count_store(spark, store).collect()}
     assert got == {"a": 2, "b": 1}
     assert os.path.exists(os.path.join(torn, "_SUCCESS"))
+
+
+def test_stream_static_enrich_matches_batch(spark, events_path):
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        enrich_stream_static,
+    )
+    dim = spark.createDataFrame(
+        [(1, "GOLD")], "user_id long, segment string")  # user 2 -> UNKNOWN
+    stream = events_stream_from_files(spark, events_path)
+    q = run_stream_to_memory(
+        enrich_stream_static(stream, dim),
+        "enrich_test", output_mode="complete")
+    got = {(r["segment"], r["event_type"]): (r["n"], float(r["total_value"]))
+           for r in spark.sql("select * from enrich_test").collect()}
+    q.stop()
+    assert got == {
+        ("GOLD", "click"): (3, 7.0),
+        ("GOLD", "view"): (1, 3.0),
+        ("UNKNOWN", "view"): (1, 5.0),
+        ("UNKNOWN", "click"): (1, 6.0),
+    }

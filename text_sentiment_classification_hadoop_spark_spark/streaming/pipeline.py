@@ -157,6 +157,35 @@ def purchase_click_join_stream(events: DataFrame,
     )
 
 
+def enrich_stream_static(events: DataFrame, dim: DataFrame,
+                         key: str = "user_id",
+                         dim_col: str = "segment",
+                         default: str = "UNKNOWN") -> DataFrame:
+    """Stream-static enrichment join + per-(dim, event_type) totals —
+    the canonical dimension-lookup pattern in Structured Streaming.
+
+    The static side is joined with an explicit ``broadcast`` hint: no
+    watermark, no join state store — each micro-batch broadcasts the
+    (dimension-sized) static table and the join is stateless, which is
+    why stream-static inner/left joins need no time bounds while
+    stream-stream joins do. At 100 TB of stream the static side is
+    re-read per micro-batch, so a production deployment caches it
+    (small dim) or Delta-reads it (changing dim); the plan shape is the
+    same. The aggregation is the only stateful operator.
+
+    decimal sum: exact/associative, so streamed totals match the batch
+    oracle bit-for-bit regardless of micro-batch boundaries."""
+    enriched = (
+        events.join(F.broadcast(dim), on=key, how="left")
+        .withColumn(dim_col, F.coalesce(F.col(dim_col), F.lit(default)))
+    )
+    return (
+        enriched.groupBy(dim_col, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"))
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "update",
                          timeout_s: float = 60.0):
