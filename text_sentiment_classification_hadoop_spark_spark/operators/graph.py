@@ -75,11 +75,15 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
         "node", F.lit(SCALE).cast("long").alias("rank_micro")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
+        # per-node outgoing share first (node-sized join), THEN the one
+        # edge-sized join — joining edges against deg and ranks
+        # separately would shuffle the edge list twice.
+        share = (
+            ranks.join(deg, ranks["node"] == deg["src"])
+            .select(deg["src"], F.expr("rank_micro div outdeg").alias("c"))
+        )
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges["src"] == ranks["node"])
-            .select(F.col("dst"),
-                    F.expr("rank_micro div outdeg").alias("c"))
+            edges.join(share, "src")
             .groupBy("dst").agg(F.sum("c").alias("mass"))
         )
         ranks = (
