@@ -1289,6 +1289,18 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: the duplicated/perturbed
+    augmented vectors (train side, ids >= 1M) checked against the
+    original embeddings (test side) — every exact twin must surface at
+    cosine 1.0, perturbed twins at slightly less."""
+    from pyspark.sql import functions as F
+    aug = _augmented_embeddings(spark, sf_dir)
+    train = aug.filter(F.col("vec_id") >= 1000000)
+    test = aug.filter(F.col("vec_id") < 1000000)
+    return D.decontaminate_embeddings(train, test, threshold=0.9)
+
+
 def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
@@ -1836,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _ivf_topk,
         "kmeans_cells": _kmeans_cells,
         "embedding_near_dups": _embedding_near_dups,
+        "decontaminate_embeddings": _decontaminate_embeddings,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
         "mm_frame_samples": _mm_frame_samples,
@@ -1949,7 +1962,7 @@ _R4_FRONT = [
     "mllib_nb_confusion", "mllib_svm_confusion",
     "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
     "semdedup", "bpe_merges", "bpe_token_counts", "copurchase_pagerank",
-    "stream_static_enrich",
+    "stream_static_enrich", "decontaminate_embeddings",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -1962,13 +1975,13 @@ _R4_FRONT = [
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
-    "svm_declared_weights", "nb_metrics", "svm_metrics",
+    "svm_declared_weights", "nb_metrics",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "dedup_exact", "decontaminate_train",
+    "svm_metrics", "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints",
     "near_dup_pairs", "cosine_topk", "ngram_jaccard", "hash_sample_docs",
     "word_counts_salted",
@@ -2377,6 +2390,36 @@ SELECT DISTINCT id_a, id_b,
 FROM prods
 WHERE floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9
 ORDER BY id_a, id_b
+""",
+        # bipartite twin of embedding_near_dups: augmented ids >= 1M are
+        # the train side, originals the test side
+        "decontaminate_embeddings": f"""
+WITH {AU_AUGMENTED},
+{LSH_BUCKET_CTE},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+  WHERE a.vec_id >= 1000000 AND b.vec_id < 1000000
+),
+prods AS (
+  SELECT p.id_a, p.id_b,
+         sum(xa.x * xb.x) AS dot,
+         sum(xa.x * xa.x) AS na2,
+         sum(xb.x * xb.x) AS nb2
+  FROM pairs p
+  JOIN au xa ON xa.vec_id = p.id_a
+  JOIN au xb ON xb.vec_id = p.id_b AND xb.d = xa.d
+  GROUP BY p.id_a, p.id_b
+),
+hits AS (
+  SELECT DISTINCT id_a, id_b,
+         floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM prods
+  WHERE floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9
+)
+SELECT id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+       max(cosine) AS max_cosine
+FROM hits GROUP BY id_a ORDER BY vec_id
 """,
         "mm_image_features": f"""
 SELECT doc_id,

@@ -43,7 +43,8 @@ def main() -> None:
         "dedup_exact", "minhash_signatures", "simhash_fingerprints",
         "near_dup_pairs", "ngram_jaccard", "decontaminate_train", "simhash_near_dups",
         "stratified_sample_docs",
-        "hash_sample_docs", "embedding_near_dups", "dedup_canonical",
+        "hash_sample_docs", "embedding_near_dups", "decontaminate_embeddings",
+        "dedup_canonical",
         "dedup_canonical_alternating", "dedup_canonical_best",
         "dup_kgram_stats", "dedup_span_removal", "semdedup",
         "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",

@@ -677,3 +677,19 @@ def test_dup_kgram_stats_planted(spark):
     assert out[1]["dup_frac"] == 0.5
     assert out[3]["dup_positions"] == 0 and out[3]["dup_frac"] == 0.0
     assert out[4]["n_kgrams"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_decontaminate_embeddings_bipartite(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import decontaminate_embeddings
+    # train 10+i duplicates test i exactly; train 99 matches nothing
+    test = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.0, 2.0]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    train_rows = [(10 + i, [float(i + 1), 1.0, 0.0, 2.0]) for i in range(3)]
+    train_rows.append((99, [-5.0, 3.0, -2.0, 0.1]))
+    train = spark.createDataFrame(
+        train_rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["n_matches"], r["max_cosine"])
+           for r in decontaminate_embeddings(train, test, threshold=0.99).collect()}
+    assert set(got) == {10, 11, 12}
+    assert all(v == (1, 1.0) for v in got.values())

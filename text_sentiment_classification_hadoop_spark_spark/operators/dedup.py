@@ -538,6 +538,56 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
+def decontaminate_embeddings(train: DataFrame, test: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.9,
+                             n_planes: int = 8,
+                             n_bands: int = 1) -> DataFrame:
+    """Embedding-space train/test decontamination: the semantic twin of
+    :func:`decontaminate` — flag TRAIN vectors whose cosine against ANY
+    test-set vector reaches ``threshold`` →
+    ``(vec_id, n_matches, max_cosine)`` per contaminated train id.
+
+    Same candidate machinery as :func:`embedding_near_dups` (banded
+    sign-LSH buckets, exact 6-dp cosine on candidates) but a BIPARTITE
+    train×test join instead of a self-join: the test side is eval-suite
+    sized — typically thousands of rows at 100 TB of train — so its
+    bucketed long-form comfortably broadcasts, and the join is one map
+    pass over the train buckets, never O(train × test). Pairs found by
+    several bands are deduped before counting (a pair's cosine is
+    identical in every band). Callers drop contaminated ids with a
+    left-anti join against this result."""
+    from .similarity import dot_expr, norm_expr, pround, sign_lsh_bucket
+
+    def _banded(df: DataFrame, side: str) -> DataFrame:
+        bb = F.array(*[
+            sign_lsh_bucket(vec_col, n_planes=n_planes,
+                            plane_offset=b * n_planes)
+            for b in range(n_bands)
+        ])
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(vec_col).alias(f"v{side}"),
+            norm_expr(F.col(vec_col)).alias(f"_n{side}"),
+            F.posexplode(bb).alias("band", "bucket"))
+
+    cosine = dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
+    pairs = (
+        _banded(train, "a").join(F.broadcast(_banded(test, "b")),
+                                 ["band", "bucket"])
+        .select("id_a", "id_b", pround(cosine, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.col("id_a").alias(id_col))
+        .agg(F.count("*").alias("n_matches"),
+             F.max("cosine").alias("max_cosine"))
+        .orderBy(id_col)
+    )
+
+
 def semdedup(emb: DataFrame, centroids: DataFrame | None = None,
              n_cells: int = 8, threshold: float = 0.95,
              id_col: str = "vec_id",
