@@ -1301,6 +1301,18 @@ def _decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate_embeddings(train, test, threshold=0.9)
 
 
+def _neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the embedding near-dup graph (each
+    original + exact twin + perturbed twin forms a triangle when all
+    three pairwise cosines clear the threshold)."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    edges = _embedding_near_dups(spark, sf_dir).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    return G.triangle_counts(edges).orderBy("node")
+
+
 def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
@@ -1849,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": _kmeans_cells,
         "embedding_near_dups": _embedding_near_dups,
         "decontaminate_embeddings": _decontaminate_embeddings,
+        "neardup_triangles": _neardup_triangles,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
         "mm_frame_samples": _mm_frame_samples,
@@ -1962,7 +1975,7 @@ _R4_FRONT = [
     "mllib_nb_confusion", "mllib_svm_confusion",
     "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
     "semdedup", "bpe_merges", "bpe_token_counts", "copurchase_pagerank",
-    "stream_static_enrich", "decontaminate_embeddings",
+    "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -1975,13 +1988,13 @@ _R4_FRONT = [
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
-    "svm_declared_weights", "nb_metrics",
+    "svm_declared_weights",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "svm_metrics", "dedup_exact", "decontaminate_train",
+    "nb_metrics", "svm_metrics", "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints",
     "near_dup_pairs", "cosine_topk", "ngram_jaccard", "hash_sample_docs",
     "word_counts_salted",
@@ -2420,6 +2433,43 @@ hits AS (
 SELECT id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
        max(cosine) AS max_cosine
 FROM hits GROUP BY id_a ORDER BY vec_id
+""",
+        # per-node triangle counts over the near-dup edge list (edges
+        # oriented id_a < id_b, so each triangle a<b<c appears once)
+        "neardup_triangles": f"""
+WITH {AU_AUGMENTED},
+{LSH_BUCKET_CTE},
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+prods AS (
+  SELECT p.id_a, p.id_b,
+         sum(xa.x * xb.x) AS dot,
+         sum(xa.x * xa.x) AS na2,
+         sum(xb.x * xb.x) AS nb2
+  FROM cand p
+  JOIN au xa ON xa.vec_id = p.id_a
+  JOIN au xb ON xb.vec_id = p.id_b AND xb.d = xa.d
+  GROUP BY p.id_a, p.id_b
+),
+ed AS MATERIALIZED (
+  SELECT DISTINCT id_a AS u, id_b AS v FROM prods
+  WHERE floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+members AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY node ORDER BY node
 """,
         "mm_image_features": f"""
 SELECT doc_id,

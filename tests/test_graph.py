@@ -55,3 +55,19 @@ def test_copurchase_edges_symmetric(spark, sf_dir):
     n = pr.count()
     total = pr.agg(F.sum("rank_micro")).collect()[0][0]
     assert n * G.RESET_MICRO <= total <= n * G.SCALE
+
+
+def test_triangle_counts_hand_graph(spark):
+    # graph: triangle 1-2-3, plus 3-4 pendant, plus triangle 3-4-5
+    # sharing node 3-4 edge. Canonical u<v edges.
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)],
+        "u long, v long")
+    got = {r["node"]: r["n_triangles"]
+           for r in G.triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u long, v long")
+    assert G.triangle_counts(e).count() == 0
