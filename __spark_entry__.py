@@ -434,6 +434,18 @@ def _bpe_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
             "GROUP BY token ORDER BY token")
 
 
+def _bpe_doc_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
+    return (f"WITH {_bpe_dict_ctes(n_merges)},\n"
+            f"seg AS MATERIALIZED (SELECT word, "
+            f"CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub "
+            f"FROM s{n_merges}),\n"
+            "dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z]+')) AS word FROM documents)\n"
+            "SELECT d.doc_id, CAST(sum(s.n_sub) AS BIGINT) AS n_subwords\n"
+            "FROM dw d JOIN seg s ON d.word = s.word\n"
+            "GROUP BY d.doc_id ORDER BY d.doc_id")
+
+
 # sign-LSH bucket assignment over long-form embeddings `au(vec_id, d, x)`
 # — mirror of similarity.sign_lsh_bucket (8 deterministic hyperplanes).
 LSH_BUCKET_CTE = f"""
@@ -1227,6 +1239,14 @@ def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BPE.bpe_segment_counts(docs, merges).orderBy("token")
 
 
+def _bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token budget under the learned merges."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [p for p, _ in BPE.bpe_train(BPE.word_freqs(docs), BPE_MERGES)]
+    return BPE.bpe_doc_token_counts(docs, merges).orderBy("doc_id")
+
+
 def _sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: the literal ANSI oracle text executed by
     ``spark.sql`` over registered views — dialect-portable by
@@ -1846,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round: distributed BPE tokenizer training ---
         "bpe_merges": _bpe_merges,
         "bpe_token_counts": _bpe_token_counts,
+        "bpe_doc_token_counts": _bpe_doc_token_counts,
         # --- new this round: fixed-point PageRank (graph analytics) ---
         "copurchase_pagerank": _copurchase_pagerank,
         # --- green in r02 ---
@@ -1974,7 +1995,8 @@ _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "mllib_nb_confusion", "mllib_svm_confusion",
     "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
-    "semdedup", "bpe_merges", "bpe_token_counts", "copurchase_pagerank",
+    "semdedup", "bpe_merges", "bpe_token_counts", "bpe_doc_token_counts",
+    "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
@@ -1988,13 +2010,13 @@ _R4_FRONT = [
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
-    "svm_declared_weights",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "nb_metrics", "svm_metrics", "dedup_exact", "decontaminate_train",
+    "svm_declared_weights", "nb_metrics", "svm_metrics",
+    "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints",
     "near_dup_pairs", "cosine_topk", "ngram_jaccard", "hash_sample_docs",
     "word_counts_salted",
@@ -2318,6 +2340,7 @@ ORDER BY d.doc_id
         # identical replace semantics — see operators/bpe.py docstring)
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
+        "bpe_doc_token_counts": _bpe_doc_token_counts_sql(),
         # fixed-point PageRank: unrolled power iterations, pure BIGINT
         "copurchase_pagerank": _pagerank_sql(iters=3),
         "nb_metrics": _metrics_sql(NB_PRED_SQL),

@@ -97,3 +97,15 @@ def test_entry_oracle_parity_sf0001(spark):
                          capture_output=True, text=True, check=True)
     want = [tuple(r) for r in json.loads(out.stdout)]
     assert got == want
+
+
+def test_bpe_doc_token_counts(spark):
+    # zero merges: every word contributes chars + 1 (</w>) subwords
+    docs = _docs(spark, ["the cat", "a bee"])
+    got = {r["doc_id"]: r["n_subwords"] for r in
+           BPE.bpe_doc_token_counts(docs, []).collect()}
+    assert got == {0: (3 + 1) + (3 + 1), 1: (1 + 1) + (3 + 1)}
+    # one merge 'e </w>' shortens 'the' and 'bee' by one each
+    got2 = {r["doc_id"]: r["n_subwords"] for r in
+            BPE.bpe_doc_token_counts(docs, ["e </w>"]).collect()}
+    assert got2 == {0: got[0] - 1, 1: got[1] - 1}

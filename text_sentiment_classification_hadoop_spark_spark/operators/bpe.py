@@ -155,3 +155,34 @@ def bpe_segment_counts(df: DataFrame, merges: list[str],
         .select("freq", F.explode(F.split(seq, " ")).alias("token"))
         .groupBy("token").agg(F.sum("freq").alias("freq"))
     )
+
+
+def bpe_doc_token_counts(df: DataFrame, merges: list[str],
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-document subword token counts under a learned merge list →
+    ``(doc_id, n_subwords)`` — the token-budget metric data-mixing and
+    sequence-packing decisions run on.
+
+    Same dictionary trick as :func:`bpe_segment_counts`: the merge
+    cascade runs once per DISTINCT word (vocabulary-sized), and the
+    per-doc count is a broadcast-join of the doc's words against the
+    segmented dictionary — the corpus-sized side only ever flows
+    through a word explode + a sum."""
+    seq = symbol_seq(F.col("word"))
+    for pair in merges:
+        seq = _merge_once(seq, pair, pair.replace(" ", ""))
+    seg = (
+        df.select(F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word")).distinct()
+        .select("word", F.size(F.split(seq, " ")).cast("long").alias("n_sub"))
+    )
+    doc_words = df.select(
+        F.col(id_col), F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word"))
+    return (
+        doc_words.join(F.broadcast(seg), "word")
+        .groupBy(id_col).agg(F.sum("n_sub").alias("n_subwords"))
+    )
