@@ -1987,10 +1987,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# The 50-query round-4 shard: 4 status-changing rows, then every query
-# whose last driver check was round 1 (except word_counts_salted, whose
-# oracle is literally word_counts' — it carries the least marginal
-# evidence and rotates to position 51).
+# The 50-query round-4 shard: the rows whose status changes this round
+# (the sql_pricing_summary fix, the previously-oracle-less rows, and
+# every operator NEW in round 4 — streaming watermark dedup, span
+# removal, chunking, semdedup, BPE x3, PageRank, triangles,
+# stream-static enrich, embedding decontamination), then the
+# least-recently-checked queries (last driver datapoint: round 1).
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "mllib_nb_confusion", "mllib_svm_confusion",
