@@ -1322,13 +1322,14 @@ def _decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts on the embedding near-dup graph (each
-    original + exact twin + perturbed twin forms a triangle when all
-    three pairwise cosines clear the threshold)."""
+    """Per-node triangle counts on the MinHash near-dup pair graph —
+    duplicate clusters of ≥3 mutually-similar documents (the corpus has
+    clusters of 4 and 6, plus each doc's augmented ' zzz' twin) show up
+    as cliques, so their members carry non-trivial triangle counts."""
     from pyspark.sql import functions as F
 
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
-    edges = _embedding_near_dups(spark, sf_dir).select(
+    edges = _near_dup_pairs(spark, sf_dir).select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     return G.triangle_counts(edges).orderBy("node")
 
@@ -2459,29 +2460,32 @@ SELECT id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
        max(cosine) AS max_cosine
 FROM hits GROUP BY id_a ORDER BY vec_id
 """,
-        # per-node triangle counts over the near-dup edge list (edges
-        # oriented id_a < id_b, so each triangle a<b<c appears once)
+        # per-node triangle counts over the MinHash near-dup edge list
+        # (edges oriented id_a < id_b, so each triangle a<b<c appears
+        # once; edge derivation identical to near_dup_pairs' oracle)
         "neardup_triangles": f"""
-WITH {AU_AUGMENTED},
-{LSH_BUCKET_CTE},
-cand AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM buckets a JOIN buckets b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WITH {DOCS_ALL_AUGMENTED},
+{_minhash_long_cte()},
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+  FROM sig_long GROUP BY doc_id, p // 4
 ),
-prods AS (
-  SELECT p.id_a, p.id_b,
-         sum(xa.x * xb.x) AS dot,
-         sum(xa.x * xa.x) AS na2,
-         sum(xb.x * xb.x) AS nb2
-  FROM cand p
-  JOIN au xa ON xa.vec_id = p.id_a
-  JOIN au xb ON xb.vec_id = p.id_b AND xb.d = xa.d
-  GROUP BY p.id_a, p.id_b
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig_long sa ON sa.doc_id = c.id_a
+  JOIN sig_long sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+  GROUP BY c.id_a, c.id_b
 ),
 ed AS MATERIALIZED (
-  SELECT DISTINCT id_a AS u, id_b AS v FROM prods
-  WHERE floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9
+  SELECT id_a AS u, id_b AS v FROM est WHERE est_jaccard >= 0.5
 ),
 tri AS MATERIALIZED (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c

@@ -52,3 +52,19 @@ def test_dedup_cli(tmp_path):
     kept = int(got["Kept"])
     assert total > 0 and kept + int(got["Duplicates removed"]) == total
     assert "Deduplicated corpus written" in out.stdout
+
+
+def test_tokenize_train_cli(tmp_path):
+    out_dir = str(tmp_path / "merges")
+    out = subprocess.run(
+        [sys.executable, "-m", "text_sentiment_classification_hadoop_spark_spark", "tokenize-train",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--merges", "8", "--out", out_dir],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = {l.split(" = ")[0]: l.split(" = ")[1]
+           for l in out.stdout.strip().splitlines() if " = " in l}
+    assert int(got["Merges learned"]) == 8
+    assert int(got["Words (distinct)"]) > 0
+    assert int(got["Subword vocabulary"]) > 0
+    assert "Merge table written" in out.stdout

@@ -187,3 +187,61 @@ def test_zorder_key_is_injective_and_monotone(spark, pts):
         assert (r["a"], r["b"]) not in seen or seen[(r["a"], r["b"])] == r["z"]
         seen[(r["a"], r["b"])] = r["z"]
     assert len({r["z"] for r in rows}) == len(rows)  # injective
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.sets(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).map(
+        lambda p: (min(p), max(p))).filter(lambda p: p[0] < p[1]),
+    min_size=1, max_size=20))
+def test_triangle_counts_match_bruteforce(spark, edge_set):
+    from itertools import combinations
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import triangle_counts
+    edges = sorted(edge_set)
+    adj = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda p: p[0] != p[1]),
+    min_size=1, max_size=15))
+def test_pagerank_matches_single_node_reference(spark, pair_set):
+    """The distributed fixed-point loop equals a direct single-node
+    evaluation of the same integer recurrence."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        RESET_MICRO,
+        SCALE,
+        pagerank_fixed_point,
+    )
+    edges = sorted({(a, b) for a, b in pair_set} | {(b, a) for a, b in pair_set})
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    ranks = {n: SCALE for n in out}
+    for _ in range(3):
+        mass = {n: 0 for n in out}
+        for s, ds in out.items():
+            c = ranks[s] // len(ds)
+            for d in ds:
+                mass[d] += c
+        ranks = {n: RESET_MICRO + (mass[n] * DAMP_NUM) // DAMP_DEN
+                 for n in out}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank_fixed_point(df, iters=3).collect()}
+    assert got == ranks

@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="text_sentiment_classification_hadoop_spark_spark")
     p.add_argument("command", choices=[
         "nb-compat", "svm-compat", "svm-strict", "nb-mllib", "svm-mllib",
-        "curate", "dedup"])
+        "curate", "dedup", "tokenize-train"])
     p.add_argument("--train", help="training tweets CSV (compat commands)")
     p.add_argument("--test", help="test tweets CSV; defaults to --train")
     p.add_argument("--input", help="tweets CSV for the mllib commands (75/25 split inside)")
@@ -78,6 +78,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="score column for --keep best (default n_chars)")
     p.add_argument("--threshold", type=float, default=0.5,
                    help="estimated-Jaccard near-dup threshold (dedup)")
+    p.add_argument("--merges", type=int, default=64,
+                   help="number of BPE merges to learn (tokenize-train)")
     args = p.parse_args(argv)
 
     from .functions.cleaning import clean_chain_a, clean_chain_b
@@ -143,6 +145,32 @@ def main(argv: list[str] | None = None) -> int:
             docs.join(keep_ids, "doc_id").write.mode("overwrite") \
                 .parquet(args.out)
             print(f"Deduplicated corpus written to {args.out}")
+        print(f"Execution time: {time.perf_counter() - t0:.2f} s")
+        spark.stop()
+        return 0
+
+    if args.command == "tokenize-train":
+        if not args.docs:
+            p.error("--docs is required for tokenize-train")
+        from .operators.bpe import bpe_segment_counts, bpe_train, word_freqs
+        docs = spark.read.parquet(args.docs).select("text")
+        wf = word_freqs(docs).localCheckpoint(eager=True)
+        merges = bpe_train(wf, n_merges=args.merges)
+        print(f"Words (distinct) = {wf.count()}")
+        print(f"Merges learned = {len(merges)}")
+        for i, (pair, f) in enumerate(merges[:20], 1):
+            print(f"  {i:3d}. {pair!r} -> {pair.replace(' ', '')!r}  (freq {f})")
+        if len(merges) > 20:
+            print(f"  ... {len(merges) - 20} more")
+        vocab = bpe_segment_counts(docs, [m for m, _ in merges])
+        print(f"Subword vocabulary = {vocab.count()}")
+        if args.out:
+            spark.createDataFrame(
+                [(i + 1, m, m.replace(" ", ""), f)
+                 for i, (m, f) in enumerate(merges)],
+                "merge_rank int, pair string, merged string, freq bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(args.out)
+            print(f"Merge table written to {args.out}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
         spark.stop()
         return 0

@@ -76,7 +76,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     splits each hub's wedge load across its lower neighbors. At 100 TB
     graph scale, pre-partition the edge list by ``u`` so the membership
     probe co-locates."""
-    e = edges.select("u", "v").distinct()
+    # materialize the canonical edge list once: it feeds three join
+    # sides, and an expensive upstream plan (e.g. the LSH near-dup
+    # pipeline) would otherwise be recomputed per consumer. Edge lists
+    # here are output-sized (near-dup pairs), not corpus-sized.
+    e = edges.select("u", "v").distinct().localCheckpoint(eager=True)
     wedge = (
         e.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .join(e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b")
@@ -101,7 +105,12 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
     rank'_micro(v) = RESET_MICRO
                    + (sum_{u->v} (rank_micro(u) div outdeg(u)) * 17) div 20
     """
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    # materialize the edge list once — it feeds the degree table and
+    # every iteration's contribution join; a lazy plan (orders x
+    # lineitem here) would be recomputed iters+1 times.
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("outdeg")).localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.select(
         "node", F.lit(SCALE).cast("long").alias("rank_micro")
