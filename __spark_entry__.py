@@ -1081,6 +1081,12 @@ def _doc_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
+def _ppl_band_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Middle-band perplexity pruning (Marion et al. 2023)."""
+    return TA.ppl_band_filter(
+        load_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
 # data-quality expectations over orders — rule texts are portable SQL
 # (valid verbatim in Spark and DuckDB), so the oracle is generated from
 # the SAME dict and cannot drift
@@ -1848,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": _ann_multiprobe_topk,
         # interpolated bigram LM document scoring (n-gram ppl filter)
         "doc_bigram_ppl": _doc_bigram_ppl,
+        # middle-band perplexity pruning (new this round)
+        "ppl_band_docs": _ppl_band_docs,
         # one-pass data-quality expectation report
         "dq_orders_report": _dq_orders_report,
         # deterministic PPS systematic sampling (distributed prefix sum)
@@ -2001,6 +2009,7 @@ _R4_FRONT = [
     "semdedup", "bpe_merges", "bpe_token_counts", "bpe_doc_token_counts",
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
+    "ppl_band_docs",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2012,13 +2021,13 @@ _R4_FRONT = [
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
-    "svm_weights", "svm_predictions", "svm_confusion",
+    "svm_weights", "svm_predictions",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "svm_declared_weights", "nb_metrics", "svm_metrics",
+    "svm_confusion", "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints",
     "near_dup_pairs", "cosine_topk", "ngram_jaccard", "hash_sample_docs",
@@ -3026,8 +3035,7 @@ rk AS (
 )
 SELECT * FROM rk WHERE rank <= 100 ORDER BY rank
 """
-    out["doc_bigram_ppl"] = f"""
-WITH t AS (
+    bigram_ppl_ctes = f"""t AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
 ),
 bi_pos AS (
@@ -3065,13 +3073,36 @@ pos_scored AS (
 per_doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, sum(lp) AS s
   FROM pos_scored GROUP BY doc_id
-)
+)"""
+    out["doc_bigram_ppl"] = f"""
+WITH {bigram_ppl_ctes}
 SELECT d.doc_id,
        COALESCE(p.n_pairs, 0) AS n_pairs,
        floor((CAST(p.s AS DOUBLE) / p.n_pairs / 1000000.0)
              * 1000000.0 + 0.5) / 1000000.0 AS avg_logp_nats
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
+"""
+    # perplexity-band pruning: quantile bounds rounded to the same 6 dp
+    # as the scores, so the band comparison is rounded-vs-rounded on
+    # both engines
+    out["ppl_band_docs"] = f"""
+WITH {bigram_ppl_ctes},
+scored AS (
+  SELECT doc_id, n_pairs,
+         floor((CAST(s AS DOUBLE) / n_pairs / 1000000.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS avg_logp_nats
+  FROM per_doc WHERE n_pairs > 0
+),
+bounds AS (
+  SELECT floor(quantile_cont(avg_logp_nats, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS blo,
+         floor(quantile_cont(avg_logp_nats, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS bhi
+  FROM scored
+)
+SELECT s.doc_id, s.n_pairs, s.avg_logp_nats
+FROM scored s, bounds b
+WHERE s.avg_logp_nats >= b.blo AND s.avg_logp_nats <= b.bhi
+ORDER BY s.doc_id
 """
     out["top_tokens"] = """
 WITH toks AS (

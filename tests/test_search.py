@@ -76,3 +76,28 @@ def test_cms_merge_by_addition(spark):
     for k, v in sb.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == su
+
+
+def test_ppl_band_filter_keeps_middle_band(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.text_analysis import (
+        bigram_lm_score,
+        ppl_band_filter,
+    )
+    texts = ["the cat sat on the mat", "the dog sat on the mat",
+             "zz qq xx vv ww yy", "the cat sat on the mat again",
+             "aa bb cc dd ee ff", "the mat sat on the cat"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    kept = ppl_band_filter(docs, lo=0.25, hi=0.75)
+    scored = {r["doc_id"]: r["avg_logp_nats"]
+              for r in bigram_lm_score(docs).collect()}
+    got = {r["doc_id"] for r in kept.collect()}
+    # band is non-trivial: something kept, something dropped
+    assert 0 < len(got) < len(texts)
+    # every kept doc scores >= every dropped doc's distance ordering:
+    # kept scores lie inside [min(kept), max(kept)] and dropped ones
+    # are outside that closed band
+    lo = min(scored[d] for d in got)
+    hi = max(scored[d] for d in got)
+    for d in set(scored) - got:
+        assert scored[d] < lo or scored[d] > hi

@@ -403,6 +403,36 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                            / F.lit(1000000.0), 6).alias("avg_logp_nats")))
 
 
+def ppl_band_filter(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    lo: float = 0.25, hi: float = 0.75) -> DataFrame:
+    """Perplexity-band data pruning (Marion et al. 2023, "When Less is
+    More: Investigating Data Pruning for LLMs at Scale" — middle-band
+    selection beat both extremes): keep documents whose interpolated-
+    bigram LM score lies between the corpus ``lo`` and ``hi`` quantiles
+    → ``(doc_id, n_pairs, avg_logp_nats)`` for the kept band.
+
+    The quantile bounds come from one exact ``percentile`` aggregate
+    over the (already 6-dp-rounded) scores, themselves rounded to the
+    same 6 dp, then broadcast — so the band comparison is
+    rounded-vs-rounded and engine-stable, and no global sort or window
+    touches the corpus. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (mergeable KLL-style sketch, same plan
+    shape); the band membership is unchanged for any doc not within
+    sketch error of a boundary."""
+    scored = (bigram_lm_score(df, text_col=text_col, id_col=id_col)
+              .filter(F.col("n_pairs") > 0))
+    bounds = scored.agg(
+        pround(F.expr(f"percentile(avg_logp_nats, {lo!r})"), 6).alias("blo"),
+        pround(F.expr(f"percentile(avg_logp_nats, {hi!r})"), 6).alias("bhi"))
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .filter((F.col("avg_logp_nats") >= F.col("blo"))
+                & (F.col("avg_logp_nats") <= F.col("bhi")))
+        .select(id_col, "n_pairs", "avg_logp_nats")
+    )
+
+
 def c4_line_clean(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", min_words: int = 4,
                   min_lines: int = 1) -> DataFrame:
