@@ -141,6 +141,44 @@ preds AS (
 PORTABLE_HASH = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 
 
+# winnowing fingerprints over the plain documents table: k=3 shingles,
+# w=4 windows (mirror of dedup.winnow_fingerprints — position i runs
+# 1..m over consecutive shingle starts, so the ROWS window at i gives
+# exactly the Spark side's slice(hashes, i, 4))
+WINNOW_CTES = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+toks_i AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i
+  FROM t
+),
+sh AS (
+  SELECT doc_id, i,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+  FROM toks_i WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+h AS MATERIALIZED (
+  SELECT doc_id, i, {PORTABLE_HASH.format(col='s')} AS hv
+  FROM sh WHERE s IS NOT NULL
+),
+mm AS (SELECT doc_id, count(*) AS m FROM h GROUP BY doc_id),
+winmins AS (
+  SELECT doc_id, i,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+),
+fps AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT w.doc_id, w.fp FROM winmins w JOIN mm USING (doc_id)
+    WHERE mm.m >= 4 AND w.i <= mm.m - 3
+    UNION ALL
+    SELECT h.doc_id, min(hv) AS fp FROM h JOIN mm USING (doc_id)
+    WHERE mm.m < 4 GROUP BY h.doc_id
+  )
+)
+"""
+
+
 def _metrics_sql(pred_cte: str) -> str:
     """A8 binary metrics + A9 weighted-F over a ``preds(doc_id, label,
     prediction)`` CTE — the SQL mirror of ``operators.metrics``."""
@@ -1315,6 +1353,18 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints over the documents corpus."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return D.winnow_fingerprints(docs).orderBy("doc_id", "fp")
+
+
+def _winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust near-dup pairs by shared winnowing fingerprints."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return D.winnow_near_dups(docs).orderBy("id_a", "id_b")
+
+
 def _decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: the duplicated/perturbed
     augmented vectors (train side, ids >= 1M) checked against the
@@ -1892,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups,
         "decontaminate_embeddings": _decontaminate_embeddings,
         "neardup_triangles": _neardup_triangles,
+        "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_near_dups": _winnow_near_dups,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
         "mm_frame_samples": _mm_frame_samples,
@@ -2009,7 +2061,7 @@ _R4_FRONT = [
     "semdedup", "bpe_merges", "bpe_token_counts", "bpe_doc_token_counts",
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
-    "ppl_band_docs",
+    "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2021,13 +2073,13 @@ _R4_FRONT = [
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
-    "svm_weights", "svm_predictions",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "svm_confusion", "svm_declared_weights", "nb_metrics", "svm_metrics",
+    "svm_weights", "svm_predictions", "svm_confusion",
+    "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints",
     "near_dup_pairs", "cosine_topk", "ngram_jaccard", "hash_sample_docs",
@@ -2468,6 +2520,25 @@ hits AS (
 SELECT id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
        max(cosine) AS max_cosine
 FROM hits GROUP BY id_a ORDER BY vec_id
+""",
+        # winnowing (MOSS) fingerprints: distinct w-window minima of
+        # k-shingle hashes; m < w degenerates to one whole-doc window
+        "winnow_fingerprints": f"""
+WITH {WINNOW_CTES}
+SELECT doc_id, fp FROM fps ORDER BY doc_id, fp
+""",
+        "winnow_near_dups": f"""
+WITH {WINNOW_CTES},
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+flt AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM flt a JOIN flt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared FROM prs WHERE n_shared >= 2
+ORDER BY id_a, id_b
 """,
         # per-node triangle counts over the MinHash near-dup edge list
         # (edges oriented id_a < id_b, so each triangle a<b<c appears

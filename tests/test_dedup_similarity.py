@@ -693,3 +693,39 @@ def test_decontaminate_embeddings_bipartite(spark):
            for r in decontaminate_embeddings(train, test, threshold=0.99).collect()}
     assert set(got) == {10, 11, 12}
     assert all(v == (1, 1.0) for v in got.values())
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Winnowing's published guarantee: a shared run of >= w+k-1 tokens
+    produces at least one shared fingerprint, even when the run is
+    SHIFTED inside an otherwise different document (the case MinHash
+    whole-doc Jaccard misses)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_near_dups,
+    )
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1 (4+3-1)
+    docs = spark.createDataFrame([
+        (0, f"one two three {run} four five six"),
+        (1, f"aa bb cc dd ee ff gg hh {run}"),      # run shifted
+        (2, "totally different words nothing shared here at all ok"),
+    ], "doc_id long, text string")
+    fps = winnow_fingerprints(docs)
+    by_doc = {i: {r["fp"] for r in rows} for i, rows in
+              ((d, [r for r in fps.collect() if r["doc_id"] == d])
+               for d in (0, 1, 2))}
+    assert by_doc[0] & by_doc[1], "shifted shared run must share a print"
+    assert not (by_doc[0] & by_doc[2])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             winnow_near_dups(docs, min_shared=1).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_winnow_short_doc_single_window(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import winnow_fingerprints
+    docs = spark.createDataFrame(
+        [(0, "just three words"), (1, "hi")], "doc_id long, text string")
+    rows = winnow_fingerprints(docs).collect()
+    # doc 0: 3 tokens -> one 3-shingle -> m=1 < w -> exactly 1 print;
+    # doc 1: < k tokens -> no shingles -> no prints
+    assert [r["doc_id"] for r in rows] == [0]

@@ -538,6 +538,66 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm) → long-form ``(doc_id, fp)``, distinct.
+
+    Guarantee: any shared run of ≥ ``w + k - 1`` tokens between two
+    documents yields at least one shared fingerprint — unlike MinHash
+    (which estimates whole-document Jaccard), winnowing catches PARTIAL
+    overlap: quotation, containment, boilerplate splicing. Fingerprints
+    are the distinct minima of each ``w``-window of k-shingle hashes
+    (value-set variant), ~1/w of the shingle count per doc.
+
+    Shape: pure narrow array expressions (shingle→hash→windowed min via
+    ``transform`` over a start sequence) + one explode — no UDF, no
+    shuffle until the consumer aggregates; density is tunable with
+    ``w`` (storage ∝ 1/w). Hashes are the portable md5-derived 60-bit
+    ints, so the DuckDB oracle reproduces them bit-for-bit."""
+    hashes = F.transform(shingles_expr(F.col(text_col), k=k),
+                         portable_hash64)
+    m = F.size(hashes)
+    wins = (
+        F.when(m >= w,
+               F.transform(F.sequence(F.lit(1), m - (w - 1)),
+                           lambda j: F.array_min(F.slice(hashes, j, w))))
+        .when(m >= 1, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return df.select(F.col(id_col),
+                     F.explode(F.array_distinct(wins)).alias("fp"))
+
+
+def winnow_near_dups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 3, w: int = 4,
+                     min_shared: int = 2, max_df: int = 64) -> DataFrame:
+    """Shift-robust near-dup pairs via shared winnowing fingerprints →
+    ``(id_a, id_b, n_shared)`` with ≥ ``min_shared`` shared prints.
+
+    ``max_df`` is the skew guard: a fingerprint appearing in more than
+    ``max_df`` documents (boilerplate, common phrases) is dropped
+    before the self-join — the same stop-shingle discipline web-dedup
+    pipelines use, and what keeps the fp-keyed join's fan-out bounded
+    at corpus scale (a fp shared by d docs contributes d² candidate
+    rows)."""
+    fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col,
+                              k=k, w=w)
+    rare = (fps.groupBy("fp").agg(F.count("*").alias("d"))
+            .filter(F.col("d") <= max_df).select("fp"))
+    filtered = fps.join(rare, "fp")
+    a = filtered.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = filtered.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def decontaminate_embeddings(train: DataFrame, test: DataFrame,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
