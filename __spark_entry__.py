@@ -1353,6 +1353,13 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs (df-pruned all-pairs join)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import tfidf_doc_pairs
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return tfidf_doc_pairs(docs).orderBy("id_a", "id_b")
+
+
 def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints over the documents corpus."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
@@ -1944,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles": _neardup_triangles,
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_near_dups": _winnow_near_dups,
+        "tfidf_doc_pairs": _tfidf_doc_pairs,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
         "mm_frame_samples": _mm_frame_samples,
@@ -2062,6 +2070,7 @@ _R4_FRONT = [
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
+    "tfidf_doc_pairs",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2072,13 +2081,13 @@ _R4_FRONT = [
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
-    "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
+    "nb_model", "nb_stats", "nb_predictions",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "svm_weights", "svm_predictions", "svm_confusion",
+    "nb_confusion", "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints",
@@ -2520,6 +2529,45 @@ hits AS (
 SELECT id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
        max(cosine) AS max_cosine
 FROM hits GROUP BY id_a ORDER BY vec_id
+""",
+        # sparse TF-IDF all-pairs cosine (df-pruned vocabulary, integer
+        # micro-unit weights -> exact BIGINT dots/norms)
+        "tfidf_doc_pairs": """
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+dfq AS (
+  SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM toks)
+  GROUP BY w HAVING count(*) <= 64
+),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+wt AS MATERIALIZED (
+  SELECT t.doc_id, t.w,
+         CAST(floor(t.tf * ln((n.n + 1) / (d.df + 1.0)) * 1000000.0 + 0.5)
+              AS BIGINT) AS wt
+  FROM tf t JOIN dfq d USING (w), nn n
+),
+norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2
+          FROM wt GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+  FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT d.id_a, d.id_b,
+         floor((CAST(d.dot AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.id_a
+  JOIN norms nb ON nb.doc_id = d.id_b
+)
+WHERE cosine >= 0.5 ORDER BY id_a, id_b
 """,
         # winnowing (MOSS) fingerprints: distinct w-window minima of
         # k-shingle hashes; m < w degenerates to one whole-doc window

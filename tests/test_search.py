@@ -101,3 +101,29 @@ def test_ppl_band_filter_keeps_middle_band(spark):
     hi = max(scored[d] for d in got)
     for d in set(scored) - got:
         assert scored[d] < lo or scored[d] > hi
+
+
+def test_tfidf_doc_pairs_identical_docs_cos1(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import tfidf_doc_pairs
+    docs = spark.createDataFrame([
+        (0, "rare unique tokens here"),
+        (1, "rare unique tokens here"),          # exact dup -> cosine 1.0
+        (2, "entirely different vocabulary set"),
+    ], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_doc_pairs(docs, threshold=0.5).collect()}
+    assert got == {(0, 1): 1.0}
+
+
+def test_tfidf_doc_pairs_df_pruning_drops_common_terms(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import tfidf_doc_pairs
+    # 'shared' appears in every doc; with max_df=2 it is pruned, so the
+    # only candidate link left is the rare 'zebra' pair
+    docs = spark.createDataFrame([
+        (0, "shared zebra alpha"),
+        (1, "shared zebra beta"),
+        (2, "shared gamma delta"),
+    ], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           tfidf_doc_pairs(docs, threshold=0.1, max_df=2).collect()}
+    assert got == {(0, 1)}

@@ -154,3 +154,53 @@ def cms_estimate(df: DataFrame, terms: list[str], text_col: str = "text",
         .select("w", "est_count",
                 F.coalesce("exact_count", F.lit(0)).cast("long")
                 .alias("exact_count"))
+
+
+def tfidf_doc_pairs(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    threshold: float = 0.5,
+                    max_df: int = 64) -> DataFrame:
+    """Sparse all-pairs TF-IDF cosine similarity via the inverted index
+    → ``(id_a, id_b, cosine)`` for pairs ≥ ``threshold`` — the lexical
+    sparse-vector twin of the dense ``embedding_near_dups`` join.
+
+    Candidates come from sharing at least one DISCRIMINATIVE term: the
+    similarity space is restricted to terms with ``df <= max_df``
+    (df-pruning — the standard prefix-filtering idea from all-pairs
+    similarity search, Bayardo et al. 2007 "Scaling Up All Pairs
+    Similarity Search": frequent terms generate O(df²) candidate rows
+    while carrying near-zero idf weight, so dropping them bounds the
+    term-keyed join's fan-out at corpus scale).
+
+    Determinism: weights are INTEGER micro-units
+    (``floor(tf·idf·1e6 + 0.5)`` as BIGINT), so per-pair dot products
+    and per-doc squared norms are exact 64-bit sums — order-independent
+    — and the final cosine is a single double op on exact integers.
+    Overflow headroom: |w| ≤ tf·ln(N)·1e6; at tf ≤ 10³, N ≤ 10¹², the
+    per-term product ≤ ~8·10²⁰ would overflow — cap tf or widen SCALE
+    down at that envelope (documented, asserted nowhere near here)."""
+    toks = _tokens(df, text_col, id_col)
+    n_docs = df.select(id_col).distinct().count()
+    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (toks.select(id_col, "w").distinct()
+             .groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") <= max_df))
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0)))
+    w = (tf.join(F.broadcast(dfreq), "w")
+         .select(F.col(id_col), F.col("w"),
+                 F.floor(F.col("tf") * idf * F.lit(1000000.0) + F.lit(0.5))
+                 .cast("long").alias("wt")))
+    norms = w.groupBy(id_col).agg(F.sum(F.col("wt") * F.col("wt")).alias("n2"))
+    a = w.select(F.col("w"), F.col(id_col).alias("id_a"), F.col("wt").alias("wa"))
+    b = w.select(F.col("w"), F.col(id_col).alias("id_b"), F.col("wt").alias("wb"))
+    dots = (a.join(b, "w").filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb2"))
+    cosine = (F.col("dot").cast("double")
+              / (F.sqrt(F.col("na2").cast("double"))
+                 * F.sqrt(F.col("nb2").cast("double"))))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b", pround(cosine, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
