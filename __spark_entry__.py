@@ -141,6 +141,37 @@ preds AS (
 PORTABLE_HASH = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 
 
+# content-defined chunking CTEs (k=3 grams, mask 7 -> boundary prob
+# 1/8): token positions, k-gram-ending flags, running-sum chunk ids
+CDC_CTES = f"""
+pt AS (
+  SELECT doc_id, i - 1 AS pos, w AS tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents)
+  WHERE length(w) > 0
+),
+gram AS (
+  SELECT doc_id, pos, tok, rn,
+         concat_ws(' ', lag(tok, 2) OVER win, lag(tok, 1) OVER win, tok) AS g
+  FROM pt WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+flg AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN rn >= 3 AND {PORTABLE_HASH.format(col='g')} % 8 = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM gram
+),
+cid AS MATERIALIZED (
+  SELECT doc_id, pos, tok,
+         COALESCE(sum(boundary) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM flg
+)
+"""
+
 # winnowing fingerprints over the plain documents table: k=3 shingles,
 # w=4 windows (mirror of dedup.winnow_fingerprints — position i runs
 # 1..m over consecutive shingle starts, so the ROWS window at i gives
@@ -1353,6 +1384,18 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of the documents corpus."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return D.cdc_chunks(docs).orderBy("doc_id", "chunk_idx")
+
+
+def _cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insertion-robust chunk-level duplicate pairs."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return D.cdc_shared_chunks(docs).orderBy("id_a", "id_b")
+
+
 def _tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine pairs (df-pruned all-pairs join)."""
     from text_sentiment_classification_hadoop_spark_spark.operators.search import tfidf_doc_pairs
@@ -1952,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_near_dups": _winnow_near_dups,
         "tfidf_doc_pairs": _tfidf_doc_pairs,
+        "cdc_chunks": _cdc_chunks,
+        "cdc_shared_chunks": _cdc_shared_chunks,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
         "mm_frame_samples": _mm_frame_samples,
@@ -2070,7 +2115,7 @@ _R4_FRONT = [
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
-    "tfidf_doc_pairs",
+    "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2081,13 +2126,14 @@ _R4_FRONT = [
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
-    "nb_model", "nb_stats", "nb_predictions",
+    "nb_model",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "nb_confusion", "svm_weights", "svm_predictions", "svm_confusion",
+    "nb_stats", "nb_predictions", "nb_confusion",
+    "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
     "minhash_signatures", "simhash_fingerprints",
@@ -2529,6 +2575,30 @@ hits AS (
 SELECT id_a AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
        max(cosine) AS max_cosine
 FROM hits GROUP BY id_a ORDER BY vec_id
+""",
+        # content-defined chunking: boundary after token i iff the
+        # k-gram hash ending there is 0 mod 8 (mirror of dedup.cdc_chunks)
+        "cdc_chunks": f"""
+WITH {CDC_CTES}
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       {PORTABLE_HASH.format(col="string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM cid GROUP BY doc_id, chunk_idx
+ORDER BY doc_id, chunk_idx
+""",
+        "cdc_shared_chunks": f"""
+WITH {CDC_CTES},
+ch AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         {PORTABLE_HASH.format(col="string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash
+  FROM cid GROUP BY doc_id, chunk_idx
+)
+SELECT id_a, id_b, n_shared FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM ch a JOIN ch b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+) WHERE n_shared >= 2 ORDER BY id_a, id_b
 """,
         # sparse TF-IDF all-pairs cosine (df-pruned vocabulary, integer
         # micro-unit weights -> exact BIGINT dots/norms)

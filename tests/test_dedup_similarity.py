@@ -729,3 +729,36 @@ def test_winnow_short_doc_single_window(spark):
     # doc 0: 3 tokens -> one 3-shingle -> m=1 < w -> exactly 1 print;
     # doc 1: < k tokens -> no shingles -> no prints
     assert [r["doc_id"] for r in rows] == [0]
+
+
+def test_cdc_insertion_robust(spark):
+    """The CDC property fixed chunking lacks: inserting tokens near the
+    front only re-chunks the neighborhood — downstream chunks keep
+    their hashes, so the two versions still share chunks."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import (
+        cdc_chunks,
+        cdc_shared_chunks,
+    )
+    base = " ".join(f"w{i}" for i in range(60))
+    shifted = "inserted tokens here " + base
+    docs = spark.createDataFrame(
+        [(0, base), (1, shifted), (2, " ".join(f"q{i}" for i in range(60)))],
+        "doc_id long, text string")
+    ch = cdc_chunks(docs)
+    by_doc = {d: {r["chunk_hash"] for r in ch.collect() if r["doc_id"] == d}
+              for d in (0, 1, 2)}
+    assert by_doc[0] & by_doc[1], "insertion must preserve later chunks"
+    assert not (by_doc[0] & by_doc[2])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             cdc_shared_chunks(docs, min_shared=1).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_cdc_chunks_partition_tokens_exactly(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import cdc_chunks
+    text = " ".join(f"tok{i}" for i in range(37))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = cdc_chunks(docs).collect()
+    assert sum(r["n_tokens"] for r in rows) == 37
+    idxs = sorted(r["chunk_idx"] for r in rows)
+    assert idxs == list(range(len(rows)))  # contiguous chunk ids

@@ -538,6 +538,77 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3,
+               mask: int = 7) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al. 2001, LBFS "A
+    Low-Bandwidth Network File System" — the rolling-hash boundary
+    idea behind rsync/FastCDC, here at token granularity) →
+    ``(doc_id, chunk_idx, chunk_hash, n_tokens)``.
+
+    A chunk boundary falls AFTER token ``i`` whenever the hash of the
+    k-gram ending at ``i`` satisfies ``h % (mask+1) == 0`` — the
+    boundary depends only on local content, so inserting or deleting
+    tokens re-chunks O(1) neighboring chunks instead of shifting every
+    fixed-size block (the failure mode of fixed chunking that CDC
+    exists to fix). Expected chunk length ≈ mask+1 tokens.
+
+    Shape: one posexplode to (doc, pos, token), narrow k-gram hash +
+    boundary flag, chunk ids via a running sum over the doc-partitioned
+    window (ONE doc-keyed shuffle — windows are per-doc, never global),
+    then a (doc, chunk) aggregation whose chunk hash is md5 of the
+    space-joined tokens. Chunk hashes join across documents for
+    delta/dedup detection (:func:`cdc_shared_chunks`)."""
+    toks = F.split(F.col(text_col), " ")
+    pos_tok = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    ).filter(F.length("tok") > 0)
+    # k-gram ending at pos: needs the k-1 previous tokens -> lag concat
+    from pyspark.sql import Window
+    win = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(" ", *[F.lag("tok", k - 1 - j).over(win)
+                              for j in range(k)])
+    flagged = pos_tok.select(
+        F.col(id_col), "pos", "tok",
+        F.when((F.row_number().over(win) >= k)
+               & (portable_hash64(gram) % (mask + 1) == 0), 1)
+        .otherwise(0).alias("boundary"))
+    # chunk index = boundaries strictly BEFORE this token
+    chunk_idx = (F.sum("boundary").over(
+        win.rowsBetween(Window.unboundedPreceding, -1)))
+    chunked = flagged.select(
+        F.col(id_col),
+        F.coalesce(chunk_idx, F.lit(0)).cast("long").alias("chunk_idx"),
+        "pos", "tok")
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(portable_hash64(
+                 F.array_join(F.array_sort(
+                     F.collect_list(F.struct("pos", "tok"))).tok, " "))
+             .alias("chunk_hash"),
+             F.count("*").cast("long").alias("n_tokens"))
+    )
+
+
+def cdc_shared_chunks(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      mask: int = 7, min_shared: int = 2) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` content-defined chunks →
+    ``(id_a, id_b, n_shared)`` — insertion/deletion-robust duplicate
+    and containment detection at chunk granularity (the storage-dedup
+    complement of :func:`winnow_near_dups`' fingerprint sampling)."""
+    ch = cdc_chunks(df, text_col=text_col, id_col=id_col,
+                    k=k, mask=mask).select(id_col, "chunk_hash").distinct()
+    a = ch.select(F.col("chunk_hash"), F.col(id_col).alias("id_a"))
+    b = ch.select(F.col("chunk_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "chunk_hash").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         k: int = 3, w: int = 4) -> DataFrame:
