@@ -139,3 +139,41 @@ def test_exprtext_matches_column_build(spark, sf_dir):
         SIM.rp_array_expr(F.col("embedding"), out_dims=4).alias("rb"),
     )
     assert both.filter("a != b OR ra != rb").count() == 0
+
+
+def test_tfidf_pairs_df_table_is_broadcast_and_no_cartesian(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import tfidf_doc_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = plan_string(tfidf_doc_pairs(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_embeddings_broadcasts_test_side(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import decontaminate_embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    plan = plan_string(decontaminate_embeddings(emb, emb.limit(50)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_join_is_hash_not_nested_loop(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import triangle_counts
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(0, 2)], "u long, v long")
+    plan = plan_string(triangle_counts(e))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_window_is_doc_partitioned(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import cdc_chunks
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = plan_string(cdc_chunks(docs))
+    # the running-boundary window must partition by doc_id — a global
+    # (SinglePartition) window would serialize the corpus
+    assert "SinglePartition" not in plan
