@@ -334,15 +334,17 @@ def _simhash_sql() -> str:
             "SELECT doc_id, simhash FROM fp ORDER BY doc_id")
 
 
-def _cosine_sql(query_filter: str, k: int, partition: bool) -> str:
+def _cosine_sql(query_filter: str, k: int, partition: bool,
+                dims: int | None = None) -> str:
     part = "PARTITION BY qid " if partition else ""
     qid_sel = "z.qid, " if partition else ""
     qid_out = "qid, " if partition else ""
+    sl = f"[1:{dims}]" if dims else ""
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE {query_filter}),
 z AS (
   SELECT q.qid, e.vec_id,
-         unnest(e.embedding) AS ex, unnest(q.qv) AS qx
+         unnest(e.embedding{sl}) AS ex, unnest(q.qv{sl}) AS qx
   FROM embeddings e CROSS JOIN q
 ),
 prods AS (
@@ -1070,6 +1072,29 @@ def _ann_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = SIM.cosine_topk(emb, q, k=10).select("vec_id")
     ann = SIM.ann_lsh_topk(emb, q, k=10).select("vec_id")
     return exact.join(ann, "vec_id").agg(
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"))
+
+
+MRL_DIMS = 16
+
+
+def _mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 in the truncated (first-16-dim) Matryoshka space."""
+    emb = SIM.truncate_embeddings(
+        load_table(spark, "embeddings", sf_dir), MRL_DIMS)
+    q = _query_vec(spark, sf_dir, 0)[:MRL_DIMS]
+    return SIM.cosine_topk(emb, q, k=10)
+
+
+def _mrl_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of truncated-space search vs the full-dimension exact
+    top-10 — the storage/recall trade the truncation buys."""
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    exact = SIM.cosine_topk(emb, q, k=10).select("vec_id")
+    trunc = _mrl_topk(spark, sf_dir).select("vec_id")
+    return exact.join(trunc, "vec_id").agg(
         (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"))
 
 
@@ -1997,6 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_doc_pairs": _tfidf_doc_pairs,
         "cdc_chunks": _cdc_chunks,
         "cdc_shared_chunks": _cdc_shared_chunks,
+        "mrl_topk": _mrl_topk,
+        "mrl_recall_at10": _mrl_recall_at10,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
         "mm_frame_samples": _mm_frame_samples,
@@ -2116,6 +2143,7 @@ _R4_FRONT = [
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
+    "mrl_topk", "mrl_recall_at10",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2125,14 +2153,13 @@ _R4_FRONT = [
     "top_orders_per_customer", "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
-    "tweets_clean_chain_b", "tokens_exploded", "word_counts",
-    "nb_model",
+    "tweets_clean_chain_b", "tokens_exploded",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "nb_stats", "nb_predictions", "nb_confusion",
+    "word_counts", "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
@@ -3135,6 +3162,16 @@ FROM m
     out["ann_recall_at10"] = f"""
 WITH a AS ({out["cosine_topk"]}),
 b AS ({out["ann_lsh_topk"]})
+SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+FROM a JOIN b ON b.vec_id = a.vec_id
+"""
+    # Matryoshka truncation: exact top-k in the first-16-dim prefix,
+    # and its recall vs the full-dimension exact top-10
+    out["mrl_topk"] = _cosine_sql("vec_id = 0", k=10, partition=False,
+                                  dims=16)
+    out["mrl_recall_at10"] = f"""
+WITH a AS ({out["cosine_topk"]}),
+b AS ({out["mrl_topk"]})
 SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
 FROM a JOIN b ON b.vec_id = a.vec_id
 """

@@ -762,3 +762,12 @@ def test_cdc_chunks_partition_tokens_exactly(spark):
     assert sum(r["n_tokens"] for r in rows) == 37
     idxs = sorted(r["chunk_idx"] for r in rows)
     assert idxs == list(range(len(rows)))  # contiguous chunk ids
+
+
+def test_mrl_truncation_recall_reasonable(spark, sf_dir):
+    """Truncated-prefix search must keep most of the exact top-10 (the
+    synthetic embeddings spread information across dims, so prefix
+    search is an approximation — assert a sane floor, not perfection)."""
+    import __spark_entry__ as entry
+    r = entry.queries()["mrl_recall_at10"](spark, sf_dir).collect()[0]
+    assert 0.2 <= r["recall_at_10"] <= 1.0
