@@ -967,6 +967,20 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, "documents", sf_dir), BM25_QUERY, k=20)
 
 
+def _hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) fused with exact cosine
+    top-20 (dense, query vector 0) by reciprocal-rank fusion."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import bm25_topk, rrf_fuse
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = bm25_topk(docs, BM25_QUERY, k=20).select("doc_id", "rank")
+    dense = (SIM.cosine_topk(emb, _query_vec(spark, sf_dir, 0), k=20)
+             .select(F.col("vec_id").alias("doc_id"), "rank"))
+    return rrf_fuse([lex, dense], k=10)
+
+
 def _cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.search import cms_estimate
     terms = sorted({t for t in BM25_QUERY.lower().split(" ") if t})
@@ -2024,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_shared_chunks": _cdc_shared_chunks,
         "mrl_topk": _mrl_topk,
         "mrl_recall_at10": _mrl_recall_at10,
+        "hybrid_rrf_search": _hybrid_rrf_search,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
         "mm_frame_samples": _mm_frame_samples,
@@ -2143,7 +2158,7 @@ _R4_FRONT = [
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
-    "mrl_topk", "mrl_recall_at10",
+    "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2153,13 +2168,14 @@ _R4_FRONT = [
     "top_orders_per_customer", "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
-    "tweets_clean_chain_b", "tokens_exploded",
+    "tweets_clean_chain_b",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "word_counts", "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
+    "tokens_exploded", "word_counts",
+    "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
     "dedup_exact", "decontaminate_train",
@@ -4260,6 +4276,24 @@ rk AS (
   FROM sc
 )
 SELECT * FROM rk WHERE rank <= 20 ORDER BY rank
+"""
+    # reciprocal-rank fusion of the BM25 top-20 and dense cosine top-20
+    out["hybrid_rrf_search"] = f"""
+WITH lex AS ({out["bm25_search"]}),
+dense AS ({_cosine_sql("vec_id = 0", k=20, partition=False)}),
+u AS (
+  SELECT doc_id, CAST(1000000 AS BIGINT) // (60 + rank) AS c FROM lex
+  UNION ALL
+  SELECT vec_id AS doc_id, CAST(1000000 AS BIGINT) // (60 + rank) AS c
+  FROM dense
+),
+s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro FROM u GROUP BY doc_id),
+r AS (
+  SELECT doc_id, rrf_micro,
+         CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank
+  FROM s
+)
+SELECT * FROM r WHERE rank <= 10 ORDER BY rank
 """
     # snapshot diff: FULL OUTER join over content digests; v2 is the
     # same deterministic perturbation the Spark side constructs

@@ -127,3 +127,17 @@ def test_tfidf_doc_pairs_df_pruning_drops_common_terms(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            tfidf_doc_pairs(docs, threshold=0.1, max_df=2).collect()}
     assert got == {(0, 1)}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import rrf_fuse
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    dense = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "doc_id long, rank int")
+    got = [(r["doc_id"], r["rrf_micro"], r["rank"])
+           for r in rrf_fuse([lex, dense], k=4).collect()]
+    c = lambda r: 1000000 // (60 + r)
+    # 10: r1+r2, 20: r2+r1 (tie with 10 -> doc_id asc), 30: r3, 40: r3
+    assert got == [(10, c(1) + c(2), 1), (20, c(2) + c(1), 2),
+                   (30, c(3), 3), (40, c(3), 4)]

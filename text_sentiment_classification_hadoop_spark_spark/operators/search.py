@@ -204,3 +204,36 @@ def tfidf_doc_pairs(df: DataFrame, text_col: str = "text",
     return (dots.join(na, "id_a").join(nb, "id_b")
             .select("id_a", "id_b", pround(cosine, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def rrf_fuse(ranked_lists: list[DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", c: int = 60, k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009 —
+    "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+    Learning Methods") of N ranked lists → ``(doc_id, rrf_micro,
+    rank)`` top-``k``.
+
+    The hybrid-retrieval staple: lexical BM25 and dense cosine ranks
+    fuse without score calibration because RRF only consumes RANKS.
+    Contribution per list is the integer ``1_000_000 div (c + rank)``
+    (micro-units — BIGINT sums are exact and order-independent, the
+    same determinism discipline as the BM25 weights themselves); items
+    missing from a list simply contribute nothing (union, not join).
+    Plan: union of k-sized inputs → one tiny groupBy → sort+limit
+    (TakeOrdered). All inputs are top-k sized, so this costs nothing
+    at any corpus scale."""
+    parts = [
+        df.select(F.col(id_col),
+                  F.expr(f"CAST(1000000 AS BIGINT) div ({c} + {rank_col})")
+                  .alias("c"))
+        for df in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    scored = u.groupBy(id_col).agg(F.sum("c").alias("rrf_micro"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc(id_col))
+    return (scored.select(id_col, "rrf_micro",
+                          F.row_number().over(w).cast("int").alias("rank"))
+            .filter(F.col("rank") <= k).orderBy("rank"))
