@@ -981,6 +981,12 @@ def _hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, dense], k=10)
 
 
+def _dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash threshold sweep vs exact-duplicate ground truth."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return D.dedup_threshold_sweep(docs)
+
+
 def _cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.search import cms_estimate
     terms = sorted({t for t in BM25_QUERY.lower().split(" ") if t})
@@ -2039,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_topk": _mrl_topk,
         "mrl_recall_at10": _mrl_recall_at10,
         "hybrid_rrf_search": _hybrid_rrf_search,
+        "dedup_threshold_sweep": _dedup_threshold_sweep,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
         "mm_frame_samples": _mm_frame_samples,
@@ -2159,6 +2166,7 @@ _R4_FRONT = [
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
+    "dedup_threshold_sweep",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2168,13 +2176,12 @@ _R4_FRONT = [
     "top_orders_per_customer", "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
-    "tweets_clean_chain_b",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "tokens_exploded", "word_counts",
+    "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
     "svm_declared_weights", "nb_metrics", "svm_metrics",
@@ -2681,6 +2688,56 @@ SELECT id_a, id_b, cosine FROM (
   JOIN norms nb ON nb.doc_id = d.id_b
 )
 WHERE cosine >= 0.5 ORDER BY id_a, id_b
+""",
+        # MinHash threshold sweep vs exact-dup ground truth: the plain
+        # (unaugmented) corpus, candidates at threshold 0, fused
+        # full-outer with md5-equality truth pairs
+        "dedup_threshold_sweep": f"""
+WITH docs_all AS (SELECT doc_id, text FROM documents),
+{_minhash_long_cte()},
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+  FROM sig_long GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS MATERIALIZED (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig_long sa ON sa.doc_id = c.id_a
+  JOIN sig_long sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+  GROUP BY c.id_a, c.id_b
+),
+truth AS MATERIALIZED (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, TRUE AS is_true
+  FROM (SELECT doc_id, md5(text) AS h FROM documents) x
+  JOIN (SELECT doc_id, md5(text) AS h FROM documents) y
+    ON x.h = y.h AND x.doc_id < y.doc_id
+),
+fused AS (
+  SELECT COALESCE(e.est_jaccard, -1.0) AS e,
+         COALESCE(t.is_true, FALSE) AS t
+  FROM est e FULL OUTER JOIN truth t
+    ON e.id_a = t.id_a AND e.id_b = t.id_b
+),
+th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+sw AS (SELECT f.e, f.t, th.threshold FROM fused f CROSS JOIN th),
+agg AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN e >= threshold AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN e >= threshold AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN e < threshold AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM sw GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn,
+       floor((tp / greatest(tp + fp, 1)) * 1000000.0 + 0.5) / 1000000.0 AS precision,
+       floor((tp / greatest(tp + fn, 1)) * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM agg ORDER BY threshold
 """,
         # winnowing (MOSS) fingerprints: distinct w-window minima of
         # k-shingle hashes; m < w degenerates to one whole-doc window

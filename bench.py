@@ -48,7 +48,7 @@ def main() -> None:
         "dedup_canonical_alternating", "dedup_canonical_best",
         "dup_kgram_stats", "dedup_span_removal", "semdedup",
         "winnow_fingerprints", "winnow_near_dups", "tfidf_doc_pairs",
-        "cdc_chunks", "cdc_shared_chunks",
+        "cdc_chunks", "cdc_shared_chunks", "dedup_threshold_sweep",
         "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_multiprobe_topk",

@@ -771,3 +771,22 @@ def test_mrl_truncation_recall_reasonable(spark, sf_dir):
     import __spark_entry__ as entry
     r = entry.queries()["mrl_recall_at10"](spark, sf_dir).collect()[0]
     assert 0.2 <= r["recall_at_10"] <= 1.0
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    """Raising the threshold can only lose predictions: tp and fp are
+    non-increasing in t, fn non-decreasing; exact dups (est 1.0) stay
+    tp at every threshold."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import dedup_threshold_sweep
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    rows = dedup_threshold_sweep(docs).collect()
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    tps = [r["tp"] for r in rows]
+    fps = [r["fp"] for r in rows]
+    fns = [r["fn"] for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    assert fps == sorted(fps, reverse=True)
+    assert fns == sorted(fns)
+    assert all(0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+               for r in rows)

@@ -152,6 +152,54 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
+def dedup_threshold_sweep(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          thresholds: tuple[float, ...] =
+                          (0.5, 0.6, 0.7, 0.8, 0.9)) -> DataFrame:
+    """Threshold-sweep evaluation of the MinHash near-dup pipeline
+    against exact-duplicate ground truth → ``(threshold, tp, fp, fn,
+    precision, recall)`` per threshold — the measure-don't-guess
+    harness for picking a production cut-off.
+
+    Ground truth: pairs with byte-identical text (md5 equi-join, the
+    exact-dedup digests). Predictions: the FULL pipeline at each
+    threshold — including LSH banding, so a true pair the bands never
+    propose counts as a miss (fn), which is what an operator tuning
+    recall actually needs to see. One pass: candidates with est values
+    are computed once (threshold 0), fused full-outer with truth, then
+    a constant-size threshold explode feeds a single aggregation —
+    per-threshold cost is a counter, not a pipeline re-run."""
+    est = minhash_near_dups(df, text_col=text_col, id_col=id_col,
+                            threshold=0.0)
+    digest = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    truth = (
+        digest.alias("x").join(digest.alias("y"), "h")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+                F.lit(True).alias("is_true"))
+    )
+    fused = (
+        est.join(truth, ["id_a", "id_b"], "full_outer")
+        .select(F.coalesce(F.col("est_jaccard"), F.lit(-1.0)).alias("e"),
+                F.coalesce(F.col("is_true"), F.lit(False)).alias("t"))
+    )
+    th = F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
+    sweep = fused.select("e", "t", th.alias("threshold"))
+    pred = F.col("e") >= F.col("threshold")
+    agg = sweep.groupBy("threshold").agg(
+        F.sum((pred & F.col("t")).cast("long")).alias("tp"),
+        F.sum((pred & ~F.col("t")).cast("long")).alias("fp"),
+        F.sum((~pred & F.col("t")).cast("long")).alias("fn"))
+    return agg.select(
+        "threshold", "tp", "fp", "fn",
+        pround(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+               6).alias("precision"),
+        pround(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
+               6).alias("recall"),
+    ).orderBy("threshold")
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3) -> DataFrame:
