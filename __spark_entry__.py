@@ -1118,6 +1118,27 @@ def _mrl_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"))
 
 
+def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform 8-bit scalar quantization codes (long form)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    bounds = SIM.sq8_bounds(emb)
+    return SIM.sq8_encode(emb, bounds).orderBy("vec_id", "d")
+
+
+def _sq8_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of search over SQ8-reconstructed vectors vs the exact
+    full-precision top-10 (asymmetric: raw query, quantized corpus)."""
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    bounds = SIM.sq8_bounds(emb)
+    exact = SIM.cosine_topk(emb, q, k=10).select("vec_id")
+    sq = SIM.cosine_topk(SIM.sq8_dequantize(emb, bounds), q, k=10) \
+        .select("vec_id")
+    return exact.join(sq, "vec_id").agg(
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"))
+
+
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct-user sketch, driver-checkable: the raw sketch
     value is engine-specific (Spark vs DuckDB HLL differ), so the query
@@ -2046,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_recall_at10": _mrl_recall_at10,
         "hybrid_rrf_search": _hybrid_rrf_search,
         "dedup_threshold_sweep": _dedup_threshold_sweep,
+        "sq8_codes": _sq8_codes,
+        "sq8_recall_at10": _sq8_recall_at10,
         # multimodal columns (north star; deterministic fake decode)
         "mm_image_features": _mm_image_features,
         "mm_frame_samples": _mm_frame_samples,
@@ -2166,7 +2189,7 @@ _R4_FRONT = [
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
-    "dedup_threshold_sweep",
+    "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2175,12 +2198,13 @@ _R4_FRONT = [
     "intersect_except_customers", "quantity_band_totals",
     "top_orders_per_customer", "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
-    "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
+    "tweets_parse_naive",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
@@ -4333,6 +4357,50 @@ rk AS (
   FROM sc
 )
 SELECT * FROM rk WHERE rank <= 20 ORDER BY rank
+"""
+    # SQ8 scalar quantization: per-dim min/max bounds derived in-query
+    # (the Spark side embeds the same collected bounds as literals)
+    sq8_au = ("au AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, "
+              "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+              "bds AS (SELECT d, min(x) AS mn, max(x) AS mx FROM au GROUP BY d)")
+    sq8_code = ("CAST(CASE WHEN b.mx = b.mn THEN 0 ELSE "
+                "greatest(0.0, least(255.0, "
+                "floor((au.x - b.mn) * 255.0 / (b.mx - b.mn) + 0.5))) END "
+                "AS INTEGER)")
+    out["sq8_codes"] = f"""
+WITH {sq8_au}
+SELECT au.vec_id, au.d, {sq8_code} AS code
+FROM au JOIN bds b ON au.d = b.d
+ORDER BY au.vec_id, au.d
+"""
+    out["sq8_recall_at10"] = f"""
+WITH {sq8_au},
+xh AS (
+  SELECT au.vec_id, au.d,
+         b.mn + CAST({sq8_code} AS DOUBLE)
+              * (CASE WHEN b.mx = b.mn THEN 0.0
+                      ELSE (b.mx - b.mn) / 255.0 END) AS x
+  FROM au JOIN bds b ON au.d = b.d
+),
+q AS (SELECT generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS qx
+      FROM embeddings WHERE vec_id = 0),
+prods AS (
+  SELECT xh.vec_id, sum(xh.x * q.qx) AS dot,
+         sum(xh.x * xh.x) AS na2, sum(q.qx * q.qx) AS nq2
+  FROM xh JOIN q ON xh.d = q.d GROUP BY xh.vec_id
+),
+ranked AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (
+           ORDER BY floor((dot / (sqrt(na2) * sqrt(nq2))) * 1000000.0 + 0.5)
+                    / 1000000.0 DESC, vec_id) AS INTEGER) AS rank
+  FROM prods
+),
+sq AS (SELECT vec_id FROM ranked WHERE rank <= 10),
+a AS ({out["cosine_topk"]})
+SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+FROM a JOIN sq ON sq.vec_id = a.vec_id
 """
     # reciprocal-rank fusion of the BM25 top-20 and dense cosine top-20
     out["hybrid_rrf_search"] = f"""

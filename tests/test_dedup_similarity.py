@@ -790,3 +790,30 @@ def test_dedup_threshold_sweep_monotone(spark, sf_dir):
     assert fns == sorted(fns)
     assert all(0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
                for r in rows)
+
+
+def test_sq8_roundtrip_error_bounded(spark):
+    """Reconstruction error per component is bounded by half a
+    quantization step: |x - x̂| <= (mx-mn)/255/2 (+ float eps)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_dequantize,
+        sq8_encode,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), -2.0 + i * 0.5, 7.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    bounds = sq8_bounds(emb)
+    assert bounds[2] == (7.0, 7.0)  # constant dim -> degenerate range
+    codes = {(r["vec_id"], r["d"]): r["code"]
+             for r in sq8_encode(emb, bounds).collect()}
+    assert all(0 <= c <= 255 for c in codes.values())
+    assert codes[(0, 0)] == 0 and codes[(5, 0)] == 255  # extremes hit ends
+    recon = {r["vec_id"]: r["embedding"]
+             for r in sq8_dequantize(emb, bounds).collect()}
+    for i in range(6):
+        orig = [float(i), -2.0 + i * 0.5, 7.0]
+        for d in range(3):
+            mn, mx = bounds[d]
+            step = (mx - mn) / 255.0 if mx > mn else 0.0
+            assert abs(recon[i][d] - orig[d]) <= step / 2 + 1e-9

@@ -700,3 +700,57 @@ def pq_adc_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     win = Window.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
     return (top.withColumn("rank", F.row_number().over(win).cast("int"))
             .orderBy("rank"))
+
+
+def sq8_bounds(emb: DataFrame, vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus — the SQ8 codebook.
+
+    Dimension-count-sized driver read (the J4 scalar-broadcast pattern,
+    like the k-means/PQ codebooks): one narrow pass of per-partition
+    array min/max partials, never a corpus collect."""
+    dims = len(emb.select(vec_col).first()[0])
+    aggs = []
+    for d in range(dims):
+        x = F.element_at(F.col(vec_col), d + 1).cast("double")
+        aggs += [F.min(x).alias(f"mn{d}"), F.max(x).alias(f"mx{d}")]
+    row = emb.agg(*aggs).collect()[0]
+    return [(row[f"mn{d}"], row[f"mx{d}"]) for d in range(dims)]
+
+
+def _sq8_code_expr(x, mn: float, mx: float):
+    rng = mx - mn
+    if rng == 0.0:
+        return F.lit(0).cast("int")
+    code = F.floor((x.cast("double") - F.lit(mn)) * F.lit(255.0)
+                   / F.lit(rng) + F.lit(0.5))
+    return F.greatest(F.lit(0.0), F.least(F.lit(255.0), code)).cast("int")
+
+
+def sq8_encode(emb: DataFrame, bounds: list[tuple[float, float]],
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Uniform 8-bit scalar quantization (the faiss ``SQ8`` scheme) →
+    long-form ``(vec_id, d, code)``: ``code = round(255·(x−mn)/(mx−mn))``
+    clamped to [0,255] — 4× compression over float32 (8× over double),
+    one narrow map, zero shuffles. Pure linear arithmetic on exact
+    collected bounds, so codes are bit-identical across engines."""
+    codes = F.array(*[
+        _sq8_code_expr(F.element_at(F.col(vec_col), d + 1), mn, mx)
+        for d, (mn, mx) in enumerate(bounds)
+    ])
+    return (emb.select(F.col(id_col), F.posexplode(codes).alias("d", "code")))
+
+
+def sq8_dequantize(emb: DataFrame, bounds: list[tuple[float, float]],
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Encode-then-decode reconstruction ``x̂ = mn + code·(mx−mn)/255``
+    — what an SQ8 index actually searches against; feeding it to
+    :func:`cosine_topk` measures the quantization's recall cost."""
+    recon = F.array(*[
+        (F.lit(mn) + _sq8_code_expr(F.element_at(F.col(vec_col), d + 1),
+                                    mn, mx).cast("double")
+         * F.lit((mx - mn) / 255.0 if mx != mn else 0.0))
+        for d, (mn, mx) in enumerate(bounds)
+    ])
+    return emb.select(F.col(id_col), recon.alias(vec_col))
