@@ -43,13 +43,24 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
 
     transform over a sequence of start offsets: zero-UDF, codegen-able.
     Returns an empty array when the text has fewer than ``k`` tokens.
+
+    The token array is BOUND as an outer lambda variable (the
+    ``transform(array(split(..)), toks -> ...)`` trick): expressions
+    referenced inside HOF lambdas are inlined with no CSE, so a naive
+    closure over ``split(text)`` would re-split the text once per
+    shingle — O(tokens²) char work per document. Binding evaluates the
+    split once and the inner lambdas see an attribute-like variable.
     """
-    toks = F.split(text, " ")
-    n = F.size(toks)
-    return F.when(n >= k,
-                  F.transform(F.sequence(F.lit(1), n - (k - 1)),
-                              lambda i: F.array_join(F.slice(toks, i, k), " "))
-                  ).otherwise(F.array().cast("array<string>"))
+    def _shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                        lambda i: F.array_join(F.slice(toks, i, k), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(
+        F.transform(F.array(F.split(text, " ")), _shingles), 1)
 
 
 def minhash_expr(shingle_hashes: Column, num_perm: int = 16) -> Column:
