@@ -2008,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": E.sessionize,
         "events_json_roundtrip": _events_json_roundtrip,
         "next_click_attribution": E.next_click_attribution,
+        "multitouch_attribution": E.multitouch_attribution,
         # --- r1 rows-match / hash-mismatch, re-verify ---
         "sql_pricing_summary": _sql_pricing_summary,
         # --- new this round: alternating-CC twin, shares dedup_canonical's oracle ---
@@ -2190,6 +2191,7 @@ _R4_FRONT = [
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
+    "multitouch_attribution",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2198,13 +2200,12 @@ _R4_FRONT = [
     "intersect_except_customers", "quantity_band_totals",
     "top_orders_per_customer", "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
-    "tweets_parse_naive",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "tweets_parse_svm", "tweets_parse_strict",
+    "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
     "svm_weights", "svm_predictions", "svm_confusion",
@@ -3274,6 +3275,30 @@ FROM a JOIN b ON b.vec_id = a.vec_id
 """
     # forward as-of: first click at-or-after each purchase (the Spark
     # side is the linear union+window form; this join is oracle-only)
+    # linear multi-touch credit: BIGINT micro-unit division with the
+    # remainder surfaced (theta-join spec of the bucketized plan)
+    out["multitouch_attribution"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.purchase_id, p.v, count(c.ts) AS n
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 5 MINUTE
+  GROUP BY p.purchase_id, p.v
+)
+SELECT purchase_id,
+       CAST(n AS BIGINT) AS n_touches,
+       CAST(CASE WHEN n > 0 THEN v // n ELSE 0 END AS BIGINT)
+         AS credit_per_touch_micro,
+       CAST(v - n * (CASE WHEN n > 0 THEN v // n ELSE 0 END) AS BIGINT)
+         AS residual_micro
+FROM j ORDER BY purchase_id
+"""
     out["next_click_attribution"] = """
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
      c AS (SELECT * FROM events WHERE event_type = 'click')

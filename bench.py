@@ -74,7 +74,8 @@ def main() -> None:
         "events_tumbling", "events_sliding", "events_sessionize", "events_json_roundtrip",
         "events_session_window_native", "rolling_revenue",
         "events_pivot", "events_json_props", "user_running_stats",
-        "purchase_attribution", "next_click_attribution", "interval_pair_counts",
+        "purchase_attribution", "next_click_attribution",
+        "multitouch_attribution", "interval_pair_counts",
         "funnel_conversion", "cohort_retention", "event_transitions",
         "fuzzy_part_names", "bloom_prefilter_join",
         "approx_distinct_users", "copurchase_pagerank", "neardup_triangles",

@@ -692,3 +692,25 @@ def test_event_transition_matrix_rows_normalize(spark, sf_dir):
     assert sum(r["n"] for r in rows) == n_events - n_users
     for recs in by_from.values():
         assert abs(sum(r["p"] for r in recs) - 1.0) < 1e-4
+
+
+def test_multitouch_credit_conserves_value(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import multitouch_attribution
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    out = multitouch_attribution(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "purchases exist in the events table"
+    # conservation: n * credit + residual == quantized value, per purchase
+    p = (load_table(spark, "events", sf_dir)
+         .filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.floor(F.col("value") * 1000000.0 + 0.5)
+                 .cast("long").alias("v")))
+    v = {r["purchase_id"]: r["v"] for r in p.collect()}
+    for r in rows:
+        got = r["n_touches"] * r["credit_per_touch_micro"] + r["residual_micro"]
+        assert got == v[r["purchase_id"]]
+        assert 0 <= r["residual_micro"] <= max(r["n_touches"] - 1, 0) or \
+            (r["n_touches"] == 0 and r["residual_micro"] == v[r["purchase_id"]])

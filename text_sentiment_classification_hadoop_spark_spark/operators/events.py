@@ -244,6 +244,62 @@ def interval_pair_counts(spark: SparkSession, sf_dir: str,
     )
 
 
+def multitouch_attribution(spark: SparkSession, sf_dir: str,
+                           window_us: int = INTERVAL_JOIN_WINDOW_US
+                           ) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    evenly across the same user's clicks in the preceding window →
+    ``(purchase_id, n_touches, credit_per_touch_micro,
+    residual_micro)`` — the credit-division upgrade of the last-touch
+    ``purchase_attribution`` / first-touch ``next_click_attribution``
+    pair.
+
+    Credit arithmetic is exact BIGINT: value is quantized to micro
+    units once (``floor(value·1e6 + 0.5)``), per-touch credit is
+    ``v div n`` and the division remainder is surfaced as
+    ``residual_micro`` (conservation: ``n·credit + residual == v`` —
+    nothing silently rounds away, the property the pytest pins).
+
+    Scale shape: the same bucketized equi-join as
+    :func:`interval_pair_counts` — purchases explode into the two
+    covering time buckets, clicks keep one, the join key is
+    ``(user_id, bucket)``, and the exact window predicate prunes
+    candidates; zero-touch purchases re-enter via a left join onto the
+    purchase table. Never a theta join (the oracle's quadratic form is
+    the spec, not the plan)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("us").alias("p_us"),
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("v_micro"))
+    bucket = (F.col("us") / F.lit(window_us)).cast("long")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us"), bucket.alias("bk"))
+    pb = (F.col("p_us") / F.lit(window_us)).cast("long")
+    pl = p.select("purchase_id", "user_id", "p_us",
+                  F.explode(F.array(pb - 1, pb)).alias("bk"))
+    gap = F.col("p_us") - F.col("c_us")
+    touches = (
+        pl.join(c, ["user_id", "bk"])
+        .filter((gap >= 0) & (gap <= window_us))
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    credit = F.when(n > 0, F.expr("v_micro div n")).otherwise(F.lit(0)) \
+        .cast("long")
+    return (
+        p.join(touches, "purchase_id", "left")
+        .select("purchase_id", n.alias("n_touches"),
+                credit.alias("credit_per_touch_micro"),
+                (F.col("v_micro") - n * credit).alias("residual_micro"))
+        .orderBy("purchase_id")
+    )
+
+
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON access on the ``props`` string column (north-star JSON
     functions): extract ``$.k`` as int, aggregate by event_type."""
