@@ -1816,6 +1816,37 @@ def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment", "event_type"))
 
 
+def _stream_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints computed AT INGEST on a document stream —
+    stateless (narrow array exprs + explode, append mode, no watermark,
+    no state store), which is exactly how production pipelines
+    fingerprint before the batch dedup joins. Oracle: the batch
+    winnow_fingerprints SQL (same logical computation, incremental
+    execution)."""
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        run_stream_to_memory,
+    )
+    ensure_engine_confs(spark)
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    raw = (spark.readStream.schema(doc_schema).format("parquet")
+           .option("pathGlobFilter", "documents.parquet").load(sf_dir)
+           .select("doc_id", "text"))
+    wide = raw.repartition(spark.sparkContext.defaultParallelism)
+    q = run_stream_to_memory(D.winnow_fingerprints(wide),
+                             "stream_winnow_fps", output_mode="append")
+    q.stop()
+    return spark.table("stream_winnow_fps").orderBy("doc_id", "fp")
+
+
 def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (clicks ⋈ purchases, same
     user, click within the 5 minutes at-or-before the purchase) — the
@@ -2001,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": _stream_stream_join,
         # --- new this round: stream-static broadcast enrichment ---
         "stream_static_enrich": _stream_static_enrich,
+        # --- new this round: stateless at-ingest fingerprinting ---
+        "stream_winnow_fingerprints": _stream_winnow_fingerprints,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2191,7 +2224,7 @@ _R4_FRONT = [
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
-    "multitouch_attribution",
+    "multitouch_attribution", "stream_winnow_fingerprints",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2199,12 +2232,13 @@ _R4_FRONT = [
     "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
     "intersect_except_customers", "quantity_band_totals",
     "top_orders_per_customer", "orders_above_global_avg",
-    "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
+    "order_stats_unpivot", "price_quantiles",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
@@ -3647,6 +3681,8 @@ FROM events p JOIN events c
 ORDER BY purchase_id, click_id
 """
     # stream-static broadcast enrichment == the batch left join
+    # at-ingest fingerprinting == the batch winnow computation
+    out["stream_winnow_fingerprints"] = out["winnow_fingerprints"]
     out["stream_static_enrich"] = """
 SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
        CAST(count(*) AS BIGINT) AS n,

@@ -84,6 +84,7 @@ def main() -> None:
         "events_sessionize_stream", "stream_dedup_docs", "stream_dedup_native",
         "stream_dedup_watermarked",
         "stream_stream_join", "stream_static_enrich",
+        "stream_winnow_fingerprints",
         "stream_doc_repetition", "stream_curation_gates",
     ]
     qs = entry.queries()
