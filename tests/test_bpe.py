@@ -109,3 +109,52 @@ def test_bpe_doc_token_counts(spark):
     got2 = {r["doc_id"]: r["n_subwords"] for r in
             BPE.bpe_doc_token_counts(docs, ["e </w>"]).collect()}
     assert got2 == {0: got[0] - 1, 1: got[1] - 1}
+
+
+def _py_bpe_reference(word_freqs, n_merges, passes=3):
+    """Single-node reference of the exact distributed semantics:
+    pair counts weighted by word freq, argmax (freq desc, pair asc),
+    fixed-pass padded left-to-right replace."""
+    seqs = {w: " ".join(w) + " </w>" for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            syms = seqs[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + f
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((pair, counts[pair]))
+        merged = pair.replace(" ", "")
+        for w in seqs:
+            s = f" {seqs[w]} "
+            for _ in range(passes):
+                s = s.replace(f" {pair} ", f" {merged} ")
+            seqs[w] = s.strip()
+    return merges
+
+
+def test_bpe_matches_python_reference_random(spark):
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
+                    min_size=1, max_size=12),
+           st.integers(1, 4))
+    def check(words, n_merges):
+        text = " ".join(words)
+        wf = {}
+        for w in words:
+            wf[w] = wf.get(w, 0) + 1
+        want = _py_bpe_reference(wf, n_merges)
+        got = BPE.bpe_train(
+            BPE.word_freqs(_docs(spark, [text])), n_merges=n_merges)
+        assert got == want
+
+    check()

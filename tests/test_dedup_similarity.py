@@ -817,3 +817,35 @@ def test_sq8_roundtrip_error_bounded(spark):
             mn, mx = bounds[d]
             step = (mx - mn) / 255.0 if mx > mn else 0.0
             assert abs(recon[i][d] - orig[d]) <= step / 2 + 1e-9
+
+
+def test_winnow_matches_python_reference(spark):
+    """Distributed winnowing equals the direct single-node computation
+    of the same definition (k-shingle md5-hashes, w-window minima,
+    value-set distinct)."""
+    import hashlib
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import winnow_fingerprints
+
+    def py_winnow(text, k=3, w=4):
+        toks = text.split(" ")
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "a b", "one two three", "x " * 20 + "y"]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        want = py_winnow(t.strip())
+        assert got.get(i, set()) == want, f"doc {i}"
