@@ -1388,6 +1388,23 @@ def _bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BPE.bpe_doc_token_counts(docs, merges).orderBy("doc_id")
 
 
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink closed loop (format coverage beyond parquet /
+    text-KV / CSV / JSON-strings): write the documents table as ORC
+    (zlib, Spark's builtin writer), read it back, and return the
+    identity projection — hash-must-match the parquet original. Writes
+    under /tmp with overwrite (idempotent); the dir name carries the sf
+    so scales don't collide."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{tag}")
+    docs.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("doc_id", "text").orderBy("doc_id")
+
+
 def _sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: the literal ANSI oracle text executed by
     ``spark.sql`` over registered views — dialect-portable by
@@ -2042,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_roundtrip": _events_json_roundtrip,
         "next_click_attribution": E.next_click_attribution,
         "multitouch_attribution": E.multitouch_attribution,
+        "orc_roundtrip": _orc_roundtrip,
         # --- r1 rows-match / hash-mismatch, re-verify ---
         "sql_pricing_summary": _sql_pricing_summary,
         # --- new this round: alternating-CC twin, shares dedup_canonical's oracle ---
@@ -2225,6 +2243,7 @@ _R4_FRONT = [
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
     "multitouch_attribution", "stream_winnow_fingerprints",
+    "orc_roundtrip",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2232,13 +2251,13 @@ _R4_FRONT = [
     "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
     "intersect_except_customers", "quantity_band_totals",
     "top_orders_per_customer", "orders_above_global_avg",
-    "order_stats_unpivot", "price_quantiles",
+    "order_stats_unpivot",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "price_quantity_corr",
+    "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
@@ -3683,6 +3702,9 @@ ORDER BY purchase_id, click_id
     # stream-static broadcast enrichment == the batch left join
     # at-ingest fingerprinting == the batch winnow computation
     out["stream_winnow_fingerprints"] = out["winnow_fingerprints"]
+    # lossless ORC write/read == the parquet identity
+    out["orc_roundtrip"] = \
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
     out["stream_static_enrich"] = """
 SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
        CAST(count(*) AS BIGINT) AS n,

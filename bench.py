@@ -66,7 +66,8 @@ def main() -> None:
         "lang_id", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",
         "doc_bigram_ppl", "ppl_band_docs", "c4_clean_docs", "zorder_keys",
-        "nb_model_kv_roundtrip", "dq_orders_report", "pps_sample_docs",
+        "nb_model_kv_roundtrip", "orc_roundtrip",
+        "dq_orders_report", "pps_sample_docs",
         # multimodal
         "mm_image_features", "mm_frame_samples", "mm_audio_features",
         "mm_frame_dedup", "lang_centroids",

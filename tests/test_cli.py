@@ -68,3 +68,15 @@ def test_tokenize_train_cli(tmp_path):
     assert int(got["Words (distinct)"]) > 0
     assert int(got["Subword vocabulary"]) > 0
     assert "Merge table written" in out.stdout
+
+
+def test_search_cli():
+    out = subprocess.run(
+        [sys.executable, "-m", "text_sentiment_classification_hadoop_spark_spark", "search",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--query", "table scan merge", "--topk", "5"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Query = 'table scan merge'" in out.stdout
+    assert "Hits = " in out.stdout
+    assert "doc " in out.stdout

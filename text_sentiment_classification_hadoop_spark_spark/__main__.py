@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="text_sentiment_classification_hadoop_spark_spark")
     p.add_argument("command", choices=[
         "nb-compat", "svm-compat", "svm-strict", "nb-mllib", "svm-mllib",
-        "curate", "dedup", "tokenize-train"])
+        "curate", "dedup", "tokenize-train", "search"])
     p.add_argument("--train", help="training tweets CSV (compat commands)")
     p.add_argument("--test", help="test tweets CSV; defaults to --train")
     p.add_argument("--input", help="tweets CSV for the mllib commands (75/25 split inside)")
@@ -80,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="estimated-Jaccard near-dup threshold (dedup)")
     p.add_argument("--merges", type=int, default=64,
                    help="number of BPE merges to learn (tokenize-train)")
+    p.add_argument("--query", help="query string (search)")
+    p.add_argument("--topk", type=int, default=10,
+                   help="results to print (search)")
     args = p.parse_args(argv)
 
     from .functions.cleaning import clean_chain_a, clean_chain_b
@@ -171,6 +174,28 @@ def main(argv: list[str] | None = None) -> int:
                 "merge_rank int, pair string, merged string, freq bigint"
             ).coalesce(1).write.mode("overwrite").parquet(args.out)
             print(f"Merge table written to {args.out}")
+        print(f"Execution time: {time.perf_counter() - t0:.2f} s")
+        spark.stop()
+        return 0
+
+    if args.command == "search":
+        if not args.docs or not args.query:
+            p.error("--docs and --query are required for search")
+        from .operators.search import bm25_topk
+        docs = spark.read.parquet(args.docs)
+        hits = bm25_topk(docs.select("doc_id", "text"), args.query,
+                         k=args.topk).collect()
+        print(f"Query = {args.query!r}")
+        print(f"Hits = {len(hits)}")
+        texts = {r["doc_id"]: r["text"] for r in
+                 docs.select("doc_id", "text")
+                 .join(spark.createDataFrame(
+                     [(h["doc_id"],) for h in hits], "doc_id long"),
+                     "doc_id").collect()}
+        for h in hits:
+            snippet = texts.get(h["doc_id"], "")[:60]
+            print(f"  {h['rank']:3d}. doc {h['doc_id']} "
+                  f"(score {h['score']}): {snippet}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
         spark.stop()
         return 0
