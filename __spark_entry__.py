@@ -1448,6 +1448,12 @@ def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_fit(emb, k=8, iters=2).orderBy("cell_id", "d")
 
 
+def _kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell tightness of the trained k=8 codebook."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.kmeans_quality(emb, k=8, iters=2)
+
+
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
@@ -2107,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ivf_topk": _ivf_topk,
         "kmeans_cells": _kmeans_cells,
+        "kmeans_quality": _kmeans_quality,
         "embedding_near_dups": _embedding_near_dups,
         "decontaminate_embeddings": _decontaminate_embeddings,
         "neardup_triangles": _neardup_triangles,
@@ -2243,7 +2250,7 @@ _R4_FRONT = [
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
     "multitouch_attribution", "stream_winnow_fingerprints",
-    "orc_roundtrip",
+    "orc_roundtrip", "kmeans_quality",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
@@ -2251,13 +2258,12 @@ _R4_FRONT = [
     "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
     "intersect_except_customers", "quantity_band_totals",
     "top_orders_per_customer", "orders_above_global_avg",
-    "order_stats_unpivot",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "price_quantiles", "price_quantity_corr",
+    "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
     "nb_model", "nb_stats", "nb_predictions", "nb_confusion",
@@ -3047,6 +3053,28 @@ WINDOW wb AS (PARTITION BY o_orderstatus ORDER BY floor(o_totalprice / 50000)),
 ORDER BY o_orderkey
 """
     out["kmeans_cells"] = _kmeans_sql(k=8, iters=2)
+    # per-cell tightness: final assignment keeps its rounded cosine,
+    # quantized to BIGINT micro-units before the per-cell sum
+    _kq_parts = _kmeans_cte_parts(8, 2)
+    _kq_cos = ("sum(au.x * c.m) / (sqrt(sum(au.x * au.x)) "
+               "* sqrt(sum(c.m * c.m)))")
+    out["kmeans_quality"] = (
+        f"WITH {AU_ORIG}, " + ",\n".join(_kq_parts) + f""",
+scF AS (
+  SELECT au.vec_id, c.cell, {_r6(_kq_cos)} AS cos
+  FROM au JOIN cent2 c USING (d)
+  GROUP BY au.vec_id, c.cell),
+bestF AS (
+  SELECT vec_id, cell, cos FROM (
+    SELECT vec_id, cell, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell ASC) AS rk
+    FROM scF) WHERE rk = 1)
+SELECT cell AS cell_id, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cos_micro
+FROM bestF GROUP BY cell ORDER BY cell_id
+""")
     out["pq_trained_codes"] = _pq_kmeans_sql()
     out["ivf_topk"] = f"""
 WITH {AU_ORIG},

@@ -54,7 +54,8 @@ def main() -> None:
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_multiprobe_topk",
         "ann_recall_at10", "ivf_topk", "mrl_topk", "mrl_recall_at10",
         "sq8_codes", "sq8_recall_at10",
-        "kmeans_cells", "random_projection", "rp_ann_topk", "pq_codes", "pq_adc_topk", "pq_trained_codes",
+        "kmeans_cells", "kmeans_quality", "random_projection", "rp_ann_topk",
+        "pq_codes", "pq_adc_topk", "pq_trained_codes",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
         "chunk_documents", "bpe_merges", "bpe_token_counts",

@@ -849,3 +849,18 @@ def test_winnow_matches_python_reference(spark):
     for i, t in enumerate(texts):
         want = py_winnow(t.strip())
         assert got.get(i, set()) == want, f"doc {i}"
+
+
+def test_kmeans_quality_partitions_and_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import kmeans_quality
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = kmeans_quality(emb, k=4, iters=1)
+    rows = q.collect()
+    total = emb.count()
+    assert sum(r["n_members"] for r in rows) == total  # exact partition
+    for r in rows:
+        # mean assigned cosine within [-1, 1] in micro units
+        assert -1_000_000 * r["n_members"] <= r["sum_cos_micro"] \
+            <= 1_000_000 * r["n_members"]

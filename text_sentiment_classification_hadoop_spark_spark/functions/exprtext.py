@@ -134,3 +134,16 @@ def rp_array_txt(vec: str, mat, out_dims: int) -> str:
     comp = pround_txt(
         f"{dot_txt(vec, 'r.v')} / sqrt({dlit(float(out_dims))})", 6)
     return f"transform({rows}, r -> {comp})"
+
+
+def nearest_cell_with_cos_txt(vec: str, cents) -> str:
+    """Like :func:`nearest_cell_txt` but returns
+    ``struct(cell, cos)`` — the assignment AND its 6-dp-rounded cosine,
+    for cluster-quality aggregation. The argmax struct is evaluated
+    twice (once per output field); at codebook sizes where the literal
+    path applies (k ≤ LITERAL_CODEBOOK_MAX) that is a constant-factor
+    cost on an already-narrow expression."""
+    cos6 = pround_txt(cos_txt(vec, "p.v"), 6)
+    best = (f"array_max(transform({books_lit(cents)}, "
+            f"p -> named_struct('c', {cos6}, 'i', -p.i)))")
+    return (f"named_struct('cell', -({best}).i, 'cos', ({best}).c)")
