@@ -1529,6 +1529,17 @@ def _neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_counts(edges).orderBy("node")
 
 
+def _neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k=2 core peel of the MinHash dup graph: pendant pair
+    edges peel away, duplicate clusters of ≥3 survive as cores."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    edges = _near_dup_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    return G.kcore_peel(edges, k=2, rounds=3).orderBy("node")
+
+
 def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
@@ -2117,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups,
         "decontaminate_embeddings": _decontaminate_embeddings,
         "neardup_triangles": _neardup_triangles,
+        "neardup_kcore": _neardup_kcore,
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_near_dups": _winnow_near_dups,
         "tfidf_doc_pairs": _tfidf_doc_pairs,
@@ -2250,19 +2262,20 @@ _R4_FRONT = [
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
     "multitouch_attribution", "stream_winnow_fingerprints",
-    "orc_roundtrip", "kmeans_quality",
+    "orc_roundtrip", "kmeans_quality", "neardup_kcore",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
     "top_parts_per_brand", "rollup_order_stats", "semi_anti_join_counts",
     "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
     "intersect_except_customers", "quantity_band_totals",
-    "top_orders_per_customer", "orders_above_global_avg",
+    "top_orders_per_customer",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
@@ -2841,6 +2854,52 @@ prs AS (
 )
 SELECT id_a, id_b, n_shared FROM prs WHERE n_shared >= 2
 ORDER BY id_a, id_b
+""",
+        # 3-round k=2 core peel over the same MinHash dup edge list
+        "neardup_kcore": f"""
+WITH {DOCS_ALL_AUGMENTED},
+{_minhash_long_cte()},
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+  FROM sig_long GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig_long sa ON sa.doc_id = c.id_a
+  JOIN sig_long sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+  GROUP BY c.id_a, c.id_b
+),
+e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM est
+                    WHERE est_jaccard >= 0.5),
+d1 AS (SELECT n, count(*) AS d FROM (
+         SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
+l1 AS (SELECT n FROM d1 WHERE d < 2),
+e1 AS MATERIALIZED (
+  SELECT u, v FROM e0
+  WHERE u NOT IN (SELECT n FROM l1) AND v NOT IN (SELECT n FROM l1)),
+d2 AS (SELECT n, count(*) AS d FROM (
+         SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
+l2 AS (SELECT n FROM d2 WHERE d < 2),
+e2 AS MATERIALIZED (
+  SELECT u, v FROM e1
+  WHERE u NOT IN (SELECT n FROM l2) AND v NOT IN (SELECT n FROM l2)),
+d3 AS (SELECT n, count(*) AS d FROM (
+         SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
+l3 AS (SELECT n FROM d3 WHERE d < 2),
+e3 AS MATERIALIZED (
+  SELECT u, v FROM e2
+  WHERE u NOT IN (SELECT n FROM l3) AND v NOT IN (SELECT n FROM l3))
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+GROUP BY node ORDER BY node
 """,
         # per-node triangle counts over the MinHash near-dup edge list
         # (edges oriented id_a < id_b, so each triangle a<b<c appears

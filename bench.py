@@ -81,6 +81,7 @@ def main() -> None:
         "funnel_conversion", "cohort_retention", "event_transitions",
         "fuzzy_part_names", "bloom_prefilter_join",
         "approx_distinct_users", "copurchase_pagerank", "neardup_triangles",
+        "neardup_kcore",
         # structured streaming
         "events_tumbling_stream", "events_sliding_stream",
         "events_sessionize_stream", "stream_dedup_docs", "stream_dedup_native",

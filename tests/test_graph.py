@@ -71,3 +71,25 @@ def test_triangle_counts_hand_graph(spark):
 def test_triangle_counts_no_triangles(spark):
     e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u long, v long")
     assert G.triangle_counts(e).count() == 0
+
+
+def test_kcore_peel_hand_graph(spark):
+    # triangle 1-2-3 (2-core) + pendant chain 3-4-5 (peels away at k=2)
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "u long, v long")
+    got = {r["node"]: r["degree"]
+           for r in G.kcore_peel(e, k=2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_peel_removes_everything_on_tree(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (4, 5)], "u long, v long")
+    assert G.kcore_peel(e, k=2, rounds=3).count() == 0
+
+
+def test_kcore_nontrivial_on_dup_graph(spark, sf_dir):
+    import __spark_entry__ as entry
+    rows = entry.queries()["neardup_kcore"](spark, sf_dir).collect()
+    assert rows, "dup clusters of >= 3 survive the 2-core peel"
+    assert all(r["degree"] >= 2 for r in rows)

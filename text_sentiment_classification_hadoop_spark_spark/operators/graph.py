@@ -97,6 +97,41 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_triangles"))
 
 
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983 degeneracy cores;
+    Batagelj-Zaversnik is the sequential form — distributed engines
+    peel in synchronized rounds): repeatedly delete nodes of degree
+    < ``k`` from the undirected canonical edge list ``(u, v)``,
+    ``rounds`` times → ``(node, degree)`` over the residual graph (the
+    nodes still carrying an edge, with their residual degrees).
+
+    FIXED round count, deliberately: convergence-dependent loops cannot
+    be mirrored by an unrolled SQL oracle, and in practice the peel
+    converges in a handful of rounds (each round removes every
+    currently-underdegree node simultaneously). A production caller
+    loops until a round removes nothing — same per-round plan, driver
+    reads one scalar per round like the CC loop.
+
+    Per round: one degree aggregation + one semi-join-shaped filter of
+    the (shrinking) edge list against the low-degree node set — edge
+    data only ever contracts; `localCheckpoint` cuts lineage."""
+    e = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (e.select(F.col("u").alias("n"))
+               .unionAll(e.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("d")))
+        low = deg.filter(F.col("d") < k).select("n")
+        e = (
+            e.join(low.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(low.withColumnRenamed("n", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count("*").cast("long").alias("degree")))
+
+
 def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
     """``iters`` power iterations of fixed-point PageRank over a
     directed edge list ``(src, dst)`` where every node appears as a
