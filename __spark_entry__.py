@@ -450,10 +450,11 @@ def _bpe_dict_ctes(n_merges: int = BPE_MERGES) -> str:
     return ",\n".join(parts)
 
 
-def _pagerank_sql(iters: int = 3) -> str:
+def _pagerank_sql(iters: int = 3, weighted: bool = False) -> str:
     """Unrolled fixed-point PageRank oracle (mirror of
     operators/graph.py): pure BIGINT arithmetic — rank div outdeg
-    contributions, (mass * 17) div 20 damping — bit-identical across
+    contributions (weight-proportional ``(rank·w) div sum_w`` on the
+    weighted path), (mass * 17) div 20 damping — bit-identical across
     engines by construction."""
     from text_sentiment_classification_hadoop_spark_spark.operators.graph import (
         DAMP_DEN,
@@ -462,14 +463,31 @@ def _pagerank_sql(iters: int = 3) -> str:
         SCALE,
         SUPP_OFFSET,
     )
-    parts = [
-        f"""rel AS MATERIALIZED (
+    if weighted:
+        parts = [
+            f"""rel AS MATERIALIZED (
+  SELECT o_custkey AS cust, l_suppkey + {SUPP_OFFSET} AS supp,
+         CAST(count(*) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey)""",
+            "ed AS MATERIALIZED (SELECT cust AS src, supp AS dst, w FROM rel "
+            "UNION ALL SELECT supp, cust, w FROM rel)",
+            "deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS sw "
+            "FROM ed GROUP BY src)",
+        ]
+        contrib = "sum((r.rank_micro * e.w) // d.sw)"
+    else:
+        parts = [
+            f"""rel AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS cust, l_suppkey + {SUPP_OFFSET} AS supp
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
-        "ed AS MATERIALIZED (SELECT cust AS src, supp AS dst FROM rel "
-        "UNION ALL SELECT supp, cust FROM rel)",
-        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg "
-        "FROM ed GROUP BY src)",
+            "ed AS MATERIALIZED (SELECT cust AS src, supp AS dst FROM rel "
+            "UNION ALL SELECT supp, cust FROM rel)",
+            "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg "
+            "FROM ed GROUP BY src)",
+        ]
+        contrib = "sum(r.rank_micro // d.outdeg)"
+    parts += [
         "nodes AS MATERIALIZED (SELECT src AS node FROM deg)",
         f"r0 AS MATERIALIZED (SELECT node, CAST({SCALE} AS BIGINT) AS rank_micro "
         "FROM nodes)",
@@ -477,7 +495,7 @@ def _pagerank_sql(iters: int = 3) -> str:
     for k in range(1, iters + 1):
         parts += [
             f"""c{k} AS MATERIALIZED (
-  SELECT e.dst AS node, sum(r.rank_micro // d.outdeg) AS mass
+  SELECT e.dst AS node, {contrib} AS mass
   FROM ed e JOIN r{k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst)""",
             f"""r{k} AS MATERIALIZED (
@@ -1362,6 +1380,17 @@ def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.copurchase_edges(orders, li), iters=3).orderBy("node")
 
 
+def _copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional variant: edges carry co-purchase
+    multiplicities, contributions split as (rank·w) div sum_w."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return G.pagerank_fixed_point(
+        G.copurchase_edges_weighted(orders, li), iters=3,
+        weight_col="w").orderBy("node")
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (rank, pair, merged, freq) — the
     distributed-tokenizer-training artifact. Oracle: the unrolled CTE
@@ -2113,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_doc_token_counts": _bpe_doc_token_counts,
         # --- new this round: fixed-point PageRank (graph analytics) ---
         "copurchase_pagerank": _copurchase_pagerank,
+        "copurchase_pagerank_weighted": _copurchase_pagerank_weighted,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2263,19 +2293,19 @@ _R4_FRONT = [
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
     "multitouch_attribution", "stream_winnow_fingerprints",
     "orc_roundtrip", "kmeans_quality", "neardup_kcore",
+    "copurchase_pagerank_weighted",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
     "top_parts_per_brand", "rollup_order_stats", "semi_anti_join_counts",
     "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
     "intersect_except_customers", "quantity_band_totals",
-    "top_orders_per_customer",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "orders_above_global_avg",
+    "top_orders_per_customer", "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
     "tweets_clean_chain_b", "tokens_exploded", "word_counts",
@@ -2609,6 +2639,7 @@ ORDER BY d.doc_id
         "bpe_doc_token_counts": _bpe_doc_token_counts_sql(),
         # fixed-point PageRank: unrolled power iterations, pure BIGINT
         "copurchase_pagerank": _pagerank_sql(iters=3),
+        "copurchase_pagerank_weighted": _pagerank_sql(iters=3, weighted=True),
         "nb_metrics": _metrics_sql(NB_PRED_SQL),
         "svm_metrics": _metrics_sql(SVM_PRED_SQL),
         "ann_lsh_topk": f"""

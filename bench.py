@@ -80,7 +80,8 @@ def main() -> None:
         "multitouch_attribution", "interval_pair_counts",
         "funnel_conversion", "cohort_retention", "event_transitions",
         "fuzzy_part_names", "bloom_prefilter_join",
-        "approx_distinct_users", "copurchase_pagerank", "neardup_triangles",
+        "approx_distinct_users", "copurchase_pagerank",
+        "copurchase_pagerank_weighted", "neardup_triangles",
         "neardup_kcore",
         # structured streaming
         "events_tumbling_stream", "events_sliding_stream",

@@ -93,3 +93,31 @@ def test_kcore_nontrivial_on_dup_graph(spark, sf_dir):
     rows = entry.queries()["neardup_kcore"](spark, sf_dir).collect()
     assert rows, "dup clusters of >= 3 survive the 2-core peel"
     assert all(r["degree"] >= 2 for r in rows)
+
+
+def test_weighted_pagerank_unit_weights_match_unweighted(spark):
+    e = spark.createDataFrame(
+        [(i, (i * 3) % 7) for i in range(7) if i != (i * 3) % 7],
+        "src long, dst long")
+    sym = e.unionAll(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+    uw = sorted(map(tuple, G.pagerank_fixed_point(sym, iters=3).collect()))
+    w1 = sorted(map(tuple, G.pagerank_fixed_point(
+        sym.withColumn("w", F.lit(1)), iters=3, weight_col="w").collect()))
+    assert uw == w1
+
+
+def test_weighted_pagerank_weights_shift_mass(spark):
+    # node 0 points at 1 (weight 9) and 2 (weight 1): node 1 gets 9x
+    # node 2's share of 0's rank
+    e = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        "src long, dst long, w long")
+    r = {row["node"]: row["rank_micro"] for row in
+         G.pagerank_fixed_point(e, iters=1, weight_col="w").collect()}
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import (
+        DAMP_DEN, DAMP_NUM, RESET_MICRO, SCALE)
+    c1 = (SCALE * 9) // 10
+    c2 = (SCALE * 1) // 10
+    assert r[1] == RESET_MICRO + (c1 * DAMP_NUM) // DAMP_DEN
+    assert r[2] == RESET_MICRO + (c2 * DAMP_NUM) // DAMP_DEN

@@ -132,34 +132,69 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
             .groupBy("node").agg(F.count("*").cast("long").alias("degree")))
 
 
-def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
+def copurchase_edges_weighted(orders: DataFrame,
+                              lineitem: DataFrame) -> DataFrame:
+    """Like :func:`copurchase_edges` but carrying the co-purchase
+    MULTIPLICITY (number of order-lines linking the pair) as an integer
+    edge weight ``w`` — the natural input to weight-proportional
+    PageRank."""
+    rel = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("cust"),
+                 (F.col("l_suppkey") + SUPP_OFFSET).alias("supp"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    fwd = rel.select(F.col("cust").alias("src"),
+                     F.col("supp").alias("dst"), "w")
+    rev = rel.select(F.col("supp").alias("src"),
+                     F.col("cust").alias("dst"), "w")
+    return fwd.unionAll(rev)
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
+                         weight_col: str | None = None) -> DataFrame:
     """``iters`` power iterations of fixed-point PageRank over a
     directed edge list ``(src, dst)`` where every node appears as a
     ``src`` (symmetrize first if needed) -> ``(node, rank_micro)``.
 
     rank'_micro(v) = RESET_MICRO
-                   + (sum_{u->v} (rank_micro(u) div outdeg(u)) * 17) div 20
+                   + (sum_{u->v} ((rank_micro(u)·w) div sum_w(u)) * 17) div 20
+
+    Unweighted (``weight_col=None``) every edge carries weight 1, so
+    the formula reduces to the classic ``rank div outdeg`` split. With
+    integer edge weights (co-purchase multiplicities, link counts) the
+    split is weight-proportional and STILL exact 64-bit arithmetic —
+    overflow headroom: ``rank·w < 2^63`` needs ``n·SCALE·w_max``
+    < 9.2e18, i.e. w_max ≲ 9e12/n at SCALE 1e6.
     """
-    # materialize the edge list once — it feeds the degree table and
-    # every iteration's contribution join; a lazy plan (orders x
+    if weight_col is None:
+        edges = edges.select("src", "dst", F.lit(1).cast("long").alias("_w"))
+    else:
+        edges = edges.select("src", "dst",
+                             F.col(weight_col).cast("long").alias("_w"))
+    # materialize the edge list once — it feeds the weight-mass table
+    # and every iteration's contribution join; a lazy plan (orders x
     # lineitem here) would be recomputed iters+1 times.
     edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(
-        F.count("*").cast("long").alias("outdeg")).localCheckpoint(eager=True)
+        F.sum("_w").alias("sum_w")).localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.select(
         "node", F.lit(SCALE).cast("long").alias("rank_micro")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
-        # per-node outgoing share first (node-sized join), THEN the one
-        # edge-sized join — joining edges against deg and ranks
-        # separately would shuffle the edge list twice.
+        # per-node (rank, sum_w) first (node-sized join), THEN the one
+        # edge-sized join — the per-edge division needs the edge's own
+        # weight, so it evaluates edge-side.
         share = (
             ranks.join(deg, ranks["node"] == deg["src"])
-            .select(deg["src"], F.expr("rank_micro div outdeg").alias("c"))
+            .select(deg["src"], "rank_micro", "sum_w")
         )
         contrib = (
             edges.join(share, "src")
+            .select("dst", F.expr("(rank_micro * _w) div sum_w").alias("c"))
             .groupBy("dst").agg(F.sum("c").alias("mass"))
         )
         ranks = (
