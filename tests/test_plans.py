@@ -177,3 +177,26 @@ def test_cdc_window_is_doc_partitioned(spark, sf_dir):
     # the running-boundary window must partition by doc_id — a global
     # (SinglePartition) window would serialize the corpus
     assert "SinglePartition" not in plan
+
+
+def test_integer_discipline_invariant_under_shuffle_partitions(spark, sf_dir):
+    """The micro-unit determinism contract, demonstrated: results of
+    integer-disciplined operators are IDENTICAL under different
+    shuffle partition counts (different aggregation merge orders)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import bm25_topk, tfidf_doc_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def run():
+        pairs = sorted(map(tuple, tfidf_doc_pairs(docs).collect()))
+        hits = sorted(map(tuple, bm25_topk(docs, "table scan merge").collect()))
+        return pairs, hits
+
+    base = run()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        alt = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
