@@ -158,3 +158,19 @@ def test_bpe_matches_python_reference_random(spark):
         assert got == want
 
     check()
+
+
+def test_merge_table_save_load_roundtrip(spark, tmp_path):
+    texts = (["low"] * 5) + (["newest"] * 6)
+    wf = BPE.word_freqs(_docs(spark, [" ".join(texts)]))
+    merges = BPE.bpe_train(wf, n_merges=3)
+    path = str(tmp_path / "merges")
+    BPE.save_merges(spark, merges, path)
+    assert BPE.load_merges(spark, path) == merges
+    # loaded merges drive apply identically to in-memory ones
+    docs = _docs(spark, ["low newest low"])
+    direct = sorted(map(tuple, BPE.bpe_segment_counts(
+        docs, [p for p, _ in merges]).collect()))
+    loaded = sorted(map(tuple, BPE.bpe_segment_counts(
+        docs, [p for p, _ in BPE.load_merges(spark, path)]).collect()))
+    assert direct == loaded

@@ -168,11 +168,8 @@ def main(argv: list[str] | None = None) -> int:
         vocab = bpe_segment_counts(docs, [m for m, _ in merges])
         print(f"Subword vocabulary = {vocab.count()}")
         if args.out:
-            spark.createDataFrame(
-                [(i + 1, m, m.replace(" ", ""), f)
-                 for i, (m, f) in enumerate(merges)],
-                "merge_rank int, pair string, merged string, freq bigint"
-            ).coalesce(1).write.mode("overwrite").parquet(args.out)
+            from .operators.bpe import save_merges
+            save_merges(spark, merges, args.out)
             print(f"Merge table written to {args.out}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
         spark.stop()

@@ -135,6 +135,27 @@ def bpe_merges_df(df: DataFrame, n_merges: int = 8,
     ).orderBy("merge_rank")
 
 
+def save_merges(spark, merges: list[tuple[str, int]], path: str) -> None:
+    """Persist a learned merge list as the parquet artifact the
+    ``tokenize-train`` CLI writes: ``(merge_rank, pair, merged, freq)``,
+    single file (merge tables are tokenizer-sized)."""
+    spark.createDataFrame(
+        [(i + 1, p, p.replace(" ", ""), f)
+         for i, (p, f) in enumerate(merges)],
+        "merge_rank int, pair string, merged string, freq bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, int]]:
+    """Read a merge-table artifact back into the ordered driver-side
+    list :func:`bpe_segment_counts` / :func:`bpe_doc_token_counts`
+    consume — closing the train → save → load → apply loop."""
+    rows = (spark.read.parquet(path)
+            .select("merge_rank", "pair", "freq")
+            .orderBy("merge_rank").collect())
+    return [(r["pair"], int(r["freq"])) for r in rows]
+
+
 def bpe_segment_counts(df: DataFrame, merges: list[str],
                        text_col: str = "text") -> DataFrame:
     """Apply a learned merge list to the corpus and count the resulting
