@@ -1391,6 +1391,24 @@ def _copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         weight_col="w").orderBy("node")
 
 
+def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the customer<->supplier graph via the
+    alternating large/small-star operator — the dedup CC machinery is
+    graph-generic, demonstrated off the dup-pair domain (bipartite,
+    near-fully-connected: expect few large components)."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = (G.copurchase_edges(orders, li)
+             .filter(F.col("src") < F.col("dst"))
+             .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+             .distinct())
+    return D.connected_components(pairs, algorithm="alternating") \
+        .orderBy("node")
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (rank, pair, merged, freq) — the
     distributed-tokenizer-training artifact. Oracle: the unrolled CTE
@@ -2143,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round: fixed-point PageRank (graph analytics) ---
         "copurchase_pagerank": _copurchase_pagerank,
         "copurchase_pagerank_weighted": _copurchase_pagerank_weighted,
+        "copurchase_components": _copurchase_components,
         # --- green in r02 ---
         "events_sliding": E.sliding_counts,
         "events_pivot": E.user_event_pivot,
@@ -2293,18 +2312,19 @@ _R4_FRONT = [
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
     "multitouch_attribution", "stream_winnow_fingerprints",
     "orc_roundtrip", "kmeans_quality", "neardup_kcore",
-    "copurchase_pagerank_weighted",
+    "copurchase_pagerank_weighted", "copurchase_components",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
     "top_parts_per_brand", "rollup_order_stats", "semi_anti_join_counts",
     "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
-    "intersect_except_customers", "quantity_band_totals",
+    "intersect_except_customers",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "quantity_band_totals",
     "top_orders_per_customer", "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
@@ -2640,6 +2660,22 @@ ORDER BY d.doc_id
         # fixed-point PageRank: unrolled power iterations, pure BIGINT
         "copurchase_pagerank": _pagerank_sql(iters=3),
         "copurchase_pagerank_weighted": _pagerank_sql(iters=3, weighted=True),
+        # CC over the co-purchase graph: recursive min-label closure
+        "copurchase_components": f"""
+WITH RECURSIVE rel AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (
+  SELECT cust AS src, supp AS dst FROM rel
+  UNION
+  SELECT supp AS src, cust AS dst FROM rel),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+SELECT node, component FROM comp ORDER BY node
+""",
         "nb_metrics": _metrics_sql(NB_PRED_SQL),
         "svm_metrics": _metrics_sql(SVM_PRED_SQL),
         "ann_lsh_topk": f"""

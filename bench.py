@@ -81,7 +81,8 @@ def main() -> None:
         "funnel_conversion", "cohort_retention", "event_transitions",
         "fuzzy_part_names", "bloom_prefilter_join",
         "approx_distinct_users", "copurchase_pagerank",
-        "copurchase_pagerank_weighted", "neardup_triangles",
+        "copurchase_pagerank_weighted", "copurchase_components",
+        "neardup_triangles",
         "neardup_kcore",
         # structured streaming
         "events_tumbling_stream", "events_sliding_stream",
