@@ -1395,7 +1395,14 @@ def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the customer<->supplier graph via the
     alternating large/small-star operator — the dedup CC machinery is
     graph-generic, demonstrated off the dup-pair domain (bipartite,
-    near-fully-connected: expect few large components)."""
+    near-fully-connected: expect few large components).
+
+    Cost note: a GIANT component is the alternating algorithm's
+    designed-for case — O(log² n) contraction rounds, each bounded by
+    the current (geometrically shrinking) edge set; the ~8 s at sf0.1
+    is those rounds' fixed per-round overhead on local[32], not a
+    scale hazard (the dup-graph CC with shallow components runs the
+    same loop in 2-3 rounds)."""
     from pyspark.sql import functions as F
 
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
