@@ -714,3 +714,45 @@ def test_multitouch_credit_conserves_value(spark, sf_dir):
         assert got == v[r["purchase_id"]]
         assert 0 <= r["residual_micro"] <= max(r["n_touches"] - 1, 0) or \
             (r["n_touches"] == 0 and r["residual_micro"] == v[r["purchase_id"]])
+
+
+def test_multitouch_bucketized_join_matches_bruteforce(spark, monkeypatch):
+    """The bucketized interval join finds EXACTLY the clicks a brute
+    Python scan finds, across window-boundary and bucket-straddle
+    cases (hypothesis over random event layouts)."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as ev
+    W_US = ev.INTERVAL_JOIN_WINDOW_US
+    T0 = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.tuples(st.integers(0, 2),                      # user
+                  st.integers(0, 1200),                   # seconds offset
+                  st.booleans()),                         # purchase?
+        min_size=1, max_size=14))
+    def check(evts):
+        rows = [(i, T0 + dt.timedelta(seconds=s), u,
+                 "purchase" if p else "click", 10.0, "{}")
+                for i, (u, s, p) in enumerate(evts)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        monkeypatch.setattr(ev, "load_table", lambda s, n, d: df)
+        got = {r["purchase_id"]: r["n_touches"] for r in
+               ev.multitouch_attribution(spark, "ignored").collect()}
+        want = {}
+        for i, (u, s, p) in enumerate(evts):
+            if not p:
+                continue
+            want[i] = sum(
+                1 for j, (u2, s2, p2) in enumerate(evts)
+                if not p2 and u2 == u and 0 <= (s - s2) * 1_000_000 <= W_US)
+        assert got == want
+
+    check()
