@@ -245,3 +245,33 @@ def test_pagerank_matches_single_node_reference(spark, pair_set):
     got = {r["node"]: r["rank_micro"]
            for r in pagerank_fixed_point(df, iters=3).collect()}
     assert got == ranks
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+        lambda p: (min(p), max(p))).filter(lambda p: p[0] < p[1]),
+    min_size=1, max_size=18),
+    st.integers(2, 3), st.integers(1, 3))
+def test_kcore_peel_matches_python_simulation(spark, edge_set, k, rounds):
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import kcore_peel
+    edges = sorted(edge_set)
+
+    es = set(edges)
+    for _ in range(rounds):
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        low = {n for n, d in deg.items() if d < k}
+        es = {(u, v) for u, v in es if u not in low and v not in low}
+    want = {}
+    for u, v in es:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["degree"]
+           for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+    assert got == want
