@@ -523,6 +523,20 @@ def _bpe_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
             "GROUP BY token ORDER BY token")
 
 
+def _bpe_vocab_curve_sql(n_merges: int = BPE_MERGES, top: int = 20) -> str:
+    return (f"WITH {_bpe_dict_ctes(n_merges)},\n"
+            "tc AS MATERIALIZED (SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM ("
+            f"SELECT freq, unnest(string_split(seq, ' ')) AS token FROM s{n_merges}) t "
+            "GROUP BY token),\n"
+            "curve AS (SELECT CAST(row_number() OVER "
+            "(ORDER BY freq DESC, token ASC) AS INTEGER) AS rank, token, freq, "
+            "CAST(sum(freq) OVER (ORDER BY freq DESC, token ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq "
+            "FROM tc)\n"
+            f"SELECT rank, token, freq, cum_freq FROM curve "
+            f"WHERE rank <= {top} ORDER BY rank")
+
+
 def _bpe_doc_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
     return (f"WITH {_bpe_dict_ctes(n_merges)},\n"
             f"seg AS MATERIALIZED (SELECT word, "
@@ -1434,6 +1448,14 @@ def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BPE.bpe_segment_counts(docs, merges).orderBy("token")
 
 
+def _bpe_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 coverage curve of the learned subword vocabulary."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [p for p, _ in BPE.bpe_train(BPE.word_freqs(docs), BPE_MERGES)]
+    return BPE.vocab_coverage_curve(docs, merges, top=20)
+
+
 def _bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subword token budget under the learned merges."""
     from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
@@ -2165,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "bpe_token_counts": _bpe_token_counts,
         "bpe_doc_token_counts": _bpe_doc_token_counts,
+        "bpe_vocab_curve": _bpe_vocab_curve,
         # --- new this round: fixed-point PageRank (graph analytics) ---
         "copurchase_pagerank": _copurchase_pagerank,
         "copurchase_pagerank_weighted": _copurchase_pagerank_weighted,
@@ -2320,18 +2343,18 @@ _R4_FRONT = [
     "multitouch_attribution", "stream_winnow_fingerprints",
     "orc_roundtrip", "kmeans_quality", "neardup_kcore",
     "copurchase_pagerank_weighted", "copurchase_components",
+    "bpe_vocab_curve",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
     "top_parts_per_brand", "rollup_order_stats", "semi_anti_join_counts",
     "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
-    "intersect_except_customers",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "quantity_band_totals",
+    "intersect_except_customers", "quantity_band_totals",
     "top_orders_per_customer", "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
     "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
@@ -2664,6 +2687,7 @@ ORDER BY d.doc_id
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "bpe_doc_token_counts": _bpe_doc_token_counts_sql(),
+        "bpe_vocab_curve": _bpe_vocab_curve_sql(),
         # fixed-point PageRank: unrolled power iterations, pure BIGINT
         "copurchase_pagerank": _pagerank_sql(iters=3),
         "copurchase_pagerank_weighted": _pagerank_sql(iters=3, weighted=True),

@@ -59,7 +59,7 @@ def main() -> None:
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
         "chunk_documents", "bpe_merges", "bpe_token_counts",
-        "bpe_doc_token_counts",
+        "bpe_doc_token_counts", "bpe_vocab_curve",
         # search
         "bm25_search", "inverted_index", "cms_token_counts",
         "hybrid_rrf_search",

@@ -174,3 +174,16 @@ def test_merge_table_save_load_roundtrip(spark, tmp_path):
     loaded = sorted(map(tuple, BPE.bpe_segment_counts(
         docs, [p for p, _ in BPE.load_merges(spark, path)]).collect()))
     assert direct == loaded
+
+
+def test_vocab_curve_monotone_and_bounded(spark):
+    docs = _docs(spark, ["the cat the hat", "the bat"])
+    total = sum(r["freq"] for r in
+                BPE.bpe_segment_counts(docs, []).collect())
+    rows = BPE.vocab_coverage_curve(docs, [], top=50).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    cums = [r["cum_freq"] for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == total  # top >= vocab size -> full coverage
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)

@@ -207,3 +207,31 @@ def bpe_doc_token_counts(df: DataFrame, merges: list[str],
         doc_words.join(F.broadcast(seg), "word")
         .groupBy(id_col).agg(F.sum("n_sub").alias("n_subwords"))
     )
+
+
+def vocab_coverage_curve(df: DataFrame, merges: list[str],
+                         top: int = 20,
+                         text_col: str = "text") -> DataFrame:
+    """Coverage curve of the learned subword vocabulary →
+    ``(rank, token, freq, cum_freq)`` for the ``top`` most frequent
+    subwords — the how-big-must-the-vocab-be artifact tokenizer sizing
+    decisions read (cum_freq / total corpus tokens = coverage).
+
+    The cumulative window runs over the VOCABULARY (subword-type-sized,
+    thousands of rows — not the corpus), so the single-partition
+    ordered window is a non-issue at any corpus scale; ordering is
+    deterministic (freq desc, token asc) and all counts are exact
+    BIGINTs."""
+    from pyspark.sql import Window
+    counts = bpe_segment_counts(df, merges, text_col=text_col)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        counts.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "token", "freq",
+            F.sum("freq").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum_freq"))
+        .filter(F.col("rank") <= top)
+        .orderBy("rank")
+    )
