@@ -89,6 +89,15 @@ SHOWCASE = [
     ("bpe_doc_token_counts",
      "segmented dictionary broadcast back onto the corpus word "
      "explode — the merge cascade runs per DISTINCT word only"),
+    ("winnow_near_dups",
+     "fingerprint equi-join behind the max_df skew guard; the fp table "
+     "is materialized once for its three consumers"),
+    ("hybrid_rrf_search",
+     "rank fusion over two top-k-sized inputs: union -> tiny hash agg "
+     "-> TakeOrdered; integer micro-unit contributions"),
+    ("dedup_threshold_sweep",
+     "candidates computed once at threshold 0, full-outer fused with "
+     "md5 truth pairs, constant-size threshold explode -> one agg"),
 ]
 
 
