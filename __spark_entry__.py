@@ -2387,12 +2387,17 @@ def oracle_sql() -> dict[str, str]:
 -- avg_qty uses 1e6 (double literal in BOTH dialects); 1000000.0 parses
 -- as DECIMAL in Spark SQL and the result column comes back DECIMAL(…)
 -- instead of DOUBLE, which value-hash-mismatches the DuckDB run.
+-- avg_qty / sum_qty are integer-exact (decimal sum; floor over a lone
+-- correctly-rounded division): floor(avg*1e6+0.5) on raw doubles is
+-- FMA-contraction-sensitive across engines (the r1/r3 red row) —
+-- round_half_up(S/c) = floor((2*S*1e6 + c) / (2c)), exact operands.
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       floor((avg(l_quantity)) * 1e6 + 0.5) / 1e6 AS avg_qty,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 2000000
+                  + count(*) AS DOUBLE) / CAST(2 * count(*) AS DOUBLE)) / 1e6 AS avg_qty,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-02'

@@ -117,20 +117,43 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    line = json.dumps({
+    full_line = json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
     })
-    # survive tail-buffer capture: persist the full JSON to a file,
-    # stop Spark FIRST (JVM shutdown logs would otherwise land after
-    # the line and can push its head out of a bounded capture buffer),
-    # and make the JSON line the very last output.
+    # The driver captures only the LAST 2000 chars of stdout; a 120-query
+    # map is ~3.5 KB, so the full line's head gets cut and `parsed` comes
+    # back null (BENCH_r03). Persist the full JSON to a file, then print
+    # a stdout line guaranteed to fit the capture buffer: same headline
+    # metric, with per-query detail limited to whatever fits — the
+    # reference-workload queries first (the baseline comparison set),
+    # then slowest-first (the ones worth reading).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_result.json"), "w") as fh:
-        fh.write(line + "\n")
+        fh.write(full_line + "\n")
+
+    core = [n for n in ("nb_predictions", "nb_confusion", "nb_metrics",
+                        "svm_predictions", "svm_declared_weights",
+                        "svm_metrics", "pricing_summary") if n in timings]
+    by_cost = sorted((n for n in timings if n not in core),
+                     key=lambda n: -timings[n])
+    budget = 1900
+    shown: dict[str, float] = {}
+    base = {"metric": "headline_queries_total", "value": round(total, 3),
+            "unit": "sec", "sf": sf_val, "n_queries": len(timings),
+            "queries_full": "bench_result.json"}
+    for name in core + by_cost:
+        trial = dict(base, queries=dict(shown, **{name: timings[name]}))
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        shown[name] = timings[name]
+    line = json.dumps(dict(base, queries=shown), separators=(",", ":"))
+    # stop Spark FIRST (JVM shutdown logs would otherwise land after
+    # the line and can push its head out of the capture buffer), and
+    # make the JSON line the very last output.
     spark.stop()
     print(line, flush=True)
 

@@ -67,6 +67,41 @@ def sql_davg(expr: str) -> str:
     return f"({sql_dsum(expr)} / count(*))"
 
 
+def pround_avg2(col: Column, n: int = 6) -> Column:
+    """Half-up-rounded (``n`` digits) mean of an exact-2-dp-valued
+    column, computed so the output double is uniquely IEEE-determined.
+
+    ``pround(avg(x), n)`` is deterministic only up to the engine's code
+    generation: ``x*1e6 + 0.5`` may be contracted to a fused
+    multiply-add (one rounding instead of two) by one engine and not the
+    other, flipping ``floor`` when the product sits a half-ulp from an
+    integer — the ``sql_pricing_summary`` red row in rounds 1/3.
+
+    Cure: fold the +0.5 into exact integer arithmetic before any double
+    op. With S = sum (exact decimal, integer-valued after ×10^n) and
+    c = count, ``round_half_up(S/c, n) = floor((2·S·10^n + c) / (2c))``.
+    Both operands are exact integers (< 2^53 at any realistic scale for
+    the numerator's double image; exact-decimal until the final cast),
+    a lone IEEE division is correctly rounded with no fusion freedom,
+    and the quotient is ≥ 1/(2c) away from an integer unless exactly on
+    it — far beyond the ~1e-16 relative division error. Deterministic in
+    ANY IEEE-754 engine, FMA or not.
+    """
+    s = F.sum(dec2(col))
+    c = F.count(F.lit(1))
+    num = (s * F.lit(2 * 10 ** n) + c).cast("double")
+    den = (c * F.lit(2)).cast("double")
+    return F.floor(num / den) / F.lit(float(10 ** n))
+
+
+def sql_pround_avg2(expr: str, n: int = 6) -> str:
+    """Shared-dialect mirror of :func:`pround_avg2` (``1e6``-style
+    literal keeps the result DOUBLE in both Spark SQL and DuckDB)."""
+    m = 10 ** n
+    return (f"floor(CAST(sum(CAST(({expr}) AS DECIMAL(18,2))) * {2 * m}"
+            f" + count(*) AS DOUBLE) / CAST(2 * count(*) AS DOUBLE)) / 1e{n}")
+
+
 def sql_pround(expr: str, n: int) -> str:
     m = float(10 ** n)
     return f"floor(({expr}) * {m!r} + 0.5) / {m!r}"

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import davg, dec2, dsum, pround
+from ..functions.rounding import davg, dec2, dsum, pround, pround_avg2
 from ..sources.tables import load_table
 
 
@@ -36,14 +36,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") < F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             # the discounted price is computed IN decimal (both factors
             # are exact 2-dp values) so the product and its sum are exact
             F.sum(dec2(F.col("l_extendedprice"))
                   * (F.lit(1) - dec2(F.col("l_discount"))))
             .cast("double").alias("sum_disc_price"),
-            pround(F.avg("l_quantity"), 6).alias("avg_qty"),
+            # integer-exact rounded mean: pround(avg) is FMA-sensitive
+            # across engines (the r1/r3 sql_pricing_summary red row)
+            pround_avg2(F.col("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
