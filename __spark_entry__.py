@@ -2102,6 +2102,77 @@ def _stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
 
 
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import dsir_scores
+    return dsir_scores(load_table(spark, "documents", sf_dir))
+
+
+def _shuffle_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import shuffle_split
+    return shuffle_split(load_table(spark, "documents", sf_dir))
+
+
+def _quota_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import quota_select
+    return quota_select(load_table(spark, "documents", sf_dir))
+
+
+def _embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.embedding_dim_stats(load_table(spark, "embeddings", sf_dir))
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank band [6, 15] per query — past the likely-positive head,
+    inside the informative-negative belt."""
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return SIM.hard_negatives(emb, queries_df, lo=6, hi=15)
+
+
+def _stream_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-ingest near-dup candidates: the augmented document stream
+    (each doc + its ' zzz' twin, built in-stream) MinHash-banded
+    per-row (stateless) and joined stream-static against the banded
+    batch index of the same corpus. Oracle: the batch band self-join
+    over the augmented corpus, ordered pairs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        neardup_candidates_stream,
+        run_stream_to_memory,
+    )
+    ensure_engine_confs(spark)
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    raw = (spark.readStream.schema(doc_schema).format("parquet")
+           .option("pathGlobFilter", "documents.parquet").load(sf_dir)
+           .select("doc_id", "text"))
+    aug = (raw.repartition(spark.sparkContext.defaultParallelism)
+           .select(F.explode(F.array(
+               F.struct(F.col("doc_id"), F.col("text")),
+               F.struct((F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" zzz")).alias("text")),
+           )).alias("r")).select("r.doc_id", "r.text"))
+    index = D.band_signatures(_aug_sigs(spark, sf_dir))
+    q = run_stream_to_memory(
+        neardup_candidates_stream(aug, index),
+        "stream_neardup_cands", output_mode="append")
+    q.stop()
+    return (spark.table("stream_neardup_cands")
+            .select("doc_id", F.col("band").cast("int").alias("band"),
+                    "cand_id")
+            .orderBy("doc_id", "band", "cand_id"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2144,6 +2215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": _stream_static_enrich,
         # --- new this round: stateless at-ingest fingerprinting ---
         "stream_winnow_fingerprints": _stream_winnow_fingerprints,
+        # --- new in the round-4 continuation: training-data prep ---
+        "dsir_scores": _dsir_scores,
+        "shuffle_split_docs": _shuffle_split_docs,
+        "quota_select_docs": _quota_select_docs,
+        "embedding_dim_stats": _embedding_dim_stats,
+        "hard_negatives": _hard_negatives,
+        "stream_neardup_candidates": _stream_neardup_candidates,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2344,16 +2422,19 @@ _R4_FRONT = [
     "orc_roundtrip", "kmeans_quality", "neardup_kcore",
     "copurchase_pagerank_weighted", "copurchase_components",
     "bpe_vocab_curve",
+    # new in the round-4 continuation (never driver-checked)
+    "dsir_scores", "shuffle_split_docs", "quota_select_docs",
+    "embedding_dim_stats", "hard_negatives", "stream_neardup_candidates",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
     "customer_order_totals", "above_avg_lineitems", "filtered_projection",
-    "top_parts_per_brand", "rollup_order_stats", "semi_anti_join_counts",
-    "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "top_parts_per_brand", "rollup_order_stats", "semi_anti_join_counts",
+    "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
     "intersect_except_customers", "quantity_band_totals",
     "top_orders_per_customer", "orders_above_global_avg",
     "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
@@ -4742,5 +4823,117 @@ FROM j GROUP BY "group" ORDER BY "group"
 SELECT doc_id, lang, n_chars FROM documents
 WHERE ({PORTABLE_HASH.format(col="'sample:v1' || CAST(doc_id AS VARCHAR)")} % 100) < {rate_case}
 ORDER BY doc_id
+"""
+    # DSIR (Xie et al. 2023): hashed unigram+bigram features, bucket
+    # log-ratios in INTEGER micro-nats (the unigram_lm discipline), so
+    # per-doc sums are exact and order-independent. Division shape
+    # mirrors the Spark expression exactly: (x/y)/(u/v).
+    _db = 4096  # curation.DSIR_BUCKETS
+    _dh = PORTABLE_HASH.format(col="'dsir:v1:' || g")
+    out["dsir_scores"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+),
+uni AS (
+  SELECT doc_id, lang, g FROM (SELECT doc_id, lang, unnest(toks) AS g FROM t)
+  WHERE length(g) > 0
+),
+bi AS (
+  SELECT doc_id, lang, w1 || ' ' || w2 AS g FROM (
+    SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM t))
+),
+feats AS (
+  SELECT doc_id, lang, ({_dh}) % {_db} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+raw AS (SELECT b, count(*) AS cnt_r FROM feats GROUP BY b),
+tgt AS (SELECT b, count(*) AS cnt_t FROM feats WHERE lang = 'en' GROUP BY b),
+tots AS (
+  SELECT (SELECT sum(cnt_r) FROM raw) AS n_r,
+         (SELECT sum(cnt_t) FROM tgt) AS n_t
+),
+lam AS (
+  SELECT r.b,
+         CAST(floor(ln(((coalesce(t.cnt_t, 0) + 0.5) / (n_t + 0.5 * {_db}))
+                       / ((r.cnt_r + 0.5) / (n_r + 0.5 * {_db})))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lam
+  FROM raw r LEFT JOIN tgt t ON t.b = r.b, tots
+),
+per_doc AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(l.lam) AS BIGINT) AS dsir_micro_nats
+  FROM feats f JOIN lam l ON l.b = f.b GROUP BY f.doc_id
+)
+SELECT d.doc_id, coalesce(p.n_feats, 0) AS n_feats,
+       coalesce(p.dsir_micro_nats, 0) AS dsir_micro_nats
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+    out["shuffle_split_docs"] = f"""
+WITH k AS (
+  SELECT doc_id,
+         {PORTABLE_HASH.format(col="'split:v1:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CASE WHEN shuffle_key % 100 < 10 THEN 'test'
+            WHEN shuffle_key % 100 < 20 THEN 'val'
+            ELSE 'train' END AS split,
+       CAST((shuffle_key // 100) % 16 AS INTEGER) AS shard
+FROM k ORDER BY doc_id
+"""
+    out["quota_select_docs"] = """
+WITH r AS (
+  SELECT doc_id, lang AS grp, CAST(n_chars AS BIGINT) AS score,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id ASC)
+              AS INTEGER) AS rk
+  FROM documents
+)
+SELECT doc_id, grp, score, rk FROM r WHERE rk <= 50 ORDER BY grp, rk
+"""
+    # per-dimension embedding stats: micro-unit integers before any
+    # aggregation; variance off exact integers with ONE double division
+    out["embedding_dim_stats"] = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS xu
+  FROM embeddings
+),
+a AS (
+  SELECT d, count(*) AS n, sum(xu) AS su,
+         sum(CAST(xu AS HUGEINT) * xu) AS ssq,
+         min(xu) AS mn_u, max(xu) AS mx_u
+  FROM x GROUP BY d
+)
+SELECT CAST(d AS INTEGER) AS d, CAST(n AS BIGINT) AS n,
+       floor((CAST(su AS DOUBLE) / n / 1000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean,
+       floor((CAST(CAST(n AS HUGEINT) * ssq - CAST(su AS HUGEINT) * su
+                   AS DOUBLE) / (n * n) / 1000000000000.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS pop_var,
+       CAST(mn_u AS DOUBLE) / 1000000.0 AS mn,
+       CAST(mx_u AS DOUBLE) / 1000000.0 AS mx
+FROM a ORDER BY d
+"""
+    out["hard_negatives"] = f"""
+WITH hn AS ({_cosine_sql("vec_id < 3", k=15, partition=True)})
+SELECT qid, vec_id, cosine, rank FROM hn WHERE rank >= 6
+ORDER BY qid, rank
+"""
+    out["stream_neardup_candidates"] = f"""
+WITH {DOCS_ALL_AUGMENTED},
+{_minhash_long_cte()},
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+  FROM sig_long GROUP BY doc_id, p // 4
+)
+SELECT a.doc_id, CAST(a.band AS INTEGER) AS band, b.doc_id AS cand_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id != b.doc_id
+ORDER BY a.doc_id, band, cand_id
 """
     return out

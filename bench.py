@@ -50,12 +50,14 @@ def main() -> None:
         "winnow_fingerprints", "winnow_near_dups", "tfidf_doc_pairs",
         "cdc_chunks", "cdc_shared_chunks", "dedup_threshold_sweep",
         "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",
+        "dsir_scores", "shuffle_split_docs", "quota_select_docs",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_multiprobe_topk",
         "ann_recall_at10", "ivf_topk", "mrl_topk", "mrl_recall_at10",
         "sq8_codes", "sq8_recall_at10",
         "kmeans_cells", "kmeans_quality", "random_projection", "rp_ann_topk",
         "pq_codes", "pq_adc_topk", "pq_trained_codes",
+        "embedding_dim_stats", "hard_negatives",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
         "chunk_documents", "bpe_merges", "bpe_token_counts",
@@ -91,6 +93,7 @@ def main() -> None:
         "stream_stream_join", "stream_static_enrich",
         "stream_winnow_fingerprints",
         "stream_doc_repetition", "stream_curation_gates",
+        "stream_neardup_candidates",
     ]
     qs = entry.queries()
 

@@ -1,0 +1,211 @@
+"""Training-data prep operators: DSIR importance scores, deterministic
+shuffle/split, per-group quota selection, embedding dimension stats,
+hard-negative mining, at-ingest near-dup candidates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_sentiment_classification_hadoop_spark_spark.operators import similarity as SIM
+from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+    dsir_scores,
+    quota_select,
+    shuffle_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- DSIR
+
+def test_dsir_prefers_target_domain(docs):
+    """The importance weight is log p_target/p_raw summed over a doc's
+    hashed n-grams: documents FROM the target slice (lang='en') must
+    score higher on average than documents outside it."""
+    s = dsir_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    rows = (s.groupBy((F.col("lang") == "en").alias("is_en"))
+            .agg(F.avg("dsir_micro_nats").alias("m")).collect())
+    means = {r["is_en"]: r["m"] for r in rows}
+    assert means[True] > means[False]
+
+
+def test_dsir_feature_count_is_unigrams_plus_bigrams(spark, docs):
+    """n_feats = non-empty unigrams + word bigrams (n-1)."""
+    row = docs.orderBy("doc_id").select("doc_id", "text").first()
+    toks = [t for t in row["text"].lower().split(" ")]
+    expected = len([t for t in toks if t]) + max(0, len(toks) - 1)
+    got = (dsir_scores(docs).filter(F.col("doc_id") == row["doc_id"])
+           .first()["n_feats"])
+    assert got == expected
+
+
+def test_dsir_invariant_under_shuffle_partitions(spark, docs):
+    """Integer micro-nat discipline: scores identical under different
+    partial-aggregation merge orders."""
+    def run():
+        return sorted(map(tuple, dsir_scores(docs).collect()))
+    base = run()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        alt = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
+
+
+# ------------------------------------------------------- shuffle/split
+
+def test_shuffle_split_membership_stable_under_growth(docs):
+    """A document's split must not change when the corpus grows — the
+    leakage-safety property hash-bucket assignment provides and
+    frac-based randomSplit does not."""
+    full = {r["doc_id"]: (r["split"], r["shard"])
+            for r in shuffle_split(docs).collect()}
+    sub = {r["doc_id"]: (r["split"], r["shard"])
+           for r in shuffle_split(docs.filter(F.col("doc_id") % 3 == 0)).collect()}
+    assert sub and all(full[k] == v for k, v in sub.items())
+
+
+def test_shuffle_split_fractions_and_ranges(docs):
+    out = shuffle_split(docs).collect()
+    n = len(out)
+    frac = {s: sum(1 for r in out if r["split"] == s) / n
+            for s in ("train", "val", "test")}
+    # hash buckets: expected 0.80 / 0.10 / 0.10 with binomial noise
+    assert 0.70 < frac["train"] < 0.90
+    assert 0.04 < frac["val"] < 0.16
+    assert 0.04 < frac["test"] < 0.16
+    assert all(0 <= r["shard"] < 16 for r in out)
+    assert len({r["shuffle_key"] for r in out}) == n  # injective order key
+
+
+# ------------------------------------------------------- quota select
+
+def test_quota_select_cap_rank_and_order(docs):
+    out = quota_select(docs, cap=20).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rows in by_grp.items():
+        assert len(rows) <= 20
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_quota_select_keeps_the_best(docs):
+    """Row at rank=cap must score >= every non-selected row of the group."""
+    cap = 10
+    sel = quota_select(docs, cap=cap)
+    worst_kept = sel.groupBy("grp").agg(F.min("score").alias("kept_min"))
+    # per group, the worst kept score bounds every dropped score
+    import collections
+    rows = docs.select("lang", "n_chars").collect()
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r["lang"]].append(r["n_chars"])
+    kept_min = {r["grp"]: r["kept_min"] for r in worst_kept.collect()}
+    for g, vals in per.items():
+        vals.sort(reverse=True)
+        dropped = vals[cap:]
+        if dropped:
+            assert kept_min[g] >= max(dropped)
+
+
+# -------------------------------------------------- embedding dim stats
+
+def test_embedding_dim_stats_against_numpy(emb):
+    import math
+
+    import numpy as np
+    out = {r["d"]: r for r in SIM.embedding_dim_stats(emb).collect()}
+    vecs = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    xu = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
+    n = vecs.shape[0]
+    for d in range(vecs.shape[1]):
+        r = out[d]
+        assert r["n"] == n
+        su = int(xu[:, d].sum())
+        ssq = int((xu[:, d].astype(object) ** 2).sum())
+        mean = math.floor((su / n / 1e6) * 1e6 + 0.5) / 1e6
+        var = math.floor(((n * ssq - su * su) / (n * n) / 1e12) * 1e6 + 0.5) / 1e6
+        assert r["mean"] == pytest.approx(mean, abs=0)
+        assert r["pop_var"] == pytest.approx(var, abs=0)
+        assert r["mn"] == xu[:, d].min() / 1e6
+        assert r["mx"] == xu[:, d].max() / 1e6
+        assert r["mn"] <= r["mean"] <= r["mx"]
+        assert r["pop_var"] >= 0
+
+
+# ------------------------------------------------------ hard negatives
+
+def test_hard_negatives_band_semantics(emb):
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = SIM.hard_negatives(emb, queries, lo=4, hi=9).collect()
+    topk = SIM.pairwise_topk_join(emb, queries, k=9).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in per_q.items():
+        ranks = [r["rank"] for r in rows]
+        assert min(ranks) >= 4 and max(ranks) <= 9
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+    # band rows are exactly the topk rows with rank >= lo
+    band_from_topk = sorted((r["qid"], r["vec_id"], r["rank"])
+                            for r in topk if r["rank"] >= 4)
+    band = sorted((r["qid"], r["vec_id"], r["rank"]) for r in out)
+    assert band == band_from_topk
+
+
+# ------------------------------------- at-ingest near-dup candidates
+
+def test_stream_neardup_candidates_match_batch_band_join(spark, sf_dir):
+    """The streaming per-row signature path must produce exactly the
+    batch band self-join (ordered pairs, no self-matches)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        neardup_candidates_stream,
+        run_stream_to_memory,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    aug = docs.unionAll(docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text")))
+    sigs = D.minhash_signatures(aug).localCheckpoint(eager=True)
+    banded = D.band_signatures(sigs)
+    a, b = banded.alias("a"), banded.alias("b")
+    batch = sorted(map(tuple,
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id"), F.col("a.band").cast("long"),
+                F.col("b.doc_id")).collect()))
+
+    doc_schema = "doc_id long, text string, lang string, source string, n_chars long"
+    raw = (spark.readStream.schema(doc_schema).format("parquet")
+           .option("pathGlobFilter", "documents.parquet").load(sf_dir)
+           .select("doc_id", "text"))
+    aug_stream = raw.select(F.explode(F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 1000000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" zzz")).alias("text")),
+    )).alias("r")).select("r.doc_id", "r.text")
+    q = run_stream_to_memory(
+        neardup_candidates_stream(aug_stream, banded),
+        "t_neardup_cands", output_mode="append")
+    q.stop()
+    got = sorted(map(tuple,
+        spark.table("t_neardup_cands")
+        .select("doc_id", F.col("band").cast("long"), "cand_id").collect()))
+    assert got == batch

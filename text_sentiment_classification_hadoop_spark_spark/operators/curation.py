@@ -209,3 +209,145 @@ def expectation_report(df: DataFrame, rules: dict[str, str]) -> DataFrame:
             .select("r.rule_order", "r.rule", "r.n_violations",
                     "r.violation_rate")
             .orderBy("rule_order"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023, arXiv:2302.03169). Public-method rebuild: hashed n-gram bag
+# features, bucketed unigram+bigram counts for a target domain vs the
+# raw corpus, per-document importance weight = sum over the doc's
+# features of log(p_target[bucket] / p_raw[bucket]).
+
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 0.5
+DSIR_SEED = "dsir:v1:"
+
+
+def dsir_scores(docs: DataFrame, target_lang: str = "en",
+                n_buckets: int = DSIR_BUCKETS, alpha: float = DSIR_ALPHA,
+                id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang") -> DataFrame:
+    """Per-document DSIR importance weight against a target domain →
+    ``(doc_id, n_feats, dsir_micro_nats)``; selection is then
+    ``ORDER BY dsir_micro_nats DESC LIMIT budget`` (or a hash-seeded
+    Gumbel top-k for the sampled variant — deterministic ranking kept
+    here so the result is oracle-checkable).
+
+    Features are unigrams + word bigrams hashed into ``n_buckets``
+    buckets (the paper's hashed n-gram generative model); the target
+    distribution here is the ``lang = target_lang`` slice — any
+    predicate-definable slice works identically. Add-``alpha``
+    smoothing on both distributions keeps every bucket finite.
+
+    Determinism contract: bucket log-ratios are INTEGER micro-nats
+    (``floor(ln(p_t/p_r)·1e6 + 0.5)``) — the document score is an exact
+    integer sum, independent of partial-aggregation order (same
+    discipline as ``text_analysis.unigram_lm``).
+
+    Scale shape: two feature passes collapse into ONE explode (union of
+    unigram/bigram arrays built per row, no second scan); bucket tables
+    are ``n_buckets``-sized — the weight table broadcasts, so scoring
+    is scan → broadcast-join → integer partial-agg. No corpus-keyed
+    shuffle other than the final doc_id aggregation. The reference has
+    no analog (pure extension; cf. SURVEY §2.11 north star).
+    """
+    from ..functions.hashing import portable_hash64, shingles_expr
+
+    low = F.lower(F.col(text_col))
+    uni = F.filter(F.split(low, " "), lambda w: F.length(w) > 0)
+    bi = shingles_expr(low, 2)
+    feats = (
+        docs.select(F.col(id_col), F.col(lang_col),
+                    F.explode(F.concat(uni, bi)).alias("g"))
+        .select(id_col, lang_col,
+                (portable_hash64(F.concat(F.lit(DSIR_SEED), F.col("g")))
+                 % F.lit(n_buckets)).alias("b"))
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgt = (feats.filter(F.col(lang_col) == target_lang)
+           .groupBy("b").agg(F.count(F.lit(1)).alias("cnt_t")))
+    totals = (raw.agg(F.sum("cnt_r").alias("n_r"))
+              .crossJoin(tgt.agg(F.sum("cnt_t").alias("n_t"))))
+    p_t = (F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(alpha)) \
+        / (F.col("n_t") + F.lit(alpha) * n_buckets)
+    p_r = (F.col("cnt_r") + F.lit(alpha)) \
+        / (F.col("n_r") + F.lit(alpha) * n_buckets)
+    lam = (raw.join(tgt, "b", "left").crossJoin(F.broadcast(totals))
+           .select("b", F.floor(F.log(p_t / p_r) * F.lit(1000000.0)
+                                + F.lit(0.5)).cast("long").alias("lam")))
+    per_doc = (feats.join(F.broadcast(lam), "b")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_feats"),
+                    F.sum("lam").alias("dsir_micro_nats")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_feats", F.lit(0)).cast("long")
+                    .alias("n_feats"),
+                    F.coalesce("dsir_micro_nats", F.lit(0)).cast("long")
+                    .alias("dsir_micro_nats"))
+            .orderBy(id_col))
+
+
+def shuffle_split(docs: DataFrame, id_col: str = "doc_id",
+                  seed: str = "split:v1", test_pct: int = 10,
+                  val_pct: int = 10, n_shards: int = 16) -> DataFrame:
+    """Deterministic global shuffle + train/val/test assignment →
+    ``(doc_id, shuffle_key, split, shard)`` — the step that turns a
+    curated corpus into training shards.
+
+    The shuffle IS the hash: ``shuffle_key = portable_hash64(seed ‖
+    doc_id)`` defines a pseudo-random total order with zero RNG state —
+    stable under re-runs, engine-portable, and new documents interleave
+    uniformly instead of appending at the end. Split membership uses
+    ``key % 100`` (test < test_pct ≤ val < test+val ≤ train) so a
+    document NEVER migrates between splits when the corpus grows — the
+    leakage-safety property frac-based ``randomSplit`` lacks. Shard =
+    the next two key digits, independent of the split digits.
+
+    Scale: one narrow pass — no shuffle at all. A writer materializes
+    the physical order via ``repartition(n_shards, shard)
+    .sortWithinPartitions(shuffle_key)``: one exchange, per-shard
+    sorted files, never a global sort.
+    """
+    from ..functions.hashing import portable_hash64
+    key = portable_hash64(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    d = docs.select(F.col(id_col), key.alias("shuffle_key"))
+    bucket = F.col("shuffle_key") % 100
+    split = (F.when(bucket < test_pct, F.lit("test"))
+             .when(bucket < test_pct + val_pct, F.lit("val"))
+             .otherwise(F.lit("train")))
+    shard = F.expr(f"(shuffle_key div 100) % {int(n_shards)}")
+    return (d.select(id_col, "shuffle_key", split.alias("split"),
+                     shard.cast("int").alias("shard"))
+            .orderBy(id_col))
+
+
+def quota_select(docs: DataFrame, cap: int = 50, group_col: str = "lang",
+                 score_col: str = "n_chars",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-group quota selection → ``(doc_id, group, score, rk)``: keep
+    the ``cap`` best documents of each group (here: longest per
+    language — any precomputed score column plugs in, e.g.
+    ``lm_quality_score`` or ``dsir_scores`` output joined on doc_id).
+    The balancing step that stops a dominant domain/language from
+    swamping the mixture before ``mixture_sample`` reweights epochs.
+
+    Shape: one window (`row_number` partitioned by group, ordered by
+    score desc / id asc — deterministic under ties) over a
+    group-keyed exchange; partial ranks never materialize beyond the
+    cap filter. Per-group skew is bounded by the groups themselves —
+    for a pathological single-group corpus, pre-aggregate a per-group
+    count and salt the window's partition key the same way
+    ``skew.word_counts_salted`` salts the hot token.
+    """
+    from pyspark.sql import Window
+    return (docs.select(F.col(id_col), F.col(group_col).alias("grp"),
+                        F.col(score_col).cast("long").alias("score"))
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("grp").orderBy(
+                    F.col("score").desc(), F.col(id_col).asc())))
+            .filter(F.col("rk") <= cap)
+            .select(id_col, "grp", "score",
+                    F.col("rk").cast("int").alias("rk"))
+            .orderBy("grp", "rk"))

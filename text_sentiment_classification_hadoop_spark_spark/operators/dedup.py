@@ -86,18 +86,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        num_perm: int = DEFAULT_NUM_PERM,
-                        bands: int = DEFAULT_BANDS) -> DataFrame:
-    """Band the signatures and self-join on (band, band-hash) →
-    candidate pairs ``(id_a, id_b)`` with ``id_a < id_b``, distinct.
-
-    The join key is (band_idx, md5 of the band's rows) — collisions are
-    real near-dup candidates, so join fan-out is data-dependent, not
-    quadratic. At scale: the banded table is the only shuffle, keyed on
-    the band hash (uniform)."""
+def band_signatures(sigs: DataFrame, id_col: str = "doc_id",
+                    num_perm: int = DEFAULT_NUM_PERM,
+                    bands: int = DEFAULT_BANDS) -> DataFrame:
+    """LSH banding of a signature table → ``(id, band, bucket)`` where
+    ``bucket`` is the md5 of the band's signature rows. Pure narrow
+    expression (works on batch AND streaming frames — the banding step
+    of :func:`lsh_candidate_pairs` and the at-ingest candidate lookup
+    ``streaming.pipeline.neardup_candidates_stream`` share it)."""
     rows_per_band = num_perm // bands
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -110,6 +108,19 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        num_perm: int = DEFAULT_NUM_PERM,
+                        bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash) →
+    candidate pairs ``(id_a, id_b)`` with ``id_a < id_b``, distinct.
+
+    The join key is (band_idx, md5 of the band's rows) — collisions are
+    real near-dup candidates, so join fan-out is data-dependent, not
+    quadratic. At scale: the banded table is the only shuffle, keyed on
+    the band hash (uniform)."""
+    banded = band_signatures(sigs, id_col, num_perm, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -790,3 +790,73 @@ def kmeans_quality(emb: DataFrame, k: int = 8, iters: int = 2,
              F.sum("_cm").alias("sum_cos_micro"))
         .orderBy("cell_id")
     )
+
+
+def embedding_dim_stats(emb: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension corpus statistics over an embedding column →
+    ``(d, n, mean, pop_var, mn, mx)`` — the health check run before
+    quantization (SQ8/PQ bounds sanity, dead-dimension detection,
+    whitening decisions).
+
+    Determinism contract: components quantize to INTEGER micro-units
+    before aggregation (the ``group_centroids`` discipline), so sums
+    and sums-of-squares are exact integers — order-independent across
+    partitioning and engines. Sum-of-squares accumulates in
+    DECIMAL(38,0): micro-unit squares are ~1e12-1e14 each, so a BIGINT
+    accumulator overflows near 1e5 rows — decimal is exact to 1e38
+    (≈1e24 rows). Population variance then comes off the exact
+    integers with one double division: (n·Σx² − (Σx)²) / n² / 1e12.
+
+    Shape: posexplode ×dims → one (d)-keyed partial-agg shuffle whose
+    width is dims, not corpus size. At 100 TB this is the map-side-
+    combine pattern; nothing driver-sized anywhere.
+    """
+    xu = F.posexplode(
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(1000000.0)
+                                      + F.lit(0.5)).cast("long")))
+    long_form = emb.select(xu.alias("d", "xu"))
+    agg = long_form.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xu").alias("_su"),
+        F.sum((F.col("xu") * F.col("xu")).cast("decimal(38,0)")).alias("_ssq"),
+        F.min("xu").alias("_mn"),
+        F.max("xu").alias("_mx"),
+    )
+    n = F.col("n")
+    var_num = (n.cast("decimal(38,0)") * F.col("_ssq")
+               - (F.col("_su").cast("decimal(38,0)")
+                  * F.col("_su").cast("decimal(38,0)")))
+    return (agg.select(
+        F.col("d").cast("int").alias("d"),
+        n.cast("long").alias("n"),
+        pround(F.col("_su").cast("double") / n / F.lit(1000000.0), 6)
+        .alias("mean"),
+        pround(var_num.cast("double") / (n * n)
+               / F.lit(1e12), 6).alias("pop_var"),
+        (F.col("_mn").cast("double") / F.lit(1000000.0)).alias("mn"),
+        (F.col("_mx").cast("double") / F.lit(1000000.0)).alias("mx"))
+        .orderBy("d"))
+
+
+def hard_negatives(emb: DataFrame, queries: DataFrame, lo: int = 11,
+                   hi: int = 20, id_col: str = "vec_id",
+                   vec_col: str = "embedding", qid_col: str = "qid",
+                   qvec_col: str = "qvec") -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training →
+    ``(qid, vec_id, cosine, rank)`` keeping cosine ranks in
+    ``[lo, hi]`` per query: close enough to be informative negatives,
+    far enough to (probabilistically) not be unlabeled positives — the
+    standard band heuristic for dense-retriever training data.
+
+    Pure reuse of :func:`pairwise_topk_join` (broadcast queries ×
+    corpus scan, per-qid window top-k) with the band filter applied to
+    the same deterministic rank; one query-keyed exchange, corpus never
+    re-partitioned per query.
+    """
+    topk = pairwise_topk_join(emb, queries, k=hi, id_col=id_col,
+                              vec_col=vec_col, qid_col=qid_col,
+                              qvec_col=qvec_col)
+    return (topk.filter(F.col("rank") >= lo)
+            .orderBy(qid_col, "rank"))

@@ -404,3 +404,48 @@ def read_count_store(spark: SparkSession, store_dir: str) -> DataFrame:
         if d.startswith("v") and d[1:].isdigit()
         and os.path.exists(os.path.join(store_dir, d, "_SUCCESS")))
     return spark.read.parquet(os.path.join(store_dir, versions[-1]))
+
+
+def neardup_candidates_stream(doc_stream: DataFrame, banded_index: DataFrame,
+                              k: int = 3, num_perm: int = 16,
+                              bands: int = 4, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """At-ingest near-dup candidate lookup: each arriving document is
+    MinHash-signed and LSH-banded STATELESSLY (per-row expression — no
+    streaming aggregation, no state store), then joined stream-static
+    against the banded index of the existing corpus →
+    ``(doc_id, band, cand_id)`` rows for every bucket collision.
+
+    This is the production shape for incremental dedup at ingest:
+    signatures/bands for history live in a (periodically compacted)
+    index table; a new document only ever touches the band buckets it
+    collides with. Append-mode-safe (stateless narrow ops + inner
+    stream-static join); the dedup DECISION (verify Jaccard, pick
+    canonical) stays in the batch layer where both sides' signatures
+    are available.
+
+    The per-row signature expression is bit-identical to the batch
+    ``dedup.minhash_signatures`` aggregate (same shingles, same affine
+    maps, same empty-doc sentinel), so the batch band self-join is the
+    oracle. The banded index side arrives pre-banded via
+    ``dedup.band_signatures`` — the stream never recomputes history.
+    """
+    from ..functions.hashing import minhash_expr, portable_hash64, shingles_expr
+    from ..operators.dedup import band_signatures
+
+    # hoist the shingle-hash array into its own projection: expressions
+    # referenced inside HOF lambdas are inlined with no CSE, so handing
+    # minhash_expr the raw transform would recompute every md5 once per
+    # permutation (16×) — the winnowing O(m²) lesson
+    hashed = doc_stream.select(
+        F.col(id_col),
+        F.transform(shingles_expr(F.col(text_col), k=k),
+                    lambda s: portable_hash64(s)).alias("_h"))
+    signed = hashed.select(F.col(id_col),
+                           minhash_expr(F.col("_h"), num_perm).alias("sig"))
+    banded = band_signatures(signed, id_col, num_perm, bands)
+    idx = banded_index.select(F.col(id_col).alias("cand_id"),
+                              "band", "bucket")
+    return (banded.join(idx, ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("cand_id"))
+            .select(id_col, "band", "cand_id"))
