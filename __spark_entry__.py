@@ -2131,6 +2131,16 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, queries_df, lo=6, hi=15)
 
 
+def _mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import mixture_token_plan
+    return mixture_token_plan(load_table(spark, "documents", sf_dir))
+
+
+def _training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import training_manifest
+    return training_manifest(load_table(spark, "documents", sf_dir))
+
+
 def _stream_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-ingest near-dup candidates: the augmented document stream
     (each doc + its ' zzz' twin, built in-stream) MinHash-banded
@@ -2222,6 +2232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": _embedding_dim_stats,
         "hard_negatives": _hard_negatives,
         "stream_neardup_candidates": _stream_neardup_candidates,
+        "mixture_token_plan": _mixture_token_plan,
+        "training_manifest": _training_manifest,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2425,14 +2437,16 @@ _R4_FRONT = [
     # new in the round-4 continuation (never driver-checked)
     "dsir_scores", "shuffle_split_docs", "quota_select_docs",
     "embedding_dim_stats", "hard_negatives", "stream_neardup_candidates",
+    "mixture_token_plan", "training_manifest",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
-    "customer_order_totals", "above_avg_lineitems", "filtered_projection",
+    "customer_order_totals",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "above_avg_lineitems", "filtered_projection",
     "top_parts_per_brand", "rollup_order_stats", "semi_anti_join_counts",
     "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
     "intersect_except_customers", "quantity_band_totals",
@@ -4935,5 +4949,49 @@ SELECT a.doc_id, CAST(a.band AS INTEGER) AS band, b.doc_id AS cand_id
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id != b.doc_id
 ORDER BY a.doc_id, band, cand_id
+"""
+    # largest-remainder apportionment in BIGINT: Σw = 4000 mills,
+    # budget 1e6 tokens; targets sum to exactly the budget
+    out["mixture_token_plan"] = """
+WITH stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+                                  t -> length(t) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w(lang, w_mill) AS (
+  VALUES ('en', 1500), ('de', 1000), ('fr', 750), ('es', 500), ('zh', 250)
+),
+j AS (
+  SELECT s.lang, s.n_docs, s.n_tokens, w.w_mill
+  FROM stats s JOIN w USING (lang)
+),
+p AS (
+  SELECT lang, n_docs, n_tokens, w_mill,
+         (1000000 * w_mill) // 4000 AS base,
+         (1000000 * w_mill) % 4000 AS rem
+  FROM j
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, lang ASC) AS BIGINT) AS rk,
+         (SELECT 1000000 - sum(base) FROM p) AS leftover
+  FROM p
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(w_mill AS DOUBLE) / 1000.0 AS w,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS target_tokens,
+       CAST((CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             * 1000000) // n_tokens AS BIGINT) AS epochs_micro
+FROM r ORDER BY lang
+"""
+    out["training_manifest"] = f"""
+WITH q AS ({out["quota_select_docs"]}),
+ds AS ({out["dsir_scores"]}),
+sp AS ({out["shuffle_split_docs"]})
+SELECT q.doc_id, q.grp AS lang, q.score AS n_chars, q.rk,
+       ds.dsir_micro_nats, sp.split, sp.shard
+FROM q JOIN ds USING (doc_id) JOIN sp USING (doc_id)
+ORDER BY q.doc_id
 """
     return out

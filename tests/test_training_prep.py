@@ -209,3 +209,49 @@ def test_stream_neardup_candidates_match_batch_band_join(spark, sf_dir):
         spark.table("t_neardup_cands")
         .select("doc_id", F.col("band").cast("long"), "cand_id").collect()))
     assert got == batch
+
+
+# --------------------------------------------------- mixture token plan
+
+def test_mixture_token_plan_exact_apportionment(docs):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        mixture_token_plan,
+    )
+    rows = mixture_token_plan(docs, budget_tokens=999_983).collect()
+    # largest-remainder: targets sum to EXACTLY the budget (prime budget
+    # exercises the remainder distribution)
+    assert sum(r["target_tokens"] for r in rows) == 999_983
+    for r in rows:
+        # epochs_micro is the fixed-point oversampling factor
+        assert r["epochs_micro"] == (r["target_tokens"] * 1_000_000) // r["n_tokens"]
+        assert r["n_docs"] > 0 and r["n_tokens"] > 0
+
+
+def test_mixture_token_plan_proportionality(docs):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        mixture_token_plan,
+    )
+    rows = {r["lang"]: r for r in mixture_token_plan(docs).collect()}
+    # weight ratio en:zh is 6:1 — target ratio must match within the
+    # ±1-token largest-remainder wobble
+    assert abs(rows["en"]["target_tokens"] - 6 * rows["zh"]["target_tokens"]) <= 6
+
+
+# ----------------------------------------------------- training manifest
+
+def test_training_manifest_composes_components(docs):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        dsir_scores,
+        quota_select,
+        shuffle_split,
+        training_manifest,
+    )
+    man = {r["doc_id"]: r for r in training_manifest(docs, cap=15).collect()}
+    q = {r["doc_id"]: r for r in quota_select(docs, cap=15).collect()}
+    assert set(man) == set(q)
+    ds = {r["doc_id"]: r["dsir_micro_nats"] for r in dsir_scores(docs).collect()}
+    sp = {r["doc_id"]: (r["split"], r["shard"]) for r in shuffle_split(docs).collect()}
+    for did, r in man.items():
+        assert r["rk"] == q[did]["rk"] and r["lang"] == q[did]["grp"]
+        assert r["dsir_micro_nats"] == ds[did]
+        assert (r["split"], r["shard"]) == sp[did]

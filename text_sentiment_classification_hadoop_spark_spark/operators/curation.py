@@ -11,7 +11,7 @@ joins, which co-partition after the first exchange. See SCALE.md §5.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup as D
@@ -351,3 +351,89 @@ def quota_select(docs: DataFrame, cap: int = 50, group_col: str = "lang",
             .select(id_col, "grp", "score",
                     F.col("rk").cast("int").alias("rk"))
             .orderBy("grp", "rk"))
+
+
+def mixture_token_plan(docs: DataFrame, weights=None,
+                       budget_tokens: int = 1_000_000,
+                       id_col: str = "doc_id", lang_col: str = "lang",
+                       text_col: str = "text") -> DataFrame:
+    """Token-budget mixture planning → per-language
+    ``(lang, n_docs, n_tokens, w, target_tokens, epochs_micro)``:
+    given target mixture weights and a total training-token budget,
+    how many tokens each language should contribute
+    (``target = budget · w/Σw``, largest-remainder exact: targets sum
+    to EXACTLY the budget) and the oversampling factor that implies
+    (``epochs_micro = target·1e6 div n_tokens`` — fixed-point so the
+    plan is integer-deterministic).
+
+    The planning input is one corpus pass (whitespace token counts per
+    language, map-side combined into ≤|languages| rows); everything
+    after operates on the broadcast-sized language table. The output
+    feeds :func:`mixture_sample` (whose per-doc epoch gate realizes
+    the plan) and ``text_analysis.pack_sequences``.
+
+    Largest-remainder apportionment in pure BIGINT: base share
+    ``(budget·w_i) div Σw`` with weights scaled to integers (×1000),
+    then +1 token to the languages with the largest remainders (ties →
+    lang order) until the budget is exact — the same discipline as the
+    multi-touch credit split.
+    """
+    if weights is None:
+        weights = MIXTURE_WEIGHTS
+    w_int = [(lang, int(round(w * 1000))) for lang, w in weights]
+    w_df = docs.sparkSession.createDataFrame(
+        w_int, f"{lang_col} string, w_mill long")
+    total_w = sum(w for _, w in w_int)
+
+    stats = (docs.select(F.col(lang_col),
+                         F.size(F.filter(F.split(F.col(text_col), " "),
+                                         lambda t: F.length(t) > 0))
+                         .cast("long").alias("_nt"))
+             .groupBy(lang_col)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("_nt").alias("n_tokens")))
+    j = stats.join(F.broadcast(w_df), lang_col, "inner")
+    b, tw = int(budget_tokens), int(total_w)
+    base = F.expr(f"({b}L * w_mill) div {tw}L")
+    rem = F.expr(f"({b}L * w_mill) % {tw}L")
+    wnd = Window.orderBy(F.col("_rem").desc(), F.col(lang_col).asc())
+    leftover = F.lit(b) - F.sum("_base").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    planned = (j.withColumn("_base", base).withColumn("_rem", rem)
+               .withColumn("_rk", F.row_number().over(wnd))
+               .withColumn("_extra",
+                           F.when(F.col("_rk") <= leftover, F.lit(1))
+                           .otherwise(F.lit(0)))
+               .withColumn("target_tokens", F.col("_base") + F.col("_extra")))
+    return (planned.select(
+        F.col(lang_col).alias("lang"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("w_mill").cast("double") / F.lit(1000.0)).alias("w"),
+        F.col("target_tokens").cast("long").alias("target_tokens"),
+        F.expr("(target_tokens * 1000000) div n_tokens").cast("long")
+        .alias("epochs_micro"))
+        .orderBy("lang"))
+
+
+def training_manifest(docs: DataFrame, cap: int = 50,
+                      id_col: str = "doc_id") -> DataFrame:
+    """The end-to-end data-prep pass, composed from the verified
+    parts → ``(doc_id, lang, n_chars, rk, dsir_micro_nats, split,
+    shard)``: per-language quota selection (:func:`quota_select`),
+    DSIR importance score carried along for downstream weighting
+    (:func:`dsir_scores`), deterministic split/shard assignment
+    (:func:`shuffle_split`). ``filter(split = 'train') ORDER BY
+    shuffle order`` is the shard writer's input.
+
+    Composition adds only ``doc_id``-keyed joins — co-partitioned
+    after the first exchange, no new shuffle classes; each component
+    keeps its own scale story."""
+    q = quota_select(docs, cap=cap)
+    ds = dsir_scores(docs).select(id_col, "dsir_micro_nats")
+    sp = shuffle_split(docs).select(id_col, "split", "shard")
+    return (q.select(F.col(id_col), F.col("grp").alias("lang"),
+                     F.col("score").alias("n_chars"), "rk")
+            .join(ds, id_col).join(sp, id_col)
+            .orderBy(id_col))

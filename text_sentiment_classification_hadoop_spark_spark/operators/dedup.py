@@ -579,7 +579,11 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         plane_offset=b * n_planes)
         for b in range(n_bands)
     ])
-    banded = emb.select(
+    # widen BEFORE the self-join: the candidate verify is CPU-bound
+    # (a 64-dim dot per pair), but AQE coalesces the tiny-BYTES banded
+    # exchange down to a few partitions — measured 3 tasks on 32 cores,
+    # 5.4 s → 4.0 s at sf0.1 with the explicit spread
+    banded = widen(emb).select(
         F.col(id_col), F.col(vec_col),
         norm_expr(F.col(vec_col)).alias("_nrm"),
         F.posexplode(band_buckets).alias("band", "bucket"))
