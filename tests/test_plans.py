@@ -200,3 +200,47 @@ def test_integer_discipline_invariant_under_shuffle_partitions(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == alt
+
+
+def test_dsir_weight_join_is_broadcast_and_no_cartesian(spark, sf_dir):
+    """The bucket weight table (n_buckets rows) must broadcast onto the
+    feature explode; nothing in the plan may be a cartesian product."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import dsir_scores
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    plan = plan_string(dsir_scores(load_table(spark, "documents", sf_dir)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_split_is_shuffle_free(spark, sf_dir):
+    """Split/shard assignment is a pure narrow hash pass — the only
+    allowed exchange is the presentation orderBy's range partitioning."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import shuffle_split
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    plan = plan_string(shuffle_split(load_table(spark, "documents", sf_dir)))
+    assert "hashpartitioning" not in plan  # no shuffle beyond the sort
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_quota_select_single_exchange(spark, sf_dir):
+    """One group-keyed hash exchange for the window; no join at all."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import quota_select
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    plan = plan_string(quota_select(load_table(spark, "documents", sf_dir)))
+    assert plan.count("hashpartitioning(grp") >= 1  # the window exchange
+    # exactly one hash exchange overall (the formatted plan names the
+    # partitioning in the Exchange node's Arguments detail line)
+    ex_args = [ln for ln in plan.splitlines()
+               if "hashpartitioning" in ln and "rangepartitioning" not in ln]
+    assert len(ex_args) == 1, ex_args
+    assert "Join" not in plan
+
+
+def test_embedding_dim_stats_partial_aggregates(spark, sf_dir):
+    """The (d)-keyed rollup must combine map-side so the shuffle is
+    dims-sized, not corpus-sized."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import embedding_dim_stats
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    plan = plan_string(embedding_dim_stats(load_table(spark, "embeddings", sf_dir)))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
