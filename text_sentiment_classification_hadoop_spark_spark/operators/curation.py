@@ -272,7 +272,8 @@ def dsir_scores(docs: DataFrame, target_lang: str = "en",
         / (F.col("n_t") + F.lit(alpha) * n_buckets)
     p_r = (F.col("cnt_r") + F.lit(alpha)) \
         / (F.col("n_r") + F.lit(alpha) * n_buckets)
-    lam = (raw.join(tgt, "b", "left").crossJoin(F.broadcast(totals))
+    lam = (raw.join(F.broadcast(tgt), "b", "left")
+           .crossJoin(F.broadcast(totals))
            .select("b", F.floor(F.log(p_t / p_r) * F.lit(1000000.0)
                                 + F.lit(0.5)).cast("long").alias("lam")))
     per_doc = (feats.join(F.broadcast(lam), "b")

@@ -98,6 +98,17 @@ SHOWCASE = [
     ("dedup_threshold_sweep",
      "candidates computed once at threshold 0, full-outer fused with "
      "md5 truth pairs, constant-size threshold explode -> one agg"),
+    ("dsir_scores",
+     "DSIR: one union'd n-gram explode, 4096-row bucket tables, "
+     "broadcast weight join, integer micro-nat partial-agg sums; the "
+     "only SMJ is the corpus-sized doc_id join-back"),
+    ("shuffle_split_docs",
+     "deterministic split/shard assignment as a pure narrow hash "
+     "pass — zero hash exchanges"),
+    ("stream_neardup_candidates",
+     "at-ingest LSH lookup: stateless per-row MinHash (shingle-hash "
+     "array hoisted out of the per-perm lambdas) + stream-static "
+     "band-index join"),
 ]
 
 
