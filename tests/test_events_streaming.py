@@ -376,3 +376,49 @@ def test_stream_static_enrich_matches_batch(spark, events_path):
         ("UNKNOWN", "view"): (1, 5.0),
         ("UNKNOWN", "click"): (1, 6.0),
     }
+
+
+def test_incremental_band_index_store(spark, tmp_path):
+    """Band-index maintenance: appended band rows across restarted
+    streams equal the batch band_signatures of all ingested docs, and
+    an idle re-run appends nothing."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    from text_sentiment_classification_hadoop_spark_spark.streaming import pipeline as P
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "band_store")
+    schema = "doc_id long, text string"
+    batch1 = [(1, "alpha beta gamma delta epsilon"),
+              (2, "alpha beta gamma delta epsilon")]
+    batch2 = [(3, "one two three four five six")]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    P.incremental_band_index_to_store(
+        spark.readStream.schema(schema).parquet(src), store)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    P.incremental_band_index_to_store(
+        spark.readStream.schema(schema).parquet(src), store)
+    # idle re-run: no new files -> store unchanged
+    n_before = spark.read.parquet(store).count()
+    P.incremental_band_index_to_store(
+        spark.readStream.schema(schema).parquet(src), store)
+    assert spark.read.parquet(store).count() == n_before
+
+    got = sorted(map(tuple, spark.read.parquet(store)
+                 .select("doc_id", "band", "bucket").collect()))
+    all_docs = spark.createDataFrame(batch1 + batch2, schema)
+    want = sorted(map(tuple,
+        D.band_signatures(D.minhash_signatures(all_docs))
+        .select("doc_id", "band", "bucket").collect()))
+    assert got == want
+
+    # the stored index drives the at-ingest lookup: docs 1 and 2 are
+    # exact duplicates, so every band collides — they must surface as
+    # each other's candidates deterministically
+    idx = spark.read.parquet(store).select("doc_id", "band", "bucket")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = P.run_stream_to_memory(
+        P.neardup_candidates_stream(stream, idx),
+        "band_store_lookup", output_mode="append")
+    q.stop()
+    cands = {(r["doc_id"], r["cand_id"])
+             for r in spark.table("band_store_lookup").collect()}
+    assert (1, 2) in cands and (2, 1) in cands

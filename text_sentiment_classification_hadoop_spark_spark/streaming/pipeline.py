@@ -430,22 +430,74 @@ def neardup_candidates_stream(doc_stream: DataFrame, banded_index: DataFrame,
     oracle. The banded index side arrives pre-banded via
     ``dedup.band_signatures`` — the stream never recomputes history.
     """
+    banded = band_stream(doc_stream, k, num_perm, bands, id_col, text_col)
+    idx = banded_index.select(F.col(id_col).alias("cand_id"),
+                              "band", "bucket")
+    return (banded.join(idx, ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("cand_id"))
+            .select(id_col, "band", "cand_id"))
+
+
+def band_stream(doc_stream: DataFrame, k: int = 3, num_perm: int = 16,
+                bands: int = 4, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stateless per-row MinHash banding of a document stream →
+    ``(id, band, bucket)`` — the shared front half of
+    :func:`neardup_candidates_stream` (lookup) and
+    :func:`incremental_band_index_to_store` (index maintenance).
+    The shingle-hash array is hoisted into its own projection (HOF
+    lambdas inline with no CSE — the winnowing lesson)."""
     from ..functions.hashing import minhash_expr, portable_hash64, shingles_expr
     from ..operators.dedup import band_signatures
 
-    # hoist the shingle-hash array into its own projection: expressions
-    # referenced inside HOF lambdas are inlined with no CSE, so handing
-    # minhash_expr the raw transform would recompute every md5 once per
-    # permutation (16×) — the winnowing O(m²) lesson
     hashed = doc_stream.select(
         F.col(id_col),
         F.transform(shingles_expr(F.col(text_col), k=k),
                     lambda s: portable_hash64(s)).alias("_h"))
     signed = hashed.select(F.col(id_col),
                            minhash_expr(F.col("_h"), num_perm).alias("sig"))
-    banded = band_signatures(signed, id_col, num_perm, bands)
-    idx = banded_index.select(F.col(id_col).alias("cand_id"),
-                              "band", "bucket")
-    return (banded.join(idx, ["band", "bucket"])
-            .filter(F.col(id_col) != F.col("cand_id"))
-            .select(id_col, "band", "cand_id"))
+    return band_signatures(signed, id_col, num_perm, bands)
+
+
+def incremental_band_index_to_store(doc_stream: DataFrame, store_dir: str,
+                                    k: int = 3, num_perm: int = 16,
+                                    bands: int = 4, id_col: str = "doc_id",
+                                    text_col: str = "text",
+                                    query_name: str = "band_index"):
+    """Incrementally maintained LSH band index — the persistent side of
+    the at-ingest dedup deployment: every arriving document's band rows
+    append to the store that :func:`neardup_candidates_stream` probes,
+    so history never recomputes and the index is always one micro-batch
+    behind ingest.
+
+    Band rows are immutable facts keyed by document, so the store is
+    APPEND-only (no merge): exactly-once comes from the same
+    ``batch_id``-stamp + replay-filter guard as
+    :func:`incremental_dedup_to_store` — a replayed batch whose
+    ``batch_id`` already appears in the store is a no-op. At scale the
+    store is bucketed by ``bucket`` so the candidate probe join is
+    exchange-free on the index side; compaction rewrites old batch
+    files without touching the guard column. Returns the finished
+    StreamingQuery."""
+    import os
+
+    banded = band_stream(doc_stream, k, num_perm, bands, id_col, text_col)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.isdir(store_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(store_dir)):
+            seen = spark.read.parquet(store_dir)
+            if (seen.filter(F.col("batch_id") == batch_id).limit(1)
+                    .count() > 0):
+                return  # replay of a committed batch — no-op
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(store_dir))
+
+    q = (banded.writeStream.foreachBatch(write_batch)
+         .queryName(query_name)
+         .option("checkpointLocation", store_dir + "_ckpt")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120.0)
+    return q
