@@ -367,6 +367,67 @@ SELECT * FROM ranked WHERE rank <= {k} ORDER BY {qid_out}rank
 """
 
 
+def _mmr_sql(n: int = 20, k: int = 5, lam: int = 700) -> str:
+    """Unrolled k-step MMR greedy (mirrors ``similarity.mmr_rerank``):
+    exact top-n candidates, integer micro-cosine pair similarities,
+    then one CTE pair per selection step (score → argmax with min-id
+    tie-break). Loop-carried CTEs are MATERIALIZED — DuckDB otherwise
+    re-expands the chain into exponentially many scans (the BPE
+    lesson)."""
+    parts = [
+        f"cand AS MATERIALIZED ({_cosine_sql('vec_id = 0', k=n, partition=False)})",
+        """el AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand))""",
+        """prods2 AS (
+  SELECT p.ia, p.ib, sum(xa.x * xb.x) AS dot,
+         sum(xa.x * xa.x) AS na2, sum(xb.x * xb.x) AS nb2
+  FROM (SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM cand a JOIN cand b ON a.vec_id < b.vec_id) p
+  JOIN el xa ON xa.vec_id = p.ia
+  JOIN el xb ON xb.vec_id = p.ib AND xb.d = xa.d
+  GROUP BY p.ia, p.ib)""",
+        """sims AS MATERIALIZED (
+  SELECT ia, ib,
+         CAST(floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5)
+              AS BIGINT) AS sm
+  FROM prods2
+  UNION ALL
+  SELECT ib, ia,
+         CAST(floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5)
+              AS BIGINT)
+  FROM prods2)""",
+        """cm AS MATERIALIZED (
+  SELECT vec_id, CAST(floor(cosine * 1000000.0 + 0.5) AS BIGINT) AS rel
+  FROM cand)""",
+        f"""sel1 AS MATERIALIZED (
+  SELECT vec_id, 1 AS rank, {lam} * rel AS score
+  FROM cm ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        parts.append(f"""st{t} AS (
+  SELECT c.vec_id, {lam} * c.rel - {1000 - lam} * max(s.sm) AS score
+  FROM cm c
+  JOIN sims s ON s.ia = c.vec_id
+             AND s.ib IN (SELECT vec_id FROM {prev})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY c.vec_id, c.rel)""")
+        parts.append(f"""sel{t} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT vec_id, {t} AS rank, score
+  FROM (SELECT vec_id, score FROM st{t}
+        ORDER BY score DESC, vec_id LIMIT 1))""")
+    return ("WITH " + ",\n".join(parts)
+            + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+       CAST(score AS BIGINT) AS mmr_score_nano
+FROM sel{k} ORDER BY rank
+""")
+
+
 def _svm_declared_sql(epochs: int = EPOCHS, lam: float = LAMBDA) -> str:
     """Unrolled 5-epoch SQL mirror of ``svm.svm_train_declared`` (M4):
     each epoch's margin/violation/gradient/decay CTEs chained on the
@@ -2131,6 +2192,13 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, queries_df, lo=6, hi=15)
 
 
+def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank of the query-0 top-20 (λ=0.7, k=5);
+    oracle is the unrolled 5-step greedy in SQL."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.mmr_rerank(emb, _query_vec(spark, sf_dir, 0))
+
+
 def _mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import mixture_token_plan
     return mixture_token_plan(load_table(spark, "documents", sf_dir))
@@ -2234,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_neardup_candidates": _stream_neardup_candidates,
         "mixture_token_plan": _mixture_token_plan,
         "training_manifest": _training_manifest,
+        "mmr_rerank": _mmr_rerank,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2437,15 +2506,15 @@ _R4_FRONT = [
     # new in the round-4 continuation (never driver-checked)
     "dsir_scores", "shuffle_split_docs", "quota_select_docs",
     "embedding_dim_stats", "hard_negatives", "stream_neardup_candidates",
-    "mixture_token_plan", "training_manifest",
+    "mixture_token_plan", "training_manifest", "mmr_rerank",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
     "conditional_counts", "union_paths", "global_sort_orders",
-    "customer_order_totals",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "customer_order_totals",
     "above_avg_lineitems", "filtered_projection",
     "top_parts_per_brand", "rollup_order_stats", "semi_anti_join_counts",
     "orders_by_month", "cube_order_stats", "grouping_sets_order_stats",
@@ -4994,4 +5063,5 @@ SELECT q.doc_id, q.grp AS lang, q.score AS n_chars, q.rk,
 FROM q JOIN ds USING (doc_id) JOIN sp USING (doc_id)
 ORDER BY q.doc_id
 """
+    out["mmr_rerank"] = _mmr_sql()
     return out

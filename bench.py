@@ -58,7 +58,7 @@ def main() -> None:
         "sq8_codes", "sq8_recall_at10",
         "kmeans_cells", "kmeans_quality", "random_projection", "rp_ann_topk",
         "pq_codes", "pq_adc_topk", "pq_trained_codes",
-        "embedding_dim_stats", "hard_negatives",
+        "embedding_dim_stats", "hard_negatives", "mmr_rerank",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
         "chunk_documents", "bpe_merges", "bpe_token_counts",

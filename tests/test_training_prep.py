@@ -255,3 +255,45 @@ def test_training_manifest_composes_components(docs):
         assert r["rk"] == q[did]["rk"] and r["lang"] == q[did]["grp"]
         assert r["dsir_micro_nats"] == ds[did]
         assert (r["split"], r["shard"]) == sp[did]
+
+
+# ------------------------------------------------------------ MMR
+
+def test_mmr_skips_near_copies_plain_topk_keeps(spark, emb):
+    """Plant an exact copy of the best hit: plain top-k returns both
+    copies back-to-back; diversity-weighted MMR (λ=0.3, penalty
+    dominates: the copy scores λ·1 − (1−λ)·1 < λ·rel − (1−λ)·rel for
+    any other candidate) must not select the copy second."""
+    import pyspark.sql.functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label")
+    aug = emb.unionAll(twin)
+    top = [r["vec_id"] for r in cosine_topk(aug, q, k=5).collect()]
+    assert set(top[:2]) == {0, 900000}  # plain ranking keeps the copy
+    sel = mmr_rerank(aug, q, k=5, lam_mill=300)
+    rows = sel.orderBy("rank").collect()
+    ids = [r["vec_id"] for r in rows]
+    # the copy has max_sim = 1.0 to the first pick -> heavily penalized
+    assert ids[0] in (0, 900000) and ids[1] not in (0, 900000)
+    # scores strictly ordered by construction of the greedy argmax
+    assert all(rows[i]["mmr_score_nano"] >= rows[i + 1]["mmr_score_nano"]
+               for i in range(1, len(rows) - 1))
+
+
+def test_mmr_first_pick_is_top_relevance(spark, emb):
+    import pyspark.sql.functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    best = cosine_topk(emb, q, k=1).head()["vec_id"]
+    first = mmr_rerank(emb, q, k=3).orderBy("rank").head()["vec_id"]
+    assert first == best

@@ -18,6 +18,8 @@ casts to double before multiply so Spark and DuckDB agree.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -860,3 +862,70 @@ def hard_negatives(emb: DataFrame, queries: DataFrame, lo: int = 11,
                               qvec_col=qvec_col)
     return (topk.filter(F.col("rank") >= lo)
             .orderBy(qid_col, "rank"))
+
+
+def mmr_rerank(emb: DataFrame, query_vec: list[float],
+               n_candidates: int = 20, k: int = 5, lam_mill: int = 700,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) → ``(rank, vec_id, mmr_score_nano)``: greedily pick the
+    candidate maximizing ``λ·rel(q,d) − (1−λ)·max_{s∈selected}
+    sim(d,s)`` — relevance-with-diversity for retrieval results that
+    would otherwise return ``k`` near-copies of the same document.
+
+    Distributed/driver split (the codebook pattern): the CLUSTER does
+    the corpus-scale work — exact top-``n_candidates`` scan
+    (:func:`cosine_topk`) and the candidate×candidate similarity
+    matrix (``n²/2`` dots, n=20 → 190 rows) — while the inherently
+    sequential greedy loop runs driver-side over those
+    candidate-sized tables. Nothing driver-side ever scales with the
+    corpus.
+
+    Determinism: relevance and pair similarities are floored to
+    INTEGER micro-cosines; the greedy scores are pure integer
+    arithmetic in nano units (micro × λ_mill), so selection order is
+    exact — ties break to the smaller id, bit-identical to the
+    unrolled-SQL oracle."""
+    topn = cosine_topk(emb, query_vec, k=n_candidates, id_col=id_col,
+                       vec_col=vec_col)
+    cands = (topn.join(emb.select(id_col, vec_col), id_col)
+             .select(id_col, "cosine", vec_col)
+             .localCheckpoint(eager=True))
+    rel = {r[id_col]: int(math.floor(r["cosine"] * 1e6 + 0.5))
+           for r in cands.select(id_col, "cosine").collect()}
+    a = cands.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    b = cands.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    pair_rows = (a.join(b, F.col("ia") < F.col("ib"))
+                 .select("ia", "ib",
+                         F.floor(cosine_expr(F.col("va"), F.col("vb"))
+                                 * F.lit(1000000.0) + F.lit(0.5))
+                         .cast("long").alias("sm"))
+                 .collect())
+    sim: dict[tuple, int] = {}
+    for r in pair_rows:
+        sim[(r["ia"], r["ib"])] = r["sm"]
+        sim[(r["ib"], r["ia"])] = r["sm"]
+
+    remaining = set(rel)
+    selected: list[tuple] = []   # (rank, vec_id, score_nano)
+    for step in range(1, min(k, len(rel)) + 1):
+        best = None
+        for vid in sorted(remaining):
+            if selected:
+                max_sim = max(sim[(vid, s[1])] for s in selected)
+            else:
+                max_sim = 0
+            score = lam_mill * rel[vid] - (1000 - lam_mill) * max_sim
+            if best is None or score > best[0]:
+                best = (score, vid)
+        selected.append((step, best[1], best[0]))
+        remaining.discard(best[1])
+
+    spark = emb.sparkSession
+    from pyspark.sql import types as T
+    return spark.createDataFrame(
+        selected,
+        T.StructType([T.StructField("rank", T.IntegerType()),
+                      T.StructField("vec_id", T.LongType()),
+                      T.StructField("mmr_score_nano", T.LongType())]))
