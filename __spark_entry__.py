@@ -2192,6 +2192,20 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, queries_df, lo=6, hi=15)
 
 
+def _ctfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.ctfidf_keywords(load_table(spark, "documents", sf_dir))
+
+
+def _ann_rbo_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (p=0.9, depth 10) between the exact top-10
+    and the sign-LSH ANN top-10 — the top-weighted companion to
+    ``ann_recall_at10``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    return SIM.rbo_min_at(SIM.cosine_topk(emb, q, k=10),
+                          SIM.ann_lsh_topk(emb, q, k=10))
+
+
 def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank of the query-0 top-20 (λ=0.7, k=5);
     oracle is the unrolled 5-step greedy in SQL."""
@@ -2303,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_token_plan": _mixture_token_plan,
         "training_manifest": _training_manifest,
         "mmr_rerank": _mmr_rerank,
+        "ctfidf_keywords": _ctfidf_keywords,
+        "ann_rbo_at10": _ann_rbo_at10,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2507,13 +2523,15 @@ _R4_FRONT = [
     "dsir_scores", "shuffle_split_docs", "quota_select_docs",
     "embedding_dim_stats", "hard_negatives", "stream_neardup_candidates",
     "mixture_token_plan", "training_manifest", "mmr_rerank",
+    "ctfidf_keywords", "ann_rbo_at10",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
-    "conditional_counts", "union_paths", "global_sort_orders",
+    "conditional_counts",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "union_paths", "global_sort_orders",
     "customer_order_totals",
     "above_avg_lineitems", "filtered_projection",
     "top_parts_per_brand", "rollup_order_stats", "semi_anti_join_counts",
@@ -5064,4 +5082,58 @@ FROM q JOIN ds USING (doc_id) JOIN sp USING (doc_id)
 ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
+    out["ctfidf_keywords"] = """
+WITH toks AS (
+  SELECT grp, g AS term FROM (
+    SELECT lang AS grp, unnest(string_split(lower(text), ' ')) AS g
+    FROM documents)
+  WHERE length(g) > 0
+),
+t AS (SELECT grp, term, count(*) AS tfc FROM toks GROUP BY grp, term),
+ftab AS (SELECT term, count(*) AS f_t FROM toks GROUP BY term),
+ar AS (
+  SELECT sum(n) AS tot, count(*) AS g
+  FROM (SELECT grp, sum(tfc) AS n FROM t GROUP BY grp)
+),
+idf AS (
+  SELECT term,
+         CAST(floor(ln(1.0 + (CAST(tot AS DOUBLE) / g) / f_t)
+                    * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+  FROM ftab, ar
+),
+scored AS (
+  SELECT t.grp, t.term, CAST(t.tfc AS BIGINT) AS tf,
+         t.tfc * idf.idf_micro AS score_micro
+  FROM t JOIN idf USING (term)
+),
+ranked AS (
+  SELECT grp, term, tf, CAST(score_micro AS BIGINT) AS score_micro,
+         CAST(row_number() OVER (PARTITION BY grp
+                                 ORDER BY score_micro DESC, term ASC)
+              AS INTEGER) AS rk
+  FROM scored
+)
+SELECT grp, term, tf, score_micro, rk FROM ranked
+WHERE rk <= 10 ORDER BY grp, rk
+"""
+    import math as _math
+    _L = _math.lcm(*range(1, 11))
+    _wd = [1 * (9 ** (d - 1)) * (10 ** (10 - d)) * (_L // d)
+           for d in range(1, 11)]
+    _W = [sum(_wd[m - 1:]) for m in range(1, 11)]
+    _case = "CASE m " + " ".join(
+        f"WHEN {m} THEN CAST({_W[m - 1]} AS BIGINT)"
+        for m in range(1, 11)) + " END"
+    out["ann_rbo_at10"] = f"""
+WITH a AS ({out["cosine_topk"]}),
+b AS ({out["ann_lsh_topk"]}),
+j AS (
+  SELECT greatest(a.rank, b.rank) AS m
+  FROM a JOIN b ON b.vec_id = a.vec_id
+)
+SELECT CAST(coalesce(sum({_case}), 0) AS DOUBLE) / {float(_L * 10 ** 10)!r}
+         AS rbo_min,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM j
+"""
     return out

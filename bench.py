@@ -59,6 +59,7 @@ def main() -> None:
         "kmeans_cells", "kmeans_quality", "random_projection", "rp_ann_topk",
         "pq_codes", "pq_adc_topk", "pq_trained_codes",
         "embedding_dim_stats", "hard_negatives", "mmr_rerank",
+        "ann_rbo_at10",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
         "chunk_documents", "bpe_merges", "bpe_token_counts",
@@ -69,6 +70,7 @@ def main() -> None:
         # text analysis
         "lang_id", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",
+        "ctfidf_keywords",
         "doc_bigram_ppl", "ppl_band_docs", "c4_clean_docs", "zorder_keys",
         "nb_model_kv_roundtrip", "orc_roundtrip",
         "dq_orders_report", "pps_sample_docs",

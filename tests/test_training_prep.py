@@ -297,3 +297,68 @@ def test_mmr_first_pick_is_top_relevance(spark, emb):
     best = cosine_topk(emb, q, k=1).head()["vec_id"]
     first = mmr_rerank(emb, q, k=3).orderBy("rank").head()["vec_id"]
     assert first == best
+
+
+# ------------------------------------------------------------ RBO
+
+def test_rbo_identity_and_disjoint(spark, emb):
+    import pyspark.sql.functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import (
+        cosine_topk,
+        rbo_min_at,
+    )
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    top = cosine_topk(emb, q, k=10)
+    r = rbo_min_at(top, top).head()
+    # self-agreement: truncated RBO_min = 1 - p^10 (the tail mass is
+    # unknowable at depth 10, so even identical rankings score < 1)
+    assert r["n_common"] == 10
+    assert r["rbo_min"] == pytest.approx(1 - 0.9 ** 10, abs=1e-12)
+    shifted = top.select((F.col("vec_id") + 10**9).alias("vec_id"), "rank")
+    r2 = rbo_min_at(top, shifted).head()
+    assert r2["n_common"] == 0 and r2["rbo_min"] == 0.0
+
+
+def test_rbo_head_weighted(spark, emb):
+    """Agreement only at rank 1 must outscore agreement only at rank 10
+    — the property set-recall cannot express."""
+    from pyspark.sql import Row
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import rbo_min_at
+    def ranking(ids):
+        return spark.createDataFrame(
+            [Row(vec_id=i, rank=r + 1) for r, i in enumerate(ids)])
+    a = ranking(list(range(1, 11)))
+    b_head = ranking([1] + list(range(101, 110)))     # agrees at rank 1
+    b_tail = ranking(list(range(201, 210)) + [10])    # agrees at rank 10
+    rh = rbo_min_at(a, b_head).head()["rbo_min"]
+    rt = rbo_min_at(a, b_tail).head()["rbo_min"]
+    assert rh > rt > 0
+
+
+# ------------------------------------------------------------ c-TF-IDF
+
+def test_ctfidf_group_exclusive_term_ranks_high(spark, docs):
+    import pyspark.sql.functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.text_analysis import (
+        ctfidf_keywords,
+    )
+    # plant a token that appears ONLY in 'de' docs, frequently
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("lang") == "de",
+               F.concat(F.col("text"), F.lit(" qqxtoken qqxtoken qqxtoken")))
+        .otherwise(F.col("text")))
+    out = ctfidf_keywords(planted, top_k=5)
+    de = [r["term"] for r in out.filter(F.col("grp") == "de").collect()]
+    assert "qqxtoken" in de
+    others = [r["term"] for r in out.filter(F.col("grp") != "de").collect()]
+    assert "qqxtoken" not in others
+    # contract: rk contiguous, scores non-increasing per group
+    for g in {r["grp"] for r in out.collect()}:
+        rows = out.filter(F.col("grp") == g).orderBy("rk").collect()
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        sc = [r["score_micro"] for r in rows]
+        assert sc == sorted(sc, reverse=True)

@@ -929,3 +929,49 @@ def mmr_rerank(emb: DataFrame, query_vec: list[float],
         T.StructType([T.StructField("rank", T.IntegerType()),
                       T.StructField("vec_id", T.LongType()),
                       T.StructField("mmr_score_nano", T.LongType())]))
+
+
+def rbo_min_at(a: DataFrame, b: DataFrame, depth: int = 10,
+               p_tenths: int = 9, id_col: str = "vec_id",
+               rank_col: str = "rank") -> DataFrame:
+    """Rank-Biased Overlap between two rankings, truncated at ``depth``
+    (Webber, Moffat & Zobel, TOIS 2010) → one row ``(rbo_min, n_common)``.
+    The top-weighted complement to set recall@k: recall treats ranks
+    1 and 10 alike; RBO weights agreement at depth d by
+    ``(1−p)·p^(d−1)`` so head agreement dominates. The ANN-vs-exact
+    quality gauge used alongside ``ann_recall_at10``.
+
+    EXACT integer form: with p = ``p_tenths``/10, the weight of depth d
+    is the rational ``9^(d−1)/10^d`` (for p=0.9); an item present in
+    both rankings at ranks (ra, rb) contributes to every depth
+    d ≥ m = max(ra, rb), so its total weight is the per-item lookup
+    ``W(m) = Σ_{d=m..depth} L/d · 9^(d−1) · 10^(depth−d)`` with
+    L = lcm(1..depth) — all BIGINT. The sum of lookups is an exact
+    integer; ONE double division at the end produces the score. No
+    order-dependent float math, so the SQL oracle hash-matches.
+
+    Shape: inner join of two k-row rankings + a literal 10-entry
+    lookup — constant-size work after the upstream top-k scans.
+    """
+    import math as _m
+    L = _m.lcm(*range(1, depth + 1))
+    q = 10 - p_tenths
+    # w_d scaled by 10^depth: (10-q)^{d-1} * q * 10^{depth-d} — for
+    # p=0.9: (1-p)p^{d-1} = 9^{d-1}/10^d
+    wd = [q * (p_tenths ** (d - 1)) * (10 ** (depth - d)) * (L // d)
+          for d in range(1, depth + 1)]
+    W = [sum(wd[m - 1:]) for m in range(1, depth + 1)]  # suffix sums
+    denom = float(L * (10 ** depth))
+    aa = a.select(F.col(id_col), F.col(rank_col).alias("_ra")) \
+        .filter(F.col(rank_col) <= depth)
+    bb = b.select(F.col(id_col), F.col(rank_col).alias("_rb")) \
+        .filter(F.col(rank_col) <= depth)
+    j = aa.join(bb, id_col).select(
+        F.greatest(F.col("_ra"), F.col("_rb")).cast("int").alias("_m"))
+    lut = F.array(*[F.lit(int(w)).cast("long") for w in W])
+    contrib = j.select(F.element_at(lut, F.col("_m")).alias("_w"))
+    return (contrib.agg(F.coalesce(F.sum("_w"), F.lit(0)).alias("_t"),
+                        F.count(F.lit(1)).alias("n_common"))
+            .select((F.col("_t").cast("double") / F.lit(denom))
+                    .alias("rbo_min"),
+                    F.col("n_common").cast("long").alias("n_common")))

@@ -801,3 +801,51 @@ def pps_systematic_sample(df: DataFrame, k: int, weight_col: str,
     return (with_ce.filter(sel)
             .select(F.col(id_col), F.col("_w").alias("weight"))
             .orderBy(id_col))
+
+
+def ctfidf_keywords(df: DataFrame, group_col: str = "lang",
+                    text_col: str = "text", top_k: int = 10) -> DataFrame:
+    """Class-based TF-IDF keywords (the c-TF-IDF of BERTopic,
+    Grootendorst 2022, arXiv:2203.05794) → per group the ``top_k``
+    most characteristic terms ``(grp, term, tf, score_micro, rk)``:
+    ``score = tf_{t,c} · ln(1 + A / f_t)`` with ``tf_{t,c}`` the term
+    count inside the class, ``f_t`` the corpus term count, and ``A``
+    the mean token count per class — terms frequent IN the class but
+    rare overall rank first. The corpus-analysis primitive behind
+    topic labeling and per-source drift inspection.
+
+    Determinism: the idf factor is floored to INTEGER micro-nats per
+    TERM (one value per vocabulary row, never per occurrence), and the
+    score is the exact integer product ``tf · idf_micro`` — no
+    order-dependent float math anywhere.
+
+    Scale: one token explode feeding two counts — (group, term) and
+    (term) — both map-side combined; the per-term idf table joins back
+    broadcast (vocab-sized by Heaps' law). Top-k per group is one
+    window over the (group)-keyed vocab table, not the corpus.
+    """
+    toks = (df.select(F.col(group_col).alias("grp"),
+                      F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("term"))
+            .filter(F.length("term") > 0))
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ft = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f_t"))
+    # A = mean tokens per class, from the (grp) marginal of tf
+    a_row = (tf.groupBy("grp").agg(F.sum("tf").alias("_n"))
+             .agg(F.sum("_n").alias("_tot"), F.count(F.lit(1)).alias("_g")))
+    idf = (ft.crossJoin(F.broadcast(a_row))
+           .select("term",
+                   F.floor(F.log(F.lit(1.0)
+                                 + (F.col("_tot").cast("double") / F.col("_g"))
+                                 / F.col("f_t"))
+                           * F.lit(1000000.0) + F.lit(0.5))
+                   .cast("long").alias("idf_micro")))
+    scored = (tf.join(F.broadcast(idf), "term")
+              .select("grp", "term", F.col("tf").cast("long").alias("tf"),
+                      (F.col("tf") * F.col("idf_micro")).alias("score_micro")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("grp").orderBy(F.col("score_micro").desc(),
+                                          F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= top_k)
+            .orderBy("grp", "rk"))
