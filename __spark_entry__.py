@@ -2192,6 +2192,37 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, queries_df, lo=6, hi=15)
 
 
+PHRASE_QUERY = "table scan"
+
+
+def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import phrase_search
+    return phrase_search(load_table(spark, "documents", sf_dir), PHRASE_QUERY)
+
+
+def _phrase_sql(phrase: str) -> str:
+    terms = [t for t in phrase.lower().split(" ") if t]
+    arms = ",\n".join(
+        f"m{i} AS (SELECT doc_id, pos - {i} AS start_pos FROM post "
+        f"WHERE term = '{t}')"
+        for i, t in enumerate(terms))
+    joins = " ".join(f"JOIN m{i} USING (doc_id, start_pos)"
+                     for i in range(1, len(terms)))
+    return f"""
+WITH post AS (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+           generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+    FROM documents)
+  WHERE length(term) > 0
+),
+{arms}
+SELECT m0.doc_id, CAST(m0.start_pos AS BIGINT) AS start_pos
+FROM m0 {joins}
+ORDER BY m0.doc_id, m0.start_pos
+"""
+
+
 def _ctfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.ctfidf_keywords(load_table(spark, "documents", sf_dir))
 
@@ -2319,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _mmr_rerank,
         "ctfidf_keywords": _ctfidf_keywords,
         "ann_rbo_at10": _ann_rbo_at10,
+        "phrase_search": _phrase_search,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2523,14 +2555,14 @@ _R4_FRONT = [
     "dsir_scores", "shuffle_split_docs", "quota_select_docs",
     "embedding_dim_stats", "hard_negatives", "stream_neardup_candidates",
     "mixture_token_plan", "training_manifest", "mmr_rerank",
-    "ctfidf_keywords", "ann_rbo_at10",
+    "ctfidf_keywords", "ann_rbo_at10", "phrase_search",
     "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
-    "conditional_counts",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "conditional_counts",
     "union_paths", "global_sort_orders",
     "customer_order_totals",
     "above_avg_lineitems", "filtered_projection",
@@ -5082,6 +5114,7 @@ FROM q JOIN ds USING (doc_id) JOIN sp USING (doc_id)
 ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
+    out["phrase_search"] = _phrase_sql(PHRASE_QUERY)
     out["ctfidf_keywords"] = """
 WITH toks AS (
   SELECT grp, g AS term FROM (

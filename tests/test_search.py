@@ -141,3 +141,33 @@ def test_rrf_fuse_hand_computed(spark):
     # 10: r1+r2, 20: r2+r1 (tie with 10 -> doc_id asc), 30: r3, 40: r3
     assert got == [(10, c(1) + c(2), 1), (20, c(2) + c(1), 2),
                    (30, c(3), 3), (40, c(3), 4)]
+
+
+def test_phrase_search_matches_python_scan(spark, sf_dir):
+    """Every returned (doc, start) is a real consecutive occurrence,
+    and none is missed — verified against a plain Python scan."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import phrase_search
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    phrase = ["scan", "slow"]
+    got = sorted((r["doc_id"], r["start_pos"])
+                 for r in phrase_search(docs, " ".join(phrase)).collect())
+    want = []
+    for r in docs.collect():
+        toks = r["text"].lower().split(" ")
+        for i in range(len(toks) - len(phrase) + 1):
+            if toks[i:i + len(phrase)] == phrase:
+                want.append((r["doc_id"], i))
+    assert got == sorted(want) and got
+
+
+def test_phrase_search_single_term_and_shared_postings(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import (
+        phrase_search,
+        positional_postings,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    post = positional_postings(docs).localCheckpoint(eager=True)
+    one = phrase_search(docs, "merge", postings=post)
+    assert one.count() == post.filter("term = 'merge'").count()

@@ -237,3 +237,48 @@ def rrf_fuse(ranked_lists: list[DataFrame], id_col: str = "doc_id",
     return (scored.select(id_col, "rrf_micro",
                           F.row_number().over(w).cast("int").alias("rank"))
             .filter(F.col("rank") <= k).orderBy("rank"))
+
+
+def positional_postings(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Positional postings → ``(term, doc_id, pos)`` (0-based token
+    offset) — the index layout phrase/proximity search needs that the
+    plain :func:`inverted_index` (doc-ids only) cannot serve.
+
+    One posexplode pass; at scale this materializes bucketed by
+    ``term`` so phrase joins co-partition, and doc-id delta + position
+    gap encoding (parquet dictionary/RLE does it for free here) keeps
+    it near the classic Lucene size."""
+    return (docs.select(F.col(id_col),
+                        F.posexplode(F.split(F.lower(F.col(text_col)), " "))
+                        .alias("pos", "term"))
+            .filter(F.length("term") > 0)
+            .select("term", id_col, F.col("pos").cast("long").alias("pos")))
+
+
+def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  postings: DataFrame | None = None) -> DataFrame:
+    """Exact phrase query over positional postings →
+    ``(doc_id, start_pos)`` for every occurrence: term i of the phrase
+    must appear at ``start_pos + i``. The classic consecutive-position
+    join — k−1 equi-joins on ``(doc_id, pos)``, each join keyed and
+    co-partitioned, never a scan of raw text at query time.
+
+    Scale: the first (rarest-term-first would be the optimizer here;
+    Catalyst reorders the chain by size once the postings are a real
+    table with stats) postings list bounds the candidate set; every
+    subsequent join only narrows. Pass a shared ``postings`` frame to
+    amortize the index across queries."""
+    terms = [t for t in phrase.lower().split(" ") if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    if postings is None:
+        postings = positional_postings(docs, id_col, text_col)
+    out = (postings.filter(F.col("term") == terms[0])
+           .select(id_col, F.col("pos").alias("start_pos")))
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = (postings.filter(F.col("term") == t)
+               .select(F.col(id_col), (F.col("pos") - i).alias("start_pos")))
+        out = out.join(nxt, [id_col, "start_pos"])
+    return out.select(id_col, "start_pos").orderBy(id_col, "start_pos")
