@@ -2192,6 +2192,20 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, queries_df, lo=6, hi=15)
 
 
+def _split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage audit on the augmented corpus (planted ' zzz' near-dups
+    guarantee cross-split pairs exist): near-dup pairs × hash-split
+    assignment → per-(split,split) pair counts."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        shuffle_split,
+        split_leakage_report,
+    )
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(docs, threshold=0.5,
+                                sigs=_aug_sigs(spark, sf_dir))
+    return split_leakage_report(pairs, shuffle_split(docs))
+
+
 PHRASE_QUERY = "table scan"
 
 
@@ -2351,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctfidf_keywords": _ctfidf_keywords,
         "ann_rbo_at10": _ann_rbo_at10,
         "phrase_search": _phrase_search,
+        "split_leakage_report": _split_leakage_report,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2556,12 +2571,14 @@ _R4_FRONT = [
     "embedding_dim_stats", "hard_negatives", "stream_neardup_candidates",
     "mixture_token_plan", "training_manifest", "mmr_rerank",
     "ctfidf_keywords", "ann_rbo_at10", "phrase_search",
-    "pricing_summary", "revenue_by_region", "distinct_parts_per_supplier",
+    "split_leakage_report",
+    "pricing_summary", "revenue_by_region",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "distinct_parts_per_supplier",
     "conditional_counts",
     "union_paths", "global_sort_orders",
     "customer_order_totals",
@@ -5115,6 +5132,27 @@ ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
     out["phrase_search"] = _phrase_sql(PHRASE_QUERY)
+    _split_case = (
+        "CASE WHEN "
+        + PORTABLE_HASH.format(col="'split:v1:' || CAST(doc_id AS VARCHAR)")
+        + " % 100 < 10 THEN 'test' WHEN "
+        + PORTABLE_HASH.format(col="'split:v1:' || CAST(doc_id AS VARCHAR)")
+        + " % 100 < 20 THEN 'val' ELSE 'train' END")
+    out["split_leakage_report"] = f"""
+WITH nd AS ({out["near_dup_pairs"]}),
+sp AS (
+  SELECT doc_id, {_split_case} AS split
+  FROM (SELECT doc_id FROM documents
+        UNION ALL SELECT doc_id + 1000000 AS doc_id FROM documents)
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM nd
+JOIN sp sa ON sa.doc_id = nd.id_a
+JOIN sp sb ON sb.doc_id = nd.id_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
     out["ctfidf_keywords"] = """
 WITH toks AS (
   SELECT grp, g AS term FROM (

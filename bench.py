@@ -51,7 +51,7 @@ def main() -> None:
         "cdc_chunks", "cdc_shared_chunks", "dedup_threshold_sweep",
         "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",
         "dsir_scores", "shuffle_split_docs", "quota_select_docs",
-        "mixture_token_plan", "training_manifest",
+        "mixture_token_plan", "training_manifest", "split_leakage_report",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_multiprobe_topk",
         "ann_recall_at10", "ivf_topk", "mrl_topk", "mrl_recall_at10",

@@ -362,3 +362,31 @@ def test_ctfidf_group_exclusive_term_ranks_high(spark, docs):
         assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
         sc = [r["score_micro"] for r in rows]
         assert sc == sorted(sc, reverse=True)
+
+
+# --------------------------------------------------- split leakage
+
+def test_split_leakage_report_counts_cross_split_pairs(spark, docs):
+    """Every near-dup pair is attributed to exactly one (ordered)
+    split-pair bucket, and the totals reconcile."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        shuffle_split,
+        split_leakage_report,
+    )
+    d = docs.select("doc_id", "text")
+    aug = d.unionAll(d.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                              F.concat("text", F.lit(" zzz")).alias("text")))
+    pairs = D.minhash_near_dups(aug, threshold=0.5)
+    splits = shuffle_split(aug)
+    rep = split_leakage_report(pairs, splits).collect()
+    assert sum(r["n_pairs"] for r in rep) == pairs.count()
+    assert all(r["split_a"] <= r["split_b"] for r in rep)
+    # brute-force reconciliation of one bucket
+    smap = {r["doc_id"]: r["split"] for r in splits.collect()}
+    want_cross = sum(
+        1 for r in pairs.collect()
+        if tuple(sorted((smap[r["id_a"]], smap[r["id_b"]]))) == ("test", "train"))
+    got_cross = next((r["n_pairs"] for r in rep
+                      if (r["split_a"], r["split_b"]) == ("test", "train")), 0)
+    assert got_cross == want_cross

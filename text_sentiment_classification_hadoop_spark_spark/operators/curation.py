@@ -438,3 +438,31 @@ def training_manifest(docs: DataFrame, cap: int = 50,
                      F.col("score").alias("n_chars"), "rk")
             .join(ds, id_col).join(sp, id_col)
             .orderBy(id_col))
+
+
+def split_leakage_report(pairs: DataFrame, splits: DataFrame,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Cross-split near-duplicate leakage audit →
+    ``(split_a, split_b, n_pairs)``: count near-dup pairs whose members
+    landed in different splits. A (train, test) row > 0 means eval
+    answers leak into training through paraphrase-level copies — the
+    check every pipeline should run AFTER splitting, because document-
+    level hash splits are only safe up to exact identity.
+
+    Inputs compose the verified parts: ``pairs`` from any dedup family
+    (:mod:`..operators.dedup`), ``splits`` from :func:`shuffle_split`.
+    The pair endpoints join the split table on the id (two broadcast-
+    or co-partitioned joins, pair-table-sized); the output is
+    ≤ |splits|² rows. The split pair is order-normalized
+    (``least/greatest``) so (train,test) and (test,train) collapse.
+    """
+    s = splits.select(F.col(id_col), F.col("split"))
+    a = s.select(F.col(id_col).alias(id_a), F.col("split").alias("_sa"))
+    b = s.select(F.col(id_col).alias(id_b), F.col("split").alias("_sb"))
+    return (pairs.select(id_a, id_b).join(a, id_a).join(b, id_b)
+            .select(F.least("_sa", "_sb").alias("split_a"),
+                    F.greatest("_sa", "_sb").alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("split_a", "split_b"))
