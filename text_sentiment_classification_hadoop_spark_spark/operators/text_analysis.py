@@ -824,9 +824,15 @@ def ctfidf_keywords(df: DataFrame, group_col: str = "lang",
     broadcast (vocab-sized by Heaps' law). Top-k per group is one
     window over the (group)-keyed vocab table, not the corpus.
     """
-    toks = (df.select(F.col(group_col).alias("grp"),
-                      F.explode(F.split(F.lower(F.col(text_col)), " "))
-                      .alias("term"))
+    from ..session import widen
+
+    # widen: the explode lineage feeds three consumers (tf, f_t, and
+    # the broadcast idf build) — on a single-file scan each would
+    # otherwise recompute serially on ONE task (measured 13.7 s → 1.6 s
+    # warm at sf0.1)
+    toks = (widen(df).select(F.col(group_col).alias("grp"),
+                             F.explode(F.split(F.lower(F.col(text_col)), " "))
+                             .alias("term"))
             .filter(F.length("term") > 0))
     tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
     ft = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f_t"))
