@@ -2206,6 +2206,28 @@ def _split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_report(pairs, shuffle_split(docs))
 
 
+def _events_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSON ingestion (the PERMISSIVE-mode contract):
+    serialize events to JSON lines, replace every 7th line with garbage
+    in-flight, parse back with ``from_json`` (NULL on bad rows — never
+    a job abort), and report per-type good counts plus a ``_corrupt``
+    row. The malformed-input discipline P4 applies to CSV, exercised on
+    the JSON path."""
+    from pyspark.sql import functions as F
+    ev = load_table(spark, "events", sf_dir)
+    line = F.to_json(F.struct("event_id", "event_type"))
+    raw = ev.select(
+        F.col("event_id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("{oops not json"))
+        .otherwise(line).alias("js"))
+    parsed = raw.select(
+        F.from_json("js", "event_id BIGINT, event_type STRING").alias("r"))
+    return (parsed.select(
+        F.coalesce(F.col("r.event_type"), F.lit("_corrupt")).alias("event_type"))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type"))
+
+
 PHRASE_QUERY = "table scan"
 
 
@@ -2366,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo_at10": _ann_rbo_at10,
         "phrase_search": _phrase_search,
         "split_leakage_report": _split_leakage_report,
+        "events_json_malformed": _events_json_malformed,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2571,13 +2594,14 @@ _R4_FRONT = [
     "embedding_dim_stats", "hard_negatives", "stream_neardup_candidates",
     "mixture_token_plan", "training_manifest", "mmr_rerank",
     "ctfidf_keywords", "ann_rbo_at10", "phrase_search",
-    "split_leakage_report",
-    "pricing_summary", "revenue_by_region",
+    "split_leakage_report", "events_json_malformed",
+    "pricing_summary",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "revenue_by_region",
     "distinct_parts_per_supplier",
     "conditional_counts",
     "union_paths", "global_sort_orders",
@@ -5132,6 +5156,17 @@ ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
     out["phrase_search"] = _phrase_sql(PHRASE_QUERY)
+    # the 7th-line corruption never reaches the oracle: parseability is
+    # decided by event_id arithmetic, so the counts come straight off
+    # the table
+    out["events_json_malformed"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT CASE WHEN event_id % 7 = 0 THEN '_corrupt'
+              ELSE event_type END AS event_type
+  FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
     _split_case = (
         "CASE WHEN "
         + PORTABLE_HASH.format(col="'split:v1:' || CAST(doc_id AS VARCHAR)")
