@@ -1487,8 +1487,10 @@ def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("src") < F.col("dst"))
              .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
              .distinct())
-    return D.connected_components(pairs, algorithm="alternating") \
-        .orderBy("node")
+    # local[32] tuning only: the sf0.1 edge set is ~16k rows, so
+    # per-round task latency dominates — 8 partitions, not 32
+    return D.connected_components(pairs, algorithm="alternating",
+                                  shuffle_partitions=8).orderBy("node")
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

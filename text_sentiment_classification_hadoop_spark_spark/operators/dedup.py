@@ -303,7 +303,8 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 25,
-                         algorithm: str = "label_prop") -> DataFrame:
+                         algorithm: str = "label_prop",
+                         shuffle_partitions: int | None = None) -> DataFrame:
     """Connected components over a near-dup pair graph →
     ``(node, component)`` where ``component`` is the smallest id
     reachable from ``node``.
@@ -330,7 +331,26 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     The driver-side loop reads ONE scalar fingerprint per round (count
     + label sum, both monotone under contraction — same pattern as the
     SVM epoch loop); every round ``localCheckpoint``s to cut lineage.
+
+    ``shuffle_partitions``: scope ``spark.sql.shuffle.partitions`` for
+    the duration of the loop (restored on exit; the returned frame is
+    already materialized via the final checkpoint, so the scope
+    genuinely covers every round). Min-aggregation results are
+    partitioning-independent, so this is pure overhead tuning: an
+    iterative loop on a SMALL graph pays per-round task-scheduling
+    latency ∝ partition count — measured 6.9 s → 4.8 s at sf0.1 for
+    the co-purchase giant component going 32 → 4. Leave ``None`` at
+    real scale (size to edge volume instead).
     """
+    if shuffle_partitions is not None:
+        spark = pairs.sparkSession
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(int(shuffle_partitions)))
+        try:
+            return connected_components(pairs, max_iters, algorithm, None)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     if algorithm == "alternating":
         return _cc_alternating(pairs, max_iters)
     if algorithm != "label_prop":
