@@ -390,3 +390,48 @@ def test_split_leakage_report_counts_cross_split_pairs(spark, docs):
     got_cross = next((r["n_pairs"] for r in rep
                       if (r["split_a"], r["split_b"]) == ("test", "train")), 0)
     assert got_cross == want_cross
+
+
+def test_mmr_matches_python_reference(spark, emb):
+    """The distributed candidate prep + driver greedy must equal a
+    from-scratch Python MMR over the same collected candidates."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+    q = list(emb.filter(F.col("vec_id") == 7).head()["embedding"])
+    n, k, lam = 12, 6, 450
+    got = [(r["rank"], r["vec_id"], r["mmr_score_nano"])
+           for r in mmr_rerank(emb, q, n_candidates=n, k=k,
+                               lam_mill=lam).orderBy("rank").collect()]
+
+    # reference: same integer discipline, brute-force floats
+    cands = {r["vec_id"]: list(r["embedding"])
+             for r in cosine_topk(emb, q, k=n)
+             .join(emb, "vec_id").select("vec_id", "embedding").collect()}
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return dot / (na * nb)
+    rel = {v: math.floor(math.floor(cos(vec, q) * 1e6 + 0.5) / 1e6 * 1e6 + 0.5)
+           for v, vec in cands.items()}
+    sim = {(a, b): math.floor(cos(cands[a], cands[b]) * 1e6 + 0.5)
+           for a in cands for b in cands if a != b}
+    remaining, sel = set(cands), []
+    for step in range(1, k + 1):
+        best = None
+        for vid in sorted(remaining):
+            ms = max((sim[(vid, s[1])] for s in sel), default=0)
+            sc = lam * rel[vid] - (1000 - lam) * ms
+            if best is None or sc > best[0]:
+                best = (sc, vid)
+        sel.append((step, best[1], best[0]))
+        remaining.discard(best[1])
+    assert got == sel
