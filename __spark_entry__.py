@@ -1449,21 +1449,29 @@ def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration fixed-point PageRank over the customer<->supplier
     co-purchase graph — bit-exact BIGINT ranks (operators/graph.py)."""
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-    return G.pagerank_fixed_point(
-        G.copurchase_edges(orders, li), iters=3).orderBy("node")
+    # local[32] tuning: per-iteration checkpoints on a small graph —
+    # task latency, not data, dominates at 32 partitions
+    with scoped_shuffle_partitions(spark, 8):
+        ranks = G.pagerank_fixed_point(G.copurchase_edges(orders, li),
+                                       iters=3)
+    return ranks.orderBy("node")
 
 
 def _copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional variant: edges carry co-purchase
     multiplicities, contributions split as (rank·w) div sum_w."""
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-    return G.pagerank_fixed_point(
-        G.copurchase_edges_weighted(orders, li), iters=3,
-        weight_col="w").orderBy("node")
+    with scoped_shuffle_partitions(spark, 8):
+        ranks = G.pagerank_fixed_point(
+            G.copurchase_edges_weighted(orders, li), iters=3,
+            weight_col="w")
+    return ranks.orderBy("node")
 
 
 def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1674,9 +1682,12 @@ def _neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
     edges = _near_dup_pairs(spark, sf_dir).select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    return G.kcore_peel(edges, k=2, rounds=3).orderBy("node")
+    with scoped_shuffle_partitions(spark, 8):
+        core = G.kcore_peel(edges, k=2, rounds=3)
+    return core.orderBy("node")
 
 
 def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
