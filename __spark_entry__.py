@@ -2276,6 +2276,75 @@ def _ctfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.ctfidf_keywords(load_table(spark, "documents", sf_dir))
 
 
+def _cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERTopic-shaped topic labeling (public method: Grootendorst
+    2022): k-means cells over the embeddings (trained codebook, 2 Lloyd
+    iterations) joined to the documents (doc_id = vec_id in the
+    testdata), then c-TF-IDF keywords per CELL — clusters labeled by
+    their characteristic terms. Pure composition of two hash-green
+    operators; the oracle chains the unrolled k-means CTEs into the
+    ctfidf chain."""
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    books = SIM.kmeans_books(SIM.kmeans_fit(emb, k=8, iters=2))
+    assign = (SIM.ivf_assign_cells(emb, books, n_centroids=8)
+              .select(F.col("vec_id").alias("doc_id"),
+                      F.col("cell").cast("int").alias("cell")))
+    dc = docs.join(assign, "doc_id").select("cell", "text")
+    return TA.ctfidf_keywords(dc, group_col="cell", top_k=10)
+
+
+def _cluster_keywords_sql(k: int = 8, iters: int = 2, top_k: int = 10) -> str:
+    parts = _kmeans_cte_parts(k, iters)
+    cos = ("sum(au.x * c.m) / (sqrt(sum(au.x * au.x))"
+           " * sqrt(sum(c.m * c.m)))")
+    parts += [
+        f"""scF AS (
+  SELECT au.vec_id, c.cell, {_r6(cos)} AS cos
+  FROM au JOIN cent{iters} c USING (d)
+  GROUP BY au.vec_id, c.cell)""",
+        """asgF AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell ASC) AS rk
+    FROM scF) WHERE rk = 1)""",
+        """dc AS (
+  SELECT CAST(a.cell AS INTEGER) AS grp, d.text
+  FROM asgF a JOIN documents d ON d.doc_id = a.vec_id)""",
+        """toksc AS (
+  SELECT grp, g AS term FROM (
+    SELECT grp, unnest(string_split(lower(text), ' ')) AS g FROM dc)
+  WHERE length(g) > 0)""",
+        "tc AS (SELECT grp, term, count(*) AS tfc FROM toksc GROUP BY grp, term)",
+        "ftc AS (SELECT term, count(*) AS f_t FROM toksc GROUP BY term)",
+        """arc AS (
+  SELECT sum(n) AS tot, count(*) AS g
+  FROM (SELECT grp, sum(tfc) AS n FROM tc GROUP BY grp))""",
+        """idfc AS (
+  SELECT term,
+         CAST(floor(ln(1.0 + (CAST(tot AS DOUBLE) / g) / f_t)
+                    * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+  FROM ftc, arc)""",
+        """scoredc AS (
+  SELECT tc.grp, tc.term, CAST(tc.tfc AS BIGINT) AS tf,
+         tc.tfc * idfc.idf_micro AS score_micro
+  FROM tc JOIN idfc USING (term))""",
+        """rankedc AS (
+  SELECT grp, term, tf, CAST(score_micro AS BIGINT) AS score_micro,
+         CAST(row_number() OVER (PARTITION BY grp
+                                 ORDER BY score_micro DESC, term ASC)
+              AS INTEGER) AS rk
+  FROM scoredc)""",
+    ]
+    return (f"WITH {AU_ORIG}, " + ",\n".join(parts)
+            + f"""
+SELECT grp, term, tf, score_micro, rk FROM rankedc
+WHERE rk <= {top_k} ORDER BY grp, rk
+""")
+
+
 def _ann_rbo_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-Biased Overlap (p=0.9, depth 10) between the exact top-10
     and the sign-LSH ANN top-10 — the top-weighted companion to
@@ -2402,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _phrase_search,
         "split_leakage_report": _split_leakage_report,
         "events_json_malformed": _events_json_malformed,
+        "cluster_keywords": _cluster_keywords,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2599,7 +2669,7 @@ _R4_FRONT = [
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
     "multitouch_attribution", "stream_winnow_fingerprints",
-    "orc_roundtrip", "kmeans_quality", "neardup_kcore",
+    "orc_roundtrip", "pricing_summary", "neardup_kcore",
     "copurchase_pagerank_weighted", "copurchase_components",
     "bpe_vocab_curve",
     # new in the round-4 continuation (never driver-checked)
@@ -2607,13 +2677,13 @@ _R4_FRONT = [
     "embedding_dim_stats", "hard_negatives", "stream_neardup_candidates",
     "mixture_token_plan", "training_manifest", "mmr_rerank",
     "ctfidf_keywords", "ann_rbo_at10", "phrase_search",
-    "split_leakage_report", "events_json_malformed",
-    "pricing_summary",
+    "split_leakage_report", "events_json_malformed", "cluster_keywords",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "kmeans_quality",
     "revenue_by_region",
     "distinct_parts_per_supplier",
     "conditional_counts",
@@ -5168,6 +5238,7 @@ FROM q JOIN ds USING (doc_id) JOIN sp USING (doc_id)
 ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
+    out["cluster_keywords"] = _cluster_keywords_sql()
     out["phrase_search"] = _phrase_sql(PHRASE_QUERY)
     # the 7th-line corruption never reaches the oracle: parseability is
     # decided by event_id arithmetic, so the counts come straight off

@@ -70,7 +70,7 @@ def main() -> None:
         # text analysis
         "lang_id", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",
-        "ctfidf_keywords",
+        "ctfidf_keywords", "cluster_keywords",
         "doc_bigram_ppl", "ppl_band_docs", "c4_clean_docs", "zorder_keys",
         "nb_model_kv_roundtrip", "orc_roundtrip",
         "dq_orders_report", "pps_sample_docs",
