@@ -2276,6 +2276,36 @@ def _ctfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.ctfidf_keywords(load_table(spark, "documents", sf_dir))
 
 
+def _curation_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline counters via Spark's Observation API: the gate verdict
+    runs ONCE and the metrics (total, kept, per-reason rejects) ride
+    along on the same job as observe() accumulators — the
+    production-monitoring pattern that costs zero extra scans, vs the
+    naive second aggregate pass. Oracle: the same counts off the gate
+    table."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import narrow_verdict
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    v = narrow_verdict(docs)
+    obs = Observation()
+    reasons = ["lang", "quality", "repetitive"]
+    observed = v.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept_narrow").alias("n_kept"),
+        *[F.sum(F.when(F.col("reject_reason") == r, 1).otherwise(0))
+          .alias(f"n_{r}") for r in reasons])
+    observed.write.format("noop").mode("overwrite").save()  # one pass
+    m = obs.get
+    row = tuple(int(m[c]) for c in
+                ["n_docs", "n_kept", "n_lang", "n_quality", "n_repetitive"])
+    return spark.createDataFrame(
+        [row], "n_docs long, n_kept long, n_lang long, "
+               "n_quality long, n_repetitive long")
+
+
 def _cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BERTopic-shaped topic labeling (public method: Grootendorst
     2022): k-means cells over the embeddings (trained codebook, 2 Lloyd
@@ -2472,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_report": _split_leakage_report,
         "events_json_malformed": _events_json_malformed,
         "cluster_keywords": _cluster_keywords,
+        "curation_observed_metrics": _curation_observed_metrics,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2659,7 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # least-recently-checked queries (last driver datapoint: round 1).
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
-    "mllib_nb_confusion", "mllib_svm_confusion",
+    "mllib_nb_confusion",
     "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
     "semdedup", "bpe_merges", "bpe_token_counts", "bpe_doc_token_counts",
     "copurchase_pagerank",
@@ -2678,11 +2709,13 @@ _R4_FRONT = [
     "mixture_token_plan", "training_manifest", "mmr_rerank",
     "ctfidf_keywords", "ann_rbo_at10", "phrase_search",
     "split_leakage_report", "events_json_malformed", "cluster_keywords",
+    "curation_observed_metrics",
 ]
 
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "mllib_svm_confusion",
     "kmeans_quality",
     "revenue_by_region",
     "distinct_parts_per_supplier",
@@ -5239,6 +5272,18 @@ ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
     out["cluster_keywords"] = _cluster_keywords_sql()
+    out["curation_observed_metrics"] = f"""
+WITH g AS ({out["stream_curation_gates"]})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept_narrow) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN reject_reason = 'lang' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN reject_reason = 'quality' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN reject_reason = 'repetitive' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive
+FROM g
+"""
     out["phrase_search"] = _phrase_sql(PHRASE_QUERY)
     # the 7th-line corruption never reaches the oracle: parseability is
     # decided by event_id arithmetic, so the counts come straight off

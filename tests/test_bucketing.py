@@ -143,3 +143,34 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
         # each of 8 z-range files covers ~1/2-1/4 of each dimension;
         # 0.75 is a loose, non-flaky bound strictly below full width
         assert avg <= 0.75 * glob_span[c], (c, avg, glob_span[c], spans[c])
+
+
+def test_write_training_shards_order_and_layout(spark, sf_dir, tmp_path):
+    """Shard files carry rows in shuffle_key order and every (split,
+    shard) lands whole; re-reading per file preserves write order."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import shuffle_split
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import write_training_shards
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    man = shuffle_split(docs, n_shards=4).join(docs, "doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(man, out, n_shards=4)
+    for split in ("train", "val", "test"):
+        d = os.path.join(out, f"split={split}")
+        shard_dirs = [s for s in os.listdir(d) if s.startswith("shard=")]
+        assert shard_dirs
+        for sd in shard_dirs:
+            full = os.path.join(d, sd)
+            files = [f for f in os.listdir(full) if f.endswith(".parquet")]
+            assert len(files) == 1               # one file per (split, shard)
+            keys = [r["shuffle_key"]
+                    for r in spark.read.parquet(os.path.join(full, files[0]))
+                    .select("shuffle_key").collect()]
+            assert keys == sorted(keys)          # shuffled order persisted
+    # completeness: nothing lost or duplicated
+    total = spark.read.parquet(out).count()
+    assert total == docs.count()

@@ -100,3 +100,31 @@ def write_zordered(df: DataFrame, path: str, col_exprs: list[str],
      .sortWithinPartitions("_zkey")
      .drop("_zkey")
      .write.mode("overwrite").parquet(path))
+
+
+def write_training_shards(manifest_docs: DataFrame, path: str,
+                          n_shards: int = 16) -> None:
+    """Materialize the training corpus in shuffled shard order — the
+    writer half of ``curation.shuffle_split``'s contract: input is the
+    manifest joined back to payload columns (must carry ``split``,
+    ``shard``, ``shuffle_key``), output is parquet partitioned by
+    ``split`` with ONE file per shard, rows inside each file sorted by
+    ``shuffle_key`` (the pseudo-random training order).
+
+    Layout: ``split=<s>/shard=<n>/`` directories — a trainer maps
+    workers to shard dirs and streams each in shuffled order with zero
+    runtime shuffling. Exactly one exchange: ``repartition(n_shards,
+    shard)`` hash-routes every row to its shard's task;
+    ``sortWithinPartitions(split, shard, shuffle_key)`` sorts per
+    task — never a global sort. The sort LEADS with the partition
+    columns deliberately: a dynamic-partition write requires rows
+    ordered by them and would otherwise insert its own
+    (shuffle_key-destroying) sort; with the required prefix already
+    present the planner keeps ours. Re-runs produce byte-identical
+    shards (hash order, no RNG). At 100 TB pick ``n_shards`` ≈ total
+    size / 1 GB — same single exchange."""
+    from pyspark.sql import functions as F
+    (manifest_docs
+     .repartition(n_shards, F.col("shard"))
+     .sortWithinPartitions("split", "shard", "shuffle_key")
+     .write.mode("overwrite").partitionBy("split", "shard").parquet(path))
