@@ -174,3 +174,38 @@ def test_write_training_shards_order_and_layout(spark, sf_dir, tmp_path):
     # completeness: nothing lost or duplicated
     total = spark.read.parquet(out).count()
     assert total == docs.count()
+
+
+def test_ann_bucket_pruning_on_bucketed_index(spark, sf_dir):
+    """SCALE.md's ANN claim, proven at the plan level: the sign-LSH
+    banded embedding index persisted BUCKETED BY bucket lets a
+    single-bucket probe scan 1 of N buckets (SelectedBucketsCount) —
+    the probe cost is index/N, independent of corpus size."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import sign_lsh_bucket
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import read_table, write_bucketed
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed = emb.select("vec_id", "embedding",
+                         sign_lsh_bucket("embedding", n_planes=8)
+                         .alias("bucket"))
+    write_bucketed(indexed, "t_ann_bucketed", "bucket", 8)
+    probe_bucket = read_table(spark, "t_ann_bucketed") \
+        .select("bucket").head()["bucket"]
+    # autoBucketedScan rewrites a bucketed scan to a plain one when no
+    # join/agg consumes the distribution — which also forfeits bucket
+    # PRUNING; disable it so the filter-only probe keeps the bucketed
+    # scan (at scale the probe join would keep it anyway)
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        probed = read_table(spark, "t_ann_bucketed") \
+            .filter(F.col("bucket") == int(probe_bucket))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert probed.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS t_ann_bucketed")
