@@ -80,3 +80,19 @@ def test_search_cli():
     assert "Query = 'table scan merge'" in out.stdout
     assert "Hits = " in out.stdout
     assert "doc " in out.stdout
+
+
+def test_cli_manifest(tmp_path, capsys):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from text_sentiment_classification_hadoop_spark_spark.__main__ import main
+    out = str(tmp_path / "shards")
+    rc = main(["manifest", "--docs", "/root/testdata/sf0.001/documents.parquet",
+               "--out", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Manifest rows = 250" in text
+    assert "Training shards written" in text
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("split=")) == \
+        ["split=test", "split=train", "split=val"]

@@ -435,3 +435,21 @@ def test_mmr_matches_python_reference(spark, emb):
         sel.append((step, best[1], best[0]))
         remaining.discard(best[1])
     assert got == sel
+
+
+def test_quota_select_salted_equals_plain(docs):
+    """The two-phase salted quota must produce byte-identical output to
+    the single-window form — salting is an execution-shape change only."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        quota_select,
+        quota_select_salted,
+    )
+    for cap in (3, 17, 50):
+        plain = [tuple(r) for r in quota_select(docs, cap=cap).collect()]
+        salted = [tuple(r) for r in quota_select_salted(docs, cap=cap).collect()]
+        assert plain == salted
+    # mono-group corpus: the case the salt exists for
+    mono = docs.withColumn("lang", F.lit("only"))
+    plain = [tuple(r) for r in quota_select(mono, cap=25).collect()]
+    salted = [tuple(r) for r in quota_select_salted(mono, cap=25).collect()]
+    assert plain == salted and len(plain) == 25

@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="text_sentiment_classification_hadoop_spark_spark")
     p.add_argument("command", choices=[
         "nb-compat", "svm-compat", "svm-strict", "nb-mllib", "svm-mllib",
-        "curate", "dedup", "tokenize-train", "search"])
+        "curate", "dedup", "tokenize-train", "search", "manifest"])
     p.add_argument("--train", help="training tweets CSV (compat commands)")
     p.add_argument("--test", help="test tweets CSV; defaults to --train")
     p.add_argument("--input", help="tweets CSV for the mllib commands (75/25 split inside)")
@@ -193,6 +193,32 @@ def main(argv: list[str] | None = None) -> int:
             snippet = texts.get(h["doc_id"], "")[:60]
             print(f"  {h['rank']:3d}. doc {h['doc_id']} "
                   f"(score {h['score']}): {snippet}")
+        print(f"Execution time: {time.perf_counter() - t0:.2f} s")
+        spark.stop()
+        return 0
+
+    if args.command == "manifest":
+        if not args.docs:
+            p.error("--docs is required for manifest")
+        from .operators.curation import training_manifest
+        docs = spark.read.parquet(args.docs)
+        man = training_manifest(docs).localCheckpoint(eager=True)
+        per = {(r["split"],): r["n"] for r in
+               man.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+        print(f"Manifest rows = {man.count()}")
+        for s in ("train", "val", "test"):
+            print(f"Split[{s}] = {per.get((s,), 0)}")
+        if args.out:
+            from .operators.curation import shuffle_split
+            from .sources.layout import write_training_shards
+            # the manifest carries quota-selected docs; re-derive the
+            # shuffle key (manifest drops it) and join the payload
+            keyed = shuffle_split(docs).select("doc_id", "shuffle_key")
+            payload = (man.join(keyed, "doc_id")
+                       .join(docs.select("doc_id", "text"), "doc_id"))
+            write_training_shards(payload, args.out)
+            print(f"Training shards written to {args.out}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
         spark.stop()
         return 0

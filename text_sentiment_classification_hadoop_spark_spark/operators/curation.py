@@ -466,3 +466,38 @@ def split_leakage_report(pairs: DataFrame, splits: DataFrame,
             .groupBy("split_a", "split_b")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy("split_a", "split_b"))
+
+
+def quota_select_salted(docs: DataFrame, cap: int = 50,
+                        group_col: str = "lang",
+                        score_col: str = "n_chars",
+                        id_col: str = "doc_id",
+                        n_salts: int = 8) -> DataFrame:
+    """:func:`quota_select`'s documented skew remedy, realized: the
+    mono-group (or heavy-group) case turns the single window into one
+    reducer. Two phases fix it — (1) rank within ``(group, salt)``
+    where ``salt = portable_hash(id) % n_salts`` and keep each salt's
+    top ``cap`` (the global top ``cap`` must survive: every kept row
+    beats at most ``cap−1`` rows of its own salt); (2) re-rank the
+    ≤ ``cap·n_salts`` survivors per group. Phase 1 spreads the heavy
+    group over ``n_salts`` reducers; phase 2's input is cap-bounded.
+
+    Output is IDENTICAL to :func:`quota_select` (same deterministic
+    tie-break), proven by the equality test — the salting changes the
+    execution shape only."""
+    from ..functions.hashing import portable_hash64
+    base = docs.select(F.col(id_col), F.col(group_col).alias("grp"),
+                       F.col(score_col).cast("long").alias("score"),
+                       (portable_hash64(F.concat(F.lit("qsalt:"),
+                                                 F.col(id_col).cast("string")))
+                        % n_salts).alias("_salt"))
+    w1 = Window.partitionBy("grp", "_salt").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    survivors = (base.withColumn("_rk1", F.row_number().over(w1))
+                 .filter(F.col("_rk1") <= cap))
+    w2 = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (survivors.withColumn("rk", F.row_number().over(w2).cast("int"))
+            .filter(F.col("rk") <= cap)
+            .select(id_col, "grp", "score", "rk")
+            .orderBy("grp", "rk"))
