@@ -2276,6 +2276,13 @@ def _ctfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.ctfidf_keywords(load_table(spark, "documents", sf_dir))
 
 
+def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly forward-filled value series for the first 20 users."""
+    from pyspark.sql import functions as F
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    return E.gap_fill_forward(ev, slot_seconds=3600)
+
+
 def _curation_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline counters via Spark's Observation API: the gate verdict
     runs ONCE and the metrics (total, kept, per-reason rejects) ride
@@ -2503,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_malformed": _events_json_malformed,
         "cluster_keywords": _cluster_keywords,
         "curation_observed_metrics": _curation_observed_metrics,
+        "events_gap_fill": _events_gap_fill,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2690,7 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # least-recently-checked queries (last driver datapoint: round 1).
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
-    "mllib_nb_confusion",
+    "events_gap_fill",
     "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
     "semdedup", "bpe_merges", "bpe_token_counts", "bpe_doc_token_counts",
     "copurchase_pagerank",
@@ -2715,7 +2723,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "mllib_svm_confusion",
+    "mllib_nb_confusion", "mllib_svm_confusion",
     "kmeans_quality",
     "revenue_by_region",
     "distinct_parts_per_supplier",
@@ -5272,6 +5280,36 @@ ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
     out["cluster_keywords"] = _cluster_keywords_sql()
+    out["events_gap_fill"] = """
+WITH src AS (
+  SELECT user_id, event_id, ts, value,
+         make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                        * 1000000) AS slot
+  FROM events WHERE user_id < 20
+),
+obs AS (
+  SELECT user_id, slot, v FROM (
+    SELECT user_id, slot, value AS v,
+           row_number() OVER (PARTITION BY user_id, slot
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM src) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+  FROM bounds
+)
+SELECT g.user_id, g.slot AS slot_ts,
+       last_value(o.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CAST(CASE WHEN o.v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS observed
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.slot = g.slot
+ORDER BY g.user_id, slot_ts
+"""
     out["curation_observed_metrics"] = f"""
 WITH g AS ({out["stream_curation_gates"]})
 SELECT CAST(count(*) AS BIGINT) AS n_docs,

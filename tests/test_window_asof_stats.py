@@ -756,3 +756,41 @@ def test_multitouch_bucketized_join_matches_bruteforce(spark, monkeypatch):
         assert got == want
 
     check()
+
+
+def test_gap_fill_forward_semantics(spark, sf_dir):
+    """Grid completeness, LOCF correctness, and observed flags — checked
+    against a brute-force Python fill for a handful of users."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import gap_fill_forward
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 5)
+    out = gap_fill_forward(ev, slot_seconds=3600).collect()
+    rows = ev.select("user_id", "event_id", "ts", "value").collect()
+    import collections
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r["user_id"]].append(r)
+    got = collections.defaultdict(list)
+    for r in out:
+        got[r["user_id"]].append(r)
+    for uid, evs in per.items():
+        slots = {}
+        for r in evs:
+            s = int(r["ts"].timestamp() // 3600) * 3600
+            k = (r["ts"], r["event_id"])
+            if s not in slots or k > slots[s][0]:
+                slots[s] = (k, r["value"])
+        lo, hi = min(slots), max(slots)
+        expect = []
+        lastv = None
+        for s in range(lo, hi + 3600, 3600):
+            if s in slots:
+                lastv = slots[s][1]
+                expect.append((s, lastv, 1))
+            else:
+                expect.append((s, lastv, 0))
+        actual = [(int(r["slot_ts"].timestamp()), r["filled_value"],
+                   r["observed"]) for r in got[uid]]
+        assert actual == expect

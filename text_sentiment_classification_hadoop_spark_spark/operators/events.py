@@ -543,3 +543,53 @@ def cohort_retention(spark: SparkSession, sf_dir: str,
         .agg(counter.alias("active_users"))
         .orderBy("cohort_start", "week_offset")
     )
+
+
+def gap_fill_forward(events: DataFrame, slot_seconds: int = 3600,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     value_col: str = "value") -> DataFrame:
+    """Time-series regularization → ``(user_id, slot_ts, filled_value,
+    observed)``: per user, a dense slot grid from the first to the last
+    observed slot, each slot carrying the latest observation AT or
+    BEFORE it (forward fill / LOCF) — the resample-and-ffill every
+    metrics pipeline runs before joining irregular event streams onto a
+    regular clock.
+
+    Per-slot representative is deterministic: the row with the max
+    ``(ts, event_id)`` in the slot (ties cannot survive the composite).
+    Shape: one (user, slot) aggregation, one per-user grid explode
+    (``sequence`` of epochs — plan-computed, no driver loop), one
+    user-keyed window for the fill. All exchanges are user-keyed and
+    co-partition; grid size is span/slot per user — choose
+    ``slot_seconds`` so span/slot stays sane (the caller's contract,
+    same as any resampler's).
+    """
+    slot = F.timestamp_seconds(
+        (F.floor(F.unix_seconds(F.col(ts_col)) / slot_seconds)
+         * slot_seconds).cast("long"))
+    from pyspark.sql import Window
+    per_slot_w = Window.partitionBy(user_col, "_slot").orderBy(
+        F.col(ts_col).desc(), F.col("event_id").desc())
+    obs = (events.select(user_col, "event_id", ts_col,
+                         F.col(value_col).alias("_v"), slot.alias("_slot"))
+           .withColumn("_rn", F.row_number().over(per_slot_w))
+           .filter(F.col("_rn") == 1)
+           .select(user_col, "_slot", "_v"))
+    bounds = obs.groupBy(user_col).agg(F.min("_slot").alias("_lo"),
+                                       F.max("_slot").alias("_hi"))
+    grid = bounds.select(
+        user_col,
+        F.explode(F.sequence(
+            F.unix_seconds("_lo"), F.unix_seconds("_hi"),
+            F.lit(slot_seconds))).alias("_se")) \
+        .select(user_col, F.timestamp_seconds(F.col("_se")).alias("_slot"))
+    fill_w = (Window.partitionBy(user_col).orderBy("_slot")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(obs, [user_col, "_slot"], "left")
+            .select(F.col(user_col),
+                    F.col("_slot").alias("slot_ts"),
+                    F.last("_v", ignorenulls=True).over(fill_w)
+                    .alias("filled_value"),
+                    F.when(F.col("_v").isNotNull(), 1).otherwise(0)
+                    .cast("int").alias("observed"))
+            .orderBy(user_col, "slot_ts"))
