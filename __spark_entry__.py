@@ -2283,6 +2283,13 @@ def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.gap_fill_forward(ev, slot_seconds=3600)
 
 
+def _events_gap_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly linear-interpolated value series for the first 20 users."""
+    from pyspark.sql import functions as F
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    return E.gap_fill_interp(ev, slot_seconds=3600)
+
+
 def _curation_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline counters via Spark's Observation API: the gate verdict
     runs ONCE and the metrics (total, kept, per-reason rejects) ride
@@ -2511,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keywords": _cluster_keywords,
         "curation_observed_metrics": _curation_observed_metrics,
         "events_gap_fill": _events_gap_fill,
+        "events_gap_interp": _events_gap_interp,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2699,7 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "events_gap_fill",
-    "stream_dedup_watermarked", "dedup_span_removal", "chunk_documents",
+    "events_gap_interp", "dedup_span_removal", "chunk_documents",
     "semdedup", "bpe_merges", "bpe_token_counts", "bpe_doc_token_counts",
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
@@ -2723,6 +2731,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "stream_dedup_watermarked",
     "mllib_nb_confusion", "mllib_svm_confusion",
     "kmeans_quality",
     "revenue_by_region",
@@ -5280,6 +5289,54 @@ ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
     out["cluster_keywords"] = _cluster_keywords_sql()
+    out["events_gap_interp"] = """
+WITH src AS (
+  SELECT user_id, event_id, ts, value,
+         make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                        * 1000000) AS slot
+  FROM events WHERE user_id < 20
+),
+obs AS (
+  SELECT user_id, slot, v FROM (
+    SELECT user_id, slot, value AS v,
+           row_number() OVER (PARTITION BY user_id, slot
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM src) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+  FROM bounds
+),
+j AS (
+  SELECT g.user_id, g.slot, o.v, CAST(epoch(g.slot) AS BIGINT) AS se
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.slot = g.slot
+),
+w AS (
+  SELECT user_id, slot, v, se,
+         last_value(v IGNORE NULLS) OVER wback AS pv,
+         first_value(v IGNORE NULLS) OVER wfwd AS nv,
+         last_value(CASE WHEN v IS NOT NULL THEN se END IGNORE NULLS)
+           OVER wback AS ps,
+         first_value(CASE WHEN v IS NOT NULL THEN se END IGNORE NULLS)
+           OVER wfwd AS ns
+  FROM j
+  WINDOW wback AS (PARTITION BY user_id ORDER BY slot
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wfwd AS (PARTITION BY user_id ORDER BY slot
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, slot AS slot_ts,
+       floor((CASE WHEN v IS NOT NULL THEN v
+              ELSE pv + (nv - pv) * (CAST(se - ps AS DOUBLE)
+                                     / CAST(ns - ps AS DOUBLE)) END)
+             * 1000000.0 + 0.5) / 1000000.0 AS interp_value,
+       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS observed
+FROM w ORDER BY user_id, slot_ts
+"""
     out["events_gap_fill"] = """
 WITH src AS (
   SELECT user_id, event_id, ts, value,

@@ -794,3 +794,39 @@ def test_gap_fill_forward_semantics(spark, sf_dir):
         actual = [(int(r["slot_ts"].timestamp()), r["filled_value"],
                    r["observed"]) for r in got[uid]]
         assert actual == expect
+
+
+def test_gap_fill_interp_endpoints_and_linearity(spark, sf_dir):
+    """Observed slots keep their value; interior gap slots lie on the
+    line between neighbors (within rounding)."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import (
+        gap_fill_forward,
+        gap_fill_interp,
+    )
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 5)
+    li = gap_fill_interp(ev, slot_seconds=3600).collect()
+    lo = {(r["user_id"], r["slot_ts"]): r for r in
+          gap_fill_forward(ev, slot_seconds=3600).collect()}
+    import collections
+    per = collections.defaultdict(list)
+    for r in li:
+        per[r["user_id"]].append(r)
+    checked_gap = 0
+    for uid, rows in per.items():
+        rows.sort(key=lambda r: r["slot_ts"])
+        # same grid as the LOCF fill
+        assert [r["slot_ts"] for r in rows] == \
+            sorted(k[1] for k in lo if k[0] == uid)
+        obs_idx = [i for i, r in enumerate(rows) if r["observed"] == 1]
+        assert obs_idx[0] == 0 and obs_idx[-1] == len(rows) - 1
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            va, vb = rows[a]["interp_value"], rows[b]["interp_value"]
+            for i in range(a + 1, b):
+                frac = (i - a) / (b - a)
+                want = va + (vb - va) * frac
+                assert abs(rows[i]["interp_value"] - want) < 1e-4
+                checked_gap += 1
+    assert checked_gap > 0
