@@ -2283,6 +2283,10 @@ def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.gap_fill_forward(ev, slot_seconds=3600)
 
 
+def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.hourly_anomalies(load_table(spark, "events", sf_dir))
+
+
 def _events_gap_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly linear-interpolated value series for the first 20 users."""
     from pyspark.sql import functions as F
@@ -2519,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_observed_metrics": _curation_observed_metrics,
         "events_gap_fill": _events_gap_fill,
         "events_gap_interp": _events_gap_interp,
+        "events_anomalies": _events_anomalies,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2707,7 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "events_gap_fill",
-    "events_gap_interp", "dedup_span_removal", "chunk_documents",
+    "events_gap_interp", "events_anomalies", "dedup_span_removal",
     "semdedup", "bpe_merges", "bpe_token_counts", "bpe_doc_token_counts",
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
@@ -2731,6 +2736,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "chunk_documents",
     "stream_dedup_watermarked",
     "mllib_nb_confusion", "mllib_svm_confusion",
     "kmeans_quality",
@@ -5336,6 +5342,40 @@ SELECT user_id, slot AS slot_ts,
        CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
          AS observed
 FROM w ORDER BY user_id, slot_ts
+"""
+    out["events_anomalies"] = """
+WITH hourly AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                        * 1000000) AS slot_ts,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot
+  FROM events GROUP BY event_type, slot_ts
+),
+w AS (
+  SELECT event_type, slot_ts, tot,
+         count(tot) OVER win AS n,
+         CAST(sum(tot) OVER win AS DOUBLE) AS s1,
+         CAST(sum(CAST(tot * tot AS DECIMAL(38,4))) OVER win AS DOUBLE) AS s2
+  FROM hourly
+  WINDOW win AS (PARTITION BY event_type ORDER BY slot_ts
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, slot_ts, CAST(tot AS DOUBLE) AS total,
+         CASE WHEN n = 24
+               AND (CAST(n AS DOUBLE) * s2 - s1 * s1)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) > 0
+              THEN floor(((CAST(tot AS DOUBLE) - s1 / n)
+                          / sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                         * 1000000.0 + 0.5) / 1000000.0
+         END AS z
+  FROM w
+)
+SELECT event_type, slot_ts, total, z,
+       CAST(CASE WHEN z IS NOT NULL AND abs(z) >= 2.0 THEN 1 ELSE 0 END
+            AS INTEGER) AS is_anomaly
+FROM scored ORDER BY event_type, slot_ts
 """
     out["events_gap_fill"] = """
 WITH src AS (

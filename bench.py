@@ -81,7 +81,7 @@ def main() -> None:
         # events (batch)
         "events_tumbling", "events_sliding", "events_sessionize", "events_json_roundtrip",
         "events_session_window_native", "rolling_revenue",
-        "events_pivot", "events_json_props", "events_json_malformed", "events_gap_fill", "events_gap_interp", "user_running_stats",
+        "events_pivot", "events_json_props", "events_json_malformed", "events_gap_fill", "events_gap_interp", "events_anomalies", "user_running_stats",
         "purchase_attribution", "next_click_attribution",
         "multitouch_attribution", "interval_pair_counts",
         "funnel_conversion", "cohort_retention", "event_transitions",

@@ -830,3 +830,37 @@ def test_gap_fill_interp_endpoints_and_linearity(spark, sf_dir):
                 assert abs(rows[i]["interp_value"] - want) < 1e-4
                 checked_gap += 1
     assert checked_gap > 0
+
+
+def test_hourly_anomalies_planted_spike(spark, sf_dir):
+    """A planted 100x value spike must flag; z is NULL until the frame
+    fills; z matches a numpy rolling computation."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import hourly_anomalies
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    ev = load_table(spark, "events", sf_dir)
+    # pick an hour the sparse series actually contains, past the warmup
+    base = sorted(r["slot_ts"] for r in hourly_anomalies(ev).collect()
+                  if r["event_type"] == "click")
+    spike_slot = base[30]
+    spiked = ev.withColumn(
+        "value", F.when((F.col("event_type") == "click")
+                        & (F.date_trunc("hour", "ts") == spike_slot),
+                        F.col("value") * 1000).otherwise(F.col("value")))
+    out = hourly_anomalies(spiked).collect()
+    clicks = sorted((r for r in out if r["event_type"] == "click"),
+                    key=lambda r: r["slot_ts"])
+    # first 24 slots of the series: baseline not yet full, no z
+    assert all(r["z"] is None for r in clicks[:24])
+    spike = [r for r in clicks if r["slot_ts"] == spike_slot]
+    assert spike and spike[0]["is_anomaly"] == 1 and spike[0]["z"] > 2
+    # numpy check on a stretch with full frames
+    tot = np.array([r["total"] for r in clicks])
+    for i in range(40, 60):
+        wnd = tot[i - 24:i]              # exclusive baseline
+        var = wnd.var()
+        if var > 0:
+            z = (tot[i] - wnd.mean()) / np.sqrt(var)
+            assert abs(clicks[i]["z"] - z) < 1e-4

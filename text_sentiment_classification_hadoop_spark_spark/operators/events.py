@@ -654,3 +654,59 @@ def gap_fill_interp(events: DataFrame, slot_seconds: int = 3600,
                      F.when(F.col("_v").isNotNull(), 1).otherwise(0)
                      .cast("int").alias("observed"))
             .orderBy(user_col, "slot_ts"))
+
+
+def hourly_anomalies(events: DataFrame, window_slots: int = 24,
+                     z_thresh: float = 2.0, ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     value_col: str = "value") -> DataFrame:
+    """Rolling z-score anomaly screen over hourly totals →
+    ``(event_type, slot_ts, total, z, is_anomaly)``: each hour's total
+    scored against the trailing ``window_slots``-hour mean/std of its
+    own series; |z| ≥ ``z_thresh`` flags. The ops-dashboard staple
+    (traffic spikes, pipeline stalls) on the same engine as the batch
+    analytics.
+
+    The baseline frame is the ``window_slots`` PRECEDING slots,
+    EXCLUSIVE of the current one — leave-in baselines inflate their own
+    mean/std and cap z at ≈√n however large the spike; the exclusive
+    frame scores the new observation against history, unbounded.
+
+    Determinism: hourly totals are exact DECIMAL sums; the frame's
+    Σx/Σx² are window sums over those exact decimals (frame order is
+    the window order — engine-independent), and only the final
+    variance/z math is per-row double, 6-dp-rounded at the edge. z is
+    NULL until the baseline frame is full (the first ``window_slots``
+    slots) and when the baseline is constant (std = 0).
+
+    One (type)-keyed exchange for the hourly rollup; the rolling stats
+    are partition-local sorts. Series count = |event types| — at scale
+    partition by (type, series-shard) only if a single type's history
+    outgrows one task, which at hourly grain takes decades."""
+    from pyspark.sql import Window
+
+    from ..functions.rounding import pround
+    slot = F.timestamp_seconds(
+        (F.floor(F.unix_seconds(F.col(ts_col)) / 3600) * 3600).cast("long"))
+    hourly = (events.groupBy(F.col(type_col).alias("event_type"),
+                             slot.alias("slot_ts"))
+              .agg(F.sum(F.col(value_col).cast("decimal(18,2)"))
+                   .cast("decimal(18,2)").alias("_tot")))
+    w = (Window.partitionBy("event_type").orderBy("slot_ts")
+         .rowsBetween(-window_slots, -1))
+    n = F.count("_tot").over(w)
+    s1 = F.sum("_tot").over(w).cast("double")
+    s2 = F.sum((F.col("_tot") * F.col("_tot")).cast("decimal(38,4)")) \
+        .over(w).cast("double")
+    nd = n.cast("double")
+    var = (nd * s2 - s1 * s1) / (nd * nd)
+    tot_d = F.col("_tot").cast("double")
+    z = (tot_d - s1 / nd) / F.sqrt(var)
+    full = (n == window_slots) & (var > 0)
+    zr = F.when(full, pround(z, 6))
+    return (hourly.select(
+        "event_type", "slot_ts", tot_d.alias("total"),
+        zr.alias("z"),
+        F.when(zr.isNotNull() & (F.abs(zr) >= z_thresh), 1)
+        .otherwise(0).cast("int").alias("is_anomaly"))
+        .orderBy("event_type", "slot_ts"))
