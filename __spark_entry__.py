@@ -2283,6 +2283,63 @@ def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.gap_fill_forward(ev, slot_seconds=3600)
 
 
+def _nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall across the NB margin's own deciles →
+    ``(thr_idx, threshold, tp, fp, fn, precision, recall)`` — the
+    operating-curve view the single argmax confusion matrix can't give
+    (pick your precision, read off the threshold). Thresholds are the
+    exact margin deciles (value at rank ⌈i·n/10⌉ — deterministic under
+    ties), collected driver-side (9 rows — codebook discipline); the
+    per-threshold counts fan out through one constant-size broadcast
+    and a single aggregation pass. Precision/recall round integer-
+    exactly (the pround_avg2 form over plain counts). The decile
+    window sorts test-set-sized margins on one task — at corpus scale
+    swap in the two-phase distributed rank (pps_sample's pattern)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import pround
+    from text_sentiment_classification_hadoop_spark_spark.operators import nb as NB
+    _, test = S.train_test(S.labeled_documents(spark, sf_dir))
+    model, stats = S._nb_trained(spark, sf_dir)
+    scored = NB.nb_score(test, model, stats)
+    marg = (scored.select(
+        F.col("label"),
+        pround(F.col("score_pos") - F.col("score_neg"), 6).alias("m"))
+        .localCheckpoint(eager=True))
+    n = marg.count()
+    ranks = {math.ceil(i * n / 10): i for i in range(1, 10)}
+    w = Window.orderBy("m")
+    thr_rows = (marg.select("m").withColumn("r", F.row_number().over(w))
+                .filter(F.col("r").isin(list(ranks))).collect())
+    tdf = spark.createDataFrame(
+        sorted((ranks[r["r"]], r["m"]) for r in thr_rows),
+        "thr_idx int, threshold double")
+    hit = F.col("m") >= F.col("threshold")
+    pos = F.col("label") == 1.0
+    agg = (marg.crossJoin(F.broadcast(tdf))
+           .groupBy("thr_idx", "threshold")
+           .agg(F.sum(F.when(hit & pos, 1).otherwise(0)).alias("tp"),
+                F.sum(F.when(hit & ~pos, 1).otherwise(0)).alias("fp"),
+                F.sum(F.when(~hit & pos, 1).otherwise(0)).alias("fn")))
+    exact_ratio = ("floor(CAST(2 * {num} * 1000000 + ({den}) AS DOUBLE)"
+                   " / CAST(2 * ({den}) AS DOUBLE)) / 1e6")
+    return (agg.select(
+        "thr_idx", "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.expr("CASE WHEN tp + fp > 0 THEN "
+               + exact_ratio.format(num="tp", den="tp + fp")
+               + " END").alias("precision"),
+        F.expr("CASE WHEN tp + fn > 0 THEN "
+               + exact_ratio.format(num="tp", den="tp + fn")
+               + " END").alias("recall"))
+        .orderBy("thr_idx"))
+
+
 def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hourly_anomalies(load_table(spark, "events", sf_dir))
 
@@ -2524,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": _events_gap_fill,
         "events_gap_interp": _events_gap_interp,
         "events_anomalies": _events_anomalies,
+        "nb_pr_curve": _nb_pr_curve,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2712,7 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "events_gap_fill",
-    "events_gap_interp", "events_anomalies", "dedup_span_removal",
+    "events_gap_interp", "events_anomalies", "nb_pr_curve",
     "semdedup", "bpe_merges", "bpe_token_counts", "bpe_doc_token_counts",
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
@@ -2736,7 +2794,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "chunk_documents",
+    "dedup_span_removal", "chunk_documents",
     "stream_dedup_watermarked",
     "mllib_nb_confusion", "mllib_svm_confusion",
     "kmeans_quality",
@@ -5342,6 +5400,46 @@ SELECT user_id, slot AS slot_ts,
        CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
          AS observed
 FROM w ORDER BY user_id, slot_ts
+"""
+    out["nb_pr_curve"] = f"""
+WITH {DOCS_CTE},
+sums AS (
+  SELECT t.doc_id,
+         sum(ln((m.pos_count + 1) / (s.pos_w + vb.v))) AS s_pos,
+         sum(ln((m.neg_count + 1) / (s.neg_w + vb.v))) AS s_neg
+  FROM tok_test t JOIN model m USING (word), stats s, vocab vb
+  GROUP BY t.doc_id
+),
+marg AS (
+  SELECT d.label,
+         floor(((ln(s.pos_t / s.tweets) + coalesce(su.s_pos, 0.0))
+                - (ln(s.neg_t / s.tweets) + coalesce(su.s_neg, 0.0)))
+               * 1000000.0 + 0.5) / 1000000.0 AS m
+  FROM test d LEFT JOIN sums su USING (doc_id), stats s
+),
+nsz AS (SELECT count(*) AS n FROM marg),
+rk AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM marg),
+thr AS (
+  SELECT i, r.m AS threshold
+  FROM (SELECT unnest(range(1, 10)) AS i), nsz, rk r
+  WHERE r.r = CAST(ceil(i * n / 10.0) AS BIGINT)
+),
+pr AS (
+  SELECT t.i, t.threshold,
+         sum(CASE WHEN mg.m >= t.threshold AND mg.label = 1.0
+                  THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN mg.m >= t.threshold AND mg.label <> 1.0
+                  THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN mg.m < t.threshold AND mg.label = 1.0
+                  THEN 1 ELSE 0 END) AS fn
+  FROM thr t CROSS JOIN marg mg GROUP BY t.i, t.threshold
+)
+SELECT CAST(i AS INTEGER) AS thr_idx, threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp > 0 THEN floor(CAST(2 * tp * 1000000 + (tp + fp) AS DOUBLE) / CAST(2 * (tp + fp) AS DOUBLE)) / 1e6 END AS "precision",
+       CASE WHEN tp + fn > 0 THEN floor(CAST(2 * tp * 1000000 + (tp + fn) AS DOUBLE) / CAST(2 * (tp + fn) AS DOUBLE)) / 1e6 END AS recall
+FROM pr ORDER BY thr_idx
 """
     out["events_anomalies"] = """
 WITH hourly AS (

@@ -32,7 +32,7 @@ def main() -> None:
     # gate covers so BENCH and CORRECTNESS speak about the same queries.
     names = [
         # sentiment (the reference workload)
-        "nb_predictions", "nb_confusion", "nb_metrics",
+        "nb_predictions", "nb_confusion", "nb_metrics", "nb_pr_curve",
         "svm_predictions", "svm_declared_weights", "svm_metrics",
         # relational
         "pricing_summary", "sql_pricing_summary", "revenue_by_region",
@@ -142,7 +142,7 @@ def main() -> None:
                            "bench_result.json"), "w") as fh:
         fh.write(full_line + "\n")
 
-    core = [n for n in ("nb_predictions", "nb_confusion", "nb_metrics",
+    core = [n for n in ("nb_predictions", "nb_confusion", "nb_metrics", "nb_pr_curve",
                         "svm_predictions", "svm_declared_weights",
                         "svm_metrics", "pricing_summary") if n in timings]
     by_cost = sorted((n for n in timings if n not in core),

@@ -215,3 +215,27 @@ def test_nb_compat_raw_underflow_quirk(spark, model_stats):
     # prior 0.5, p(good|pos) = 4/11, p(good|neg) = 1/11
     assert math.isclose(raw[10]["prob_pos"], 0.5 * (4 / 11) ** 2)
     assert math.isclose(raw[10]["prob_neg"], 0.5 * (1 / 11) ** 2)
+
+
+def test_nb_pr_curve_monotonicity(spark):
+    """Raising the threshold can only trade recall for precision mass:
+    tp and fp are non-increasing in the threshold, fn non-decreasing,
+    and tp+fn (the positive count) is constant."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    rows = entry.queries()["nb_pr_curve"](
+        spark, "/root/testdata/sf0.001").orderBy("thr_idx").collect()
+    assert len(rows) == 9
+    assert [r["threshold"] for r in rows] == \
+        sorted(r["threshold"] for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        if b["threshold"] > a["threshold"]:
+            assert b["tp"] <= a["tp"] and b["fp"] <= a["fp"]
+            assert b["fn"] >= a["fn"]
+    assert len({r["tp"] + r["fn"] for r in rows}) == 1
+    for r in rows:
+        if r["precision"] is not None:
+            assert 0.0 <= r["precision"] <= 1.0
+        if r["recall"] is not None:
+            assert 0.0 <= r["recall"] <= 1.0
