@@ -2340,6 +2340,73 @@ def _nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("thr_idx"))
 
 
+def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell approximate kNN graph over the embeddings (16 coarse
+    cells — candidates ≈ n/16 per vector, never all-pairs)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.knn_graph(emb, k=5, n_cells=16)
+
+
+def _knn_graph_sql(n_cells: int = 16, k: int = 5) -> str:
+    parts = _kmeans_cte_parts(n_cells, 0)
+    cos = ("sum(au.x * c.m) / (sqrt(sum(au.x * au.x))"
+           " * sqrt(sum(c.m * c.m)))")
+    parts += [
+        f"""scF AS (
+  SELECT au.vec_id, c.cell, {_r6(cos)} AS cos
+  FROM au JOIN cent0 c USING (d)
+  GROUP BY au.vec_id, c.cell)""",
+        """asgF AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell ASC) AS rk
+    FROM scF) WHERE rk = 1)""",
+        "nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM au GROUP BY vec_id)",
+        """pz AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM asgF a JOIN asgF b ON a.cell = b.cell AND a.vec_id <> b.vec_id)""",
+        """pd AS (
+  SELECT p.src, p.dst, sum(xa.x * xb.x) AS dot
+  FROM pz p
+  JOIN au xa ON xa.vec_id = p.src
+  JOIN au xb ON xb.vec_id = p.dst AND xb.d = xa.d
+  GROUP BY p.src, p.dst)""",
+        """scg AS (
+  SELECT pd.src, pd.dst,
+         floor((pd.dot / (na.nv * nb.nv)) * 1000000.0 + 0.5)
+           / 1000000.0 AS cosine
+  FROM pd
+  JOIN nrm na ON na.vec_id = pd.src
+  JOIN nrm nb ON nb.vec_id = pd.dst)""",
+        """rkg AS (
+  SELECT src, dst, cosine,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cosine DESC, dst ASC)
+              AS INTEGER) AS rank
+  FROM scg)""",
+    ]
+    return (f"WITH {AU_ORIG}, " + ",\n".join(parts)
+            + f"""
+SELECT src, dst, cosine, rank FROM rkg
+WHERE rank <= {k} ORDER BY src, rank
+""")
+
+
+def _lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic lang-id evaluated against the corpus labels →
+    (actual, predicted, n) confusion counts — the quality gate's own
+    scorecard (which mixes get routed wrong, how often 'unk' fires)."""
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "documents", sf_dir)
+    pred = TA.lang_id(docs).select("doc_id", "pred_lang")
+    return (docs.select("doc_id", F.col("lang").alias("actual"))
+            .join(pred, "doc_id")
+            .groupBy("actual", F.col("pred_lang").alias("predicted"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("actual", "predicted"))
+
+
 def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hourly_anomalies(load_table(spark, "events", sf_dir))
 
@@ -2582,6 +2649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_interp": _events_gap_interp,
         "events_anomalies": _events_anomalies,
         "nb_pr_curve": _nb_pr_curve,
+        "lang_id_confusion": _lang_id_confusion,
+        "knn_graph": _knn_graph,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2771,7 +2840,8 @@ _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "events_gap_fill",
     "events_gap_interp", "events_anomalies", "nb_pr_curve",
-    "semdedup", "bpe_merges", "bpe_token_counts", "bpe_doc_token_counts",
+    "lang_id_confusion", "knn_graph",
+    "bpe_token_counts", "bpe_doc_token_counts",
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
@@ -2794,6 +2864,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "bpe_merges", "semdedup",
     "dedup_span_removal", "chunk_documents",
     "stream_dedup_watermarked",
     "mllib_nb_confusion", "mllib_svm_confusion",
@@ -5352,6 +5423,7 @@ FROM q JOIN ds USING (doc_id) JOIN sp USING (doc_id)
 ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
+    out["knn_graph"] = _knn_graph_sql()
     out["cluster_keywords"] = _cluster_keywords_sql()
     out["events_gap_interp"] = """
 WITH src AS (
@@ -5440,6 +5512,13 @@ SELECT CAST(i AS INTEGER) AS thr_idx, threshold,
        CASE WHEN tp + fp > 0 THEN floor(CAST(2 * tp * 1000000 + (tp + fp) AS DOUBLE) / CAST(2 * (tp + fp) AS DOUBLE)) / 1e6 END AS "precision",
        CASE WHEN tp + fn > 0 THEN floor(CAST(2 * tp * 1000000 + (tp + fn) AS DOUBLE) / CAST(2 * (tp + fn) AS DOUBLE)) / 1e6 END AS recall
 FROM pr ORDER BY thr_idx
+"""
+    out["lang_id_confusion"] = f"""
+WITH pred AS ({out["lang_id"]})
+SELECT d.lang AS actual, p.pred_lang AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     out["events_anomalies"] = """
 WITH hourly AS (

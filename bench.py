@@ -59,7 +59,7 @@ def main() -> None:
         "sq8_codes", "sq8_recall_at10",
         "kmeans_cells", "kmeans_quality", "random_projection", "rp_ann_topk",
         "pq_codes", "pq_adc_topk", "pq_trained_codes",
-        "embedding_dim_stats", "hard_negatives", "mmr_rerank",
+        "embedding_dim_stats", "hard_negatives", "mmr_rerank", "knn_graph",
         "ann_rbo_at10",
         # corpus stats / training prep
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
@@ -69,7 +69,7 @@ def main() -> None:
         "bm25_search", "inverted_index", "cms_token_counts",
         "hybrid_rrf_search", "phrase_search",
         # text analysis
-        "lang_id", "quality_score", "token_counts", "doc_fingerprints",
+        "lang_id", "lang_id_confusion", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",
         "ctfidf_keywords", "cluster_keywords",
         "doc_bigram_ppl", "ppl_band_docs", "c4_clean_docs", "zorder_keys",

@@ -864,3 +864,43 @@ def test_kmeans_quality_partitions_and_bounds(spark, sf_dir):
         # mean assigned cosine within [-1, 1] in micro units
         assert -1_000_000 * r["n_members"] <= r["sum_cos_micro"] \
             <= 1_000_000 * r["n_members"]
+
+
+def test_knn_graph_neighbors_are_cell_exact(spark, sf_dir):
+    """Within each vector's cell the graph's neighbors are the true
+    top-k by cosine — verified against a brute-force per-cell scan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import (
+        ivf_assign_cells,
+        knn_graph,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_graph(emb, k=3, n_cells=4).collect()
+    seeds = (emb.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").cast("long").alias("cell_id"),
+                     F.col("embedding").alias("cell_vec")))
+    assign = {r["vec_id"]: r["cell"] for r in
+              ivf_assign_cells(emb, seeds, n_centroids=4).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    import collections
+    got = collections.defaultdict(list)
+    for r in out:
+        got[r["src"]].append((r["rank"], r["dst"], r["cosine"]))
+    import math
+    for src in list(got)[:40]:
+        cell = assign[src]
+        cands = [v for v in vecs if v != src and assign[v] == cell]
+        scored = sorted(
+            ((math.floor(
+                float(vecs[src] @ vecs[c]
+                      / (np.linalg.norm(vecs[src]) * np.linalg.norm(vecs[c])))
+                * 1e6 + 0.5) / 1e6, c) for c in cands),
+            key=lambda t: (-t[0], t[1]))
+        want = [(i + 1, c, s) for i, (s, c) in enumerate(scored[:3])]
+        have = sorted(got[src])
+        assert [(r, d) for r, d, _ in have] == [(r, d) for r, d, _ in want]
+        for (_, _, ca), (_, _, cb) in zip(have, want):
+            assert abs(ca - cb) < 2e-6

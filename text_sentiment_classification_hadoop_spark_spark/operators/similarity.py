@@ -975,3 +975,44 @@ def rbo_min_at(a: DataFrame, b: DataFrame, depth: int = 10,
             .select((F.col("_t").cast("double") / F.lit(denom))
                     .alias("rbo_min"),
                     F.col("n_common").cast("long").alias("n_common")))
+
+
+def knn_graph(emb: DataFrame, k: int = 5, n_cells: int = 8,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Approximate kNN GRAPH construction → ``(src, dst, cosine,
+    rank)``: every vector's top-``k`` cosine neighbors among its own
+    coarse cell's members — the batch building block for graph-based
+    ANN indexes, kNN-classification, and graph dedup (the near-dup CC
+    machinery consumes exactly this edge shape).
+
+    Candidate generation is the IVF coarse quantizer (first-``n_cells``
+    seed centroids — swap in ``kmeans_books(kmeans_fit(...))`` for a
+    trained codebook, same downstream), so the pair join is
+    cell-bounded, never all-pairs: expected per-vector candidates
+    ≈ n/n_cells. Norms are computed once per row BEFORE the self-join
+    (the ``embedding_near_dups`` hoist); the per-src top-k is a
+    cell-partitioned window. Recall improves with multi-probe the same
+    way the query-time path does (union a second assignment, distinct).
+    """
+    from pyspark.sql import Window
+    seeds = (emb.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).cast("long").alias("cell_id"),
+                     F.col(vec_col).alias("cell_vec")))
+    assigned = ivf_assign_cells(widen(emb), seeds, id_col=id_col,
+                                vec_col=vec_col, n_centroids=n_cells)
+    base = assigned.select(F.col(id_col), F.col(vec_col), "cell",
+                           norm_expr(F.col(vec_col)).alias("_nrm"))
+    a = base.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"),
+                    F.col("_nrm").alias("_na"), "cell")
+    b = base.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"),
+                    F.col("_nrm").alias("_nb"), "cell")
+    cosine = pround(dot_expr(F.col("va"), F.col("vb"))
+                    / (F.col("_na") * F.col("_nb")), 6)
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(),
+                                          F.col("dst").asc())
+    return (a.join(b, "cell").filter(F.col("src") != F.col("dst"))
+            .select("src", "dst", cosine.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .orderBy("src", "rank"))
