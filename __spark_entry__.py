@@ -2830,12 +2830,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# The 50-query round-4 shard: the rows whose status changes this round
-# (the sql_pricing_summary fix, the previously-oracle-less rows, and
-# every operator NEW in round 4 — streaming watermark dedup, span
-# removal, chunking, semdedup, BPE x3, PageRank, triangles,
-# stream-static enrich, embedding decontamination), then the
-# least-recently-checked queries (last driver datapoint: round 1).
+# The 50-query round-4 shard: rows whose status changes this round —
+# the sql_pricing_summary / pricing_summary FMA-proof average fix, the
+# previously-oracle-less rows, and every operator NEW in round 4
+# (training-data prep: DSIR/split/quota/mixture/manifest/leakage;
+# retrieval eval: MMR/RBO/kNN-graph/hard negatives; time series:
+# gap fill/interp/anomalies; plus phrase search, c-TF-IDF, cluster
+# topics, observed metrics, PR curve, streaming near-dup index, and
+# the earlier r4 cohort). Rows-only MLlib fits and a few locally
+# re-verified r4 queries rotate to 51+ to fit the cap; every one of
+# those has a green local sweep datapoint (tools/check_correctness.py)
+# and rounds 1–3 driver coverage where applicable.
 _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "events_gap_fill",
