@@ -82,17 +82,18 @@ def test_search_cli():
     assert "doc " in out.stdout
 
 
-def test_cli_manifest(tmp_path, capsys):
-    import sys
-    sys.path.insert(0, "/root/repo")
-    from text_sentiment_classification_hadoop_spark_spark.__main__ import main
-    out = str(tmp_path / "shards")
-    rc = main(["manifest", "--docs", "/root/testdata/sf0.001/documents.parquet",
-               "--out", out])
-    assert rc == 0
-    text = capsys.readouterr().out
-    assert "Manifest rows = 250" in text
-    assert "Training shards written" in text
+def test_cli_manifest(tmp_path):
+    # subprocess like every CLI test: the command stops ITS OWN spark —
+    # calling main() in-process would stop the suite's shared session
+    out_dir = str(tmp_path / "shards")
+    out = subprocess.run(
+        [sys.executable, "-m", "text_sentiment_classification_hadoop_spark_spark", "manifest",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out_dir],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Manifest rows = 250" in out.stdout
+    assert "Training shards written" in out.stdout
     import os
-    assert sorted(d for d in os.listdir(out) if d.startswith("split=")) == \
+    assert sorted(d for d in os.listdir(out_dir) if d.startswith("split=")) == \
         ["split=test", "split=train", "split=val"]
