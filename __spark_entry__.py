@@ -2651,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_pr_curve": _nb_pr_curve,
         "lang_id_confusion": _lang_id_confusion,
         "knn_graph": _knn_graph,
+        "pareto_orders": R.pareto_orders,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2845,8 +2846,8 @@ _R4_FRONT = [
     "sql_pricing_summary", "approx_distinct_users",
     "events_gap_fill",
     "events_gap_interp", "events_anomalies", "nb_pr_curve",
-    "lang_id_confusion", "knn_graph",
-    "bpe_token_counts", "bpe_doc_token_counts",
+    "lang_id_confusion", "knn_graph", "pareto_orders",
+    "bpe_doc_token_counts",
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
@@ -2869,7 +2870,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "bpe_merges", "semdedup",
+    "bpe_token_counts", "bpe_merges", "semdedup",
     "dedup_span_removal", "chunk_documents",
     "stream_dedup_watermarked",
     "mllib_nb_confusion", "mllib_svm_confusion",
@@ -5429,6 +5430,30 @@ ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
     out["knn_graph"] = _knn_graph_sql()
+    out["pareto_orders"] = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders
+),
+tiers AS (SELECT price, max(day) AS tier_day FROM base GROUP BY price),
+tf AS (
+  SELECT price, tier_day,
+         max(tier_day) OVER (ORDER BY price ASC
+                             ROWS BETWEEN 1 FOLLOWING
+                             AND UNBOUNDED FOLLOWING) AS hi_day
+  FROM tiers
+),
+front AS (
+  SELECT price, tier_day FROM tf
+  WHERE hi_day IS NULL OR tier_day > hi_day
+)
+SELECT b.o_orderkey, CAST(b.price AS DOUBLE) AS price,
+       CAST(b.day AS BIGINT) AS day
+FROM base b JOIN front f ON f.price = b.price AND b.day = f.tier_day
+ORDER BY b.o_orderkey
+"""
     out["cluster_keywords"] = _cluster_keywords_sql()
     out["events_gap_interp"] = """
 WITH src AS (

@@ -505,3 +505,43 @@ def rolling_revenue(spark: SparkSession, sf_dir: str,
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
         .cast("double").alias("rolling_revenue"))
         .orderBy("o_orderkey"))
+
+
+def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query — the classic "best tradeoffs"
+    analytic Spark has no native operator for: orders not DOMINATED on
+    (higher price, more recent date); a row is dominated if some other
+    row is ≥ on both dimensions and > on at least one.
+
+    2-D skylines need no pairwise join: collapse to one row per price
+    TIER (max date per price — anything else in the tier is dominated
+    within it), then a ROWS-frame running max of tier dates over
+    strictly higher tiers decides dominance — aggregation + one
+    tier-table window, vs the naive O(n²) anti-join. A ROWS frame on
+    the DEDUPED tier table sidesteps the decimal-tick RANGE-offset
+    trap ("1 FOLLOWING" in price units is not "next tier").
+
+    The tier window is single-partition but tier-table-sized; at
+    corpus scale pre-filter with a coarse price grid (keep each
+    cell's local max) so the exact pass sees only cell winners — the
+    two-phase shape of the PPS sampler."""
+    from pyspark.sql import Window
+    o = load_table(spark, "orders", sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+    price_c = F.col("o_totalprice").cast("decimal(18,2)")
+    base = o.select("o_orderkey", price_c.alias("price"),
+                    day.alias("day"))
+    tiers = base.groupBy("price").agg(F.max("day").alias("_tier_day"))
+    w_higher = (Window.orderBy(F.col("price").asc())
+                .rowsBetween(1, Window.unboundedFollowing))
+    tier_flags = tiers.select(
+        "price", "_tier_day",
+        F.max("_tier_day").over(w_higher).alias("_hi_day"))
+    frontier_tiers = tier_flags.filter(
+        F.col("_hi_day").isNull() | (F.col("_tier_day") > F.col("_hi_day")))
+    return (base.join(frontier_tiers, "price")
+            .filter(F.col("day") == F.col("_tier_day"))
+            .select("o_orderkey",
+                    F.col("price").cast("double").alias("price"),
+                    F.col("day").cast("long").alias("day"))
+            .orderBy("o_orderkey"))
