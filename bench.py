@@ -38,7 +38,7 @@ def main() -> None:
         "pricing_summary", "sql_pricing_summary", "revenue_by_region",
         "distinct_parts_per_supplier", "customer_order_totals",
         "top_orders_per_customer", "orders_above_global_avg", "order_rank_stats",
-        "word_counts", "word_counts_salted",
+        "word_counts", "word_counts_salted", "pareto_orders",
         # dedup
         "dedup_exact", "minhash_signatures", "simhash_fingerprints",
         "near_dup_pairs", "ngram_jaccard", "decontaminate_train", "simhash_near_dups",

@@ -864,3 +864,21 @@ def test_hourly_anomalies_planted_spike(spark, sf_dir):
         if var > 0:
             z = (tot[i] - wnd.mean()) / np.sqrt(var)
             assert abs(clicks[i]["z"] - z) < 1e-4
+
+
+def test_pareto_orders_matches_bruteforce(spark, sf_dir):
+    """Frontier = rows not dominated on (price, day) — brute-force
+    verified, including the equal-price tier rule."""
+    rows = [tuple(r) for r in R.pareto_orders(spark, sf_dir).collect()]
+    base = [(r["o_orderkey"], float(r["o_totalprice"]),
+             r["day"]) for r in
+            load_table(spark, "orders", sf_dir).selectExpr(
+                "o_orderkey", "o_totalprice",
+                "datediff(o_orderdate, '1990-01-01') AS day").collect()]
+    def dominated(row):
+        _, p, d = row
+        return any((p2 >= p and d2 >= d and (p2 > p or d2 > d))
+                   for _, p2, d2 in base)
+    want = sorted((k, p, d) for k, p, d in base
+                  if not dominated((k, p, d)))
+    assert sorted(rows) == want and want
