@@ -97,3 +97,13 @@ def test_cli_manifest(tmp_path):
     import os
     assert sorted(d for d in os.listdir(out_dir) if d.startswith("split=")) == \
         ["split=test", "split=train", "split=val"]
+
+
+def test_cli_explain():
+    out = subprocess.run(
+        [sys.executable, "-m", "text_sentiment_classification_hadoop_spark_spark", "explain",
+         "--query", "pricing_summary"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "== Physical Plan ==" in out.stdout
+    assert "Scan parquet" in out.stdout

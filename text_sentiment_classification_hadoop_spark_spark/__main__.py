@@ -64,7 +64,8 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="text_sentiment_classification_hadoop_spark_spark")
     p.add_argument("command", choices=[
         "nb-compat", "svm-compat", "svm-strict", "nb-mllib", "svm-mllib",
-        "curate", "dedup", "tokenize-train", "search", "manifest"])
+        "curate", "dedup", "tokenize-train", "search", "manifest",
+        "explain"])
     p.add_argument("--train", help="training tweets CSV (compat commands)")
     p.add_argument("--test", help="test tweets CSV; defaults to --train")
     p.add_argument("--input", help="tweets CSV for the mllib commands (75/25 split inside)")
@@ -193,6 +194,26 @@ def main(argv: list[str] | None = None) -> int:
             snippet = texts.get(h["doc_id"], "")[:60]
             print(f"  {h['rank']:3d}. doc {h['doc_id']} "
                   f"(score {h['score']}): {snippet}")
+        print(f"Execution time: {time.perf_counter() - t0:.2f} s")
+        spark.stop()
+        return 0
+
+    if args.command == "explain":
+        # developer tool: the formatted physical plan of any registry
+        # query — what PLANAUDIT/PLANS automate, one query at a time
+        if not args.query:
+            p.error("--query <registry name> is required for explain")
+        import sys as _sys
+        _sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+        qs = entry.queries()
+        if args.query not in qs:
+            p.error(f"unknown query {args.query!r}; registry has "
+                    f"{len(qs)} names (see COVERAGE.md)")
+        sf_dir = args.docs or "/root/testdata/sf0.001"
+        from .plans.explain import plan_string
+        df = qs[args.query](spark, sf_dir)
+        print(plan_string(df))
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
         spark.stop()
         return 0
