@@ -275,3 +275,28 @@ def test_kcore_peel_matches_python_simulation(spark, edge_set, k, rounds):
     got = {r["node"]: r["degree"]
            for r in kcore_peel(df, k=k, rounds=rounds).collect()}
     assert got == want
+
+
+@given(st.lists(st.tuples(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                          st.integers(min_value=1, max_value=4000)),
+                min_size=1, max_size=4, unique_by=lambda t: t[0]),
+       st.integers(min_value=1, max_value=10_000_000))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mixture_plan_largest_remainder_property(spark, weights, budget):
+    """For ANY weights/budget: targets sum EXACTLY to the budget and
+    each target is within 1 token of its exact proportional share —
+    the largest-remainder guarantee."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import mixture_token_plan
+    langs = [w[0] for w in weights]
+    docs = spark.createDataFrame(
+        [(i, "tok " * 3, langs[i % len(langs)]) for i in range(20)],
+        "doc_id long, text string, lang string")
+    w_float = [(lang, mills / 1000.0) for lang, mills in weights]
+    rows = mixture_token_plan(docs, weights=w_float,
+                              budget_tokens=budget).collect()
+    assert sum(r["target_tokens"] for r in rows) == budget
+    total_w = sum(int(round(w * 1000)) for _, w in w_float)
+    for r in rows:
+        exact = budget * int(round(r["w"] * 1000)) / total_w
+        assert abs(r["target_tokens"] - exact) < 1.0
