@@ -2425,23 +2425,26 @@ def _curation_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     production-monitoring pattern that costs zero extra scans, vs the
     naive second aggregate pass. Oracle: the same counts off the gate
     table."""
-    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import narrow_verdict
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     v = narrow_verdict(docs)
-    obs = Observation()
     reasons = ["lang", "quality", "repetitive"]
+    # named observe (NOT the Observation helper object: it registers
+    # session-level state whose ObservationManager later poisons MLlib
+    # task serialization — reproduced; the named form leaves nothing
+    # behind and the metrics read off the executed plan)
     observed = v.observe(
-        obs,
+        "curation_gates",
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("kept_narrow").alias("n_kept"),
         *[F.sum(F.when(F.col("reject_reason") == r, 1).otherwise(0))
           .alias(f"n_{r}") for r in reasons])
-    observed.write.format("noop").mode("overwrite").save()  # one pass
-    m = obs.get
-    row = tuple(int(m[c]) for c in
+    observed.collect()  # the one pass; accumulators ride along
+    jrow = (observed._jdf.queryExecution().observedMetrics()
+            .get("curation_gates").get())
+    row = tuple(int(jrow.getAs(c)) for c in
                 ["n_docs", "n_kept", "n_lang", "n_quality", "n_repetitive"])
     return spark.createDataFrame(
         [row], "n_docs long, n_kept long, n_lang long, "
