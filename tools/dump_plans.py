@@ -109,6 +109,19 @@ SHOWCASE = [
      "at-ingest LSH lookup: stateless per-row MinHash (shingle-hash "
      "array hoisted out of the per-perm lambdas) + stream-static "
      "band-index join"),
+    ("knn_graph",
+     "cell-bounded kNN-graph self-join with hoisted norms; per-src "
+     "top-k window partitioned by cell members, never all-pairs"),
+    ("pareto_orders",
+     "skyline via price-tier collapse + an INCREMENTAL running-max "
+     "window (DESC order + lag) — the (1, unboundedFollowing) frame "
+     "Spark recomputes per row was O(n²): 306 s -> 1.4 s at sf0.1"),
+    ("events_anomalies",
+     "exact decimal hourly rollup + exclusive trailing baseline "
+     "frame; per-type partition-local rolling stats"),
+    ("nb_pr_curve",
+     "9-row threshold codebook broadcast over one aggregation pass; "
+     "integer-exact precision/recall rounding"),
 ]
 
 
