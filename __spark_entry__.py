@@ -2393,6 +2393,11 @@ WHERE rank <= {k} ORDER BY src, rank
 """)
 
 
+def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import weighted_sample
+    return weighted_sample(load_table(spark, "documents", sf_dir))
+
+
 def _lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic lang-id evaluated against the corpus labels →
     (actual, predicted, n) confusion counts — the quality gate's own
@@ -2655,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": _lang_id_confusion,
         "knn_graph": _knn_graph,
         "pareto_orders": R.pareto_orders,
+        "weighted_sample_docs": _weighted_sample_docs,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2850,7 +2856,7 @@ _R4_FRONT = [
     "events_gap_fill",
     "events_gap_interp", "events_anomalies", "nb_pr_curve",
     "lang_id_confusion", "knn_graph", "pareto_orders",
-    "bpe_doc_token_counts",
+    "weighted_sample_docs",
     "copurchase_pagerank",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
@@ -2873,7 +2879,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "bpe_token_counts", "bpe_merges", "semdedup",
+    "bpe_doc_token_counts", "bpe_token_counts", "bpe_merges", "semdedup",
     "dedup_span_removal", "chunk_documents",
     "stream_dedup_watermarked",
     "mllib_nb_confusion", "mllib_svm_confusion",
@@ -5433,6 +5439,22 @@ ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
     out["knn_graph"] = _knn_graph_sql()
+    out["weighted_sample_docs"] = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         -ln((({PORTABLE_HASH.format(col="'wsample:v1:' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1)
+             / 1000000.0)
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, weight,
+         CAST(row_number() OVER (ORDER BY k ASC, doc_id ASC)
+              AS INTEGER) AS rk
+  FROM keyed
+)
+SELECT doc_id, weight, rk FROM ranked WHERE rk <= 200 ORDER BY rk
+"""
     out["pareto_orders"] = """
 WITH base AS (
   SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,

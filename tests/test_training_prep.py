@@ -453,3 +453,41 @@ def test_quota_select_salted_equals_plain(docs):
     plain = [tuple(r) for r in quota_select(mono, cap=25).collect()]
     salted = [tuple(r) for r in quota_select_salted(mono, cap=25).collect()]
     assert plain == salted and len(plain) == 25
+
+
+# --------------------------------------------------- weighted sample
+
+def test_weighted_sample_matches_python_mirror(docs):
+    """Exact determinism: the A-ES exponential keys replicate in plain
+    Python (same md5-derived u, same double math), so the selected set
+    and order match bit-for-bit."""
+    import hashlib
+    import math
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import weighted_sample
+    got = [(r["doc_id"], r["weight"], r["rk"])
+           for r in weighted_sample(docs, k=50).collect()]
+    rows = docs.select("doc_id", "n_chars").collect()
+    keyed = []
+    for r in rows:
+        h = int(hashlib.md5(f"wsample:v1:{r['doc_id']}".encode())
+                .hexdigest()[:15], 16)
+        u = ((h % 1000000) + 1) / 1000000.0
+        keyed.append((-math.log(u) / float(r["n_chars"]), r["doc_id"],
+                      r["n_chars"]))
+    keyed.sort()
+    want = [(d, w, i + 1) for i, (_, d, w) in enumerate(keyed[:50])]
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """A 10000x-weight document must be drawn into a small sample."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import weighted_sample
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 123, 1000000).otherwise(100)
+        .alias("n_chars"))
+    out = {r["doc_id"] for r in weighted_sample(d, k=20).collect()}
+    assert 123 in out

@@ -501,3 +501,38 @@ def quota_select_salted(docs: DataFrame, cap: int = 50,
             .filter(F.col("rk") <= cap)
             .select(id_col, "grp", "score", "rk")
             .orderBy("grp", "rk"))
+
+
+def weighted_sample(docs: DataFrame, k: int = 200,
+                    weight_col: str = "n_chars", id_col: str = "doc_id",
+                    seed: str = "wsample:v1") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-ES) → the ``k`` documents drawn with probability
+    proportional to ``weight_col``, deterministically: each row gets
+    the exponential key ``-ln(u)/w`` with ``u`` a seeded portable
+    hash-fraction, and the sample is the ``k`` SMALLEST keys — one
+    narrow pass + a global top-k (TakeOrdered, no sort). The
+    importance-weighted subsample step (e.g. ∝ quality or DSIR
+    weight) that plain `hash_sample` (uniform) can't express.
+
+    Distributed-correct by construction: keys are independent per row,
+    so top-k commutes with partitioning — no coordination, no
+    rejection loop, exactly k rows. Zero RNG state: re-runs and
+    engines agree bit-for-bit (ln of the same double, same division).
+    ``u`` is shifted to (0,1]: u=0 would give key=+inf and ln(0)
+    errors under ANSI."""
+    from ..functions.hashing import portable_hash64
+    u = ((portable_hash64(F.concat(F.lit(seed + ":"),
+                                   F.col(id_col).cast("string")))
+          % 1000000) + 1).cast("double") / F.lit(1000000.0)
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    ranked = (docs.select(F.col(id_col), F.col(weight_col).cast("long")
+                          .alias("weight"), key.alias("_key"))
+              .orderBy(F.col("_key").asc(), F.col(id_col).asc())
+              .limit(k))
+    from pyspark.sql import Window
+    wnd = Window.orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    return (ranked.withColumn("rk", F.row_number().over(wnd).cast("int"))
+            .select(id_col, "weight", "rk")
+            .orderBy("rk"))
