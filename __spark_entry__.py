@@ -2393,6 +2393,11 @@ WHERE rank <= {k} ORDER BY src, rank
 """)
 
 
+def _dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import dsir_resample
+    return dsir_resample(load_table(spark, "documents", sf_dir))
+
+
 def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import weighted_sample
     return weighted_sample(load_table(spark, "documents", sf_dir))
@@ -2661,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _knn_graph,
         "pareto_orders": R.pareto_orders,
         "weighted_sample_docs": _weighted_sample_docs,
+        "dsir_resample_docs": _dsir_resample_docs,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2856,8 +2862,7 @@ _R4_FRONT = [
     "events_gap_fill",
     "events_gap_interp", "events_anomalies", "nb_pr_curve",
     "lang_id_confusion", "knn_graph", "pareto_orders",
-    "weighted_sample_docs",
-    "copurchase_pagerank",
+    "weighted_sample_docs", "dsir_resample_docs",
     "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
@@ -2879,6 +2884,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "copurchase_pagerank",
     "bpe_doc_token_counts", "bpe_token_counts", "bpe_merges", "semdedup",
     "dedup_span_removal", "chunk_documents",
     "stream_dedup_watermarked",
@@ -5439,6 +5445,23 @@ ORDER BY q.doc_id
 """
     out["mmr_rerank"] = _mmr_sql()
     out["knn_graph"] = _knn_graph_sql()
+    out["dsir_resample_docs"] = f"""
+WITH ds AS ({out["dsir_scores"]}),
+keyed AS (
+  SELECT doc_id, dsir_micro_nats,
+         -ln((({PORTABLE_HASH.format(col="'dsir-sample:v1:' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1)
+             / 1000000.0)
+           / exp(CAST(dsir_micro_nats AS DOUBLE) / 1000000.0 / 1.0) AS k
+  FROM ds
+),
+ranked AS (
+  SELECT doc_id, dsir_micro_nats,
+         CAST(row_number() OVER (ORDER BY k ASC, doc_id ASC)
+              AS INTEGER) AS rk
+  FROM keyed
+)
+SELECT doc_id, dsir_micro_nats, rk FROM ranked WHERE rk <= 100 ORDER BY rk
+"""
     out["weighted_sample_docs"] = f"""
 WITH keyed AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,

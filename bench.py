@@ -52,7 +52,7 @@ def main() -> None:
         "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",
         "dsir_scores", "shuffle_split_docs", "quota_select_docs",
         "mixture_token_plan", "training_manifest", "split_leakage_report",
-        "weighted_sample_docs",
+        "weighted_sample_docs", "dsir_resample_docs",
         "curation_observed_metrics",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_multiprobe_topk",

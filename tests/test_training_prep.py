@@ -491,3 +491,17 @@ def test_weighted_sample_prefers_heavy_weights(spark):
         .alias("n_chars"))
     out = {r["doc_id"] for r in weighted_sample(d, k=20).collect()}
     assert 123 in out
+
+
+def test_dsir_resample_favors_target_domain(docs):
+    """Resampling ∝ exp(importance) must over-represent the target
+    slice relative to its corpus share."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import dsir_resample
+    sel = dsir_resample(docs, k=100)
+    langs = {r["doc_id"]: r["lang"] for r in
+             docs.select("doc_id", "lang").collect()}
+    sel_ids = [r["doc_id"] for r in sel.collect()]
+    assert len(sel_ids) == 100 and len(set(sel_ids)) == 100
+    en_share_corpus = sum(1 for v in langs.values() if v == "en") / len(langs)
+    en_share_sample = sum(1 for d in sel_ids if langs[d] == "en") / 100
+    assert en_share_sample > en_share_corpus

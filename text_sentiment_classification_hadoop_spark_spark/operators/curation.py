@@ -536,3 +536,37 @@ def weighted_sample(docs: DataFrame, k: int = 200,
     return (ranked.withColumn("rk", F.row_number().over(wnd).cast("int"))
             .select(id_col, "weight", "rk")
             .orderBy("rk"))
+
+
+def dsir_resample(docs: DataFrame, k: int = 100, tau: float = 1.0,
+                  id_col: str = "doc_id",
+                  seed: str = "dsir-sample:v1") -> DataFrame:
+    """THE DSIR selection step (Xie et al. 2023 §3: sample ∝ importance
+    weight, without replacement): :func:`dsir_scores` importance in
+    nats → weight ``exp(score/τ)`` → A-ES exponential-key draw
+    (:func:`weighted_sample`'s machinery) → the ``k`` resampled
+    documents, ``(doc_id, dsir_micro_nats, rk)``.
+
+    Deterministic end to end (hash-seeded keys, no RNG state), so the
+    resample is reproducible and engine-portable — the paper's Gumbel
+    top-k sampling with the randomness made auditable. ``τ`` tempers:
+    large τ → uniform, small τ → argmax-like. Composition shape: the
+    scoring pass's shuffles plus one narrow key map and a global
+    TakeOrdered top-k."""
+    from ..functions.hashing import portable_hash64
+    scores = dsir_scores(docs, id_col=id_col)
+    u = ((portable_hash64(F.concat(F.lit(seed + ":"),
+                                   F.col(id_col).cast("string")))
+          % 1000000) + 1).cast("double") / F.lit(1000000.0)
+    w = F.exp(F.col("dsir_micro_nats").cast("double")
+              / F.lit(1000000.0) / F.lit(float(tau)))
+    key = -F.log(u) / w
+    from pyspark.sql import Window
+    ranked = (scores.select(F.col(id_col), "dsir_micro_nats",
+                            key.alias("_key"))
+              .orderBy(F.col("_key").asc(), F.col(id_col).asc())
+              .limit(k))
+    wnd = Window.orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    return (ranked.withColumn("rk", F.row_number().over(wnd).cast("int"))
+            .select(id_col, "dsir_micro_nats", "rk")
+            .orderBy("rk"))
