@@ -2393,6 +2393,14 @@ WHERE rank <= {k} ORDER BY src, rank
 """)
 
 
+def _events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.hourly_profile(load_table(spark, "events", sf_dir))
+
+
+def _top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.top_session_paths(spark, sf_dir)
+
+
 def _dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import dsir_resample
     return dsir_resample(load_table(spark, "documents", sf_dir))
@@ -2667,6 +2675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_orders": R.pareto_orders,
         "weighted_sample_docs": _weighted_sample_docs,
         "dsir_resample_docs": _dsir_resample_docs,
+        "events_hourly_profile": _events_hourly_profile,
+        "top_session_paths": _top_session_paths,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2863,7 +2873,8 @@ _R4_FRONT = [
     "events_gap_interp", "events_anomalies", "nb_pr_curve",
     "lang_id_confusion", "knn_graph", "pareto_orders",
     "weighted_sample_docs", "dsir_resample_docs",
-    "stream_static_enrich", "decontaminate_embeddings", "neardup_triangles",
+    "events_hourly_profile", "top_session_paths",
+    "decontaminate_embeddings",
     "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
@@ -2884,6 +2895,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "stream_static_enrich", "neardup_triangles",
     "copurchase_pagerank",
     "bpe_doc_token_counts", "bpe_token_counts", "bpe_merges", "semdedup",
     "dedup_span_removal", "chunk_documents",
@@ -5461,6 +5473,49 @@ ranked AS (
   FROM keyed
 )
 SELECT doc_id, dsir_micro_nats, rk FROM ranked WHERE rk <= 100 ORDER BY rk
+"""
+    out["events_hourly_profile"] = """
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) * 2000000
+                  + count(*) AS DOUBLE) / CAST(2 * count(*) AS DOUBLE))
+         / 1e6 AS mean_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["top_session_paths"] = """
+WITH lagd AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   - lag(CAST(epoch(ts) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid
+  FROM lagd
+),
+firsts AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM firsts WHERE rn <= 3 GROUP BY user_id, sid
+),
+counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+            AS INTEGER) AS rank
+FROM counts ORDER BY n_sessions DESC, path ASC LIMIT 20
 """
     out["weighted_sample_docs"] = f"""
 WITH keyed AS (

@@ -882,3 +882,27 @@ def test_pareto_orders_matches_bruteforce(spark, sf_dir):
     want = sorted((k, p, d) for k, p, d in base
                   if not dominated((k, p, d)))
     assert sorted(rows) == want and want
+
+
+def test_top_session_paths_reconciles_with_sessionize(spark, sf_dir):
+    """Path count total equals the session count from the verified
+    sessionizer (same 30-min gap rule)."""
+    import __spark_entry__ as entry
+    n_sessions = E.sessionize(spark, sf_dir).count()
+    paths = entry.queries()["top_session_paths"](spark, sf_dir).collect()
+    # top-20 only covers the head; check invariants instead
+    assert 1 <= len(paths) <= 20
+    assert [r["rank"] for r in paths] == list(range(1, len(paths) + 1))
+    ns = [r["n_sessions"] for r in paths]
+    assert ns == sorted(ns, reverse=True)
+    assert all(1 <= len(r["path"].split(">")) <= 3 for r in paths)
+    assert sum(ns) <= n_sessions
+
+
+def test_hourly_profile_shape(spark, sf_dir):
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import hourly_profile
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    ev = load_table(spark, "events", sf_dir)
+    rows = hourly_profile(ev).collect()
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert all(0 <= r["hour"] <= 23 for r in rows)

@@ -710,3 +710,65 @@ def hourly_anomalies(events: DataFrame, window_slots: int = 24,
         F.when(zr.isNotNull() & (F.abs(zr) >= z_thresh), 1)
         .otherwise(0).cast("int").alias("is_anomaly"))
         .orderBy("event_type", "slot_ts"))
+
+
+def hourly_profile(events: DataFrame, ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   value_col: str = "value") -> DataFrame:
+    """Seasonality profile → ``(event_type, hour, n, mean_value)``: per
+    type, how activity and value distribute over the hour-of-day — the
+    baseline shape :func:`hourly_anomalies` scores deviations against.
+    One (type, hour)-keyed aggregation with exact decimal value sums;
+    the mean rounds integer-exactly (the ``pround_avg2`` discipline) so
+    the profile is engine-stable. Output is ≤ 24·|types| rows at any
+    corpus size."""
+    from ..functions.rounding import pround_avg2
+    return (events.groupBy(F.col(type_col).alias("event_type"),
+                           F.hour(F.col(ts_col)).cast("int").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 pround_avg2(F.col(value_col), 6).alias("mean_value"))
+            .orderBy("event_type", "hour"))
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str,
+                      path_len: int = 3, k: int = 20) -> DataFrame:
+    """Most common session OPENINGS → ``(path, n_sessions, rank)``: the
+    first ``path_len`` event types of each session (the
+    ``sessionize`` gap sessions), joined into a path string — the
+    "how do users start" view funnel analysis aggregates away.
+
+    Shape: sessionization's user-keyed window, then a per-session
+    window taking the first ``path_len`` events in (ts, event_id)
+    order (deterministic under ts ties), a session-keyed string_agg
+    via sorted collect_list, and a tiny path count + top-k. All
+    exchanges are user/session-keyed; the path table is
+    |paths|-sized."""
+    from pyspark.sql import Window
+    e = load_table(spark, "events", sf_dir) \
+        .select("user_id", "event_id", "ts", "event_type")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = 30
+    new_sess = (F.when(
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(w_user) > gap_min * 60,
+        1).otherwise(0))
+    sess = (e.withColumn("_new", F.coalesce(new_sess, F.lit(1)))
+            .withColumn("_sid", F.sum("_new").over(
+                w_user.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))))
+    w_sess = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    firsts = (sess.withColumn("_rn", F.row_number().over(w_sess))
+              .filter(F.col("_rn") <= path_len))
+    paths = (firsts.groupBy("user_id", "_sid")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("_rn", "event_type"))),
+                     lambda s: s["event_type"]), ">").alias("path")))
+    counts = (paths.groupBy("path")
+              .agg(F.count(F.lit(1)).alias("n_sessions")))
+    top = (counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+           .limit(k))
+    w_rank = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+            .orderBy("rank"))
