@@ -2393,6 +2393,11 @@ WHERE rank <= {k} ORDER BY src, rank
 """)
 
 
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import pmi_collocations
+    return pmi_collocations(load_table(spark, "documents", sf_dir))
+
+
 def _events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hourly_profile(load_table(spark, "events", sf_dir))
 
@@ -2677,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_docs": _dsir_resample_docs,
         "events_hourly_profile": _events_hourly_profile,
         "top_session_paths": _top_session_paths,
+        "pmi_collocations": _pmi_collocations,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2873,9 +2879,9 @@ _R4_FRONT = [
     "events_gap_interp", "events_anomalies", "nb_pr_curve",
     "lang_id_confusion", "knn_graph", "pareto_orders",
     "weighted_sample_docs", "dsir_resample_docs",
-    "events_hourly_profile", "top_session_paths",
+    "events_hourly_profile", "top_session_paths", "pmi_collocations",
     "decontaminate_embeddings",
-    "ppl_band_docs", "winnow_fingerprints", "winnow_near_dups",
+    "ppl_band_docs", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
@@ -2895,6 +2901,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "winnow_fingerprints",
     "stream_static_enrich", "neardup_triangles",
     "copurchase_pagerank",
     "bpe_doc_token_counts", "bpe_token_counts", "bpe_merges", "semdedup",
@@ -5473,6 +5480,43 @@ ranked AS (
   FROM keyed
 )
 SELECT doc_id, dsir_micro_nats, rk FROM ranked WHERE rk <= 100 ORDER BY rk
+"""
+    out["pmi_collocations"] = """
+WITH post AS (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+           generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+    FROM documents)
+  WHERE length(term) > 0
+),
+pairs AS (
+  SELECT least(a.term, b.term) AS w1, greatest(a.term, b.term) AS w2
+  FROM post a
+  JOIN (SELECT unnest(range(1, 4)) AS o) ofs ON TRUE
+  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + ofs.o
+  WHERE a.term <> b.term
+),
+pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY w1, w2),
+uni AS (SELECT term, count(*) AS n_term FROM post GROUP BY term),
+tot AS (
+  SELECT (SELECT sum(n_pair) FROM pc) AS n_p,
+         (SELECT sum(n_term) FROM uni) AS n_u
+),
+scored AS (
+  SELECT pc.w1, pc.w2, CAST(pc.n_pair AS BIGINT) AS n_pair,
+         floor(ln((CAST(pc.n_pair AS DOUBLE) / n_p)
+                  / ((CAST(ua.n_term AS DOUBLE) / n_u)
+                     * (CAST(ub.n_term AS DOUBLE) / n_u)))
+               * 1000000.0 + 0.5) / 1000000.0 AS pmi
+  FROM pc
+  JOIN uni ua ON ua.term = pc.w1
+  JOIN uni ub ON ub.term = pc.w2, tot
+  WHERE pc.n_pair >= 5
+)
+SELECT w1, w2, n_pair, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)
+            AS INTEGER) AS rank
+FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
 """
     out["events_hourly_profile"] = """
 SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,

@@ -171,3 +171,38 @@ def test_phrase_search_single_term_and_shared_postings(spark, sf_dir):
     post = positional_postings(docs).localCheckpoint(eager=True)
     one = phrase_search(docs, "merge", postings=post)
     assert one.count() == post.filter("term = 'merge'").count()
+
+
+def test_pmi_collocations_matches_python(spark, sf_dir):
+    """PMI over a small corpus equals a from-scratch Python count."""
+    import collections
+    import math
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import pmi_collocations
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(80)
+    got = [(r["w1"], r["w2"], r["n_pair"], r["pmi"])
+           for r in pmi_collocations(docs, min_count=3, k=10).collect()]
+    uni = collections.Counter()
+    pc = collections.Counter()
+    for r in docs.collect():
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        uni.update(toks)
+        for i, a in enumerate(toks):
+            for o in (1, 2, 3):
+                if i + o < len(toks):
+                    b = toks[i + o]
+                    if a != b:
+                        pc[tuple(sorted((a, b)))] += 1
+    n_p = sum(pc.values())
+    n_u = sum(uni.values())
+    scored = []
+    for (a, b), c in pc.items():
+        if c >= 3:
+            pmi = math.floor(math.log((c / n_p) / ((uni[a] / n_u)
+                                                   * (uni[b] / n_u)))
+                             * 1e6 + 0.5) / 1e6
+            scored.append((pmi, a, b, c))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, c, p) for p, a, b, c in scored[:10]]
+    assert got == want

@@ -282,3 +282,60 @@ def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
                .select(F.col(id_col), (F.col("pos") - i).alias("start_pos")))
         out = out.join(nxt, [id_col, "start_pos"])
     return out.select(id_col, "start_pos").orderBy(id_col, "start_pos")
+
+
+def pmi_collocations(docs: DataFrame, max_dist: int = 3,
+                     min_count: int = 5, k: int = 50,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Collocation mining → the top-``k`` token pairs by pointwise
+    mutual information, ``(w1, w2, n_pair, pmi)``: pairs co-occurring
+    within ``max_dist`` positions far more often than their unigram
+    frequencies predict — the phrase-discovery pass behind tokenizer
+    merge seeding and query expansion (Church & Hanks 1990).
+
+    ``PMI = ln( (c_ab/N_p) / ((c_a/N_u)·(c_b/N_u)) )``, per-PAIR row
+    arithmetic over exact integer counts (engine-stable; the pair
+    table is vocabulary²-bounded and df-pruned by ``min_count``).
+
+    Shape: the proximity join is LINEAR, not doc-quadratic — each
+    position explodes into ``max_dist`` (doc, pos+o) probe keys and
+    equi-joins the postings, the interval-join bucketization trick.
+    Pair order is normalized (w1 < w2) so (a,b) and (b,a) collapse.
+    """
+    from pyspark.sql import Window
+    post = positional_postings(docs, id_col, text_col)
+    probes = post.select(
+        id_col, F.col("term").alias("_t1"),
+        F.explode(F.array(*[F.lit(o) for o in range(1, max_dist + 1)]))
+        .alias("_o"), F.col("pos"))
+    right = post.select(id_col, F.col("term").alias("_t2"),
+                        F.col("pos").alias("_p2"))
+    pairs = (probes.join(right,
+                         (probes[id_col] == right[id_col])
+                         & (F.col("pos") + F.col("_o") == F.col("_p2")))
+             .select(F.least("_t1", "_t2").alias("w1"),
+                     F.greatest("_t1", "_t2").alias("w2"))
+             .filter(F.col("w1") != F.col("w2")))
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = post.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    totals = (pc.agg(F.sum("n_pair").alias("n_p"))
+              .crossJoin(uni.agg(F.sum("n_term").alias("n_u"))))
+    a = uni.select(F.col("term").alias("w1"), F.col("n_term").alias("_ca"))
+    b = uni.select(F.col("term").alias("w2"), F.col("n_term").alias("_cb"))
+    scored = (pc.filter(F.col("n_pair") >= min_count)
+              .join(F.broadcast(a), "w1").join(F.broadcast(b), "w2")
+              .crossJoin(F.broadcast(totals))
+              .select("w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
+                      (F.floor(F.log(
+                          (F.col("n_pair").cast("double") / F.col("n_p"))
+                          / ((F.col("_ca").cast("double") / F.col("n_u"))
+                             * (F.col("_cb").cast("double") / F.col("n_u"))))
+                          * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0))
+                      .alias("pmi")))
+    top = scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                         F.col("w2").asc()).limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .orderBy("rank"))
