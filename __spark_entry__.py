@@ -2393,6 +2393,66 @@ WHERE rank <= {k} ORDER BY src, rank
 """)
 
 
+def _textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import textrank_keywords
+    return textrank_keywords(load_table(spark, "documents", sf_dir))
+
+
+def _textrank_sql(iters: int = 3, k: int = 30, min_count: int = 3) -> str:
+    """Unrolled weighted-PageRank oracle over the co-occurrence graph
+    (same BIGINT iteration text as the co-purchase oracle, text edges)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        RESET_MICRO,
+        SCALE,
+    )
+    parts = [
+        """post AS MATERIALIZED (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+           generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+    FROM documents)
+  WHERE length(term) > 0)""",
+        """pairs AS (
+  SELECT least(a.term, b.term) AS w1, greatest(a.term, b.term) AS w2
+  FROM post a
+  JOIN (SELECT unnest(range(1, 4)) AS o) ofs ON TRUE
+  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + ofs.o
+  WHERE a.term <> b.term)""",
+        f"""pc AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS w
+  FROM pairs GROUP BY w1, w2 HAVING count(*) >= {min_count})""",
+        "ed AS MATERIALIZED (SELECT w1 AS src, w2 AS dst, w FROM pc "
+        "UNION ALL SELECT w2, w1, w FROM pc)",
+        "deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS sw "
+        "FROM ed GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM deg)",
+        f"r0 AS MATERIALIZED (SELECT node, CAST({SCALE} AS BIGINT) AS rank_micro "
+        "FROM nodes)",
+    ]
+    contrib = "sum((r.rank_micro * e.w) // d.sw)"
+    for i in range(1, iters + 1):
+        parts += [
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, {contrib} AS mass
+  FROM ed e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst)""",
+            f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({RESET_MICRO} + (coalesce(c.mass, 0) * {DAMP_NUM}) // {DAMP_DEN}
+              AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)""",
+        ]
+    return ("WITH " + ",\n".join(parts)
+            + f"""
+SELECT node AS term, rank_micro,
+       CAST(row_number() OVER (ORDER BY rank_micro DESC, node ASC)
+            AS INTEGER) AS rk
+FROM r{iters} ORDER BY rank_micro DESC, node ASC LIMIT {k}
+""")
+
+
 def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.search import pmi_collocations
     return pmi_collocations(load_table(spark, "documents", sf_dir))
@@ -2683,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_profile": _events_hourly_profile,
         "top_session_paths": _top_session_paths,
         "pmi_collocations": _pmi_collocations,
+        "textrank_keywords": _textrank_keywords,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2880,10 +2941,11 @@ _R4_FRONT = [
     "lang_id_confusion", "knn_graph", "pareto_orders",
     "weighted_sample_docs", "dsir_resample_docs",
     "events_hourly_profile", "top_session_paths", "pmi_collocations",
+    "textrank_keywords",
     "decontaminate_embeddings",
     "ppl_band_docs", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
-    "mrl_topk", "mrl_recall_at10", "hybrid_rrf_search",
+    "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
     "multitouch_attribution", "stream_winnow_fingerprints",
     "orc_roundtrip", "pricing_summary", "neardup_kcore",
@@ -2901,6 +2963,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "mrl_topk",
     "winnow_fingerprints",
     "stream_static_enrich", "neardup_triangles",
     "copurchase_pagerank",
@@ -5481,6 +5544,7 @@ ranked AS (
 )
 SELECT doc_id, dsir_micro_nats, rk FROM ranked WHERE rk <= 100 ORDER BY rk
 """
+    out["textrank_keywords"] = _textrank_sql()
     out["pmi_collocations"] = """
 WITH post AS (
   SELECT doc_id, pos, term FROM (

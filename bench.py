@@ -68,7 +68,7 @@ def main() -> None:
         "bpe_doc_token_counts", "bpe_vocab_curve",
         # search
         "bm25_search", "inverted_index", "cms_token_counts",
-        "hybrid_rrf_search", "phrase_search", "pmi_collocations",
+        "hybrid_rrf_search", "phrase_search", "pmi_collocations", "textrank_keywords",
         # text analysis
         "lang_id", "lang_id_confusion", "quality_score", "token_counts", "doc_fingerprints",
         "tfidf_long", "doc_repetition", "pii_scrub", "lm_quality_score",

@@ -206,3 +206,13 @@ def test_pmi_collocations_matches_python(spark, sf_dir):
     scored.sort(key=lambda t: (-t[0], t[1], t[2]))
     want = [(a, b, c, p) for p, a, b, c in scored[:10]]
     assert got == want
+
+
+def test_textrank_prefers_connected_hub(spark):
+    """A term wired into every sentence must outrank a peripheral one."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.search import textrank_keywords
+    rows = [(i, f"hub t{i} filler{i % 3} hub extra{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_keywords(docs, min_count=2, k=10).collect()
+    assert out[0]["term"] == "hub"
+    assert [r["rk"] for r in out] == list(range(1, len(out) + 1))

@@ -339,3 +339,56 @@ def pmi_collocations(docs: DataFrame, max_dist: int = 3,
                        F.col("w2").asc())
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .orderBy("rank"))
+
+
+def cooccurrence_edges(docs: DataFrame, max_dist: int = 3,
+                       min_count: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Symmetric weighted co-occurrence graph → ``(src, dst, w)`` with
+    ``w`` the windowed pair count (the :func:`pmi_collocations`
+    proximity join, kept as counts): the text graph TextRank walks."""
+    post = positional_postings(docs, id_col, text_col)
+    probes = post.select(
+        id_col, F.col("term").alias("_t1"),
+        F.explode(F.array(*[F.lit(o) for o in range(1, max_dist + 1)]))
+        .alias("_o"), F.col("pos"))
+    right = post.select(id_col, F.col("term").alias("_t2"),
+                        F.col("pos").alias("_p2"))
+    pairs = (probes.join(right,
+                         (probes[id_col] == right[id_col])
+                         & (F.col("pos") + F.col("_o") == F.col("_p2")))
+             .select(F.least("_t1", "_t2").alias("w1"),
+                     F.greatest("_t1", "_t2").alias("w2"))
+             .filter(F.col("w1") != F.col("w2")))
+    pc = (pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("w"))
+          .filter(F.col("w") >= min_count))
+    fwd = pc.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "w")
+    rev = pc.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w")
+    return fwd.unionAll(rev)
+
+
+def textrank_keywords(docs: DataFrame, max_dist: int = 3,
+                      min_count: int = 3, iters: int = 3,
+                      k: int = 30, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) →
+    the top-``k`` terms by weighted-PageRank centrality over the
+    co-occurrence graph, ``(term, rank_micro, rk)`` — graph-based
+    keyword salience vs c-TF-IDF's frequency contrast; a term is
+    central because CENTRAL terms co-occur with it.
+
+    Pure composition: :func:`cooccurrence_edges` (text graph) feeds
+    ``graph.pagerank_fixed_point`` (BIGINT micro ranks — bit-exact
+    under any partitioning), so the whole chain inherits both
+    components' scale stories and the unrolled-SQL oracle pattern."""
+    from pyspark.sql import Window
+
+    from .graph import pagerank_fixed_point
+    edges = cooccurrence_edges(docs, max_dist, min_count, id_col, text_col)
+    ranks = pagerank_fixed_point(edges, iters=iters, weight_col="w")
+    top = (ranks.orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+           .limit(k))
+    named = top.select(F.col("node").alias("term"), "rank_micro")
+    w = Window.orderBy(F.col("rank_micro").desc(), F.col("term").asc())
+    return (named.withColumn("rk", F.row_number().over(w).cast("int"))
+            .orderBy("rk"))
