@@ -2393,6 +2393,29 @@ WHERE rank <= {k} ORDER BY src, rank
 """)
 
 
+def _ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tuning curve: recall@10 of the IVF probe vs probe count
+    (1..4 of 8 cells) against the exact top-10 — the measured
+    cost/recall tradeoff every IVF deployment tunes. Fully lazy: one
+    union of four join-count aggregates, no driver-side evaluation."""
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    exact = SIM.cosine_topk(emb, q, k=10).select("vec_id")
+    parts = []
+    for n_probe in (1, 2, 3, 4):
+        got = SIM.ivf_topk(emb, q, k=10, n_cells=8,
+                           n_probe=n_probe).select("vec_id")
+        parts.append(exact.join(got, "vec_id").agg(
+            F.lit(n_probe).cast("int").alias("n_probe"),
+            (F.count(F.lit(1)).cast("double") / F.lit(10.0))
+            .alias("recall_at_10")))
+    out = parts[0]
+    for prt in parts[1:]:
+        out = out.unionAll(prt)
+    return out.orderBy("n_probe")
+
+
 def _textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.search import textrank_keywords
     return textrank_keywords(load_table(spark, "documents", sf_dir))
@@ -2744,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_session_paths": _top_session_paths,
         "pmi_collocations": _pmi_collocations,
         "textrank_keywords": _textrank_keywords,
+        "ivf_probe_sweep": _ivf_probe_sweep,
         "stream_doc_repetition": _stream_doc_repetition,
         "stream_curation_gates": _stream_curation_gates,
         # --- red in r02 (TIMESTAMP_NTZ regression; fixed) ---
@@ -2941,12 +2965,12 @@ _R4_FRONT = [
     "lang_id_confusion", "knn_graph", "pareto_orders",
     "weighted_sample_docs", "dsir_resample_docs",
     "events_hourly_profile", "top_session_paths", "pmi_collocations",
-    "textrank_keywords",
+    "textrank_keywords", "ivf_probe_sweep",
     "decontaminate_embeddings",
     "ppl_band_docs", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_recall_at10", "hybrid_rrf_search",
-    "dedup_threshold_sweep", "sq8_codes", "sq8_recall_at10",
+    "dedup_threshold_sweep", "sq8_recall_at10",
     "multitouch_attribution", "stream_winnow_fingerprints",
     "orc_roundtrip", "pricing_summary", "neardup_kcore",
     "copurchase_pagerank_weighted", "copurchase_components",
@@ -2963,7 +2987,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "mrl_topk",
+    "sq8_codes", "mrl_topk",
     "winnow_fingerprints",
     "stream_static_enrich", "neardup_triangles",
     "copurchase_pagerank",
@@ -3001,6 +3025,59 @@ _R4_NEXT = [
     "bigram_lm", "heaps_fit", "ann_recall_at10", "lang_centroids",
     "simhash_near_dups", "stratified_sample_docs",
 ]
+
+
+def _ivf_sql(n_probe: int = 2) -> str:
+    """IVF probe oracle parameterized by probe count (the former
+    inline n_probe=2 text, generalized for the probe-sweep query)."""
+    return f"""
+WITH {AU_ORIG},
+cent AS (SELECT vec_id AS cell_id, d, x AS cx FROM au WHERE vec_id < 8),
+vc AS (
+  SELECT au.vec_id, c.cell_id,
+         sum(au.x * c.cx) AS dot,
+         sum(au.x * au.x) AS nv2,
+         sum(c.cx * c.cx) AS nc2
+  FROM au JOIN cent c ON au.d = c.d
+  GROUP BY au.vec_id, c.cell_id
+),
+vc_scored AS (
+  SELECT vec_id, cell_id,
+         floor((dot / (sqrt(nv2) * sqrt(nc2))) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM vc
+),
+assigned AS (
+  SELECT vec_id, cell_id AS cell FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell_id ASC) AS rk
+    FROM vc_scored
+  ) WHERE rk = 1
+),
+probe AS (
+  SELECT cell_id AS cell FROM vc_scored WHERE vec_id = 0
+  ORDER BY cos DESC, cell_id ASC LIMIT {n_probe}
+),
+q AS (SELECT d, x AS qx FROM au WHERE vec_id = 0),
+cands AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.cell = p.cell),
+prods AS (
+  SELECT au.vec_id,
+         sum(au.x * q.qx) AS dot,
+         sum(au.x * au.x) AS na2,
+         sum(q.qx * q.qx) AS nq2
+  FROM au JOIN cands USING (vec_id) JOIN q ON au.d = q.d
+  GROUP BY au.vec_id
+),
+ranked AS (
+  SELECT vec_id,
+         floor((dot / (sqrt(na2) * sqrt(nq2))) * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         CAST(row_number() OVER (
+           ORDER BY floor((dot / (sqrt(na2) * sqrt(nq2))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                    vec_id ASC) AS INTEGER) AS rank
+  FROM prods
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3864,54 +3941,7 @@ SELECT cell AS cell_id, CAST(count(*) AS BIGINT) AS n_members,
 FROM bestF GROUP BY cell ORDER BY cell_id
 """)
     out["pq_trained_codes"] = _pq_kmeans_sql()
-    out["ivf_topk"] = f"""
-WITH {AU_ORIG},
-cent AS (SELECT vec_id AS cell_id, d, x AS cx FROM au WHERE vec_id < 8),
-vc AS (
-  SELECT au.vec_id, c.cell_id,
-         sum(au.x * c.cx) AS dot,
-         sum(au.x * au.x) AS nv2,
-         sum(c.cx * c.cx) AS nc2
-  FROM au JOIN cent c ON au.d = c.d
-  GROUP BY au.vec_id, c.cell_id
-),
-vc_scored AS (
-  SELECT vec_id, cell_id,
-         floor((dot / (sqrt(nv2) * sqrt(nc2))) * 1000000.0 + 0.5) / 1000000.0 AS cos
-  FROM vc
-),
-assigned AS (
-  SELECT vec_id, cell_id AS cell FROM (
-    SELECT vec_id, cell_id,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY cos DESC, cell_id ASC) AS rk
-    FROM vc_scored
-  ) WHERE rk = 1
-),
-probe AS (
-  SELECT cell_id AS cell FROM vc_scored WHERE vec_id = 0
-  ORDER BY cos DESC, cell_id ASC LIMIT 2
-),
-q AS (SELECT d, x AS qx FROM au WHERE vec_id = 0),
-cands AS (SELECT a.vec_id FROM assigned a JOIN probe p ON a.cell = p.cell),
-prods AS (
-  SELECT au.vec_id,
-         sum(au.x * q.qx) AS dot,
-         sum(au.x * au.x) AS na2,
-         sum(q.qx * q.qx) AS nq2
-  FROM au JOIN cands USING (vec_id) JOIN q ON au.d = q.d
-  GROUP BY au.vec_id
-),
-ranked AS (
-  SELECT vec_id,
-         floor((dot / (sqrt(na2) * sqrt(nq2))) * 1000000.0 + 0.5) / 1000000.0 AS cosine,
-         CAST(row_number() OVER (
-           ORDER BY floor((dot / (sqrt(na2) * sqrt(nq2))) * 1000000.0 + 0.5) / 1000000.0 DESC,
-                    vec_id ASC) AS INTEGER) AS rank
-  FROM prods
-)
-SELECT * FROM ranked WHERE rank <= 10 ORDER BY rank
-"""
+    out["ivf_topk"] = _ivf_sql(2)
     out["orders_by_month"] = """
 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
        CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -5545,6 +5575,17 @@ ranked AS (
 SELECT doc_id, dsir_micro_nats, rk FROM ranked WHERE rk <= 100 ORDER BY rk
 """
     out["textrank_keywords"] = _textrank_sql()
+    _probe_arms = "\nUNION ALL\n".join(
+        f"SELECT {n} AS n_probe, CAST((SELECT count(*) FROM exact e "
+        f"JOIN p{n} ON p{n}.vec_id = e.vec_id) AS DOUBLE) / 10.0 "
+        f"AS recall_at_10"
+        for n in (1, 2, 3, 4))
+    out["ivf_probe_sweep"] = (
+        f"WITH exact AS MATERIALIZED ({out['cosine_topk']}),\n"
+        + ",\n".join(
+            f"p{n} AS MATERIALIZED (SELECT vec_id FROM ({_ivf_sql(n)}) t{n})"
+            for n in (1, 2, 3, 4))
+        + f"\n{_probe_arms}\nORDER BY n_probe")
     out["pmi_collocations"] = """
 WITH post AS (
   SELECT doc_id, pos, term FROM (

@@ -56,7 +56,7 @@ def main() -> None:
         "curation_observed_metrics",
         # similarity
         "cosine_topk", "knn_batch", "ann_lsh_topk", "ann_multiprobe_topk",
-        "ann_recall_at10", "ivf_topk", "mrl_topk", "mrl_recall_at10",
+        "ann_recall_at10", "ivf_topk", "ivf_probe_sweep", "mrl_topk", "mrl_recall_at10",
         "sq8_codes", "sq8_recall_at10",
         "kmeans_cells", "kmeans_quality", "random_projection", "rp_ann_topk",
         "pq_codes", "pq_adc_topk", "pq_trained_codes",

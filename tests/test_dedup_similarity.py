@@ -904,3 +904,15 @@ def test_knn_graph_neighbors_are_cell_exact(spark, sf_dir):
         assert [(r, d) for r, d, _ in have] == [(r, d) for r, d, _ in want]
         for (_, _, ca), (_, _, cb) in zip(have, want):
             assert abs(ca - cb) < 2e-6
+
+
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    """More probes can only find more of the exact top-10."""
+    import __spark_entry__ as entry
+    rows = entry.queries()["ivf_probe_sweep"](spark, sf_dir) \
+        .orderBy("n_probe").collect()
+    rec = [r["recall_at_10"] for r in rows]
+    assert len(rec) == 4
+    assert all(0.0 <= r <= 1.0 for r in rec)
+    assert rec == sorted(rec)          # monotone non-decreasing
+    assert rec[-1] >= rec[0]
