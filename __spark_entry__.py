@@ -2481,6 +2481,10 @@ def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(load_table(spark, "documents", sf_dir))
 
 
+def _user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.user_entropy(load_table(spark, "events", sf_dir))
+
+
 def _events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hourly_profile(load_table(spark, "events", sf_dir))
 
@@ -2763,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_orders": R.pareto_orders,
         "weighted_sample_docs": _weighted_sample_docs,
         "dsir_resample_docs": _dsir_resample_docs,
+        "user_entropy": _user_entropy,
         "events_hourly_profile": _events_hourly_profile,
         "top_session_paths": _top_session_paths,
         "pmi_collocations": _pmi_collocations,
@@ -2965,13 +2970,13 @@ _R4_FRONT = [
     "lang_id_confusion", "knn_graph", "pareto_orders",
     "weighted_sample_docs", "dsir_resample_docs",
     "events_hourly_profile", "top_session_paths", "pmi_collocations",
-    "textrank_keywords", "ivf_probe_sweep",
+    "textrank_keywords", "ivf_probe_sweep", "user_entropy",
     "decontaminate_embeddings",
     "ppl_band_docs", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_recall_at10",
-    "multitouch_attribution", "stream_winnow_fingerprints",
+    "multitouch_attribution",
     "orc_roundtrip", "pricing_summary", "neardup_kcore",
     "copurchase_pagerank_weighted", "copurchase_components",
     "bpe_vocab_curve",
@@ -2987,6 +2992,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "stream_winnow_fingerprints",
     "sq8_codes", "mrl_topk",
     "winnow_fingerprints",
     "stream_static_enrich", "neardup_triangles",
@@ -5622,6 +5628,25 @@ SELECT w1, w2, n_pair, pmi,
        CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)
             AS INTEGER) AS rank
 FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+    out["user_entropy"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events
+  GROUP BY user_id, event_type
+),
+u AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT)) AS su
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_events,
+       floor((ln(CAST(n_events AS DOUBLE))
+              - (CAST(su AS DOUBLE) / 1000000.0)
+                / CAST(n_events AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS entropy_nats
+FROM u ORDER BY user_id
 """
     out["events_hourly_profile"] = """
 SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,

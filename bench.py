@@ -86,7 +86,7 @@ def main() -> None:
         "purchase_attribution", "next_click_attribution",
         "multitouch_attribution", "interval_pair_counts",
         "funnel_conversion", "cohort_retention", "event_transitions",
-        "events_hourly_profile", "top_session_paths",
+        "events_hourly_profile", "top_session_paths", "user_entropy",
         "fuzzy_part_names", "bloom_prefilter_join",
         "approx_distinct_users", "copurchase_pagerank",
         "copurchase_pagerank_weighted", "copurchase_components",

@@ -906,3 +906,20 @@ def test_hourly_profile_shape(spark, sf_dir):
     rows = hourly_profile(ev).collect()
     assert sum(r["n"] for r in rows) == ev.count()
     assert all(0 <= r["hour"] <= 23 for r in rows)
+
+
+def test_user_entropy_bounds_and_extremes(spark):
+    """0 for a single-type user; ln(k) for a uniform k-type user."""
+    import math
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import user_entropy
+    rows = ([(1, "click")] * 10
+            + [(2, "click"), (2, "view"), (2, "purchase"), (2, "signup")]
+            + [(3, "click")] * 9 + [(3, "view")])
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["user_id"]: r for r in user_entropy(df).collect()}
+    assert out[1]["entropy_nats"] == 0.0
+    assert abs(out[2]["entropy_nats"] - math.log(4)) < 1e-5
+    p = [0.9, 0.1]
+    want = -sum(x * math.log(x) for x in p)
+    assert abs(out[3]["entropy_nats"] - want) < 1e-5

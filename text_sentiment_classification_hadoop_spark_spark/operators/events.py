@@ -772,3 +772,36 @@ def top_session_paths(spark: SparkSession, sf_dir: str,
     w_rank = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
     return (top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
             .orderBy("rank"))
+
+
+def user_entropy(events: DataFrame, user_col: str = "user_id",
+                 type_col: str = "event_type") -> DataFrame:
+    """Behavioral diversity → ``(user_id, n_events, entropy_nats)``:
+    Shannon entropy of each user's event-type distribution — 0 for
+    single-behavior users, ln(|types|) for uniform ones; the feature
+    behind engagement segmentation and bot screens (bots are
+    low-entropy).
+
+    ``H = ln(n) − (Σ c·ln c)/n`` over the exact per-type counts; the
+    ``c·ln c`` terms quantize to INTEGER micro-nats before the per-user
+    sum, so the entropy is independent of which order a user's type
+    rows aggregate in (the micro-nat discipline — a 5-term double sum
+    is already order-sensitive). Two keyed aggregations, both map-side
+    combined; output is user-sized."""
+    from ..functions.rounding import pround
+    counts = (events.groupBy(user_col, type_col)
+              .agg(F.count(F.lit(1)).alias("_c")))
+    clogc = F.floor(F.col("_c").cast("double")
+                    * F.log(F.col("_c").cast("double"))
+                    * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    per_user = (counts.select(user_col, F.col("_c"), clogc.alias("_u"))
+                .groupBy(user_col)
+                .agg(F.sum("_c").alias("n_events"),
+                     F.sum("_u").alias("_su")))
+    h = (F.log(F.col("n_events").cast("double"))
+         - (F.col("_su").cast("double") / F.lit(1000000.0))
+         / F.col("n_events").cast("double"))
+    return (per_user.select(F.col(user_col),
+                            F.col("n_events").cast("long").alias("n_events"),
+                            pround(h, 6).alias("entropy_nats"))
+            .orderBy(user_col))
