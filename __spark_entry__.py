@@ -2481,6 +2481,35 @@ def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(load_table(spark, "documents", sf_dir))
 
 
+def _stream_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode global aggregation on the event stream (the one
+    streaming shape the window family doesn't cover: tiny unbounded
+    state BY DESIGN — ≤ 24·|types| rows). Oracle: the batch profile's
+    counts/means over the same data."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        events_raw_stream,
+        hourly_profile_stream,
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+    )
+    raw = events_raw_stream(spark, sf_dir)
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(hourly_profile_stream(raw),
+                                 "stream_hourly_profile",
+                                 output_mode="complete")
+    q.stop()
+    # integer-exact mean off the final decimal totals (pround_avg2 form)
+    return (spark.table("stream_hourly_profile")
+            .select("event_type", "hour", F.col("n").cast("long").alias("n"),
+                    (F.floor((F.lit(2000000) * F.col("_tot") + F.col("n"))
+                             .cast("double")
+                             / (F.lit(2) * F.col("n")).cast("double"))
+                     / F.lit(1000000.0)).alias("mean_value"))
+            .orderBy("event_type", "hour"))
+
+
 def _user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.user_entropy(load_table(spark, "events", sf_dir))
 
@@ -2768,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _weighted_sample_docs,
         "dsir_resample_docs": _dsir_resample_docs,
         "user_entropy": _user_entropy,
+        "stream_hourly_profile": _stream_hourly_profile,
         "events_hourly_profile": _events_hourly_profile,
         "top_session_paths": _top_session_paths,
         "pmi_collocations": _pmi_collocations,
@@ -2971,13 +3001,14 @@ _R4_FRONT = [
     "weighted_sample_docs", "dsir_resample_docs",
     "events_hourly_profile", "top_session_paths", "pmi_collocations",
     "textrank_keywords", "ivf_probe_sweep", "user_entropy",
+    "stream_hourly_profile",
     "decontaminate_embeddings",
     "ppl_band_docs", "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_recall_at10",
     "multitouch_attribution",
-    "orc_roundtrip", "pricing_summary", "neardup_kcore",
+    "pricing_summary", "neardup_kcore",
     "copurchase_pagerank_weighted", "copurchase_components",
     "bpe_vocab_curve",
     # new in the round-4 continuation (never driver-checked)
@@ -2992,6 +3023,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "orc_roundtrip",
     "stream_winnow_fingerprints",
     "sq8_codes", "mrl_topk",
     "winnow_fingerprints",
@@ -5656,6 +5688,7 @@ SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
          / 1e6 AS mean_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
+    out["stream_hourly_profile"] = out["events_hourly_profile"]
     out["top_session_paths"] = """
 WITH lagd AS (
   SELECT user_id, event_id, ts, event_type,

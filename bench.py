@@ -99,7 +99,7 @@ def main() -> None:
         "stream_stream_join", "stream_static_enrich",
         "stream_winnow_fingerprints",
         "stream_doc_repetition", "stream_curation_gates",
-        "stream_neardup_candidates",
+        "stream_neardup_candidates", "stream_hourly_profile",
     ]
     qs = entry.queries()
 

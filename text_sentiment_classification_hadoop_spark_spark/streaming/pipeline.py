@@ -501,3 +501,17 @@ def incremental_band_index_to_store(doc_stream: DataFrame, store_dir: str,
          .start())
     q.awaitTermination(120.0)
     return q
+
+
+def hourly_profile_stream(events: DataFrame) -> DataFrame:
+    """Continuously-maintained hour-of-day profile — a COMPLETE-mode
+    GLOBAL aggregation (no event-time window, no watermark): state is
+    one row per (type, hour) ≤ 24·|types| forever, so unbounded state
+    is the CORRECT choice here — the profile is a running total over
+    all history by definition. Decimal value sums keep micro-batch
+    merge order irrelevant (the batch ``events.hourly_profile`` is the
+    oracle)."""
+    return (events.groupBy(F.col("event_type"),
+                           F.hour(F.col("ts")).cast("int").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).alias("_tot")))
