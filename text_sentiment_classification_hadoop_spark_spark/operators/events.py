@@ -805,3 +805,54 @@ def user_entropy(events: DataFrame, user_col: str = "user_id",
                             F.col("n_events").cast("long").alias("n_events"),
                             pround(h, 6).alias("entropy_nats"))
             .orderBy(user_col))
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency → per adjacent stage pair ``(stage_order,
+    from_stage, to_stage, n_converted, median_gap_s)``: how long users
+    take between consecutive funnel stages, with the EXACT median
+    (value at rank ⌈n/2⌉ of the integer second gaps — deterministic,
+    no approx sketch). The time dimension ``funnel_conversion``'s
+    counts collapse.
+
+    Reuses the funnel's chained conditional window mins (single
+    user-keyed exchange); gaps are BIGINT seconds; the median is an
+    ordered-rank pick per stage pair — pair count is 3, gap tables are
+    converted-user-sized. The rank window is per-pair; at corpus scale
+    swap in the two-phase distributed rank (pps pattern)."""
+    from pyspark.sql import Window
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    stages = ["signup", "view", "click", "purchase"]
+    prev = None
+    for i, s in enumerate(stages, start=1):
+        cond = F.col("event_type") == s
+        if prev is not None:
+            cond = cond & (F.col("ts") >= F.col(prev))
+        e = e.withColumn(f"_s{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"_s{i}"
+    per_user = e.groupBy("user_id").agg(
+        *[F.first(f"_s{i}").alias(f"_s{i}") for i in range(1, 5)])
+    parts = []
+    for i in range(1, 4):
+        gap = (F.unix_seconds(F.col(f"_s{i + 1}"))
+               - F.unix_seconds(F.col(f"_s{i}")))
+        g = (per_user.filter(F.col(f"_s{i + 1}").isNotNull())
+             .select(gap.cast("long").alias("_gap")))
+        wr = Window.orderBy(F.col("_gap").asc())
+        ranked = (g.withColumn("_r", F.row_number().over(wr))
+                  .withColumn("_n", F.count(F.lit(1)).over(
+                      Window.rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing))))
+        med = ranked.filter(
+            F.col("_r") == F.ceil(F.col("_n") / 2).cast("int"))
+        parts.append(med.select(
+            F.lit(i).cast("int").alias("stage_order"),
+            F.lit(stages[i - 1]).alias("from_stage"),
+            F.lit(stages[i]).alias("to_stage"),
+            F.col("_n").cast("long").alias("n_converted"),
+            F.col("_gap").cast("long").alias("median_gap_s")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("stage_order")
