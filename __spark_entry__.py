@@ -2481,6 +2481,11 @@ def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(load_table(spark, "documents", sf_dir))
 
 
+def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_datacard
+    return corpus_datacard(load_table(spark, "documents", sf_dir))
+
+
 def _funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.funnel_time_to_convert(spark, sf_dir)
 
@@ -2803,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_entropy": _user_entropy,
         "stream_hourly_profile": _stream_hourly_profile,
         "funnel_time_to_convert": _funnel_time_to_convert,
+        "corpus_datacard": _corpus_datacard,
         "events_hourly_profile": _events_hourly_profile,
         "top_session_paths": _top_session_paths,
         "pmi_collocations": _pmi_collocations,
@@ -3006,9 +3012,8 @@ _R4_FRONT = [
     "weighted_sample_docs", "dsir_resample_docs",
     "events_hourly_profile", "top_session_paths", "pmi_collocations",
     "textrank_keywords", "ivf_probe_sweep", "user_entropy",
-    "stream_hourly_profile", "funnel_time_to_convert",
+    "stream_hourly_profile", "funnel_time_to_convert", "corpus_datacard",
     "decontaminate_embeddings",
-    "winnow_near_dups",
     "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
     "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_recall_at10",
@@ -3028,6 +3033,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
+    "winnow_near_dups",
     "ppl_band_docs", "orc_roundtrip",
     "stream_winnow_fingerprints",
     "sq8_codes", "mrl_topk",
@@ -5709,6 +5715,33 @@ UNION ALL
 SELECT 3, 'click', 'purchase', CAST(n AS BIGINT), CAST(gap AS BIGINT)
 FROM m3 WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
 ORDER BY stage_order
+"""
+    out["corpus_datacard"] = """
+WITH base AS (
+  SELECT doc_id, lang, source,
+         len(list_filter(string_split(text, ' '),
+                         t -> length(t) > 0)) AS nt,
+         md5(text) AS h
+  FROM documents
+),
+dup AS (
+  SELECT coalesce(sum(c), 0) AS n_dup FROM (
+    SELECT count(*) AS c FROM base GROUP BY h HAVING count(*) > 1)
+),
+head AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(nt) AS BIGINT) AS total_ws_tokens
+  FROM base
+)
+SELECT n_docs, n_langs, n_sources, total_ws_tokens,
+       floor(CAST(2 * total_ws_tokens * 1000000 + n_docs AS DOUBLE)
+             / CAST(2 * n_docs AS DOUBLE)) / 1e6 AS mean_doc_tokens,
+       CAST(n_dup AS BIGINT) AS n_exact_dup_docs,
+       floor(CAST(2 * n_dup * 1000000 + n_docs AS DOUBLE)
+             / CAST(2 * n_docs AS DOUBLE)) / 1e6 AS dup_rate
+FROM head, dup
 """
     out["user_entropy"] = """
 WITH c AS (

@@ -49,7 +49,7 @@ def main() -> None:
         "dup_kgram_stats", "dedup_span_removal", "semdedup",
         "winnow_fingerprints", "winnow_near_dups", "tfidf_doc_pairs",
         "cdc_chunks", "cdc_shared_chunks", "dedup_threshold_sweep",
-        "curation_pipeline", "corpus_report", "corpus_diff", "mixture_sample",
+        "curation_pipeline", "corpus_report", "corpus_diff", "corpus_datacard", "mixture_sample",
         "dsir_scores", "shuffle_split_docs", "quota_select_docs",
         "mixture_token_plan", "training_manifest", "split_leakage_report",
         "weighted_sample_docs", "dsir_resample_docs",

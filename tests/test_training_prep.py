@@ -505,3 +505,16 @@ def test_dsir_resample_favors_target_domain(docs):
     en_share_corpus = sum(1 for v in langs.values() if v == "en") / len(langs)
     en_share_sample = sum(1 for d in sel_ids if langs[d] == "en") / 100
     assert en_share_sample > en_share_corpus
+
+
+def test_corpus_datacard_reconciles(spark, docs):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_datacard
+    card = corpus_datacard(docs).head()
+    assert card["n_docs"] == docs.count()
+    assert card["n_langs"] == docs.select("lang").distinct().count()
+    assert 0.0 <= card["dup_rate"] <= 1.0
+    assert card["mean_doc_tokens"] > 0
+    # planted duplicates must register
+    dup = docs.unionAll(docs.limit(10))
+    card2 = corpus_datacard(dup).head()
+    assert card2["n_exact_dup_docs"] >= 20  # 10 pairs = 20 dup-mass docs

@@ -570,3 +570,40 @@ def dsir_resample(docs: DataFrame, k: int = 100, tau: float = 1.0,
     return (ranked.withColumn("rk", F.row_number().over(wnd).cast("int"))
             .select(id_col, "dsir_micro_nats", "rk")
             .orderBy("rk"))
+
+
+def corpus_datacard(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """One-row corpus data card → ``(n_docs, n_langs, n_sources,
+    total_ws_tokens, mean_doc_tokens, n_exact_dup_docs,
+    dup_rate)`` — the header block of a dataset card (Gebru et al.,
+    "Datasheets for Datasets"), computed in two passes: one narrow
+    scan for counts/tokens and one digest aggregation for exact-dup
+    mass. All integers plus two integer-exact rounded ratios, so the
+    card is engine-stable."""
+    tok = F.size(F.filter(F.split(F.col(text_col), " "),
+                          lambda t: F.length(t) > 0)).cast("long")
+    base = docs.select(F.col(id_col), F.col(lang_col), F.col("source"),
+                       tok.alias("_nt"), F.md5(F.col(text_col)).alias("_h"))
+    dup_docs = (base.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") > 1)
+                .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n_dup")))
+    head = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("_nt").alias("total_ws_tokens"))
+    j = head.crossJoin(F.broadcast(dup_docs))
+    exact_ratio = ("floor(CAST(2 * {num} * 1000000 + ({den}) AS DOUBLE)"
+                   " / CAST(2 * ({den}) AS DOUBLE)) / 1e6")
+    return j.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("total_ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.expr(exact_ratio.format(num="total_ws_tokens", den="n_docs"))
+        .alias("mean_doc_tokens"),
+        F.col("n_dup").cast("long").alias("n_exact_dup_docs"),
+        F.expr(exact_ratio.format(num="n_dup", den="n_docs"))
+        .alias("dup_rate"))
