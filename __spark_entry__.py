@@ -2481,6 +2481,10 @@ def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(load_table(spark, "documents", sf_dir))
 
 
+def _cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.cohort_value(spark, sf_dir)
+
+
 def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_datacard
     return corpus_datacard(load_table(spark, "documents", sf_dir))
@@ -2809,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_profile": _stream_hourly_profile,
         "funnel_time_to_convert": _funnel_time_to_convert,
         "corpus_datacard": _corpus_datacard,
+        "cohort_value": _cohort_value,
         "events_hourly_profile": _events_hourly_profile,
         "top_session_paths": _top_session_paths,
         "pmi_collocations": _pmi_collocations,
@@ -3013,8 +3018,9 @@ _R4_FRONT = [
     "events_hourly_profile", "top_session_paths", "pmi_collocations",
     "textrank_keywords", "ivf_probe_sweep", "user_entropy",
     "stream_hourly_profile", "funnel_time_to_convert", "corpus_datacard",
+    "cohort_value",
     "decontaminate_embeddings",
-    "tfidf_doc_pairs", "cdc_chunks", "cdc_shared_chunks",
+    "tfidf_doc_pairs", "cdc_shared_chunks",
     "mrl_recall_at10", "hybrid_rrf_search",
     "dedup_threshold_sweep", "sq8_recall_at10",
     "multitouch_attribution",
@@ -3033,7 +3039,7 @@ _R4_FRONT = [
 # Positions 51+ in staleness order: the rotated-out r1 twins, then the
 # round-2 cohort; everything after that was checked in round 3.
 _R4_NEXT = [
-    "winnow_near_dups",
+    "cdc_chunks", "winnow_near_dups",
     "ppl_band_docs", "orc_roundtrip",
     "stream_winnow_fingerprints",
     "sq8_codes", "mrl_topk",
@@ -5715,6 +5721,20 @@ UNION ALL
 SELECT 3, 'click', 'purchase', CAST(n AS BIGINT), CAST(gap AS BIGINT)
 FROM m3 WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
 ORDER BY stage_order
+"""
+    out["cohort_value"] = """
+WITH b AS (
+  SELECT CAST(floor(CAST(epoch(min(ts) OVER (PARTITION BY user_id))
+                         AS DOUBLE) / 604800) AS BIGINT) AS cw,
+         CAST(floor(CAST(epoch(ts) AS DOUBLE) / 604800) AS BIGINT) AS ew,
+         value
+  FROM events
+)
+SELECT make_timestamp(cw * 604800 * 1000000) AS cohort_start,
+       CAST(ew - cw AS INTEGER) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM b GROUP BY cw, ew ORDER BY cohort_start, week_offset
 """
     out["corpus_datacard"] = """
 WITH base AS (

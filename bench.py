@@ -85,7 +85,7 @@ def main() -> None:
         "events_pivot", "events_json_props", "events_json_malformed", "events_gap_fill", "events_gap_interp", "events_anomalies", "user_running_stats",
         "purchase_attribution", "next_click_attribution",
         "multitouch_attribution", "interval_pair_counts",
-        "funnel_conversion", "funnel_time_to_convert", "cohort_retention", "event_transitions",
+        "funnel_conversion", "funnel_time_to_convert", "cohort_retention", "cohort_value", "event_transitions",
         "events_hourly_profile", "top_session_paths", "user_entropy",
         "fuzzy_part_names", "bloom_prefilter_join",
         "approx_distinct_users", "copurchase_pagerank",

@@ -939,3 +939,16 @@ def test_funnel_time_to_convert_invariants(spark, sf_dir):
         # stage k+1 reach count == pairs converted from stage k
         assert r["n_converted"] == fun[r["stage_order"] + 1]
         assert r["median_gap_s"] >= 0
+
+
+def test_cohort_value_reconciles_with_retention(spark, sf_dir):
+    """Same cohort/offset cells as the retention matrix; event totals
+    reconcile with the raw table."""
+    import __spark_entry__ as entry
+    lv = entry.queries()["cohort_value"](spark, sf_dir).collect()
+    rt = E.cohort_retention(spark, sf_dir).collect()
+    assert {(r["cohort_start"], r["week_offset"]) for r in lv} == \
+        {(r["cohort_start"], r["week_offset"]) for r in rt}
+    total_events = load_table(spark, "events", sf_dir).count()
+    assert sum(r["n_events"] for r in lv) == total_events
+    assert all(r["total_value"] >= 0 for r in lv)

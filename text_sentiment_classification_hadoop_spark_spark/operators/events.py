@@ -856,3 +856,27 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("stage_order")
+
+
+def cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort VALUE (the LTV matrix) → ``(cohort_start,
+    week_offset, n_events, total_value)``: how much each signup-week
+    cohort spends at each age — the revenue dimension
+    :func:`cohort_retention`'s user counts collapse. Same shape (one
+    user-keyed window for first-ts, epoch-week arithmetic, one
+    (cohort, offset) aggregation); the value total is an exact decimal
+    sum, so the matrix is engine- and partitioning-stable."""
+    week = 7 * 24 * 3600
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    bucketed = e.select(
+        F.floor(first_ts.cast("double") / week).alias("_cw"),
+        F.floor(F.col("ts").cast("double") / week).alias("_ew"),
+        F.col("value"))
+    return (bucketed.groupBy(
+        F.to_timestamp(F.col("_cw") * week).alias("cohort_start"),
+        (F.col("_ew") - F.col("_cw")).cast("int").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("total_value"))
+        .orderBy("cohort_start", "week_offset"))
