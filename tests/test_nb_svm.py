@@ -168,22 +168,22 @@ def test_mllib_pipeline_runs(spark, sf_dir):
 
 
 def test_mllib_confusion_goldens_sf001(spark):
-    """Value-level pin for the two rows-only driver queries
+    """Value-level pin for the two MLlib driver queries
     (mllib_nb_confusion / mllib_svm_confusion): seeded
     randomSplit(1234) + deterministic HashingTF/IDF make the confusion
     counts reproducible run-over-run, same protocol as the reference's
     own evaluation (``NaiveBayes.py:61-75``, ``SVM.py:63-76``).
 
-    The counts depend on the input partitioning (randomSplit seeds
-    per-partition), so the pin holds under THIS session's config —
-    local[4], 4 shuffle partitions, sf0.01 — which conftest fixes."""
+    Since round 5 the query pins an 8-partition doc_id-sorted layout
+    BEFORE the split, so these counts are identical under ANY session
+    config (verified under local[4]/4, local[7]/13, local[32]/32) —
+    which is what lets the driver hash-check them against the
+    literal-VALUES oracle (``__spark_entry__._MLLIB_GOLDEN_SF001``).
+    This golden must equal that table; assert against it directly so
+    the two can never drift apart."""
     import __spark_entry__ as em
 
-    golden = {
-        "nb": [(0.0, 0.0, 15), (0.0, 1.0, 13), (1.0, 0.0, 52), (1.0, 1.0, 60)],
-        "svm": [(0.0, 0.0, 47), (0.0, 1.0, 41), (1.0, 0.0, 20), (1.0, 1.0, 32)],
-    }
-    for alg, expected in golden.items():
+    for alg, expected in em._MLLIB_GOLDEN_SF001.items():
         df = em.queries()[f"mllib_{alg}_confusion"](spark, "/root/testdata/sf0.01")
         assert [tuple(r) for r in df.collect()] == expected, alg
 

@@ -237,6 +237,35 @@ def test_mixture_token_plan_proportionality(docs):
     assert abs(rows["en"]["target_tokens"] - 6 * rows["zh"]["target_tokens"]) <= 6
 
 
+def test_mixture_token_plan_missing_language_renormalizes(spark):
+    """ADVICE r4 (medium): a weighted language absent from the corpus
+    must not break the exact-budget invariant. With the static-Σw
+    divisor, the inner join dropping 'zh' left leftover ≈ budget·w_zh/Σw
+    ≫ row count, every surviving row took +1, and the targets summed to
+    far below the budget. Renormalized over PRESENT weights, targets sum
+    to EXACTLY the budget; a zero-token language keeps its target but
+    reports NULL epochs_micro (not a divide-by-zero)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        mixture_token_plan,
+    )
+    d = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma"), (2, "en", "delta eps"),
+         (3, "de", "eins zwei"), (4, "fr", "   ")],  # fr: docs but 0 tokens
+        "doc_id long, lang string, text string")
+    rows = {r["lang"]: r
+            for r in mixture_token_plan(d, budget_tokens=100_003).collect()}
+    # 'es'/'zh' are weighted but absent: dropped, NOT budget-eating
+    assert set(rows) == {"en", "de", "fr"}
+    assert sum(r["target_tokens"] for r in rows.values()) == 100_003
+    # proportionality against the renormalized Σw = 1500+1000+750
+    assert abs(rows["en"]["target_tokens"] * 2 -
+               rows["de"]["target_tokens"] * 3) <= 3
+    assert rows["fr"]["n_tokens"] == 0
+    assert rows["fr"]["epochs_micro"] is None
+    assert rows["en"]["epochs_micro"] == (
+        rows["en"]["target_tokens"] * 1_000_000) // rows["en"]["n_tokens"]
+
+
 # ----------------------------------------------------- training manifest
 
 def test_training_manifest_composes_components(docs):
@@ -505,6 +534,31 @@ def test_dsir_resample_favors_target_domain(docs):
     en_share_corpus = sum(1 for v in langs.values() if v == "en") / len(langs)
     en_share_sample = sum(1 for d in sel_ids if langs[d] == "en") / 100
     assert en_share_sample > en_share_corpus
+
+
+def test_dsir_resample_saturation_proof(docs):
+    """ADVICE r4: with the direct A-ES key -ln(u)/exp(s/tau), scores
+    beyond ~±709 nats saturate exp() to +inf/0 and every saturated key
+    collapses to the same value, degrading selection to doc_id order.
+    The log-space key ln(-ln u) - s/tau is monotone-identical but never
+    saturates: at tau=1e-6 (score/tau up to ~1e9 nats) the draw must
+    still rank ALL docs by key, i.e. become argmax-like — dominated by
+    the highest-scoring docs, not the lowest doc_ids."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        dsir_resample,
+        dsir_scores,
+    )
+    sel = [r["doc_id"] for r in dsir_resample(docs, k=50, tau=1e-6).collect()]
+    assert len(set(sel)) == 50
+    # tiny tau => tempered distribution approaches argmax over scores:
+    # the winners must essentially be the top-scoring documents
+    top = [r["doc_id"] for r in
+           dsir_scores(docs).orderBy(F.col("dsir_micro_nats").desc(),
+                                     F.col("doc_id").asc()).limit(50).collect()]
+    assert len(set(sel) & set(top)) >= 45
+    # and NOT the doc_id-order collapse the overflow produced
+    lowest_ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())[:50]
+    assert set(sel) != set(lowest_ids)
 
 
 def test_corpus_datacard_reconciles(spark, docs):

@@ -77,29 +77,47 @@ def pround_avg2(col: Column, n: int = 6) -> Column:
     other, flipping ``floor`` when the product sits a half-ulp from an
     integer — the ``sql_pricing_summary`` red row in rounds 1/3.
 
-    Cure: fold the +0.5 into exact integer arithmetic before any double
-    op. With S = sum (exact decimal, integer-valued after ×10^n) and
-    c = count, ``round_half_up(S/c, n) = floor((2·S·10^n + c) / (2c))``.
-    Both operands are exact integers (< 2^53 at any realistic scale for
-    the numerator's double image; exact-decimal until the final cast),
-    a lone IEEE division is correctly rounded with no fusion freedom,
-    and the quotient is ≥ 1/(2c) away from an integer unless exactly on
-    it — far beyond the ~1e-16 relative division error. Deterministic in
-    ANY IEEE-754 engine, FMA or not.
+    Cure: exact arithmetic until the quotient is pinned. With S = sum
+    (exact decimal) and c = count, ``round_half_up(S/c, n)`` is the
+    integer ``M = (A − A % B) / B`` for ``A = 2·S·10^n + c``,
+    ``B = 2c`` — all of A, B, A % B and the subtraction are EXACT
+    decimal/integer ops in both engines at any magnitude (no double
+    image of A is ever taken on the Spark side, so there is no 2^53
+    operand cliff; the pre-round-5 form cast A to double, whose own
+    rounding reopened the nondeterminism window past ~9e15 — e.g.
+    quantity sums around TPC-H sf30+). The division of the exact
+    multiple is exact decimal division on Spark; DuckDB lowers decimal
+    division to double, so the mirror recovers M with
+    ``floor(q + 0.5)``: q carries ≤ ~1.2e-16 relative error, and for
+    |mean| < 10^9 (i.e. M < 10^{9+n}) that is < 0.4 absolute — floor
+    lands on M in every IEEE engine, fused or not. Explicit bounds
+    (not an implicit cliff): S beyond DECIMAL(30,2) (≈ 10^28) fails
+    LOUDLY — decimal overflow is an error under Spark ANSI mode and in
+    DuckDB, never a silent rounding; |mean| < 10^9 is the documented
+    envelope of the DuckDB-side quotient recovery (row averages of
+    2-dp measures sit orders of magnitude below it at any corpus
+    size — means don't grow with row count).
     """
-    s = F.sum(dec2(col))
+    s = F.sum(dec2(col)).cast("decimal(30,2)")
     c = F.count(F.lit(1))
-    num = (s * F.lit(2 * 10 ** n) + c).cast("double")
-    den = (c * F.lit(2)).cast("double")
-    return F.floor(num / den) / F.lit(float(10 ** n))
+    a = s * F.lit(2 * 10 ** n) + c
+    b = c * F.lit(2)
+    q = (a - a % b) / b
+    return F.floor(q + F.lit(0.5)) / F.lit(float(10 ** n))
 
 
 def sql_pround_avg2(expr: str, n: int = 6) -> str:
-    """Shared-dialect mirror of :func:`pround_avg2` (``1e6``-style
-    literal keeps the result DOUBLE in both Spark SQL and DuckDB)."""
+    """Shared-dialect mirror of :func:`pround_avg2` — runs unchanged on
+    Spark SQL and DuckDB (``sql_pricing_summary`` executes this very
+    text on Spark), and lands on the identical integer quotient in
+    both: exact-decimal A/B/remainder, then ``floor(q + 0.5)`` absorbs
+    DuckDB's double-lowered division error (see :func:`pround_avg2`).
+    ``1e6``-style literals keep the result DOUBLE in both dialects."""
     m = 10 ** n
-    return (f"floor(CAST(sum(CAST(({expr}) AS DECIMAL(18,2))) * {2 * m}"
-            f" + count(*) AS DOUBLE) / CAST(2 * count(*) AS DOUBLE)) / 1e{n}")
+    s = f"CAST(sum(CAST(({expr}) AS DECIMAL(18,2))) AS DECIMAL(30,2))"
+    a = f"({s} * {2 * m} + count(*))"
+    b = "(2 * count(*))"
+    return f"(floor(({a} - {a} % {b}) / {b} + 0.5) / 1e{n})"
 
 
 def sql_pround(expr: str, n: int) -> str:

@@ -378,13 +378,24 @@ def mixture_token_plan(docs: DataFrame, weights=None,
     then +1 token to the languages with the largest remainders (ties →
     lang order) until the budget is exact — the same discipline as the
     multi-touch credit split.
+
+    Weighted languages ABSENT from the corpus cannot contribute
+    tokens, so Σw is the sum over weights×corpus languages (a window
+    over the ≤|languages|-row plan table, not the static weight list).
+    Renormalizing this way keeps the exact-budget invariant: leftover
+    = budget − Σ base is always < the number of surviving rows, so the
+    +1 distribution lands fully. (With the static Σw, a missing
+    language would leave leftover ≫ rows and the targets would sum to
+    less than the budget.) A present language whose documents hold
+    zero tokens still receives its target, but its oversampling factor
+    is undefined — ``epochs_micro`` is NULL there instead of a
+    divide-by-zero null-surprise downstream.
     """
     if weights is None:
         weights = MIXTURE_WEIGHTS
     w_int = [(lang, int(round(w * 1000))) for lang, w in weights]
     w_df = docs.sparkSession.createDataFrame(
         w_int, f"{lang_col} string, w_mill long")
-    total_w = sum(w for _, w in w_int)
 
     stats = (docs.select(F.col(lang_col),
                          F.size(F.filter(F.split(F.col(text_col), " "),
@@ -394,14 +405,15 @@ def mixture_token_plan(docs: DataFrame, weights=None,
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum("_nt").alias("n_tokens")))
     j = stats.join(F.broadcast(w_df), lang_col, "inner")
-    b, tw = int(budget_tokens), int(total_w)
-    base = F.expr(f"({b}L * w_mill) div {tw}L")
-    rem = F.expr(f"({b}L * w_mill) % {tw}L")
+    b = int(budget_tokens)
+    full = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    tw = F.sum("w_mill").over(full)  # Σw over PRESENT languages
     wnd = Window.orderBy(F.col("_rem").desc(), F.col(lang_col).asc())
-    leftover = F.lit(b) - F.sum("_base").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing))
-    planned = (j.withColumn("_base", base).withColumn("_rem", rem)
+    leftover = F.lit(b) - F.sum("_base").over(full)
+    planned = (j.withColumn("_tw", tw)
+               .withColumn("_rem", F.expr(f"({b}L * w_mill) % _tw"))
+               .withColumn("_base", F.expr(f"({b}L * w_mill) div _tw"))
                .withColumn("_rk", F.row_number().over(wnd))
                .withColumn("_extra",
                            F.when(F.col("_rk") <= leftover, F.lit(1))
@@ -413,8 +425,9 @@ def mixture_token_plan(docs: DataFrame, weights=None,
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.col("w_mill").cast("double") / F.lit(1000.0)).alias("w"),
         F.col("target_tokens").cast("long").alias("target_tokens"),
-        F.expr("(target_tokens * 1000000) div n_tokens").cast("long")
-        .alias("epochs_micro"))
+        F.when(F.col("n_tokens") > 0,
+               F.expr("(target_tokens * 1000000) div n_tokens"))
+        .cast("long").alias("epochs_micro"))
         .orderBy("lang"))
 
 
@@ -552,15 +565,25 @@ def dsir_resample(docs: DataFrame, k: int = 100, tau: float = 1.0,
     top-k sampling with the randomness made auditable. ``τ`` tempers:
     large τ → uniform, small τ → argmax-like. Composition shape: the
     scoring pass's shuffles plus one narrow key map and a global
-    TakeOrdered top-k."""
+    TakeOrdered top-k.
+
+    The A-ES key is ranked in LOG space: ``ln(−ln u) − s/τ`` is
+    strictly monotone in the textbook ``−ln(u)/exp(s/τ)`` (same
+    selection, same order) but never saturates — the direct form
+    overflows to +inf above s/τ ≈ 709 nats and underflows to 0 below
+    ≈ −745, collapsing every saturated key to a tie and degrading the
+    draw to doc_id order exactly where the weights matter most. The
+    one non-monotone corner, u = 1 ⇒ −ln u = 0, maps to −inf
+    explicitly (Spark's ``log(0)`` is NULL, not −inf)."""
     from ..functions.hashing import portable_hash64
     scores = dsir_scores(docs, id_col=id_col)
     u = ((portable_hash64(F.concat(F.lit(seed + ":"),
                                    F.col(id_col).cast("string")))
           % 1000000) + 1).cast("double") / F.lit(1000000.0)
-    w = F.exp(F.col("dsir_micro_nats").cast("double")
-              / F.lit(1000000.0) / F.lit(float(tau)))
-    key = -F.log(u) / w
+    log_w = (F.col("dsir_micro_nats").cast("double")
+             / F.lit(1000000.0) / F.lit(float(tau)))
+    key = (F.when(u >= 1.0, F.lit(float("-inf")))
+           .otherwise(F.log(-F.log(u)) - log_w))
     from pyspark.sql import Window
     ranked = (scores.select(F.col(id_col), "dsir_micro_nats",
                             key.alias("_key"))
