@@ -6017,12 +6017,29 @@ FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
     out["events_anomalies"] = """
-WITH hourly AS (
+WITH observed AS (
   SELECT event_type,
          make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
                         * 1000000) AS slot_ts,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot
   FROM events GROUP BY event_type, slot_ts
+),
+bounds AS (
+  SELECT event_type, min(slot_ts) AS lo, max(slot_ts) AS hi
+  FROM observed GROUP BY event_type
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot_ts
+  FROM bounds
+),
+hourly AS (
+  -- dense zero-filled series: the 24-PRECEDING-ROWS frame below is a
+  -- true wall-clock 24 h (mirrors operators/events.hourly_anomalies)
+  SELECT g.event_type, g.slot_ts,
+         CAST(coalesce(o.tot, 0) AS DECIMAL(18,2)) AS tot
+  FROM grid g LEFT JOIN observed o
+    ON o.event_type = g.event_type AND o.slot_ts = g.slot_ts
 ),
 w AS (
   SELECT event_type, slot_ts, tot,

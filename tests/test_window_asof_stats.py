@@ -841,9 +841,11 @@ def test_hourly_anomalies_planted_spike(spark, sf_dir):
     from text_sentiment_classification_hadoop_spark_spark.operators.events import hourly_anomalies
     from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
     ev = load_table(spark, "events", sf_dir)
-    # pick an hour the sparse series actually contains, past the warmup
+    # pick an hour the series actually OBSERVES (the densified grid
+    # also carries zero-filled empty hours a spike multiplier can't
+    # touch), past the warmup
     base = sorted(r["slot_ts"] for r in hourly_anomalies(ev).collect()
-                  if r["event_type"] == "click")
+                  if r["event_type"] == "click" and r["total"] > 0)
     spike_slot = base[30]
     spiked = ev.withColumn(
         "value", F.when((F.col("event_type") == "click")
@@ -864,6 +866,49 @@ def test_hourly_anomalies_planted_spike(spark, sf_dir):
         if var > 0:
             z = (tot[i] - wnd.mean()) / np.sqrt(var)
             assert abs(clicks[i]["z"] - z) < 1e-4
+
+
+def test_hourly_anomalies_dense_wall_clock_baseline(spark):
+    """ADVICE r4: the trailing frame must be 24 WALL-CLOCK hours, not 24
+    observed rows. A series with a 3-day quiet gap gets explicit zero
+    rows for the empty hours, the slot after the gap is scored against
+    the zeros (not against observations from days earlier), and the
+    grid is exactly contiguous from first to last observed slot."""
+    from datetime import datetime, timedelta
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import hourly_anomalies
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # 30 alternating-level hours (non-constant baseline: a constant one
+    # has std 0 and z is NULL by the constant-baseline rule), then a
+    # 72-hour outage, then one big hour
+    for h in list(range(30)) + [30 + 72]:
+        eid += 1
+        v = 5000.0 if h >= 30 else (100.0 if h % 2 == 0 else 110.0)
+        rows.append((eid, 1, "click", t0 + timedelta(hours=h), v))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    out = sorted(hourly_anomalies(ev).collect(), key=lambda r: r["slot_ts"])
+    # dense contiguous grid: 30 observed + 72 zero + 1 observed
+    assert len(out) == 30 + 72 + 1
+    slots = [r["slot_ts"] for r in out]
+    assert all((b - a).total_seconds() == 3600
+               for a, b in zip(slots, slots[1:]))
+    gap = [r for r in out if 30 <= (r["slot_ts"] - t0).total_seconds() // 3600 < 102]
+    assert all(r["total"] == 0.0 for r in gap)
+    # the first zero hour is itself scored against the steady baseline:
+    # a sudden flatline IS the outage anomaly
+    first_zero = gap[0]
+    assert first_zero["z"] is not None and first_zero["is_anomaly"] == 1
+    assert first_zero["z"] < 0
+    # the post-gap spike is scored against the 24 zero-filled hours
+    # before it (variance 0 -> z NULL by the constant-baseline rule),
+    # NOT against the pre-gap observations
+    last = out[-1]
+    assert last["total"] == 5000.0
+    assert last["z"] is None  # baseline = 24 zeros, std 0
 
 
 def test_pareto_orders_matches_bruteforce(spark, sf_dir):

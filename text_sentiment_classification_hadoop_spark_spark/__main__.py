@@ -203,8 +203,12 @@ def main(argv: list[str] | None = None) -> int:
         # query — what PLANAUDIT/PLANS automate, one query at a time
         if not args.query:
             p.error("--query <registry name> is required for explain")
+        # the registry lives next to the package dir (repo root), not
+        # at a fixed path — derive it so the CLI works from any
+        # checkout location or installed layout (ADVICE r4)
         import sys as _sys
-        _sys.path.insert(0, "/root/repo")
+        from pathlib import Path
+        _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
         import __spark_entry__ as entry
         qs = entry.queries()
         if args.query not in qs:

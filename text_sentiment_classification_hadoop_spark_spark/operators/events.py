@@ -667,6 +667,17 @@ def hourly_anomalies(events: DataFrame, window_slots: int = 24,
     (traffic spikes, pipeline stalls) on the same engine as the batch
     analytics.
 
+    The series is DENSIFIED first (ADVICE r4): each type's hourly grid
+    runs from its first to its last observed slot with empty hours as
+    explicit zero rows — so ``window_slots`` preceding ROWS is exactly
+    ``window_slots`` wall-clock hours. Over observed slots only, the
+    frame silently stretched across quiet gaps (a "trailing 24 h"
+    baseline spanning days), skewing mean/std right where outages —
+    the anomalies — live; and the zero rows themselves now get scored,
+    which is precisely the outage signal. Zero-fill is the correct
+    density for event totals (no events ⇒ total 0), unlike the LOCF
+    fill of :func:`gap_fill_forward` whose series are level samples.
+
     The baseline frame is the ``window_slots`` PRECEDING slots,
     EXCLUSIVE of the current one — leave-in baselines inflate their own
     mean/std and cap z at ≈√n however large the spike; the exclusive
@@ -692,6 +703,22 @@ def hourly_anomalies(events: DataFrame, window_slots: int = 24,
                              slot.alias("slot_ts"))
               .agg(F.sum(F.col(value_col).cast("decimal(18,2)"))
                    .cast("decimal(18,2)").alias("_tot")))
+    # dense per-type grid, zero-filled: the rolling ROWS frame below is
+    # then a true wall-clock window (grid explode is plan-computed; the
+    # join is type+slot-keyed and co-partitions with the rollup)
+    bounds = hourly.groupBy("event_type").agg(F.min("slot_ts").alias("_lo"),
+                                              F.max("slot_ts").alias("_hi"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(
+            F.unix_seconds("_lo"), F.unix_seconds("_hi"),
+            F.lit(3600))).alias("_se")) \
+        .select("event_type", F.timestamp_seconds(F.col("_se")).alias("slot_ts"))
+    hourly = (grid.join(hourly, ["event_type", "slot_ts"], "left")
+              .select("event_type", "slot_ts",
+                      F.coalesce(F.col("_tot"),
+                                 F.lit(0).cast("decimal(18,2)"))
+                      .alias("_tot")))
     w = (Window.partitionBy("event_type").orderBy("slot_ts")
          .rowsBetween(-window_slots, -1))
     n = F.count("_tot").over(w)
