@@ -101,6 +101,14 @@ def main() -> None:
         "stream_doc_repetition", "stream_curation_gates",
         "stream_neardup_candidates", "stream_hourly_profile",
     ]
+    # Registry tail: every remaining queries() entry, timed the same way
+    # so the bench covers the FULL registry. Kept out of the headline
+    # `value` so that metric stays composition-stable across rounds —
+    # these are mostly library-demo twins of already-benched physical
+    # shapes (parse/clean stages that feed every sentiment query above,
+    # single-shuffle relational variants of pricing_summary, and the
+    # MLlib fits). Their total is reported as `registry_total`.
+    tail = sorted(set(entry.queries()) - set(names))
     qs = entry.queries()
 
     # warm the JVM/session so query timings measure the queries, not
@@ -112,13 +120,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in names:
+    tail_total = 0.0
+    for name in names + tail:
         fn = qs[name]
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()  # full materialization
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
-        total += dt
+        if name in tail:
+            tail_total += dt
+        else:
+            total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -130,6 +142,9 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
+        "registry_total": round(total + tail_total, 3),
+        "n_headline": len(names),
+        "n_registry": len(names) + len(tail),
         "queries": timings,
         "sf": sf_val,
     })
@@ -153,6 +168,7 @@ def main() -> None:
     shown: dict[str, float] = {}
     base = {"metric": "headline_queries_total", "value": round(total, 3),
             "unit": "sec", "sf": sf_val, "n_queries": len(timings),
+            "registry_total": round(total + tail_total, 3),
             "queries_full": "bench_result.json"}
     for name in core + by_cost:
         trial = dict(base, queries=dict(shown, **{name: timings[name]}))
