@@ -61,3 +61,50 @@ def test_salted_join_equals_naive(spark, sf_dir):
     naive = orders.join(cust, "o_custkey").count()
     salted = salted_join(orders, cust, "o_custkey").count()
     assert salted == naive
+
+
+def test_aqe_skew_join_engages_on_zipf_word_key(spark):
+    """SCALE.md §8 closing the loop (VERDICT r4 stretch): the skew
+    story claims AQE's runtime skew-join split handles the Zipfian hot
+    keys a word-keyed shuffle join produces. Demonstrate it: a corpus
+    where one word ("the") carries 90% of rows, shuffle-joined to a
+    vocabulary table, must come back with `SortMergeJoin(skew=true)` in
+    the EXECUTED plan (AQE only marks the final plan; thresholds are
+    lowered to make test-sized partitions register as skewed — at real
+    scale the defaults trip on the same shape). Note the split only
+    applies when no downstream op needs the join's hash partitioning
+    (a groupBy right after would veto it unless forceOptimizeSkewedJoin
+    is set) — which is why the assert is on the bare join."""
+    from pyspark.sql import functions as F
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "16KB")
+        docs = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("the"))
+             .otherwise(F.concat(F.lit("w"),
+                                 (F.col("id") % 5000).cast("string")))
+             .alias("word"),
+            F.col("id").alias("doc_id"))
+        dim = spark.range(5001).select(
+            F.when(F.col("id") == 5000, F.lit("the"))
+             .otherwise(F.concat(F.lit("w"), F.col("id").cast("string")))
+             .alias("word"),
+            (F.col("id") % 7).alias("weight"))
+        j = docs.join(dim, "word").select("word", "doc_id", "weight")
+        assert j.count() == 200_000  # every word resolves, hot key included
+        j.collect()  # finalize THIS DataFrame's adaptive plan
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple")
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
