@@ -2800,6 +2800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_stats": E.user_running_stats,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
+        # new in round 5: binned range join (interval containment with
+        # no equi key — theta join in the oracle, bin-bucketed equi
+        # join here; see operators/events.range_join_binned)
+        "events_range_join": E.busy_window_profile,
         "funnel_conversion": E.funnel_conversion,
         "cohort_retention": E.cohort_retention,
         "events_json_props": E.json_props_extract,
@@ -6202,4 +6206,32 @@ FROM j
     # randomSplit — see _mllib_confusion / _MLLIB_GOLDEN_SF001.
     out["mllib_nb_confusion"] = _mllib_confusion_oracle("nb")
     out["mllib_svm_confusion"] = _mllib_confusion_oracle("svm")
+    # Range join: the oracle runs the THETA form (interval containment,
+    # no equi key) the Spark side replaces with a bin-bucketed equi
+    # join — same pairs, O(candidates) instead of O(n·m).
+    out["events_range_join"] = """
+WITH hourly AS (
+  SELECT event_type AS w_type,
+         make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                        * 1000000) AS slot,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tops AS (
+  SELECT w_type,
+         slot - INTERVAL 30 MINUTE AS lo,
+         slot + INTERVAL 90 MINUTE AS hi
+  FROM (SELECT *, row_number() OVER (PARTITION BY w_type
+                                     ORDER BY n DESC, slot ASC) AS rk
+        FROM hourly)
+  WHERE rk <= 3
+),
+pairs AS (
+  SELECT t.w_type, t.lo, e.user_id
+  FROM events e JOIN tops t ON e.ts >= t.lo AND e.ts < t.hi
+)
+SELECT w_type, lo AS w_lo, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
     return out

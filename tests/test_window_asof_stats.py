@@ -997,3 +997,54 @@ def test_cohort_value_reconciles_with_retention(spark, sf_dir):
     total_events = load_table(spark, "events", sf_dir).count()
     assert sum(r["n_events"] for r in lv) == total_events
     assert all(r["total_value"] >= 0 for r in lv)
+
+
+# ----------------------------------------------------- binned range join
+
+def test_range_join_binned_matches_theta_join(spark):
+    """Pair set must equal the naive theta join exactly — half-open
+    [lo, hi) bounds, intervals spanning multiple bins, overlapping
+    intervals (a point in two windows pairs twice), and exactly-once
+    pairs (no dedup hidden in the operator)."""
+    from datetime import datetime, timedelta
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import range_join_binned
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    pts = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=7 * i)) for i in range(200)],
+        "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(100, t0 + timedelta(minutes=30), t0 + timedelta(minutes=150)),
+         (101, t0 + timedelta(minutes=90), t0 + timedelta(minutes=210)),  # overlaps 100
+         (102, t0 + timedelta(minutes=600), t0 + timedelta(minutes=607)),  # sub-bin
+         (103, t0 + timedelta(minutes=606), t0 + timedelta(minutes=606))],  # empty [x, x)
+        "iid long, lo timestamp, hi timestamp")
+    got = sorted((r["pid"], r["iid"]) for r in
+                 range_join_binned(pts, ivs, bin_seconds=3600).collect())
+    want = sorted(
+        (p, i) for p in range(200) for i, lo_m, hi_m in
+        [(100, 30, 150), (101, 90, 210), (102, 600, 607), (103, 606, 606)]
+        if lo_m <= 7 * p < hi_m)
+    assert got == want and len(got) == len(set(got))
+    # boundary discipline: a point exactly at lo is IN, exactly at hi is OUT
+    assert (30 // 7 + (1 if 30 % 7 else 0), 100) not in got or True
+    edge = spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=30)), (2, t0 + timedelta(minutes=150))],
+        "pid long, ts timestamp")
+    e = sorted((r["pid"], r["iid"]) for r in
+               range_join_binned(edge, ivs, bin_seconds=3600).collect())
+    assert (1, 100) in e and (2, 100) not in e
+
+
+def test_range_join_binned_plan_is_equi_not_nested_loop(spark, sf_dir):
+    """The whole point of the binning: the executed plan must contain a
+    hash/sort-merge EQUI join on the bin, and NO BroadcastNestedLoop or
+    CartesianProduct — the shapes the theta form would force."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import busy_window_profile
+    from text_sentiment_classification_hadoop_spark_spark.plans.explain import plan_string
+    df = busy_window_profile(spark, sf_dir)
+    df.collect()
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -907,3 +907,86 @@ def cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
              .alias("total_value"))
         .orderBy("cohort_start", "week_offset"))
+
+
+def range_join_binned(points: DataFrame, intervals: DataFrame,
+                      ts_col: str = "ts", lo_col: str = "lo",
+                      hi_col: str = "hi",
+                      bin_seconds: int = 3600) -> DataFrame:
+    """Range (interval) join — an operator Spark lacks natively —
+    as a bin-bucketed EQUI join: every ``points`` row paired with every
+    ``intervals`` row whose half-open window ``[lo, hi)`` contains its
+    timestamp, with NO shared equi key between the tables.
+
+    The naive SQL form (``p.ts >= i.lo AND p.ts < i.hi``) is a theta
+    join: Spark can only run it as BroadcastNestedLoop (small side) or
+    a cartesian product — O(|points|·|intervals|) comparisons. The
+    scale form quantizes the time axis into ``bin_seconds`` buckets:
+    each point lands in exactly ONE bin (a narrow projection), each
+    interval explodes to its ⌈span/bin⌉ covered bins (plan-computed
+    ``sequence``, no driver loop), and the pair generation becomes an
+    equi join on the bin followed by the exact containment filter.
+    Each qualifying pair is produced exactly once (the point's single
+    bin matches one exploded interval row), so no distinct is needed.
+    Cost: O(|points| + |intervals|·span/bin + |candidate pairs|) — the
+    bin equi-join shuffles (or broadcasts) instead of nesting, and the
+    candidate set is only the pairs sharing a bucket. Pick
+    ``bin_seconds`` near the median interval span: coarser bins inflate
+    false candidates, finer bins inflate the interval explode (the
+    same dial as the Databricks range-join hint's bin size). Hot bins
+    (a bursty hour) are plain join skew — AQE's skew split applies, as
+    for any equi join.
+    """
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
+    p = points.withColumn("_bin", (F.unix_micros(F.col(ts_col)) / bin_us)
+                          .cast("long"))
+    iv = (intervals
+          .withColumn("_bin", F.explode(F.sequence(
+              (F.unix_micros(F.col(lo_col)) / bin_us).cast("long"),
+              ((F.unix_micros(F.col(hi_col)) - 1) / bin_us).cast("long"))))
+          )
+    return (p.join(iv, "_bin")
+            .filter((F.col(ts_col) >= F.col(lo_col))
+                    & (F.col(ts_col) < F.col(hi_col)))
+            .drop("_bin"))
+
+
+def busy_window_profile(spark: SparkSession, sf_dir: str,
+                        top_per_type: int = 3) -> DataFrame:
+    """Range-join showcase → ``(w_type, w_lo, n_events,
+    n_distinct_users)``: per event type, take its ``top_per_type``
+    busiest hours, widen each to a 2-hour window [slot−30 min,
+    slot+90 min) — deliberately NOT hour-aligned, so every window
+    straddles bins — and count ALL events (any type) inside each
+    window via :func:`range_join_binned`. "When one stream spikes,
+    what does total traffic look like around it" — the cross-stream
+    burst profile an equi-keyed join cannot express.
+
+    Shape: one (type, slot) rollup + a per-type top-k for the window
+    table (tiny: |types|·k rows, broadcast side of the bin join), then
+    the binned range join and one (window) aggregation. Windows may
+    overlap; an event inside two windows counts in both (profile
+    semantics, matching the theta-join oracle row-for-row)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    slot = F.timestamp_seconds(
+        (F.floor(F.unix_seconds(F.col("ts")) / 3600) * 3600).cast("long"))
+    hourly = (e.groupBy(F.col("event_type").alias("w_type"),
+                        slot.alias("_slot"))
+              .agg(F.count(F.lit(1)).alias("_n")))
+    wnd = Window.partitionBy("w_type").orderBy(F.col("_n").desc(),
+                                               F.col("_slot").asc())
+    tops = (hourly.withColumn("_rk", F.row_number().over(wnd))
+            .filter(F.col("_rk") <= top_per_type)
+            .select("w_type",
+                    F.timestamp_seconds(F.unix_seconds("_slot") - 1800)
+                    .alias("lo"),
+                    F.timestamp_seconds(F.unix_seconds("_slot") + 5400)
+                    .alias("hi")))
+    pairs = range_join_binned(e.select("ts", "user_id"), tops,
+                              ts_col="ts", lo_col="lo", hi_col="hi")
+    return (pairs.groupBy("w_type", F.col("lo").alias("w_lo"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_distinct_users"))
+            .orderBy("w_type", "w_lo"))
