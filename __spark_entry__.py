@@ -2520,6 +2520,11 @@ def _cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.cohort_value(spark, sf_dir)
 
 
+def _source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import source_quality_report
+    return source_quality_report(load_table(spark, "documents", sf_dir))
+
+
 def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_datacard
     return corpus_datacard(load_table(spark, "documents", sf_dir))
@@ -2804,6 +2809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no equi key — theta join in the oracle, bin-bucketed equi
         # join here; see operators/events.range_join_binned)
         "events_range_join": E.busy_window_profile,
+        # new in round 5: per-source governance rollup (cross-source
+        # exact-dup attribution + modal language)
+        "source_quality_report": _source_quality_report,
         "funnel_conversion": E.funnel_conversion,
         "cohort_retention": E.cohort_retention,
         "events_json_props": E.json_props_extract,
@@ -6233,5 +6241,45 @@ pairs AS (
 SELECT w_type, lo AS w_lo, CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
 FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["source_quality_report"] = """
+WITH base AS (
+  SELECT doc_id, lang, source,
+         len(list_filter(string_split(text, ' '),
+                         t -> length(t) > 0)) AS nt,
+         md5(text) AS h
+  FROM documents
+),
+digests AS (
+  SELECT h, count(*) AS c, count(DISTINCT source) AS nsrc
+  FROM base GROUP BY h
+),
+enriched AS (
+  SELECT b.*, d.c, d.nsrc FROM base b JOIN digests d USING (h)
+),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(nt) AS BIGINT) AS total_ws_tokens,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         CAST(sum(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cross_source_dups
+  FROM enriched GROUP BY source
+),
+modal AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, lang ASC) AS rk
+    FROM base GROUP BY source, lang)
+  WHERE rk = 1
+)
+SELECT p.source, n_docs, n_langs, total_ws_tokens,
+       floor(CAST(2 * total_ws_tokens * 1000000 + n_docs AS DOUBLE)
+             / CAST(2 * n_docs AS DOUBLE)) / 1e6 AS mean_doc_tokens,
+       n_dup_docs, n_cross_source_dups, top_lang
+FROM per_source p JOIN modal m ON m.source = p.source
+ORDER BY p.source
 """
     return out

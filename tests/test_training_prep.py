@@ -572,3 +572,30 @@ def test_corpus_datacard_reconciles(spark, docs):
     dup = docs.unionAll(docs.limit(10))
     card2 = corpus_datacard(dup).head()
     assert card2["n_exact_dup_docs"] >= 20  # 10 pairs = 20 dup-mass docs
+
+
+def test_source_quality_report_cross_source_dups(spark):
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import (
+        source_quality_report,
+    )
+    d = spark.createDataFrame(
+        [(1, "copied text", "en", "srcA", 11),
+         (2, "copied text", "en", "srcB", 11),   # cross-source mirror
+         (3, "unique alpha", "en", "srcA", 12),
+         (4, "within dup", "de", "srcB", 10),
+         (5, "within dup", "de", "srcB", 10),    # within-source dup
+         (6, "solo beta", "fr", "srcB", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {r["source"]: r for r in source_quality_report(d).collect()}
+    a, b = rows["srcA"], rows["srcB"]
+    assert a["n_docs"] == 2 and b["n_docs"] == 4
+    # doc 1 is a dup (corpus-wide) and a cross-source dup; doc 3 clean
+    assert a["n_dup_docs"] == 1 and a["n_cross_source_dups"] == 1
+    # docs 2 (cross-source) + 4,5 (within-source) are dups for srcB,
+    # but only doc 2's digest spans two sources
+    assert b["n_dup_docs"] == 3 and b["n_cross_source_dups"] == 1
+    # modal language, ties broken lexicographically: srcB has de=2,
+    # en=1, fr=1 -> de
+    assert a["top_lang"] == "en" and b["top_lang"] == "de"
+    assert a["total_ws_tokens"] == 4  # 2+2 whitespace tokens
+    assert a["mean_doc_tokens"] == 2.0

@@ -445,13 +445,15 @@ def test_corpus_diff_statuses(spark):
 
 
 def test_contract_oracle_completeness():
-    """Every driver query is either oracle-checked or one of the three
-    declared rows-only entries — no silent coverage gaps."""
+    """EVERY driver query carries a DuckDB oracle — no rows-only
+    entries remain since round 5 gave the two MLlib fits literal-VALUES
+    oracles of their (layout-pinned, config-independent) sf0.01 golden
+    counts."""
     import __spark_entry__ as entry
     qs = set(entry.queries())
     oracles = set(entry.oracle_sql())
     assert oracles <= qs, oracles - qs          # no orphan oracles
-    assert qs - oracles == {"mllib_nb_confusion", "mllib_svm_confusion"}
+    assert qs - oracles == set(), qs - oracles  # no oracle-less queries
 
 
 def test_narrow_verdict_join_free_and_agrees_with_pipeline(spark):

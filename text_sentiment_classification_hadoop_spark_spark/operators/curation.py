@@ -630,3 +630,67 @@ def corpus_datacard(docs: DataFrame, id_col: str = "doc_id",
         F.col("n_dup").cast("long").alias("n_exact_dup_docs"),
         F.expr(exact_ratio.format(num="n_dup", den="n_docs"))
         .alias("dup_rate"))
+
+
+def source_quality_report(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          lang_col: str = "lang") -> DataFrame:
+    """Per-source data-governance rollup → ``(source, n_docs, n_langs,
+    total_ws_tokens, mean_doc_tokens, n_dup_docs, n_cross_source_dups,
+    top_lang)`` — the :func:`corpus_datacard` broken out by provenance,
+    which is how curation decisions are actually made (drop/downweight
+    a feed, renegotiate a crawl). ``n_dup_docs`` counts this source's
+    docs whose exact text appears ≥ 2× ANYWHERE in the corpus;
+    ``n_cross_source_dups`` counts those whose text also appears in a
+    DIFFERENT source — the syndication/mirror signal a within-source
+    dedup can't see. ``top_lang`` is the source's modal language (ties
+    → lexicographically first, deterministic).
+
+    Shape: one narrow scan (tokens + md5), one digest aggregation
+    (corpus-wide, carries ``count`` + ``countDistinct(source)`` per
+    digest — digest-sized, not doc-sized), one digest-keyed join back
+    (co-partitions with the digest agg's exchange), then a
+    |sources|-row rollup and a tiny modal-language window. All
+    integers plus one integer-exact rounded mean — engine-stable."""
+    from pyspark.sql import Window
+
+    tok = F.size(F.filter(F.split(F.col(text_col), " "),
+                          lambda t: F.length(t) > 0)).cast("long")
+    base = docs.select(F.col(id_col), F.col(lang_col), F.col("source"),
+                       tok.alias("_nt"), F.md5(F.col(text_col)).alias("_h"))
+    digests = (base.groupBy("_h")
+               .agg(F.count(F.lit(1)).alias("_c"),
+                    F.countDistinct("source").alias("_nsrc")))
+    enriched = base.join(digests, "_h")
+    per_source = (enriched.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.countDistinct(lang_col).alias("n_langs"),
+                       F.sum("_nt").alias("total_ws_tokens"),
+                       F.sum(F.when(F.col("_c") > 1, 1).otherwise(0))
+                       .alias("n_dup_docs"),
+                       F.sum(F.when(F.col("_nsrc") > 1, 1).otherwise(0))
+                       .alias("n_cross_source_dups")))
+    lang_counts = (base.groupBy("source", lang_col)
+                   .agg(F.count(F.lit(1)).alias("_lc")))
+    modal = (lang_counts.withColumn(
+        "_rk", F.row_number().over(
+            Window.partitionBy("source")
+            .orderBy(F.col("_lc").desc(), F.col(lang_col).asc())))
+        .filter(F.col("_rk") == 1)
+        .select("source", F.col(lang_col).alias("top_lang")))
+    exact_ratio = ("floor(CAST(2 * {num} * 1000000 + ({den}) AS DOUBLE)"
+                   " / CAST(2 * ({den}) AS DOUBLE)) / 1e6")
+    return (per_source.join(modal, "source")
+            .select(
+                "source",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_langs").cast("long").alias("n_langs"),
+                F.col("total_ws_tokens").cast("long").alias("total_ws_tokens"),
+                F.expr(exact_ratio.format(num="total_ws_tokens",
+                                          den="n_docs"))
+                .alias("mean_doc_tokens"),
+                F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+                F.col("n_cross_source_dups").cast("long")
+                .alias("n_cross_source_dups"),
+                "top_lang")
+            .orderBy("source"))
