@@ -2525,6 +2525,13 @@ def _source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quality_report(load_table(spark, "documents", sf_dir))
 
 
+def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import bitext_mine
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return bitext_mine(emb, docs)
+
+
 def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_datacard
     return corpus_datacard(load_table(spark, "documents", sf_dir))
@@ -2812,6 +2819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5: per-source governance rollup (cross-source
         # exact-dup attribution + modal language)
         "source_quality_report": _source_quality_report,
+        # new in round 5: cross-lingual parallel-pair mining (bitext):
+        # bipartite banded sign-LSH candidates + mutual-best alignment
+        "bitext_mined_pairs": _bitext_mined_pairs,
         "funnel_conversion": E.funnel_conversion,
         "cohort_retention": E.cohort_retention,
         "events_json_props": E.json_props_extract,
@@ -6281,5 +6291,65 @@ SELECT p.source, n_docs, n_langs, total_ws_tokens,
        n_dup_docs, n_cross_source_dups, top_lang
 FROM per_source p JOIN modal m ON m.source = p.source
 ORDER BY p.source
+"""
+    # Bitext mining: banded (2×8-plane) sign-LSH candidate generation
+    # mirrored exactly (band b = planes [8b, 8b+8)), then mutual-best
+    # alignment — the same plane literals similarity.plane_component
+    # embeds in the Spark plan.
+    out["bitext_mined_pairs"] = f"""
+WITH {AU_ORIG},
+planes AS (
+  SELECT p.p, d.d,
+         ({PORTABLE_HASH.format(col="'plane' || p.p || ':' || d.d")} % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range(0, 16)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d
+),
+dots AS (
+  SELECT au.vec_id, pl.p, sum(au.x * pl.w) AS dot
+  FROM au JOIN planes pl ON au.d = pl.d
+  GROUP BY au.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, CAST(p // 8 AS INTEGER) AS band,
+         sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << (p % 8))
+                  ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM dots GROUP BY vec_id, p // 8
+),
+en_b AS (
+  SELECT b.* FROM buckets b JOIN documents dd
+    ON dd.doc_id = b.vec_id AND dd.lang = 'en'),
+de_b AS (
+  SELECT b.* FROM buckets b JOIN documents dd
+    ON dd.doc_id = b.vec_id AND dd.lang = 'de'),
+cand AS (
+  SELECT DISTINCT e.vec_id AS src_id, g.vec_id AS tgt_id
+  FROM en_b e JOIN de_b g ON e.band = g.band AND e.bucket = g.bucket
+),
+prods AS (
+  SELECT c.src_id, c.tgt_id,
+         sum(xa.x * xb.x) AS dot,
+         sum(xa.x * xa.x) AS na2,
+         sum(xb.x * xb.x) AS nb2
+  FROM cand c
+  JOIN au xa ON xa.vec_id = c.src_id
+  JOIN au xb ON xb.vec_id = c.tgt_id AND xb.d = xa.d
+  GROUP BY c.src_id, c.tgt_id
+),
+scored AS (
+  SELECT src_id, tgt_id,
+         floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM prods
+  WHERE floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000.0 + 0.5) / 1000000.0 >= 0.25
+),
+r AS (
+  SELECT src_id, tgt_id, cosine,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY cosine DESC, tgt_id ASC) AS rs,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY cosine DESC, src_id ASC) AS rt
+  FROM scored
+)
+SELECT src_id, tgt_id, cosine FROM r WHERE rs = 1 AND rt = 1
+ORDER BY src_id
 """
     return out

@@ -916,3 +916,32 @@ def test_ivf_probe_sweep_monotone(spark, sf_dir):
     assert all(0.0 <= r <= 1.0 for r in rec)
     assert rec == sorted(rec)          # monotone non-decreasing
     assert rec[-1] >= rec[0]
+
+
+def test_bitext_mine_mutual_best_alignment(spark):
+    """Bitext mining: the output must be a partial MATCHING (each src
+    and each tgt appears at most once), every pair must be each side's
+    best threshold-passing candidate, and same-language pairs must
+    never appear. Verified against a brute-force mutual-best on a
+    hand-built corpus where LSH recall is a non-issue (identical /
+    near-identical vectors land in the same bucket by construction)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import bitext_mine
+
+    base = [1.0] + [0.0] * 63
+    tilt = [0.98, 0.199] + [0.0] * 62   # cos vs base ≈ 0.98
+    anti = [-1.0] + [0.0] * 63
+    emb = spark.createDataFrame(
+        [(1, base), (2, tilt), (3, anti),         # en
+         (11, base), (12, tilt), (13, anti)],     # de
+        "vec_id long, embedding array<float>")
+    langs = spark.createDataFrame(
+        [(i, "en") for i in (1, 2, 3)] + [(i, "de") for i in (11, 12, 13)],
+        "doc_id long, lang string")
+    got = {(r["src_id"], r["tgt_id"]) for r in
+           bitext_mine(emb, langs, threshold=0.5).collect()}
+    # 1↔11 and 2↔12 are mutual bests (cos 1.0 beats the ~0.98 cross
+    # pairing); 3↔13 mutual best among anti vectors; nothing cross-tier
+    assert got == {(1, 11), (2, 12), (3, 13)}
+    srcs = [s for s, _ in got]
+    tgts = [t for _, t in got]
+    assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))

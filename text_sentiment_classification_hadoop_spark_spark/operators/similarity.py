@@ -1016,3 +1016,64 @@ def knn_graph(emb: DataFrame, k: int = 5, n_cells: int = 8,
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .orderBy("src", "rank"))
+
+
+def bitext_mine(emb: DataFrame, doc_langs: DataFrame,
+                src_lang: str = "en", tgt_lang: str = "de",
+                threshold: float = 0.25, n_planes: int = 8,
+                n_bands: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Cross-lingual parallel-pair mining (bitext mining, the
+    CCMatrix/LASER recipe shape) → ``(src_id, tgt_id, cosine)``:
+    candidate ``src_lang``×``tgt_lang`` pairs from banded sign-LSH
+    buckets, exact cosine on candidates, then FORWARD-BACKWARD
+    INTERSECTION — keep a pair only if each side is the other's best
+    match among threshold-passing candidates (mutual best, ties →
+    lowest id). The mutual-best gate is what turns a similarity join
+    into an alignment: one source sentence can't claim five targets.
+
+    Scale shape = :func:`..operators.dedup.embedding_near_dups`'s
+    bipartite twin: the language tag joins id-keyed (co-partitions
+    with the embedding scan), candidate generation is the (band,
+    bucket) equi join — O(collisions), never |src|×|tgt| — norms are
+    hoisted before the join, and the mutual-best ranks are two
+    candidate-sized window passes keyed on either endpoint. Plane
+    weights are the deterministic ``plane_component`` literals, so a
+    DuckDB oracle reproduces the exact candidate set bit-for-bit."""
+    from .dedup import widen
+
+    tagged = (widen(emb)
+              .join(doc_langs.select(F.col("doc_id").alias(id_col), "lang"),
+                    id_col)
+              .filter(F.col("lang").isin(src_lang, tgt_lang)))
+    band_buckets = F.array(*[
+        sign_lsh_bucket(vec_col, n_planes=n_planes,
+                        plane_offset=b * n_planes)
+        for b in range(n_bands)
+    ])
+    banded = tagged.select(
+        F.col(id_col), F.col("lang"), F.col(vec_col),
+        norm_expr(F.col(vec_col)).alias("_nrm"),
+        F.posexplode(band_buckets).alias("band", "bucket"))
+    s = (banded.filter(F.col("lang") == src_lang)
+         .select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("va"),
+                 F.col("_nrm").alias("_na"), "band", "bucket"))
+    t = (banded.filter(F.col("lang") == tgt_lang)
+         .select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("vb"),
+                 F.col("_nrm").alias("_nb"), "band", "bucket"))
+    cosine = dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
+    cands = (s.join(t, ["band", "bucket"])
+             .select("src_id", "tgt_id", pround(cosine, 6).alias("cosine"))
+             .filter(F.col("cosine") >= threshold)
+             .distinct())
+    from pyspark.sql import Window
+    rs = F.row_number().over(Window.partitionBy("src_id")
+                             .orderBy(F.col("cosine").desc(),
+                                      F.col("tgt_id").asc()))
+    rt = F.row_number().over(Window.partitionBy("tgt_id")
+                             .orderBy(F.col("cosine").desc(),
+                                      F.col("src_id").asc()))
+    return (cands.withColumn("_rs", rs).withColumn("_rt", rt)
+            .filter((F.col("_rs") == 1) & (F.col("_rt") == 1))
+            .select("src_id", "tgt_id", "cosine")
+            .orderBy("src_id"))
