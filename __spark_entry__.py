@@ -2532,6 +2532,34 @@ def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_mine(emb, docs)
 
 
+def _stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events STREAM range-joined (binned rewrite) to the static
+    busiest-hour window table, with per-window exact-decimal totals.
+    Oracle: the equivalent batch theta join — identical bit-for-bit
+    because the bin rewrite generates each qualifying pair exactly once
+    and decimal sums are micro-batch-order-proof."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import busy_windows
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        events_raw_stream,
+        range_join_stream,
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+    )
+    wins = busy_windows(spark, sf_dir)
+    raw = events_raw_stream(spark, sf_dir)
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(range_join_stream(raw, wins),
+                                 "stream_range_join",
+                                 output_mode="complete")
+    q.stop()
+    return (spark.table("stream_range_join")
+            .select("w_type", "w_lo", "n_events",
+                    F.col("total_value").cast("double").alias("total_value"))
+            .orderBy("w_type", "w_lo"))
+
+
 def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import corpus_datacard
     return corpus_datacard(load_table(spark, "documents", sf_dir))
@@ -2822,6 +2850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5: cross-lingual parallel-pair mining (bitext):
         # bipartite banded sign-LSH candidates + mutual-best alignment
         "bitext_mined_pairs": _bitext_mined_pairs,
+        # new in round 5: the binned rewrite makes the range join
+        # STREAMABLE (stateless stream-static equi join on the bin)
+        "stream_range_join": _stream_range_join,
         "funnel_conversion": E.funnel_conversion,
         "cohort_retention": E.cohort_retention,
         "events_json_props": E.json_props_extract,
@@ -6351,5 +6382,30 @@ r AS (
 )
 SELECT src_id, tgt_id, cosine FROM r WHERE rs = 1 AND rt = 1
 ORDER BY src_id
+"""
+    # Streaming range join: batch theta-join oracle with exact decimal
+    # value totals (windows = the same busiest-hour table).
+    out["stream_range_join"] = """
+WITH hourly AS (
+  SELECT event_type AS w_type,
+         make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                        * 1000000) AS slot,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tops AS (
+  SELECT w_type,
+         slot - INTERVAL 30 MINUTE AS lo,
+         slot + INTERVAL 90 MINUTE AS hi
+  FROM (SELECT *, row_number() OVER (PARTITION BY w_type
+                                     ORDER BY n DESC, slot ASC) AS rk
+        FROM hourly)
+  WHERE rk <= 3
+)
+SELECT t.w_type, t.lo AS w_lo,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN tops t ON e.ts >= t.lo AND e.ts < t.hi
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     return out

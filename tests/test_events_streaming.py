@@ -422,3 +422,30 @@ def test_incremental_band_index_store(spark, tmp_path):
     cands = {(r["doc_id"], r["cand_id"])
              for r in spark.table("band_store_lookup").collect()}
     assert (1, 2) in cands and (2, 1) in cands
+
+
+def test_stream_range_join_agrees_with_batch(spark, sf_dir):
+    """The streamed bin-bucketed range join must equal the batch theta
+    join — the binned rewrite is what makes a range join streamable at
+    all (a stream-static theta join would nested-loop per micro-batch;
+    the equi-on-bin form is a stateless broadcast join)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import busy_windows
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    streamed = [(r["w_type"], r["w_lo"], r["n_events"],
+                 round(r["total_value"], 6)) for r in
+                em.queries()["stream_range_join"](spark, sf_dir).collect()]
+    e = load_table(spark, "events", sf_dir)
+    w = busy_windows(spark, sf_dir)
+    batch = (e.join(w, (F.col("ts") >= F.col("lo"))
+                    & (F.col("ts") < F.col("hi")))
+             .groupBy("w_type", F.col("lo").alias("w_lo"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total_value"))
+             .orderBy("w_type", "w_lo"))
+    expected = [(r["w_type"], r["w_lo"], r["n_events"],
+                 round(r["total_value"], 6)) for r in batch.collect()]
+    assert streamed == expected and len(streamed) > 0

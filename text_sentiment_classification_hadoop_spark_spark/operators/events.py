@@ -951,6 +951,32 @@ def range_join_binned(points: DataFrame, intervals: DataFrame,
             .drop("_bin"))
 
 
+def busy_windows(spark: SparkSession, sf_dir: str,
+                 top_per_type: int = 3) -> DataFrame:
+    """The window table behind :func:`busy_window_profile` (and its
+    streaming twin): per event type, the ``top_per_type`` busiest hours
+    widened to 2-hour windows [slot−30 min, slot+90 min) →
+    ``(w_type, lo, hi)``. Tiny (|types|·k rows) — the broadcast side of
+    the bin join."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    slot = F.timestamp_seconds(
+        (F.floor(F.unix_seconds(F.col("ts")) / 3600) * 3600).cast("long"))
+    hourly = (e.groupBy(F.col("event_type").alias("w_type"),
+                        slot.alias("_slot"))
+              .agg(F.count(F.lit(1)).alias("_n")))
+    wnd = Window.partitionBy("w_type").orderBy(F.col("_n").desc(),
+                                               F.col("_slot").asc())
+    return (hourly.withColumn("_rk", F.row_number().over(wnd))
+            .filter(F.col("_rk") <= top_per_type)
+            .select("w_type",
+                    F.timestamp_seconds(F.unix_seconds("_slot") - 1800)
+                    .alias("lo"),
+                    F.timestamp_seconds(F.unix_seconds("_slot") + 5400)
+                    .alias("hi")))
+
+
 def busy_window_profile(spark: SparkSession, sf_dir: str,
                         top_per_type: int = 3) -> DataFrame:
     """Range-join showcase → ``(w_type, w_lo, n_events,
@@ -967,23 +993,8 @@ def busy_window_profile(spark: SparkSession, sf_dir: str,
     the binned range join and one (window) aggregation. Windows may
     overlap; an event inside two windows counts in both (profile
     semantics, matching the theta-join oracle row-for-row)."""
-    from pyspark.sql import Window
-
     e = load_table(spark, "events", sf_dir)
-    slot = F.timestamp_seconds(
-        (F.floor(F.unix_seconds(F.col("ts")) / 3600) * 3600).cast("long"))
-    hourly = (e.groupBy(F.col("event_type").alias("w_type"),
-                        slot.alias("_slot"))
-              .agg(F.count(F.lit(1)).alias("_n")))
-    wnd = Window.partitionBy("w_type").orderBy(F.col("_n").desc(),
-                                               F.col("_slot").asc())
-    tops = (hourly.withColumn("_rk", F.row_number().over(wnd))
-            .filter(F.col("_rk") <= top_per_type)
-            .select("w_type",
-                    F.timestamp_seconds(F.unix_seconds("_slot") - 1800)
-                    .alias("lo"),
-                    F.timestamp_seconds(F.unix_seconds("_slot") + 5400)
-                    .alias("hi")))
+    tops = busy_windows(spark, sf_dir, top_per_type)
     pairs = range_join_binned(e.select("ts", "user_id"), tops,
                               ts_col="ts", lo_col="lo", hi_col="hi")
     return (pairs.groupBy("w_type", F.col("lo").alias("w_lo"))

@@ -515,3 +515,35 @@ def hourly_profile_stream(events: DataFrame) -> DataFrame:
                            F.hour(F.col("ts")).cast("int").alias("hour"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("value").cast("decimal(18,2)")).alias("_tot")))
+
+
+def range_join_stream(events: DataFrame, windows: DataFrame,
+                      bin_seconds: int = 3600) -> DataFrame:
+    """STREAMING range join against a static interval table →
+    per-window ``(w_type, w_lo, n_events, total_value)`` totals.
+
+    A stream-static THETA join (``ts BETWEEN lo AND hi`` with no equi
+    key) would nested-loop every micro-batch against the static side.
+    The bin-bucketed rewrite (``operators.events.range_join_binned``)
+    is what makes the range join streamable as a plain stateless
+    stream-static EQUI join: the stream maps narrowly to its bin, the
+    static side pre-explodes its intervals over covered bins and
+    broadcasts, and the exact containment filter runs post-join. No
+    watermark and no join state store — only the final aggregation is
+    stateful, and its key space is the (tiny) window table. The value
+    total is an exact decimal sum, so the streamed result matches the
+    batch theta-join oracle bit-for-bit regardless of micro-batch
+    boundaries."""
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
+    binned = events.withColumn(
+        "_bin", (F.unix_micros(F.col("ts")) / bin_us).cast("long"))
+    iv = windows.withColumn("_bin", F.explode(F.sequence(
+        (F.unix_micros(F.col("lo")) / bin_us).cast("long"),
+        ((F.unix_micros(F.col("hi")) - 1) / bin_us).cast("long"))))
+    joined = (binned.join(F.broadcast(iv), "_bin")
+              .filter((F.col("ts") >= F.col("lo"))
+                      & (F.col("ts") < F.col("hi"))))
+    return (joined.groupBy("w_type", F.col("lo").alias("w_lo"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .alias("total_value")))
