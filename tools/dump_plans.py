@@ -122,6 +122,18 @@ SHOWCASE = [
     ("nb_pr_curve",
      "9-row threshold codebook broadcast over one aggregation pass; "
      "integer-exact precision/recall rounding"),
+    ("events_range_join",
+     "range join with NO equi key as a bin-bucketed equi join: "
+     "interval explode over covered bins, broadcast hash join on the "
+     "bin, exact containment filter — no BroadcastNestedLoop"),
+    ("bitext_mined_pairs",
+     "bipartite banded sign-LSH candidates (plane-literal buckets), "
+     "hoisted norms, exact cosine on candidates, two candidate-sized "
+     "mutual-best windows — never |src|x|tgt|"),
+    ("source_quality_report",
+     "corpus-wide digest agg (count + countDistinct(source) per md5) "
+     "+ digest-keyed join back; shuffles carry 32-byte hashes, not "
+     "documents"),
 ]
 
 
