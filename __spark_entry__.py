@@ -2853,6 +2853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5: the binned rewrite makes the range join
         # STREAMABLE (stateless stream-static equi join on the bin)
         "stream_range_join": _stream_range_join,
+        # new in round 5: TPC-H Q3 shape (selective 3-way star join,
+        # pushed date predicates, exact-decimal revenue, TakeOrdered)
+        "shipping_priority": R.shipping_priority,
         "funnel_conversion": E.funnel_conversion,
         "cohort_retention": E.cohort_retention,
         "events_json_props": E.json_props_extract,
@@ -6407,5 +6410,21 @@ SELECT t.w_type, t.lo AS w_lo,
        CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events e JOIN tops t ON e.ts >= t.lo AND e.ts < t.hi
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["shipping_priority"] = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       o.o_orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-30'
+  AND l.l_shipdate > TIMESTAMP '1997-06-30'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
 """
     return out

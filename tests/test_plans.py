@@ -263,3 +263,22 @@ def test_planaudit_wsc_counter_sees_codegen(spark, sf_dir):
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "simple")
         assert wsc_spans(plan) >= 1, f"{name}: no codegen span in\n{plan}"
+
+
+def test_shipping_priority_pushdown_and_topk(spark, sf_dir):
+    """Q3 shape contracts: both date predicates reach the parquet
+    scans, the segment-pruned customer side broadcasts, and the top-10
+    is TakeOrderedAndProject — not a global sort."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import shipping_priority
+    from text_sentiment_classification_hadoop_spark_spark.plans.explain import plan_string
+    df = shipping_priority(spark, sf_dir)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
+    assert any("l_shipdate" in ln for ln in pushed)
+    rows = df.collect()
+    assert len(rows) == 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)

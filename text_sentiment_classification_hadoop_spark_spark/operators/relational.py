@@ -550,3 +550,38 @@ def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("price").cast("double").alias("price"),
                     F.col("day").cast("long").alias("day"))
             .orderBy("o_orderkey"))
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str,
+                      segment: str = "BUILDING",
+                      cutoff: str = "1997-06-30", k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority) → the ``k`` highest-revenue
+    un-shipped orders for one market segment:
+    ``(l_orderkey, revenue, o_orderdate)``.
+
+    The canonical selective 3-way star join: the segment filter prunes
+    customer to ~1/5 BEFORE its broadcast, the date predicates push
+    into both fact scans (`PushedFilters` on o_orderdate / l_shipdate),
+    customer broadcasts into orders, the filtered orders side
+    broadcasts into lineitem when it fits (AQE decides at runtime; at
+    100 TB it becomes the one orderkey-keyed shuffle), and the top-k is
+    TakeOrderedAndProject — never a global sort. Revenue is the exact
+    decimal ``Σ extprice·(1−discount)`` (associative, order-proof);
+    ties rank by orderkey so the LIMIT edge is deterministic."""
+    c = load_table(spark, "customer", sf_dir) \
+        .filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = load_table(spark, "orders", sf_dir) \
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load_table(spark, "lineitem", sf_dir) \
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")) \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.sum(dec2(F.col("l_extendedprice"))
+                * (F.lit(1) - dec2(F.col("l_discount")))).cast("double")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(k)
+            .select("l_orderkey", "revenue", "o_orderdate"))
