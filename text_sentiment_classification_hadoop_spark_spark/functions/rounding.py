@@ -120,6 +120,33 @@ def sql_pround_avg2(expr: str, n: int = 6) -> str:
     return f"(floor(({a} - {a} % {b}) / {b} + 0.5) / 1e{n})"
 
 
+def pround_iratio(num: Column, den: Column, n: int = 6) -> Column:
+    """Half-up-rounded (``n`` digits) ratio of two exact INTEGER
+    columns (e.g. a token sum over a doc count), computed by the same
+    remainder-exact protocol as :func:`pround_avg2`: with integer
+    N, D, ``round_half_up(N/D, n)`` is ``M = (A − A % B) / B`` for
+    ``A = 2·N·10^n + D``, ``B = 2·D`` — A, B, A % B and the
+    subtraction are exact decimal ops (no double image of A is taken,
+    so no 2^53 operand cliff and no FMA sensitivity; cf. the
+    cast-numerator-to-double form this replaces, nondeterministic past
+    N ≈ 4.5e9 and silently overflowing long past N ≈ 4.6e12). The
+    final exact-multiple division is exact decimal on Spark; the
+    DuckDB mirror recovers M with ``floor(q + 0.5)`` (see
+    :func:`pround_avg2` for the |ratio| < 10^9 envelope)."""
+    a = num.cast("decimal(30,0)") * F.lit(2 * 10 ** n) + den
+    b = den.cast("decimal(30,0)") * F.lit(2)
+    q = (a - a % b) / b
+    return F.floor(q + F.lit(0.5)) / F.lit(float(10 ** n))
+
+
+def sql_pround_iratio(num: str, den: str, n: int = 6) -> str:
+    """Shared-dialect mirror of :func:`pround_iratio`."""
+    m = 10 ** n
+    a = f"(CAST(({num}) AS DECIMAL(30,0)) * {2 * m} + ({den}))"
+    b = f"(CAST(({den}) AS DECIMAL(30,0)) * 2)"
+    return f"(floor(({a} - {a} % {b}) / {b} + 0.5) / 1e{n})"
+
+
 def sql_pround(expr: str, n: int) -> str:
     m = float(10 ** n)
     return f"floor(({expr}) * {m!r} + 0.5) / {m!r}"

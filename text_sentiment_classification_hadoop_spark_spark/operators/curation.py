@@ -618,17 +618,16 @@ def corpus_datacard(docs: DataFrame, id_col: str = "doc_id",
         F.countDistinct("source").alias("n_sources"),
         F.sum("_nt").alias("total_ws_tokens"))
     j = head.crossJoin(F.broadcast(dup_docs))
-    exact_ratio = ("floor(CAST(2 * {num} * 1000000 + ({den}) AS DOUBLE)"
-                   " / CAST(2 * ({den}) AS DOUBLE)) / 1e6")
+    from ..functions.rounding import sql_pround_iratio
     return j.select(
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_langs").cast("long").alias("n_langs"),
         F.col("n_sources").cast("long").alias("n_sources"),
         F.col("total_ws_tokens").cast("long").alias("total_ws_tokens"),
-        F.expr(exact_ratio.format(num="total_ws_tokens", den="n_docs"))
+        F.expr(sql_pround_iratio("total_ws_tokens", "n_docs"))
         .alias("mean_doc_tokens"),
         F.col("n_dup").cast("long").alias("n_exact_dup_docs"),
-        F.expr(exact_ratio.format(num="n_dup", den="n_docs"))
+        F.expr(sql_pround_iratio("n_dup", "n_docs"))
         .alias("dup_rate"))
 
 
@@ -678,16 +677,14 @@ def source_quality_report(docs: DataFrame, id_col: str = "doc_id",
             .orderBy(F.col("_lc").desc(), F.col(lang_col).asc())))
         .filter(F.col("_rk") == 1)
         .select("source", F.col(lang_col).alias("top_lang")))
-    exact_ratio = ("floor(CAST(2 * {num} * 1000000 + ({den}) AS DOUBLE)"
-                   " / CAST(2 * ({den}) AS DOUBLE)) / 1e6")
+    from ..functions.rounding import sql_pround_iratio
     return (per_source.join(modal, "source")
             .select(
                 "source",
                 F.col("n_docs").cast("long").alias("n_docs"),
                 F.col("n_langs").cast("long").alias("n_langs"),
                 F.col("total_ws_tokens").cast("long").alias("total_ws_tokens"),
-                F.expr(exact_ratio.format(num="total_ws_tokens",
-                                          den="n_docs"))
+                F.expr(sql_pround_iratio("total_ws_tokens", "n_docs"))
                 .alias("mean_doc_tokens"),
                 F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
                 F.col("n_cross_source_dups").cast("long")

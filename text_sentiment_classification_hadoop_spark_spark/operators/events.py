@@ -937,13 +937,24 @@ def range_join_binned(points: DataFrame, intervals: DataFrame,
     (a bursty hour) are plain join skew — AQE's skew split applies, as
     for any equi join.
     """
-    bin_us = F.lit(int(bin_seconds) * 1_000_000)
-    p = points.withColumn("_bin", (F.unix_micros(F.col(ts_col)) / bin_us)
-                          .cast("long"))
+    # Exact integer FLOOR division for the bin id: the earlier
+    # double-quotient form (unix_micros/bin_us cast long) truncated
+    # toward zero — misbinning pre-1970 timestamps — and lost
+    # microsecond exactness once the quotient left the double's 2^53
+    # window. pmod yields the non-negative remainder, so
+    # (x − pmod(x, b)) is the exact floor multiple and `div` on it is
+    # exact integer division at any magnitude and either sign.
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def _floor_bin(us_expr: str):
+        return F.expr(
+            f"(({us_expr}) - pmod(({us_expr}), {bin_us})) div {bin_us}")
+
+    p = points.withColumn("_bin", _floor_bin(f"unix_micros({ts_col})"))
     iv = (intervals
           .withColumn("_bin", F.explode(F.sequence(
-              (F.unix_micros(F.col(lo_col)) / bin_us).cast("long"),
-              ((F.unix_micros(F.col(hi_col)) - 1) / bin_us).cast("long"))))
+              _floor_bin(f"unix_micros({lo_col})"),
+              _floor_bin(f"unix_micros({hi_col}) - 1"))))
           )
     return (p.join(iv, "_bin")
             .filter((F.col(ts_col) >= F.col(lo_col))

@@ -534,12 +534,19 @@ def range_join_stream(events: DataFrame, windows: DataFrame,
     total is an exact decimal sum, so the streamed result matches the
     batch theta-join oracle bit-for-bit regardless of micro-batch
     boundaries."""
-    bin_us = F.lit(int(bin_seconds) * 1_000_000)
-    binned = events.withColumn(
-        "_bin", (F.unix_micros(F.col("ts")) / bin_us).cast("long"))
+    # Exact integer floor division (pmod + div), matching
+    # range_join_binned: sign-correct pre-1970 and exact past 2^53,
+    # where the double-quotient form misbins.
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def _floor_bin(us_expr: str):
+        return F.expr(
+            f"(({us_expr}) - pmod(({us_expr}), {bin_us})) div {bin_us}")
+
+    binned = events.withColumn("_bin", _floor_bin("unix_micros(ts)"))
     iv = windows.withColumn("_bin", F.explode(F.sequence(
-        (F.unix_micros(F.col("lo")) / bin_us).cast("long"),
-        ((F.unix_micros(F.col("hi")) - 1) / bin_us).cast("long"))))
+        _floor_bin("unix_micros(lo)"),
+        _floor_bin("unix_micros(hi) - 1"))))
     joined = (binned.join(F.broadcast(iv), "_bin")
               .filter((F.col("ts") >= F.col("lo"))
                       & (F.col("ts") < F.col("hi"))))
