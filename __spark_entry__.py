@@ -26,6 +26,8 @@ parts"):
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2835,14 +2837,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return S.nb_confusion_query(spark, "/root/testdata/sf0.001")
 
 
+def _staleness_order(keys: list[str]) -> list[str]:
+    """Driver-shard ordering, derived from the committed
+    ``CORRECTNESS_r*.json`` records instead of a hand-maintained list
+    (rounds 4/5 kept a ``_R5_FRONT``-style literal that had to be
+    re-derived by hand every round): never-driver-checked queries
+    first (registration order), then ascending by the round of the
+    most recent driver datapoint, registration order within a round.
+    A newly registered query therefore queues itself for the next
+    driver shard automatically, and evidence age rotates without any
+    bookkeeping. Missing/corrupt record files are skipped — worst
+    case the order degrades to registration order, never an error."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rec, dict):
+            for q in rec:
+                last[q] = max(last.get(q, 0), rnd)
+    pos = {k: i for i, k in enumerate(keys)}
+    return sorted(keys, key=lambda k: (last.get(k, 0), pos[k]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness gate: it checks a
-    # 50-query prefix shard per round. The r5 prefix (see _R5_FRONT
-    # below) fronts the 19 queries the r1-r4 shards never reached plus
-    # the two MLlib rows whose oracles are new this round, then fills
-    # with the least-recently-checked queries (last driver datapoint:
-    # round 1). The dict literal below keeps its historical grouping
-    # for readability; the return reorders it.
+    # 50-query prefix shard per round. The prefix is computed by
+    # _staleness_order from the committed CORRECTNESS_r*.json records:
+    # never-checked queries first, then least-recently-checked. The
+    # dict literal below keeps its historical grouping for
+    # readability; the return reorders it.
     impls = {
         # --- never driver-checked (16): events window family + streaming ---
         "user_running_stats": E.user_running_stats,
@@ -3091,94 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mllib_nb_confusion": _mllib_confusion("nb"),
         "mllib_svm_confusion": _mllib_confusion("svm"),
     }
-    ordered = {k: impls[k] for k in _R5_FRONT + _R5_NEXT}
-    ordered.update(impls)
-    return ordered
-
-
-# The 50-query round-5 shard: the 19 queries no driver round ever
-# reached (the round-4 judge verified all 19 green locally via
-# tools/check_correctness.py, but the official record should show a
-# driver datapoint), then the two MLlib fits — newly hash-checkable via
-# the literal-VALUES sf0.01 golden oracles now that the query pins its
-# pre-split layout — then the 29 stalest rows (last driver datapoint:
-# round 1). With this shard every registry query has at least one
-# driver CORRECTNESS row, and the oldest remaining evidence moves up.
-_R5_FRONT = [
-    "cdc_chunks", "winnow_near_dups", "ppl_band_docs", "orc_roundtrip",
-    "stream_winnow_fingerprints", "sq8_codes", "mrl_topk",
-    "winnow_fingerprints", "stream_static_enrich", "neardup_triangles",
-    "copurchase_pagerank", "bpe_doc_token_counts", "bpe_token_counts",
-    "bpe_merges", "semdedup", "dedup_span_removal", "chunk_documents",
-    "stream_dedup_watermarked", "kmeans_quality", "mllib_nb_confusion",
-    "mllib_svm_confusion", "revenue_by_region",
-    "distinct_parts_per_supplier", "conditional_counts", "union_paths",
-    "global_sort_orders", "customer_order_totals",
-    "above_avg_lineitems", "filtered_projection", "top_parts_per_brand",
-    "rollup_order_stats", "semi_anti_join_counts", "orders_by_month",
-    "cube_order_stats", "grouping_sets_order_stats",
-    "intersect_except_customers", "quantity_band_totals",
-    "top_orders_per_customer", "orders_above_global_avg",
-    "order_stats_unpivot", "price_quantiles", "price_quantity_corr",
-    "tweets_parse_naive", "tweets_parse_svm", "tweets_parse_strict",
-    "tweets_clean_chain_b", "tokens_exploded", "word_counts",
-    "nb_model", "nb_stats"
-]
-
-# Positions 51+ in staleness order: the rest of the round-1 cohort,
-# then round 2, round 3, round 4.
-_R5_NEXT = [
-    "nb_predictions", "nb_confusion", "svm_weights", "svm_predictions",
-    "svm_confusion", "svm_declared_weights", "nb_metrics",
-    "svm_metrics", "dedup_exact", "decontaminate_train",
-    "minhash_signatures", "simhash_fingerprints", "near_dup_pairs",
-    "cosine_topk", "ngram_jaccard", "hash_sample_docs",
-    "word_counts_salted", "tfidf_long", "doc_repetition", "pii_scrub",
-    "dedup_canonical", "curation_pipeline", "mixture_sample",
-    "corpus_report", "corpus_diff", "bm25_search", "inverted_index",
-    "cms_token_counts", "lm_quality_score", "c4_clean_docs",
-    "random_projection", "rp_ann_topk", "pq_codes", "pq_adc_topk",
-    "pq_trained_codes", "pack_sequences", "token_freq_histogram",
-    "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit",
-    "ann_recall_at10", "lang_centroids", "simhash_near_dups",
-    "stratified_sample_docs", "user_running_stats",
-    "purchase_attribution", "interval_pair_counts", "funnel_conversion",
-    "cohort_retention", "events_json_props", "bloom_prefilter_join",
-    "events_tumbling_stream", "events_sliding_stream",
-    "events_sessionize_stream", "stream_dedup_docs",
-    "stream_dedup_native", "stream_stream_join",
-    "stream_doc_repetition", "stream_curation_gates", "events_tumbling",
-    "events_sessionize", "events_json_roundtrip",
-    "next_click_attribution", "dedup_canonical_alternating",
-    "nb_model_kv_roundtrip", "zorder_keys", "ann_multiprobe_topk",
-    "doc_bigram_ppl", "dq_orders_report", "pps_sample_docs",
-    "dedup_canonical_best", "event_transitions", "fuzzy_part_names",
-    "dup_kgram_stats", "events_sliding", "events_pivot",
-    "events_session_window_native", "order_rank_stats",
-    "rolling_revenue", "knn_batch", "ann_lsh_topk", "ivf_topk",
-    "kmeans_cells", "embedding_near_dups", "mm_image_features",
-    "mm_frame_samples", "mm_audio_features", "mm_frame_dedup",
-    "lang_id", "quality_score", "token_counts", "doc_fingerprints",
-    "sql_pricing_summary", "approx_distinct_users", "events_gap_fill",
-    "events_gap_interp", "events_anomalies", "nb_pr_curve",
-    "lang_id_confusion", "knn_graph", "pareto_orders",
-    "weighted_sample_docs", "dsir_resample_docs",
-    "events_hourly_profile", "top_session_paths", "pmi_collocations",
-    "textrank_keywords", "ivf_probe_sweep", "user_entropy",
-    "stream_hourly_profile", "funnel_time_to_convert",
-    "corpus_datacard", "cohort_value", "decontaminate_embeddings",
-    "tfidf_doc_pairs", "cdc_shared_chunks", "mrl_recall_at10",
-    "hybrid_rrf_search", "dedup_threshold_sweep", "sq8_recall_at10",
-    "multitouch_attribution", "pricing_summary", "neardup_kcore",
-    "copurchase_pagerank_weighted", "copurchase_components",
-    "bpe_vocab_curve", "dsir_scores", "shuffle_split_docs",
-    "quota_select_docs", "embedding_dim_stats", "hard_negatives",
-    "stream_neardup_candidates", "mixture_token_plan",
-    "training_manifest", "mmr_rerank", "ctfidf_keywords",
-    "ann_rbo_at10", "phrase_search", "split_leakage_report",
-    "events_json_malformed", "cluster_keywords",
-    "curation_observed_metrics"
-]
+    return {k: impls[k] for k in _staleness_order(list(impls))}
 
 
 def _ivf_sql(n_probe: int = 2) -> str:

@@ -22,6 +22,17 @@ from text_sentiment_classification_hadoop_spark_spark.session import get_spark  
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT",
+                                               "3")),
+                    help="samples per query; reported value is the "
+                         "median (single runs carry no round-over-round "
+                         "signal — the r5 bench showed ±40% noise)")
+    cli = ap.parse_args()
+    repeat = max(1, cli.repeat)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
@@ -118,20 +129,39 @@ def main() -> None:
     (spark.read.parquet(f"{sf_dir}/region.parquet")
      .groupBy(F.lower(F.col("r_name")).alias("k")).count().count())
 
+    # --repeat N samples per query, interleaved by PASS (pass 1 of all
+    # queries, then pass 2, ...) rather than back-to-back, so a
+    # transient slowdown (GC pause, page-cache warmup, a noisy
+    # neighbor) lands in at most one sample of every query instead of
+    # all samples of one query. Reported value = median; spread
+    # (min/max of the samples) goes to bench_result.json so
+    # round-over-round movers can be judged against measured noise.
+    import statistics
+
+    samples: dict[str, list[float]] = {n: [] for n in names + tail}
+    for pass_i in range(repeat):
+        for name in names + tail:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()  # full materialization
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            print(f"# [{pass_i + 1}/{repeat}] {name}: {dt:.3f}s"
+                  f" ({n} rows)", file=sys.stderr)
+
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     tail_total = 0.0
     for name in names + tail:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()  # full materialization
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
+        med = statistics.median(samples[name])
+        timings[name] = round(med, 3)
+        spread[name] = [round(min(samples[name]), 3),
+                        round(max(samples[name]), 3)]
         if name in tail:
-            tail_total += dt
+            tail_total += med
         else:
-            total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+            total += med
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -145,7 +175,9 @@ def main() -> None:
         "registry_total": round(total + tail_total, 3),
         "n_headline": len(names),
         "n_registry": len(names) + len(tail),
+        "repeat": repeat,
         "queries": timings,
+        "spread": spread,
         "sf": sf_val,
     })
     # The driver captures only the LAST 2000 chars of stdout; a 120-query
@@ -168,6 +200,7 @@ def main() -> None:
     shown: dict[str, float] = {}
     base = {"metric": "headline_queries_total", "value": round(total, 3),
             "unit": "sec", "sf": sf_val, "n_queries": len(timings),
+            "repeat": repeat,
             "registry_total": round(total + tail_total, 3),
             "queries_full": "bench_result.json"}
     for name in core + by_cost:
