@@ -89,15 +89,57 @@ def _has_av() -> bool:
 
 @pytest.mark.skipif(_has_av(), reason="codec library present: guard inactive")
 def test_real_backend_gated(spark, docs):
-    """Video real decode must fail loudly (no codec library here); the
-    real image path must fail loudly on a non-PPM payload rather than
-    decode garbage silently."""
-    mm = MM.synth_multimodal(docs, "video")
-    with pytest.raises(NotImplementedError):
-        MM.sample_video_frames(mm, backend="real")
+    """Video real decode of a CODEC container must fail loudly (no
+    codec library here; PPMV payloads take the stdlib path and never
+    reach the guard); the real image path must fail loudly on a
+    non-PPM payload rather than decode garbage silently."""
+    mm = MM.synth_multimodal(docs, "video")  # text bytes: not P6 ⇒ codec path
+    with pytest.raises(Exception, match="codec library|NotImplemented"):
+        MM.sample_video_frames(mm, backend="real").collect()
     img = MM.synth_multimodal(docs, "image")  # text bytes, not PPM
     with pytest.raises(Exception, match="PPM|PYTHON"):
         MM.decode_image_features(img, backend="real").collect()
+
+
+def test_real_ppmv_video_frames(spark):
+    """backend='real' on a PPMV stream (concatenated P6 frames —
+    stdlib decode, no codec library): 6 frames sampled every 2nd,
+    checksums verified against independently-built pixel buffers."""
+    frames = [(4, 3, bytes([i, 2 * i, 3 * i]) * 12) for i in range(6)]
+    raw = MM.encode_ppmv(frames)
+    rows = (MM.sample_video_frames(_mm_row(spark, raw, "video"),
+                                   every=2, backend="real")
+            .orderBy("frame_idx").collect())
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["frame_checksum"] for r in rows] == [
+        int(hashlib.md5(b"frame:" + frames[i][2]).hexdigest()[:15], 16)
+        for i in (0, 2, 4)]
+
+
+def test_ppmv_roundtrip_and_malformed():
+    """Pure-python container invariants: encode∘parse identity for
+    mixed-size frame streams; truncated mid-stream frames fail loudly."""
+    frames = [(2, 2, bytes(range(12))), (1, 3, bytes(range(9))),
+              (3, 1, bytes(range(9)))]
+    assert MM.parse_ppmv(MM.encode_ppmv(frames)) == frames
+    with pytest.raises(ValueError, match="truncated"):
+        MM.parse_ppmv(MM.encode_ppmv(frames)[:-4])
+    with pytest.raises(ValueError, match="P6"):
+        MM.parse_ppmv(b"RIFFxxxx")
+
+
+def test_real_ppmv_fixture_golden(spark):
+    """backend='real' on the committed tiny.ppmv: frame count and
+    per-frame dimensions from the actual container bytes."""
+    raw = open(f"{FIXDIR}/tiny.ppmv", "rb").read()
+    parsed = MM.parse_ppmv(raw)
+    assert [(w, h) for w, h, _ in parsed] == [(4, 3), (4, 3), (4, 3), (4, 3)]
+    rows = (MM.sample_video_frames(_mm_row(spark, raw, "video"),
+                                   every=2, backend="real")
+            .orderBy("frame_idx").collect())
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    assert rows[0]["frame_checksum"] == int(
+        hashlib.md5(b"frame:" + parsed[0][2]).hexdigest()[:15], 16)
 
 
 @pytest.mark.skipif(not _has_av(), reason="PyAV not installed")

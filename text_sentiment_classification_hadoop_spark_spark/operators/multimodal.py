@@ -20,10 +20,12 @@ payloads through the same engine:
   is real and oracle-checkable even though no pixels are decoded.
   ``backend="real"`` decodes genuinely, stdlib-only: binary PPM (P6)
   for images (hand-rolled netpbm header parse + nearest-neighbor
-  resample) and WAV for audio (the ``wave`` module). Video decode needs
-  a codec library absent from this container and raises
-  ``NotImplementedError``; at deploy time swap in PIL/soundfile/av
-  inside the same mapInPandas bodies — the plumbing doesn't change.
+  resample), WAV for audio (the ``wave`` module), and PPMV for video
+  (concatenated P6 frames — the MJPEG shape with netpbm stills; see
+  :func:`parse_ppmv`). Codec containers (mp4/jpeg/flac/…) need a codec
+  library absent from this container and raise ``NotImplementedError``
+  at decode; at deploy time swap in PIL/soundfile/av inside the same
+  mapInPandas bodies — the plumbing doesn't change.
 
 Scale notes (100 TB): binary rows are wide — keep
 ``spark.sql.files.maxPartitionBytes`` at/below 128 MB so a partition of
@@ -73,17 +75,18 @@ def _require_real_codecs(modality: str) -> None:
         ) from exc
 
 
-def parse_ppm(raw: bytes) -> tuple[int, int, bytes]:
-    """Parse a binary PPM (P6) payload → ``(width, height, pixel_bytes)``.
+def _parse_ppm_at(raw: bytes, i: int = 0) -> tuple[int, int, bytes, int]:
+    """Parse one binary PPM (P6) image starting at offset ``i`` →
+    ``(width, height, pixel_bytes, next_offset)``.
 
     Netpbm header grammar: ``P6``, then three whitespace-separated
     decimal fields (width, height, maxval) with ``#`` comments allowed
     between them, then ONE whitespace byte, then ``3·w·h`` raw RGB
     bytes. Stdlib-only on purpose — the container has no PIL."""
-    if raw[:2] != b"P6":
+    if raw[i:i + 2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
     vals: list[int] = []
-    i = 2
+    i += 2
     while len(vals) < 3:
         while i < len(raw) and raw[i:i + 1].isspace():
             i += 1
@@ -106,7 +109,43 @@ def parse_ppm(raw: bytes) -> tuple[int, int, bytes]:
     pixels = raw[i:i + need]
     if len(pixels) != need:
         raise ValueError("truncated PPM pixel data")
+    return width, height, pixels, i + need
+
+
+def parse_ppm(raw: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) payload → ``(width, height, pixel_bytes)``."""
+    width, height, pixels, _ = _parse_ppm_at(raw)
     return width, height, pixels
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize raw RGB bytes as a binary PPM (P6) payload."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def parse_ppmv(raw: bytes) -> list[tuple[int, int, bytes]]:
+    """Parse a PPMV payload — this engine's stdlib-only video container:
+    back-to-back binary PPM (P6) frames, the exact shape MJPEG has with
+    JPEG frames (a video stream as a concatenation of self-delimiting
+    still images; netpbm streams are read the same way by netpbm's own
+    tools). Returns ``[(width, height, pixel_bytes), …]`` in stream
+    order. Frames may differ in size; any malformed frame fails loudly
+    mid-stream rather than decoding garbage."""
+    frames: list[tuple[int, int, bytes]] = []
+    i = 0
+    while i < len(raw):
+        w, h, px, i = _parse_ppm_at(raw, i)
+        frames.append((w, h, px))
+    return frames
+
+
+def encode_ppmv(frames: list[tuple[int, int, bytes]]) -> bytes:
+    """Serialize ``(width, height, pixel_bytes)`` frames as a PPMV
+    stream (concatenated P6 images) — the fixture/test encoder for the
+    real video path."""
+    return b"".join(encode_ppm(w, h, px) for w, h, px in frames)
 
 
 def resize_ppm_nearest(width: int, height: int, pixels: bytes,
@@ -259,23 +298,36 @@ def sample_video_frames(mm: DataFrame, frame_bytes: int = 64,
     *schema*, not cardinality. The fan-out happens inside the narrow
     stage; no shuffle.
 
-    ``backend="real"`` decodes genuine container formats via PyAV when
-    it is installed (the probe raises ``NotImplementedError`` when the
-    codec library is absent — this container has none): every ``every``-th
-    decoded frame yields ``(doc_id, frame_idx, checksum(rgb24 bytes))``,
-    the same schema and fan-out shape as the fake twin."""
-    if backend == "real":
-        _require_real_codecs("video")
+    ``backend="real"`` genuinely decodes, per container format:
 
+    - **PPMV payloads** (magic ``P6`` — concatenated binary-PPM frames,
+      see :func:`parse_ppmv`) decode stdlib-only: every ``every``-th
+      frame yields ``(doc_id, frame_idx, checksum(raw RGB bytes))``.
+      This is the container-native real path, end-to-end testable here.
+    - **Codec containers** (mp4/webm/…) decode via PyAV when installed;
+      the probe raises ``NotImplementedError`` when the codec library
+      is absent (this container has none). Same schema and fan-out
+      shape — swap-in at deploy time changes nothing upstream."""
+    if backend == "real":
         def sample(batches: Iterator) -> Iterator:
             import io
 
-            import av
             import pandas as pd
             for pdf in batches:
                 ids, idxs, sums = [], [], []
                 for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
-                    with av.open(io.BytesIO(bytes(c))) as container:
+                    raw = bytes(c)
+                    if raw[:2] == b"P6":
+                        for i, (_w, _h, rgb) in enumerate(parse_ppmv(raw)):
+                            if i % every:
+                                continue
+                            ids.append(doc_id)
+                            idxs.append(i)
+                            sums.append(_h60(b"frame:" + rgb))
+                        continue
+                    _require_real_codecs("video")
+                    import av
+                    with av.open(io.BytesIO(raw)) as container:
                         for i, frame in enumerate(container.decode(video=0)):
                             if i % every:
                                 continue
