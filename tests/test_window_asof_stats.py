@@ -1050,3 +1050,88 @@ def test_range_join_binned_plan_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_range_join_binned_survives_burst_skew(spark):
+    """SCALE.md §7's claim, demonstrated (VERDICT r5 ask #7): a
+    pathological burst — EVERY interval overlapping one hot bin, 90% of
+    points inside it — is plain equi-join skew on the bin key, so (a)
+    the pair set still equals the naive theta join exactly, and (b)
+    AQE's skew-join split engages on the executed plan (thresholds
+    lowered so test-sized partitions register; real-scale defaults trip
+    on the same shape)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import range_join_binned
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "16KB")
+        t0 = datetime(2024, 3, 1, 12, 0, 0)
+        hot_us = int(t0.timestamp()) * 1_000_000
+        # 90% of 60k points in the single hot hour, rest spread over 100h
+        pts = spark.range(60_000).select(
+            F.col("id").alias("pid"),
+            F.timestamp_micros(
+                F.when(F.col("id") % 10 < 9,
+                       hot_us + (F.col("id") * 37) % 3_600_000_000)
+                .otherwise(hot_us + 3_600_000_000
+                           + (F.col("id") * 6007) % 360_000_000_000)
+            ).alias("ts"))
+        # every interval covers the hot hour (plus a varying tail)
+        ivs = spark.createDataFrame(
+            [(i, t0 + timedelta(minutes=-(i % 7)),
+              t0 + timedelta(minutes=60 + 11 * (i % 13))) for i in range(40)],
+            "iid long, lo timestamp, hi timestamp")
+        j = range_join_binned(pts, ivs, bin_seconds=3600)
+        got = j.count()
+        naive = (pts.crossJoin(ivs)
+                 .filter((F.col("ts") >= F.col("lo"))
+                         & (F.col("ts") < F.col("hi"))).count())
+        assert got == naive and got > 0
+        j.collect()  # finalize THIS DataFrame's adaptive plan
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple")
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_range_join_binned_exact_floor_division(spark):
+    """Bin ids use exact integer floor division (pmod + div): pre-1970
+    timestamps — where a truncating double quotient rounds the bin id
+    TOWARD zero and pairs points with the wrong bucket's intervals —
+    must produce exactly the theta-join pair set, including points and
+    intervals straddling the epoch."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import range_join_binned
+    t0 = datetime(1969, 12, 31, 22, 0, 0)  # 2h before the epoch
+    pts = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=11 * i)) for i in range(24)],
+        "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(0, t0 + timedelta(minutes=30), t0 + timedelta(minutes=100)),
+         (1, t0 + timedelta(minutes=100), t0 + timedelta(minutes=160)),
+         (2, t0 + timedelta(minutes=115), t0 + timedelta(minutes=125))],
+        "iid long, lo timestamp, hi timestamp")
+    got = sorted((r["pid"], r["iid"]) for r in
+                 range_join_binned(pts, ivs, bin_seconds=3600).collect())
+    want = sorted((r["pid"], r["iid"]) for r in
+                  pts.crossJoin(ivs)
+                  .filter((F.col("ts") >= F.col("lo"))
+                          & (F.col("ts") < F.col("hi"))).collect())
+    assert got == want and len(got) > 0
