@@ -2898,6 +2898,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5: TPC-H Q3 shape (selective 3-way star join,
         # pushed date predicates, exact-decimal revenue, TakeOrdered)
         "shipping_priority": R.shipping_priority,
+        # new in round 6: four more canonical TPC-H plan shapes —
+        # Q5 (dimension-cycle nation correlation, all dims broadcast),
+        # Q4 (EXISTS → left-semi with non-equi residual),
+        # Q10 (scan-pruned fact join + customer-keyed top-k),
+        # Q18 (aggregate-before-join with HAVING prune)
+        "local_supplier_volume": R.local_supplier_volume,
+        "order_priority_counts": R.order_priority_counts,
+        "returned_item_report": R.returned_item_report,
+        "large_volume_customers": R.large_volume_customers,
         "funnel_conversion": E.funnel_conversion,
         "cohort_retention": E.cohort_retention,
         "events_json_props": E.json_props_extract,
@@ -6380,5 +6389,67 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue DESC, l.l_orderkey ASC
 LIMIT 10
+"""
+    out["local_supplier_volume"] = """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+"""
+    out["order_priority_counts"] = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+    out["returned_item_report"] = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       n.n_name
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+    out["large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.sum_qty DESC, o.o_orderkey ASC
 """
     return out

