@@ -2535,6 +2535,11 @@ def _source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quality_report(load_table(spark, "documents", sf_dir))
 
 
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import ngram_novelty
+    return ngram_novelty(load_table(spark, "documents", sf_dir))
+
+
 def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.similarity import bitext_mine
     emb = load_table(spark, "embeddings", sf_dir)
@@ -2880,6 +2885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     impls = {
         # --- never driver-checked (16): events window family + streaming ---
         "user_running_stats": E.user_running_stats,
+        # new in round 6: SCD2 history build (run-collapse + validity
+        # intervals), the generic as-of join's registry datapoint, and
+        # first-occurrence n-gram novelty scoring
+        "user_state_scd2": E.user_state_scd2,
+        "events_asof_enrich": E.events_asof_enrich,
+        "ngram_novelty": _ngram_novelty,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
         # new in round 5: binned range join (interval containment with
@@ -6389,6 +6400,64 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue DESC, l.l_orderkey ASC
 LIMIT 10
+"""
+    out["user_state_scd2"] = """
+WITH runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+starts AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM runs WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CAST(lead(valid_from) OVER w IS NULL AS INTEGER) AS is_current
+FROM starts
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+ORDER BY user_id, valid_from
+"""
+    out["events_asof_enrich"] = """
+WITH v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+best AS (
+  SELECT user_id, event_id, pid, pts FROM (
+    SELECT v.user_id, v.event_id, p.event_id AS pid, p.ts AS pts,
+           row_number() OVER (PARTITION BY v.user_id, v.event_id
+                              ORDER BY p.ts, p.event_id) AS rk
+    FROM v JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts)
+  WHERE rk = 1
+)
+SELECT v.user_id, v.event_id, v.ts,
+       b.pid AS next_purchase_id, b.pts AS next_purchase_ts,
+       CAST(epoch_us(b.pts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+FROM v LEFT JOIN best b ON b.user_id = v.user_id
+                        AND b.event_id = v.event_id
+ORDER BY v.user_id, v.event_id
+"""
+    out["ngram_novelty"] = f"""
+WITH docs_all AS (SELECT doc_id, text FROM documents),
+{SHINGLES_CTE},
+h AS (
+  SELECT DISTINCT doc_id, {PORTABLE_HASH.format(col='sh')} AS hh
+  FROM shingles WHERE sh IS NOT NULL
+),
+firsts AS (SELECT hh, min(doc_id) AS first_doc FROM h GROUP BY hh),
+per AS (
+  SELECT h.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM h JOIN firsts f USING (hh) GROUP BY h.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       {IR("n_novel", "n_grams")} AS novelty
+FROM per ORDER BY doc_id
 """
     out["local_supplier_volume"] = """
 SELECT n.n_name,

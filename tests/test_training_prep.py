@@ -599,3 +599,23 @@ def test_source_quality_report_cross_source_dups(spark):
     assert a["top_lang"] == "en" and b["top_lang"] == "de"
     assert a["total_ws_tokens"] == 4  # 2+2 whitespace tokens
     assert a["mean_doc_tokens"] == 2.0
+
+
+def test_ngram_novelty_semantics(spark):
+    """First doc of a template family scores 1.0; an exact later copy
+    scores 0.0; a doc sharing a prefix scores the unshared fraction;
+    sub-k-token docs are absent."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import ngram_novelty
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # 3 grams, all first-seen here
+         (2, "a b c d e"),        # exact copy -> 0.0
+         (3, "a b c d x y"),      # grams: abc bcd cde? no: a b c d x y ->
+                                  # abc bcd cdx dxy ; abc+bcd seen in doc1
+         (4, "zz yy")],           # < 3 tokens: absent
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+           for r in ngram_novelty(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (4, 2, 0.5)

@@ -1135,3 +1135,64 @@ def test_range_join_binned_exact_floor_division(spark):
                   .filter((F.col("ts") >= F.col("lo"))
                           & (F.col("ts") < F.col("hi"))).collect())
     assert got == want and len(got) > 0
+
+
+def test_user_state_scd2_golden(spark, tmp_path):
+    """SCD2 run-collapse golden: duplicate consecutive states merge
+    into one interval, half-open boundaries chain exactly, the last
+    run is open (NULL valid_to, is_current=1)."""
+    from datetime import datetime, timedelta
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import user_state_scd2
+    t0 = datetime(2024, 5, 1, 0, 0, 0)
+    rows = [  # user 1: view,view,click,click,view ; user 2: signup
+        (1, t0, 10, "view"), (1, t0 + timedelta(minutes=1), 11, "view"),
+        (1, t0 + timedelta(minutes=2), 12, "click"),
+        (1, t0 + timedelta(minutes=3), 13, "click"),
+        (1, t0 + timedelta(minutes=4), 14, "view"),
+        (2, t0, 20, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    import os
+    d = str(tmp_path / "events.parquet")
+    df.write.parquet(d)
+    got = [(r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+            r["is_current"])
+           for r in user_state_scd2(spark, str(tmp_path)).collect()]
+    assert got == [
+        (1, "view", t0, t0 + timedelta(minutes=2), 0),
+        (1, "click", t0 + timedelta(minutes=2), t0 + timedelta(minutes=4), 0),
+        (1, "view", t0 + timedelta(minutes=4), None, 1),
+        (2, "signup", t0, None, 1),
+    ]
+    assert os.path.isdir(d)
+
+
+def test_events_asof_enrich_matches_naive(spark, sf_dir):
+    """The generic-asof registry query must equal the naive
+    min-over-qualifying-purchases computation row for row."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import events_asof_enrich
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    got = {(r["user_id"], r["event_id"]):
+           (r["next_purchase_id"], r["lag_us"])
+           for r in events_asof_enrich(spark, sf_dir).collect()}
+    e = load_table(spark, "events", sf_dir)
+    v = [(r["user_id"], r["event_id"], r["ts"])
+         for r in e.filter(F.col("event_type") == "view").collect()]
+    p = {}
+    for r in e.filter(F.col("event_type") == "purchase").collect():
+        p.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    assert len(got) == len(v)
+    for user, eid, ts in v:
+        cands = sorted(c for c in p.get(user, []) if c[0] >= ts)
+        if cands:
+            d = cands[0][0] - ts  # exact integer micros, not the
+            # float total_seconds()*1e6 (loses 1 us past ~2^53 ns)
+            want = (cands[0][1], (d.days * 86400 + d.seconds) * 1_000_000
+                    + d.microseconds)
+        else:
+            want = (None, None)
+        assert got[(user, eid)] == want, (user, eid)

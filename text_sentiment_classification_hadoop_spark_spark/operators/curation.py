@@ -691,3 +691,46 @@ def source_quality_report(docs: DataFrame, id_col: str = "doc_id",
                 .alias("n_cross_source_dups"),
                 "top_lang")
             .orderBy("source"))
+
+
+def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that came before
+    it in corpus order → ``(doc_id, n_grams, n_novel, novelty)``:
+    of a doc's DISTINCT word ``k``-grams, the fraction whose first
+    corpus occurrence (minimum ``doc_id`` over all docs containing the
+    gram) is this doc. A curriculum/ordering signal: late documents
+    that introduce nothing score ~0, the first doc of any template
+    family scores ~1 — the streaming-ingest complement to pairwise
+    near-dup detection (it prices REDUNDANCY without materializing any
+    pair).
+
+    Shape: explode → distinct (doc, gram-hash) → gram-keyed min
+    aggregation (map-side partials; a boilerplate gram appearing in
+    every doc collapses per partition before the exchange) → hash-keyed
+    join back (co-partitions with the agg's exchange) → doc-keyed
+    count rollup. Every shuffle key is a hash or doc id — uniform; the
+    gram table is |distinct grams|, never |occurrences|. Docs with
+    fewer than ``k`` tokens have no grams and are absent (nothing to
+    price). ``novelty`` is the remainder-exact half-up integer ratio
+    (engine-stable)."""
+    from ..functions.hashing import portable_hash64, shingles_expr
+    from ..functions.rounding import sql_pround_iratio
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_expr(F.col(text_col), k=k)).alias("_sh"))
+    h = (sh.filter(F.col("_sh").isNotNull())
+         .select(F.col(id_col), portable_hash64(F.col("_sh")).alias("_h"))
+         .distinct())
+    first = h.groupBy("_h").agg(F.min(id_col).alias("_first"))
+    per_doc = (h.join(first, "_h")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+                    .alias("n_novel")))
+    return (per_doc.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.expr(sql_pround_iratio("n_novel", "n_grams")).alias("novelty"))
+        .orderBy(id_col))

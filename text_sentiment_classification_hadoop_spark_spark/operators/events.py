@@ -1012,3 +1012,64 @@ def busy_window_profile(spark: SparkSession, sf_dir: str,
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("user_id").alias("n_distinct_users"))
             .orderBy("w_type", "w_lo"))
+
+
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log → one
+    validity interval per RUN of equal states:
+    ``(user_id, state, valid_from, valid_to, is_current)`` with
+    half-open ``[valid_from, valid_to)`` intervals, ``valid_to`` NULL
+    on the open (current) run.
+
+    The standard warehouse pattern (Kimball SCD type 2) expressed as
+    two window passes over ONE user-keyed shuffle: ``lag(event_type)``
+    marks run starts, the filtered run-start rows take
+    ``lead(ts)`` as their exclusive end. Runs collapse duplicates
+    BEFORE the second pass, so the lead window runs over run-starts
+    only (|changes|, not |events|). Within-timestamp order is pinned
+    by event_id, so the history is deterministic under any partition
+    layout. At 100 TB: per-user state history is the classic
+    append-log → dimension compaction; both windows share the single
+    ``user_id`` exchange and AQE handles hot users as ordinary window
+    skew (bounded by per-user event counts, not corpus size)."""
+    e = load_table(spark, "events", sf_dir) \
+        .select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (e.withColumn("_prev", F.lag("event_type").over(w))
+            .filter(F.col("_prev").isNull()
+                    | (F.col("_prev") != F.col("event_type"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (runs.withColumn("valid_to", F.lead("ts").over(w2))
+            .select("user_id",
+                    F.col("event_type").alias("state"),
+                    F.col("ts").alias("valid_from"),
+                    "valid_to",
+                    F.col("valid_to").isNull().cast("int")
+                    .alias("is_current"))
+            .orderBy("user_id", "valid_from"))
+
+
+def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry datapoint for the GENERIC :func:`asof_join` operator
+    (the attribution queries inline the same pattern; this drives the
+    reusable code path): every ``view`` event enriched with the next
+    ``purchase`` by the same user at-or-after it →
+    ``(user_id, event_id, ts, next_purchase_id, next_purchase_ts,
+    lag_s)``, NULLs when the user never purchases afterwards.
+
+    One shuffle on user_id (union-sort-carry inside asof_join), then a
+    narrow projection. ``lag_s`` uses exact integer epoch math."""
+    e = load_table(spark, "events", sf_dir)
+    views = e.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    j = asof_join(views, purchases, by="user_id", direction="forward")
+    return (j.select(
+        "user_id", "event_id", "ts",
+        F.col("r_event_id").alias("next_purchase_id"),
+        F.col("r_ts").alias("next_purchase_ts"),
+        F.when(F.col("r_ts").isNotNull(),
+               F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts")))
+        .alias("lag_us"))
+        .orderBy("user_id", "event_id"))
