@@ -2540,6 +2540,11 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load_table(spark, "documents", sf_dir))
 
 
+def _label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import label_silhouette
+    return label_silhouette(load_table(spark, "embeddings", sf_dir))
+
+
 def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.similarity import bitext_mine
     emb = load_table(spark, "embeddings", sf_dir)
@@ -2891,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_scd2": E.user_state_scd2,
         "events_asof_enrich": E.events_asof_enrich,
         "ngram_novelty": _ngram_novelty,
+        "label_silhouette": _label_silhouette,
+        "orders_merge_upsert": R.orders_merge_upsert,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
         # new in round 5: binned range join (interval containment with
@@ -6458,6 +6465,90 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(n_novel AS BIGINT) AS n_novel,
        {IR("n_novel", "n_grams")} AS novelty
 FROM per ORDER BY doc_id
+"""
+    out["orders_merge_upsert"] = """
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+upd AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE)
+           AS new_price,
+         'update' AS op
+  FROM o WHERE o_orderkey % 7 = 0
+),
+del AS (
+  SELECT o_orderkey, CAST(NULL AS DOUBLE) AS new_price, 'delete' AS op
+  FROM o WHERE o_orderkey % 13 = 5
+),
+ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey,
+         o_totalprice AS new_price, 'insert' AS op
+  FROM o WHERE o_orderkey % 11 = 2
+),
+ch0 AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+),
+ch AS (
+  SELECT o_orderkey, new_price, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY op) AS rk
+    FROM ch0) WHERE rk = 1
+)
+SELECT o_orderkey,
+       CASE WHEN c.op = 'delete' THEN o.o_totalprice
+            ELSE coalesce(c.new_price, o.o_totalprice) END AS o_totalprice,
+       coalesce(c.op, 'keep') AS action
+FROM o FULL OUTER JOIN ch c USING (o_orderkey)
+ORDER BY o_orderkey
+"""
+    out["label_silhouette"] = """
+WITH ev AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS lbl, d,
+         floor((CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                     AS DOUBLE)
+                / count(*) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS c
+  FROM ev GROUP BY label, d
+),
+cn AS (SELECT lbl, sqrt(sum(c * c)) AS nc FROM cent GROUP BY lbl),
+nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM ev GROUP BY vec_id),
+vc AS (
+  SELECT ev.vec_id, ev.label, cent.lbl, sum(ev.x * cent.c) AS dot
+  FROM ev JOIN cent ON ev.d = cent.d
+  GROUP BY ev.vec_id, ev.label, cent.lbl
+),
+scored AS (
+  SELECT vc.vec_id, vc.label, vc.lbl,
+         floor((vc.dot / (nv.nv * cn.nc)) * 1000000.0 + 0.5) / 1000000.0
+           AS cos
+  FROM vc JOIN cn USING (lbl) JOIN nv USING (vec_id)
+),
+own AS (SELECT vec_id, label, cos AS own_cos FROM scored WHERE lbl = label),
+oth AS (
+  SELECT vec_id, cos AS other_cos FROM (
+    SELECT vec_id, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, lbl ASC) AS rk
+    FROM scored WHERE lbl <> label) WHERE rk = 1
+),
+per AS (
+  SELECT o.vec_id, o.label,
+         CAST(floor(o.own_cos * 1000000.0 + 0.5) AS BIGINT) AS mo,
+         CAST(floor(t.other_cos * 1000000.0 + 0.5) AS BIGINT) AS mt,
+         CASE WHEN t.other_cos > o.own_cos THEN 1 ELSE 0 END AS conf
+  FROM own o JOIN oth t USING (vec_id)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+  floor((CAST(sum(mo) AS DOUBLE) / count(*) / 1000000.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS mean_own_cos,
+  floor((CAST(sum(mt) AS DOUBLE) / count(*) / 1000000.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS mean_other_cos,
+  floor((CAST(sum(mo) - sum(mt) AS DOUBLE) / count(*) / 1000000.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS mean_margin,
+  CAST(sum(conf) AS BIGINT) AS n_confused
+FROM per GROUP BY label ORDER BY label
 """
     out["local_supplier_volume"] = """
 SELECT n.n_name,

@@ -209,3 +209,34 @@ def test_ann_bucket_pruning_on_bucketed_index(spark, sf_dir):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
         spark.sql("DROP TABLE IF EXISTS t_ann_bucketed")
+
+
+def test_orders_merge_upsert_invariants(spark, sf_dir):
+    """MERGE semantics: delete wins over update on a colliding key,
+    inserts land in the disjoint key space, updates shift price by
+    exactly +100.00, and keep-rows are untouched."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import orders_merge_upsert
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    m = orders_merge_upsert(spark, sf_dir)
+    rows = m.collect()
+    base = {r["o_orderkey"]: r["o_totalprice"]
+            for r in load_table(spark, "orders", sf_dir)
+            .select("o_orderkey", "o_totalprice").collect()}
+    acts = {}
+    for r in rows:
+        acts[r["o_orderkey"]] = (r["action"], r["o_totalprice"])
+    for k, price in base.items():
+        act, p = acts[k]
+        if k % 13 == 5:
+            assert act == "delete"           # delete precedence
+        elif k % 7 == 0:
+            assert act == "update" and abs(p - (price + 100.0)) < 1e-9
+        else:
+            assert act == "keep" and p == price
+        if k % 11 == 2:
+            assert acts[k + 10_000_000] == ("insert", price)
+    # no unexplained rows
+    explained = len(base) + sum(1 for k in base if k % 11 == 2)
+    assert len(rows) == explained

@@ -945,3 +945,25 @@ def test_bitext_mine_mutual_best_alignment(spark):
     srcs = [s for s, _ in got]
     tgts = [t for _, t in got]
     assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+
+
+def test_label_silhouette_planted_structure(spark):
+    """Two well-separated labels + one planted mislabel: the mislabeled
+    vector must be the only confused one, and margins must be positive
+    for clean labels."""
+    import math
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import label_silhouette
+    rows = []
+    for i in range(8):   # label 0: along +x (unit-ish)
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+    for i in range(8):   # label 1: along +y
+        rows.append((100 + i, [0.01 * i, 1.0, 0.0, 0.0], 1))
+    rows.append((999, [1.0, 0.0, 0.0, 0.0], 1))  # mislabeled: points +x
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in label_silhouette(emb).collect()}
+    assert got[0]["n_confused"] == 0
+    assert got[1]["n_confused"] == 1
+    assert got[0]["mean_margin"] > 0
+    assert math.isfinite(got[1]["mean_margin"])

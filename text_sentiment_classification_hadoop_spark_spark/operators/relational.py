@@ -736,3 +736,55 @@ def large_volume_customers(spark: SparkSession, sf_dir: str,
             .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
             .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                     "o_totalprice", "sum_qty"))
+
+
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (Delta/Iceberg-style upsert) semantics as a single
+    key-equi FULL OUTER join → the merged ``orders`` snapshot with its
+    per-row action: ``(o_orderkey, o_totalprice, action)``,
+    action ∈ {insert, update, delete, keep} (deleted rows are carried
+    with their tombstone action so the audit is complete; filter
+    ``action <> 'delete'`` for the new table).
+
+    The change feed is derived deterministically from the base so the
+    operator is self-contained and oracle-checkable: keys ≡ 0 (mod 7)
+    get a price correction (+100.00, exact decimal), keys ≡ 5 (mod 13)
+    are deleted, and every key ≡ 2 (mod 11) spawns a NEW order at
+    ``key + 10^7`` (disjoint key space). Precedence when a key matches
+    several rules: delete > update (MERGE's WHEN MATCHED order).
+
+    Scale shape: MERGE is exactly ONE full-outer hash join on the
+    table key — uniform, AQE-splittable — plus narrow CASE projection;
+    no second pass, no row-by-row driver logic. At 100 TB the real
+    win is file pruning (join only the files whose key ranges overlap
+    the change feed — what Delta does with stats); the logical plan
+    here is the same join this operator runs."""
+    o = load_table(spark, "orders", sf_dir) \
+        .select("o_orderkey", "o_totalprice")
+    upd = (o.filter(F.col("o_orderkey") % 7 == 0)
+           .select("o_orderkey",
+                   (dec2(F.col("o_totalprice"))
+                    + F.lit(100).cast("decimal(18,2)")).cast("double")
+                   .alias("new_price"),
+                   F.lit("update").alias("op")))
+    dele = (o.filter(F.col("o_orderkey") % 13 == 5)
+            .select("o_orderkey", F.lit(None).cast("double")
+                    .alias("new_price"), F.lit("delete").alias("op")))
+    ins = (o.filter(F.col("o_orderkey") % 11 == 2)
+           .select((F.col("o_orderkey") + F.lit(10_000_000))
+                   .alias("o_orderkey"),
+                   F.col("o_totalprice").alias("new_price"),
+                   F.lit("insert").alias("op")))
+    # delete wins over update on the same key (WHEN MATCHED order)
+    w = Window.partitionBy("o_orderkey").orderBy("op")  # delete < update
+    changes = (upd.unionByName(dele).unionByName(ins)
+               .withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") == 1).drop("_rk"))
+    m = o.join(changes, "o_orderkey", "full_outer")
+    return (m.select(
+        "o_orderkey",
+        F.when(F.col("op") == "delete", F.col("o_totalprice"))
+        .otherwise(F.coalesce(F.col("new_price"), F.col("o_totalprice")))
+        .alias("o_totalprice"),
+        F.coalesce(F.col("op"), F.lit("keep")).alias("action"))
+        .orderBy("o_orderkey"))

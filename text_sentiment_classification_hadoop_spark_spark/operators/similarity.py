@@ -1077,3 +1077,74 @@ def bitext_mine(emb: DataFrame, doc_langs: DataFrame,
             .filter((F.col("_rs") == 1) & (F.col("_rt") == 1))
             .select("src_id", "tgt_id", "cosine")
             .orderBy("src_id"))
+
+
+def label_silhouette(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Embedding-space health report per label — a centroid-silhouette
+    diagnostic for labeled/clustered corpora → ``(label, n_vecs,
+    mean_own_cos, mean_other_cos, mean_margin, n_confused)``:
+    per vector, cosine to its OWN label's centroid vs the best cosine
+    to any OTHER label's centroid (rounded 6 dp; ties → lowest other
+    label); ``n_confused`` counts vectors whose best foreign centroid
+    beats their own — the label-noise / cluster-overlap signal that
+    decides whether a labeling (or a k-means clustering) is usable for
+    curation decisions like SemDeDup or stratified mixing.
+
+    Shape: one long-form micro-unit centroid aggregation (exact
+    integer sums — |labels|·dims rows, collected once: codebook-sized
+    driver traffic, same budget as the PQ/IVF books), then ONE narrow
+    pass scoring every vector against the centroid literal (the
+    per-row norm is hoisted into a projected column so the argmax
+    lambda references an attribute, not a re-evaluated aggregate), and
+    a |labels|-row rollup from integer micro-sums — order-independent,
+    engine-stable. No shuffle carries vectors except the one label
+    rollup of micro-cosines."""
+    xu = F.posexplode(
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(1000000.0)
+                                      + F.lit(0.5)).cast("long")))
+    cent_rows = (emb.select(F.col(label_col).alias("lbl"),
+                            xu.alias("d", "xu"))
+                 .groupBy("lbl", "d")
+                 .agg(F.sum("xu").alias("su"), F.count(F.lit(1)).alias("n"))
+                 .select("lbl", "d",
+                         pround(F.col("su").cast("double") / F.col("n")
+                                / F.lit(1000000.0), 6).alias("c"))
+                 .collect())
+    books: dict[int, list[float]] = {}
+    for r in cent_rows:
+        books.setdefault(int(r["lbl"]), [0.0] * (max(
+            x["d"] for x in cent_rows) + 1))[r["d"]] = float(r["c"])
+    blit = X.books_lit(sorted(books.items()))
+    # hoisted per-row norm; cosine vs each centroid inside the lambda
+    cos6 = X.pround_txt(
+        f"({X.dot_txt(vec_col, 'p.v')} / (_nv * {X.norm_txt('p.v')}))", 6)
+    own = (f"(array_max(transform(filter({blit}, p -> p.i = {label_col}), "
+           f"p -> named_struct('c', {cos6}, 'i', 0L)))).c")
+    other = (f"array_max(transform(filter({blit}, p -> p.i <> {label_col}), "
+             f"p -> named_struct('c', {cos6}, 'ni', -p.i)))")
+    scored = (widen(emb)
+              .withColumn("_nv", F.expr(X.norm_txt(vec_col)))
+              .select(F.col(label_col).alias("label"),
+                      F.expr(own).alias("_own"),
+                      F.expr(f"({other}).c").alias("_oth")))
+    mu = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5)) \
+        .cast("long")  # noqa: E731 - exact micro-units of a 6dp value
+    agg = (scored.groupBy("label")
+           .agg(F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(mu("_own")).alias("_so"),
+                F.sum(mu("_oth")).alias("_st"),
+                F.sum((F.col("_oth") > F.col("_own")).cast("long"))
+                .alias("n_confused")))
+    mean6 = lambda s: pround(F.col(s).cast("double") / F.col("n_vecs")
+                             / F.lit(1000000.0), 6)  # noqa: E731
+    return (agg.select(
+        "label", F.col("n_vecs").cast("long").alias("n_vecs"),
+        mean6("_so").alias("mean_own_cos"),
+        mean6("_st").alias("mean_other_cos"),
+        pround((F.col("_so") - F.col("_st")).cast("double")
+               / F.col("n_vecs") / F.lit(1000000.0), 6).alias("mean_margin"),
+        F.col("n_confused").cast("long").alias("n_confused"))
+        .orderBy("label"))
