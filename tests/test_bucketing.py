@@ -240,3 +240,35 @@ def test_orders_merge_upsert_invariants(spark, sf_dir):
     # no unexplained rows
     explained = len(base) + sum(1 for k in base if k % 11 == 2)
     assert len(rows) == explained
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
+    """100 TB layout contract: a fact table partitioned by day, joined
+    to a FILTERED dimension, must scan only the partitions the dim
+    survivors select — Spark's dynamic partition pruning
+    (`dynamicpruning#N` in PartitionFilters), the runtime analog of
+    the static PartitionFilters test above. Row counts double-check
+    the prune is semantic, not cosmetic."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import write_partitioned
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    e = load_table(spark, "events", sf_dir).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "ev_by_day")
+    write_partitioned(e, path, "day")
+    fact = spark.read.parquet(path)
+    days = [r["day"] for r in
+            fact.select("day").distinct().orderBy("day").limit(5).collect()]
+    dim = spark.createDataFrame(
+        [(d, 1 if i < 2 else 0) for i, d in enumerate(days)],
+        "day date, keep int")
+    j = (fact.join(F.broadcast(dim.filter(F.col("keep") == 1)), "day")
+         .groupBy("day").agg(F.count(F.lit(1)).alias("n")))
+    rows = j.collect()
+    plan = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted")
+    assert "dynamicpruning#" in plan.lower(), plan
+    want = {(r["day"], r["n"]) for r in
+            e.filter(F.col("day").isin(days[:2]))
+            .groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {(r["day"], r["n"]) for r in rows} == want
