@@ -1447,6 +1447,19 @@ def _word_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(toks, "word", n_salts=8).orderBy("word")
 
 
+def _copurchase_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS depths (≤ 4 hops) from customer node 1 over
+    the co-purchase graph — the frontier-loop graph primitive
+    (operators/graph.bfs_depths); recursive-CTE oracle."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    with scoped_shuffle_partitions(spark, 8):
+        return G.bfs_depths(G.copurchase_edges(orders, li), source=1,
+                            max_rounds=4)
+
+
 def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration fixed-point PageRank over the customer<->supplier
     co-purchase graph — bit-exact BIGINT ranks (operators/graph.py)."""
@@ -3023,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_doc_token_counts": _bpe_doc_token_counts,
         "bpe_vocab_curve": _bpe_vocab_curve,
         # --- new this round: fixed-point PageRank (graph analytics) ---
+        "copurchase_bfs_depths": _copurchase_bfs_depths,
         "copurchase_pagerank": _copurchase_pagerank,
         "copurchase_pagerank_weighted": _copurchase_pagerank_weighted,
         "copurchase_components": _copurchase_components,
@@ -3536,6 +3550,23 @@ ORDER BY d.doc_id
         "copurchase_pagerank": _pagerank_sql(iters=3),
         "copurchase_pagerank_weighted": _pagerank_sql(iters=3, weighted=True),
         # CC over the co-purchase graph: recursive min-label closure
+        "copurchase_bfs_depths": """
+WITH RECURSIVE rel AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS MATERIALIZED (
+  SELECT cust AS src, supp AS dst FROM rel
+  UNION
+  SELECT supp AS src, cust AS dst FROM rel),
+walk(node, depth) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 4)
+SELECT node, CAST(min(depth) AS INTEGER) AS depth
+FROM walk GROUP BY node ORDER BY node
+""",
         "copurchase_components": f"""
 WITH RECURSIVE rel AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp

@@ -121,3 +121,29 @@ def test_weighted_pagerank_weights_shift_mass(spark):
     c2 = (SCALE * 1) // 10
     assert r[1] == RESET_MICRO + (c1 * DAMP_NUM) // DAMP_DEN
     assert r[2] == RESET_MICRO + (c2 * DAMP_NUM) // DAMP_DEN
+
+
+def test_bfs_depths_chain_and_cap(spark):
+    """BFS on a directed chain 1→2→3→4→5→6: depths are hop counts,
+    the max_rounds cap truncates the walk, and an unreachable branch
+    (7→8) never appears."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import bfs_depths
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (7, 8)],
+        "src long, dst long")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, 1, 4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    full = {r["node"]: r["depth"]
+            for r in bfs_depths(edges, 1, 10).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+
+
+def test_bfs_depths_min_over_multiple_paths(spark):
+    """Diamond 1→{2,3}→4 plus a long way round 1→5→6→4: node 4 takes
+    the 2-hop depth, not the 3-hop one."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import bfs_depths
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (1, 5), (5, 6), (6, 4)],
+        "src long, dst long")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, 1, 5).collect()}
+    assert got[4] == 2 and got[6] == 2 and got[5] == 1

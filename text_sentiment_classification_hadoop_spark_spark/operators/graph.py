@@ -208,3 +208,38 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def bfs_depths(edges: DataFrame, source: int,
+               max_rounds: int = 4) -> DataFrame:
+    """Single-source BFS over a directed edge list → ``(node, depth)``
+    for every node reachable from ``source`` within ``max_rounds``
+    hops (minimum hop count; the source itself is depth 0).
+
+    The Pregel-style frontier loop, DataFrame-native: per round, the
+    CURRENT frontier equi-joins the edge list (src-keyed shuffle —
+    frontier-sized, not graph-sized), new nodes are anti-joined
+    against the visited set (node-keyed, co-partitions), and both
+    frames ``localCheckpoint`` so lineage stays flat. Rounds =
+    ``min(eccentricity(source), max_rounds)`` — the loop exits early
+    on an empty frontier, read as ONE driver scalar per round (the
+    same bounded-convergence-probe budget as connected components).
+    At 100 TB the per-round cost tracks the frontier × average degree;
+    on small-diameter graphs (social/co-purchase) the whole walk is a
+    handful of rounds. The depth cap bounds adversarial chains."""
+    sess = edges.sparkSession
+    visited = (sess.createDataFrame([(int(source), 0)], "node long, depth int")
+               .localCheckpoint(eager=True))
+    frontier = visited.select("node")
+    e = edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    for r in range(1, max_rounds + 1):
+        nxt = (frontier.join(e, frontier.node == e._s)
+               .select(F.col("_d").alias("node")).distinct()
+               .join(visited, "node", "left_anti")
+               .select("node", F.lit(r).cast("int").alias("depth"))
+               .localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:  # scalar convergence probe
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.orderBy("node")
