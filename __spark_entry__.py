@@ -1393,6 +1393,41 @@ def _fuzzy_part_names(spark: SparkSession, sf_dir: str,
             .orderBy("key_a", "key_b"))
 
 
+def _part_entity_resolution(spark: SparkSession, sf_dir: str,
+                            max_dist: int = 2) -> DataFrame:
+    """End-to-end entity resolution over part names — the classic ER
+    pipeline COMPOSED from the individually-verified pieces: blocking
+    + banded-Levenshtein scoring (`_fuzzy_part_names`' candidate
+    shape), match-graph connected components (`dedup.
+    connected_components` — graph-generic), and canonical-record
+    election (min key; its name becomes the cluster's canonical
+    surface form) → ``(key, entity_id, canonical_name)`` for EVERY
+    part, singletons canonical to themselves.
+
+    Scale: candidates are block-bounded (brand × first word × length
+    band — never all-pairs), the CC loop runs on the match graph only
+    (|fuzzy pairs|, orders below |parts|), and the final name join is
+    entity-table-sized. The recursive-CTE oracle resolves the same
+    reachability exactly."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import connected_components
+    pairs = _fuzzy_part_names(spark, sf_dir, max_dist) \
+        .select(F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b"))
+    comp = connected_components(pairs)
+    p = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("key"), F.col("p_name").alias("name"))
+    withc = (p.join(comp, p.key == comp.node, "left")
+             .select("key", "name",
+                     F.coalesce(F.col("component"), F.col("key"))
+                     .alias("entity_id")))
+    names = p.select(F.col("key").alias("entity_id"),
+                     F.col("name").alias("canonical_name"))
+    return (withc.join(names, "entity_id")
+            .select("key", "entity_id", "canonical_name")
+            .orderBy("key"))
+
+
 def _dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import expectation_report
     return expectation_report(load_table(spark, "orders", sf_dir),
@@ -2911,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
+        "small_quantity_revenue": R.small_quantity_revenue,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
         # new in round 5: binned range join (interval containment with
@@ -3024,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": E.event_transition_matrix,
         # banded Levenshtein fuzzy part-name matching
         "fuzzy_part_names": _fuzzy_part_names,
+        "part_entity_resolution": _part_entity_resolution,
         # duplicated-k-gram coverage (exact-substring-dedup signal)
         "dup_kgram_stats": _dup_kgram_stats,
         # exact-substring dedup, removal form (Lee et al. 2022)
@@ -4838,6 +4875,32 @@ FROM part a JOIN part b
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 ORDER BY key_a, key_b
 """
+    out["part_entity_resolution"] = """
+WITH RECURSIVE fp AS MATERIALIZED (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand
+   AND string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM fp
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM fp),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+SELECT p.p_partkey AS key,
+       coalesce(c.component, p.p_partkey) AS entity_id,
+       n.p_name AS canonical_name
+FROM part p
+LEFT JOIN comp c ON c.node = p.p_partkey
+JOIN part n ON n.p_partkey = coalesce(c.component, p.p_partkey)
+ORDER BY p.p_partkey
+"""
     out["dedup_canonical_best"] = out["dedup_canonical"].replace(
         """comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
 SELECT d.doc_id,
@@ -6529,6 +6592,23 @@ SELECT o_orderkey,
        coalesce(c.op, 'keep') AS action
 FROM o FULL OUTER JOIN ch c USING (o_orderkey)
 ORDER BY o_orderkey
+"""
+    out["small_quantity_revenue"] = """
+WITH l AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+pp AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS avg_qty
+  FROM l GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / 7.0 AS avg_yearly
+FROM l JOIN pp USING (l_partkey)
+WHERE l.l_quantity < 0.2 * pp.avg_qty
 """
     out["label_silhouette"] = """
 WITH ev AS (

@@ -788,3 +788,36 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
         F.coalesce(F.col("op"), F.lit("keep")).alias("action"))
         .orderBy("o_orderkey"))
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str,
+                           brand: str = "Brand#1",
+                           factor: float = 0.2) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue) → one row
+    ``(avg_yearly)``: total extended price of lineitems whose quantity
+    falls below ``factor ×`` their PART's average quantity, for one
+    brand, divided by 7 (the benchmark's yearly normalization).
+
+    The correlated-scalar-subquery pattern done the Spark-first way:
+    the per-part average is a partkey-keyed AGGREGATE of the (brand-
+    pruned) fact computed ONCE and joined back — Catalyst's rewrite of
+    the correlated subquery, written explicitly so the plan is
+    deterministic: brand filter prunes part at the scan, that tiny key
+    list broadcasts into lineitem BEFORE the per-part aggregate (the
+    fact is never aggregated un-pruned), and the threshold join back
+    is partkey-keyed, co-partitioned with the aggregate's exchange.
+    The average is the exact decimal mean over an exact decimal sum;
+    the final division is one double op. At 100 TB the only exchange
+    is the partkey aggregate of the brand's lineitems."""
+    p = load_table(spark, "part", sf_dir) \
+        .filter(F.col("p_brand") == brand).select("p_partkey")
+    l = (load_table(spark, "lineitem", sf_dir)
+         .select("l_partkey", "l_quantity", "l_extendedprice")
+         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")))
+    per_part = (l.groupBy("l_partkey")
+                .agg((F.sum(dec2(F.col("l_quantity"))).cast("double")
+                      / F.count(F.lit(1))).alias("_avg_qty")))
+    j = l.join(per_part, "l_partkey") \
+        .filter(F.col("l_quantity") < F.lit(factor) * F.col("_avg_qty"))
+    return j.agg((F.sum(dec2(F.col("l_extendedprice"))).cast("double")
+                  / F.lit(7.0)).alias("avg_yearly"))
