@@ -2947,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
         "small_quantity_revenue": R.small_quantity_revenue,
+        "orders_cdc_apply": R.orders_cdc_apply,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
         # new in round 5: binned range join (interval containment with
@@ -6592,6 +6593,38 @@ SELECT o_orderkey,
        coalesce(c.op, 'keep') AS action
 FROM o FULL OUTER JOIN ch c USING (o_orderkey)
 ORDER BY o_orderkey
+"""
+    out["orders_cdc_apply"] = """
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+log AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 50 AS DOUBLE)
+           AS new_price, 'update' AS op, 1 AS version
+  FROM o WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS DOUBLE), 'delete', 1
+  FROM o WHERE o_orderkey % 5 = 3
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS DOUBLE), 'delete', 2
+  FROM o WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 25 AS DOUBLE),
+         'update', 2
+  FROM o WHERE o_orderkey % 5 = 2
+),
+latest AS (
+  SELECT o_orderkey, new_price, op, version FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY version DESC) AS rk
+    FROM log) WHERE rk = 1
+)
+SELECT o.o_orderkey,
+       coalesce(l.new_price, o.o_totalprice) AS o_totalprice,
+       CAST(coalesce(l.version, 0) AS INTEGER) AS last_version
+FROM o LEFT JOIN latest l USING (o_orderkey)
+WHERE coalesce(l.op, 'keep') <> 'delete'
+ORDER BY o.o_orderkey
 """
     out["small_quantity_revenue"] = """
 WITH l AS (

@@ -272,3 +272,42 @@ def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
             e.filter(F.col("day").isin(days[:2]))
             .groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert {(r["day"], r["n"]) for r in rows} == want
+
+
+def test_read_evolved_merges_schemas(spark, tmp_path):
+    """Generation 1 lacks the column generation 2 added: the merged
+    read exposes the union schema with NULLs for the old files, and
+    per-generation rows survive intact."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import read_evolved
+    g1 = str(tmp_path / "g1")
+    g2 = str(tmp_path / "g2")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .write.parquet(g1)
+    spark.createDataFrame([(3, "c", 0.5)], "id long, v string, score double") \
+        .write.parquet(g2)
+    df = read_evolved(spark, g1, g2)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+    assert df.filter(F.col("score").isNull()).count() == 2
+
+
+def test_compact_files_identity_and_count(spark, tmp_path, sf_dir):
+    """Compaction must be content-identical and reduce the file count
+    to the computed target."""
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import compact_files
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    src = str(tmp_path / "many")
+    # fragment events into many small files (the streaming-sink shape)
+    load_table(spark, "events", sf_dir).repartition(40).write.parquet(src)
+    import os
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src >= 40
+    dst = str(tmp_path / "compact")
+    n_out = compact_files(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_out == 1
+    a = spark.read.parquet(src).orderBy("event_id").collect()
+    b = spark.read.parquet(dst).orderBy("event_id").collect()
+    assert a == b

@@ -821,3 +821,60 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str,
         .filter(F.col("l_quantity") < F.lit(factor) * F.col("_avg_qty"))
     return j.agg((F.sum(dec2(F.col("l_extendedprice"))).cast("double")
                   / F.lit(7.0)).alias("avg_yearly"))
+
+
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-log application (the Debezium/stream-compaction pattern):
+    a MULTI-VERSION change log is compacted latest-wins per key, then
+    applied to the base snapshot → ``(o_orderkey, o_totalprice,
+    last_version)`` of surviving rows (``last_version`` 0 = untouched).
+
+    Complements :func:`orders_merge_upsert` (single-batch MERGE): here
+    the same key can be touched by SEVERAL log versions and only the
+    highest version's op counts — v1 updates keys ≡1 (mod 5) (+50.00)
+    and deletes keys ≡3; v2 deletes keys ≡1 and updates keys ≡2
+    (+25.00). Net: ≡1 and ≡3 gone, ≡2 repriced.
+
+    Scale shape: log compaction is ONE key-keyed window (row_number by
+    version desc) over the LOG — log-sized, not table-sized — and the
+    apply is one key-equi join against the base; both share the key
+    partitioning. This is exactly how a foreachBatch sink applies a
+    micro-batch of Kafka CDC records to an Iceberg/Delta table."""
+    o = load_table(spark, "orders", sf_dir) \
+        .select("o_orderkey", "o_totalprice")
+    v1 = (o.filter(F.col("o_orderkey") % 5 == 1)
+          .select("o_orderkey",
+                  (dec2(F.col("o_totalprice"))
+                   + F.lit(50).cast("decimal(18,2)")).cast("double")
+                  .alias("new_price"),
+                  F.lit("update").alias("op"), F.lit(1).alias("version"))
+          .unionByName(
+              o.filter(F.col("o_orderkey") % 5 == 3)
+              .select("o_orderkey",
+                      F.lit(None).cast("double").alias("new_price"),
+                      F.lit("delete").alias("op"),
+                      F.lit(1).alias("version"))))
+    v2 = (o.filter(F.col("o_orderkey") % 5 == 1)
+          .select("o_orderkey",
+                  F.lit(None).cast("double").alias("new_price"),
+                  F.lit("delete").alias("op"), F.lit(2).alias("version"))
+          .unionByName(
+              o.filter(F.col("o_orderkey") % 5 == 2)
+              .select("o_orderkey",
+                      (dec2(F.col("o_totalprice"))
+                       + F.lit(25).cast("decimal(18,2)")).cast("double")
+                      .alias("new_price"),
+                      F.lit("update").alias("op"),
+                      F.lit(2).alias("version"))))
+    log = v1.unionByName(v2)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    latest = (log.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") == 1).drop("_rk"))
+    j = o.join(latest, "o_orderkey", "left")
+    return (j.filter(F.coalesce(F.col("op"), F.lit("keep")) != "delete")
+            .select("o_orderkey",
+                    F.coalesce(F.col("new_price"), F.col("o_totalprice"))
+                    .alias("o_totalprice"),
+                    F.coalesce(F.col("version"), F.lit(0)).cast("int")
+                    .alias("last_version"))
+            .orderBy("o_orderkey"))

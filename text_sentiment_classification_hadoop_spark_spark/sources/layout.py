@@ -128,3 +128,44 @@ def write_training_shards(manifest_docs: DataFrame, path: str,
      .repartition(n_shards, F.col("shard"))
      .sortWithinPartitions("split", "shard", "shuffle_key")
      .write.mode("overwrite").partitionBy("split", "shard").parquet(path))
+
+
+def read_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet generations whose schemas
+    DIFFER (columns added over time) into one frame —
+    ``mergeSchema=true``, the per-file footer union Spark does lazily.
+    Old files yield NULL for later-added columns; no rewrite of
+    historical data. The 100 TB posture: schema evolution is a READ
+    concern (footer merge per file group), never a backfill job —
+    pair with explicit ``withColumn(...cast...)`` normalization when a
+    column's TYPE changed rather than was added (type conflicts fail
+    loudly here, by design)."""
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(*paths))
+
+
+def compact_files(spark: SparkSession, src_path: str, dst_path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-files compaction (the maintenance job every streaming
+    sink needs): rewrite a directory of many small parquet files into
+    ``ceil(total_bytes / target_file_bytes)`` files, content-identical.
+    Returns the output file count.
+
+    Sizing reads the SOURCE's on-disk bytes (driver-side listing — a
+    metadata walk, not data), then one ``repartition(n)`` write: a
+    single round-robin exchange of the data, the same cost any rewrite
+    pays, with no driver materialization. At real scale this runs per
+    partition directory (compact yesterday's partition, not the
+    table), so the exchange is day-sized; target = the scan-optimal
+    file size (≈ one row group per ``files.maxPartitionBytes``)."""
+    import math
+    import os
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n) \
+        .write.mode("overwrite").parquet(dst_path)
+    return sum(1 for f in os.listdir(dst_path) if f.endswith(".parquet"))
