@@ -2948,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": R.orders_merge_upsert,
         "small_quantity_revenue": R.small_quantity_revenue,
         "orders_cdc_apply": R.orders_cdc_apply,
+        "exact_median_price": R.exact_median_price,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
         # new in round 5: binned range join (interval containment with
@@ -6593,6 +6594,18 @@ SELECT o_orderkey,
        coalesce(c.op, 'keep') AS action
 FROM o FULL OUTER JOIN ch c USING (o_orderkey)
 ORDER BY o_orderkey
+"""
+    out["exact_median_price"] = """
+WITH n AS (SELECT count(*) AS n FROM lineitem),
+r AS (
+  SELECT l_extendedprice,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem
+)
+SELECT CAST(n.n AS BIGINT) AS n_rows,
+       CAST((n.n + 1) // 2 AS BIGINT) AS k,
+       r.l_extendedprice AS median
+FROM r, n WHERE r.rn = (n.n + 1) // 2
 """
     out["orders_cdc_apply"] = """
 WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -1196,3 +1196,17 @@ def test_events_asof_enrich_matches_naive(spark, sf_dir):
         else:
             want = (None, None)
         assert got[(user, eid)] == want, (user, eid)
+
+
+def test_exact_median_matches_sorted_collect(spark, sf_dir):
+    """Two-phase selection must equal the k-th element of the fully
+    sorted column (lower median, 1-indexed k=(n+1)//2)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import exact_median_price
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    r = exact_median_price(spark, sf_dir).head()
+    prices = sorted(x["l_extendedprice"] for x in
+                    load_table(spark, "lineitem", sf_dir)
+                    .select("l_extendedprice").collect())
+    n = len(prices)
+    assert r["n_rows"] == n and r["k"] == (n + 1) // 2
+    assert r["median"] == prices[(n + 1) // 2 - 1]

@@ -878,3 +878,44 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("version"), F.lit(0)).cast("int")
                     .alias("last_version"))
             .orderBy("o_orderkey"))
+
+
+def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-th order statistic (lower median) of ``l_extendedprice``
+    WITHOUT a global sort → one row ``(n_rows, k, median)``.
+
+    ``approx_percentile`` (see ``price_quantiles``) is the 100 TB
+    default, but audits and SLA math need exact quantiles; the naive
+    exact form is a full global sort. This is the two-phase selection
+    algorithm instead: (1) one bucket-keyed histogram aggregate
+    (map-side partials; |buckets| ≪ |rows| — here integer price
+    buckets), (2) a |buckets|-row cumulative scan locates the single
+    bucket containing the k-th element and the offset inside it (two
+    driver scalars, convergence-probe budget), (3) ONE bucket's rows —
+    the only data ever sorted — are ranked for the offset. Data cost:
+    one histogram exchange + one bucket-sized sort, vs the full
+    range-shuffle a global sort pays. Recursing into the bucket
+    (re-histogram at finer granularity) bounds phase 3 for pathological
+    single-bucket skew; one level suffices at any realistic price
+    domain."""
+    l = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    bucket = F.floor(F.col("l_extendedprice")).cast("long")
+    hist = (l.groupBy(bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    n = l.count()
+    k = (n + 1) // 2
+    row = (cum.filter(F.col("_cum") >= k).orderBy("_b").limit(1)
+           .collect()[0])
+    target_bucket, prev_cum = row["_b"], row["_cum"] - row["_c"]
+    offset = k - prev_cum  # 1-indexed rank inside the target bucket
+    wb = Window.orderBy("l_extendedprice")
+    med = (l.filter(bucket == F.lit(target_bucket))
+           .withColumn("_rn", F.row_number().over(wb))
+           .filter(F.col("_rn") == offset)
+           .select(F.col("l_extendedprice").alias("median")))
+    return med.select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(k).cast("long").alias("k"),
+        "median")
