@@ -2588,6 +2588,11 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load_table(spark, "documents", sf_dir))
 
 
+def _temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import temperature_mixture_plan
+    return temperature_mixture_plan(load_table(spark, "documents", sf_dir))
+
+
 def _label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.similarity import label_silhouette
     return label_silhouette(load_table(spark, "embeddings", sf_dir))
@@ -2949,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": R.small_quantity_revenue,
         "orders_cdc_apply": R.orders_cdc_apply,
         "exact_median_price": R.exact_median_price,
+        "temperature_mixture_plan": _temperature_mixture_plan,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
         # new in round 5: binned range join (interval containment with
@@ -6594,6 +6600,42 @@ SELECT o_orderkey,
        coalesce(c.op, 'keep') AS action
 FROM o FULL OUTER JOIN ch c USING (o_orderkey)
 ORDER BY o_orderkey
+"""
+    out["temperature_mixture_plan"] = f"""
+WITH stats AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+                                  t -> length(t) > 0))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_tokens) AS total FROM stats),
+p AS (
+  SELECT lang, n_tokens,
+         CAST({IR("n_tokens", "total")} * 1000000.0 AS BIGINT) AS p_micro
+  FROM stats, tot
+),
+w AS (
+  SELECT lang, n_tokens, p_micro,
+         CAST(floor(pow(p_micro / 1000000.0, 0.3) * 1000000.0 + 0.5)
+              AS BIGINT) AS w_micro
+  FROM p
+),
+tw AS (SELECT sum(w_micro) AS tw FROM w),
+base AS (
+  SELECT w.*, (1000000 * w_micro) // tw.tw AS b,
+         (1000000 * w_micro) % tw.tw AS rem
+  FROM w, tw
+),
+lo AS (SELECT 1000000 - sum(b) AS leftover FROM base),
+rk AS (
+  SELECT base.*, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+  FROM base
+)
+SELECT lang, n_tokens, p_micro, w_micro,
+       CAST(b + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS target_tokens
+FROM rk, lo ORDER BY lang
 """
     out["exact_median_price"] = """
 WITH n AS (SELECT count(*) AS n FROM lineitem),

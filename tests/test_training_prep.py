@@ -619,3 +619,23 @@ def test_ngram_novelty_semantics(spark):
     assert got[1] == (3, 3, 1.0)
     assert got[2] == (3, 0, 0.0)
     assert got[3] == (4, 2, 0.5)
+
+
+def test_temperature_mixture_plan_invariants(spark, sf_dir):
+    """Targets sum EXACTLY to the budget; τ→1 approaches natural
+    proportions; τ<1 strictly upweights the smallest language's share
+    relative to its natural proportion."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import temperature_mixture_plan
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    plan = temperature_mixture_plan(docs, tau=0.3).collect()
+    assert sum(r["target_tokens"] for r in plan) == 1_000_000
+    tot = sum(r["n_tokens"] for r in plan)
+    smallest = min(plan, key=lambda r: r["n_tokens"])
+    assert smallest["target_tokens"] / 1_000_000 \
+        > smallest["n_tokens"] / tot  # tail language upsampled
+    flat = temperature_mixture_plan(docs, tau=1.0).collect()
+    assert sum(r["target_tokens"] for r in flat) == 1_000_000
+    for r in flat:  # τ=1: share ≈ natural proportion (quantization ulp)
+        assert abs(r["target_tokens"] / 1_000_000 - r["n_tokens"] / tot) \
+            < 5e-3

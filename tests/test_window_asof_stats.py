@@ -1210,3 +1210,32 @@ def test_exact_median_matches_sorted_collect(spark, sf_dir):
     n = len(prices)
     assert r["n_rows"] == n and r["k"] == (n + 1) // 2
     assert r["median"] == prices[(n + 1) // 2 - 1]
+
+
+def test_user_state_scd2_partitions_timeline(spark, sf_dir):
+    """SCD2 invariants on real data: per user, intervals are
+    chronological, non-overlapping, chain exactly (valid_to == next
+    valid_from), exactly one open interval marked current, adjacent
+    states differ, and interval count == state-change count + 1."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import user_state_scd2
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    hist = {}
+    for r in user_state_scd2(spark, sf_dir).collect():
+        hist.setdefault(r["user_id"], []).append(r)
+    e = load_table(spark, "events", sf_dir) \
+        .select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = {}
+    for r in sorted(e, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r["event_type"])
+    assert set(hist) == set(by_user)
+    for uid, ivs in hist.items():
+        assert [i["valid_from"] for i in ivs] == \
+            sorted(i["valid_from"] for i in ivs)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]   # exact chaining
+            assert a["state"] != b["state"]           # runs collapsed
+            assert a["is_current"] == 0
+        assert ivs[-1]["valid_to"] is None and ivs[-1]["is_current"] == 1
+        changes = sum(1 for x, y in zip(by_user[uid], by_user[uid][1:])
+                      if x != y)
+        assert len(ivs) == changes + 1

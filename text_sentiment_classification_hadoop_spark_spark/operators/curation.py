@@ -734,3 +734,64 @@ def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
         F.col("n_novel").cast("long").alias("n_novel"),
         F.expr(sql_pround_iratio("n_novel", "n_grams")).alias("novelty"))
         .orderBy(id_col))
+
+
+def temperature_mixture_plan(docs: DataFrame, tau: float = 0.3,
+                             budget_tokens: int = 1_000_000,
+                             lang_col: str = "lang",
+                             text_col: str = "text") -> DataFrame:
+    """Temperature-based mixture planning (the mT5/XLM-R recipe) →
+    per-language ``(lang, n_tokens, p_micro, w_micro, target_tokens)``:
+    sampling weights ∝ ``p_l^τ`` where ``p_l`` is the language's token
+    share — τ=1 keeps natural proportions, τ→0 flattens toward uniform,
+    upsampling the tail languages a raw-proportion mixture starves.
+    Complements :func:`mixture_token_plan` (explicit weights): here
+    the weights are DERIVED from the corpus itself.
+
+    Determinism: ``p_l`` and ``p_l^τ`` are quantized to integer
+    micro-units at the row edge (6-dp half-up — ``pow`` is the one op
+    in this engine without a cross-engine bit guarantee, and the
+    quantization absorbs its ≤1-ulp variance), then the budget is
+    apportioned from those INTEGER weights by largest remainder
+    (exact: targets sum to the budget, ties → lang order) — the same
+    BIGINT discipline as :func:`mixture_token_plan`. One corpus pass
+    for token counts (map-side combined to ≤|languages| rows);
+    everything else is window math on the tiny plan table."""
+    from ..functions.rounding import sql_pround_iratio
+    stats = (docs.select(F.col(lang_col),
+                         F.size(F.filter(F.split(F.col(text_col), " "),
+                                         lambda t: F.length(t) > 0))
+                         .cast("long").alias("_nt"))
+             .groupBy(lang_col)
+             .agg(F.sum("_nt").alias("n_tokens")))
+    full = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    total = F.sum("n_tokens").over(full)
+    b = int(budget_tokens)
+    with_p = (stats.withColumn("_total", total)
+              .withColumn("p_micro",
+                          F.expr(sql_pround_iratio("n_tokens", "_total"))
+                          * F.lit(1000000.0))
+              .withColumn("p_micro", F.col("p_micro").cast("long"))
+              .withColumn(
+                  "w_micro",
+                  F.floor(F.pow(F.col("p_micro").cast("double")
+                                / F.lit(1000000.0), F.lit(float(tau)))
+                          * F.lit(1000000.0) + F.lit(0.5)).cast("long")))
+    tw = F.sum("w_micro").over(full)
+    wnd = Window.orderBy(F.col("_rem").desc(), F.col(lang_col).asc())
+    leftover = F.lit(b) - F.sum("_base").over(full)
+    planned = (with_p.withColumn("_tw", tw)
+               .withColumn("_rem", F.expr(f"({b}L * w_micro) % _tw"))
+               .withColumn("_base", F.expr(f"({b}L * w_micro) div _tw"))
+               .withColumn("_rk", F.row_number().over(wnd))
+               .withColumn("target_tokens",
+                           F.col("_base")
+                           + F.when(F.col("_rk") <= leftover, F.lit(1))
+                           .otherwise(F.lit(0))))
+    return (planned.select(
+        F.col(lang_col).alias("lang"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "p_micro", "w_micro",
+        F.col("target_tokens").cast("long").alias("target_tokens"))
+        .orderBy("lang"))
