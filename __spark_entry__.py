@@ -2605,6 +2605,39 @@ def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_mine(emb, docs)
 
 
+def _stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming backward as-of against the static purchase table
+    (interval-ized static side + binned containment join — see
+    streaming.pipeline.asof_enrich_stream). Oracle: the batch
+    last-purchase-at-or-before computation."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        asof_enrich_stream,
+        events_raw_stream,
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+    )
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    hi_cap = e.agg(F.max("ts")).first()[0] + timedelta(seconds=1)
+    raw = events_raw_stream(spark, sf_dir)
+    views = raw.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id")
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(
+            asof_enrich_stream(views, purchases, hi_cap),
+            "stream_asof_enrich", output_mode="append")
+    q.stop()
+    return (spark.table("stream_asof_enrich")
+            .select("user_id", "event_id", "ts", "last_purchase_id",
+                    "gap_us")
+            .orderBy("user_id", "event_id"))
+
+
 def _stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events STREAM range-joined (binned rewrite) to the static
     busiest-hour window table, with per-window exact-decimal totals.
@@ -2955,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_apply": R.orders_cdc_apply,
         "exact_median_price": R.exact_median_price,
         "temperature_mixture_plan": _temperature_mixture_plan,
+        "stream_asof_enrich": _stream_asof_enrich,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
         # new in round 5: binned range join (interval containment with
@@ -6600,6 +6634,23 @@ SELECT o_orderkey,
        coalesce(c.op, 'keep') AS action
 FROM o FULL OUTER JOIN ch c USING (o_orderkey)
 ORDER BY o_orderkey
+"""
+    out["stream_asof_enrich"] = """
+WITH v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT v.user_id, v.event_id, v.ts, p.event_id AS pid, p.ts AS pts,
+         row_number() OVER (PARTITION BY v.user_id, v.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rk
+  FROM v JOIN p ON p.user_id = v.user_id AND p.ts <= v.ts
+)
+SELECT user_id, event_id, ts, pid AS last_purchase_id,
+       CAST(epoch_us(ts) - epoch_us(pts) AS BIGINT) AS gap_us
+FROM b WHERE rk = 1 ORDER BY user_id, event_id
 """
     out["temperature_mixture_plan"] = f"""
 WITH stats AS (

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -554,3 +554,50 @@ def range_join_stream(events: DataFrame, windows: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col("value").cast("decimal(18,2)"))
                  .alias("total_value")))
+
+
+def asof_enrich_stream(views: DataFrame, purchases: DataFrame,
+                       hi_cap, bin_seconds: int = 3600) -> DataFrame:
+    """STREAMING backward as-of join against a static table — every
+    streamed ``view`` event enriched with the same user's most recent
+    ``purchase`` at-or-before it → ``(user_id, event_id, ts,
+    last_purchase_id, gap_us)``, stateless append mode.
+
+    The batch as-of (union-sort-carry, ``operators.events.asof_join``)
+    needs a total per-user time order — impossible on an unbounded
+    stream without state. The streamable rewrite INTERVAL-IZES the
+    static side instead: purchase ``p`` covers ``[p_ts, next_p_ts)``
+    (lead over the static table; the open last interval caps at
+    ``hi_cap``, a static scalar past every possible event time), so
+    "most recent purchase ≤ ts" becomes INTERVAL CONTAINMENT — and
+    containment is exactly the binned range join: the static intervals
+    pre-explode over covered bins and broadcast, the stream maps
+    narrowly to its bin, the equi join runs on (bin, user_id), and the
+    exact ``lo <= ts < hi`` filter closes it. Per-user intervals are
+    disjoint, so each view matches at most once — no state store, no
+    watermark, no dedup. Ties (several purchases at one timestamp):
+    the interval build orders by (ts, event_id), so the highest
+    event_id at that instant owns the interval — deterministic."""
+    iv = (purchases
+          .select("user_id", F.col("event_id").alias("purchase_id"),
+                  F.col("ts").alias("lo"))
+          .withColumn("hi", F.lead("lo").over(
+              Window.partitionBy("user_id").orderBy("lo", "purchase_id")))
+          .withColumn("hi", F.coalesce(F.col("hi"),
+                                       F.lit(hi_cap).cast("timestamp"))))
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def _floor_bin(us_expr: str):
+        return F.expr(
+            f"(({us_expr}) - pmod(({us_expr}), {bin_us})) div {bin_us}")
+
+    ivb = iv.withColumn("_bin", F.explode(F.sequence(
+        _floor_bin("unix_micros(lo)"), _floor_bin("unix_micros(hi) - 1"))))
+    vb = views.withColumn("_bin", _floor_bin("unix_micros(ts)"))
+    j = (vb.join(F.broadcast(ivb), ["_bin", "user_id"])
+         .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))))
+    return j.select(
+        "user_id", "event_id", "ts",
+        F.col("purchase_id").alias("last_purchase_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("lo")))
+        .alias("gap_us"))
