@@ -300,3 +300,69 @@ def test_mixture_plan_largest_remainder_property(spark, weights, budget):
     for r in rows:
         exact = budget * int(round(r["w"] * 1000)) / total_w
         assert abs(r["target_tokens"] - exact) < 1.0
+
+
+@given(
+    pts=st.lists(st.integers(min_value=-500_000, max_value=500_000),
+                 min_size=1, max_size=20),
+    ivs=st.lists(st.tuples(
+        st.integers(min_value=-500_000, max_value=500_000),
+        st.integers(min_value=0, max_value=20_000)),
+        min_size=1, max_size=8),
+    bin_seconds=st.sampled_from([60, 3600, 86400]),
+)
+@settings(**SETTINGS)
+def test_range_join_binned_matches_bruteforce(spark, pts, ivs, bin_seconds):
+    """For ANY points/intervals — including pre-1970 (negative epoch)
+    timestamps, empty intervals, and any bin size — the binned equi
+    rewrite produces exactly the brute-force containment pair set,
+    each pair exactly once."""
+    from datetime import datetime, timedelta, timezone
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import range_join_binned
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+    p = spark.createDataFrame(
+        [(i, epoch + timedelta(seconds=s)) for i, s in enumerate(pts)],
+        "pid long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(j, epoch + timedelta(seconds=lo),
+          epoch + timedelta(seconds=lo + span))
+         for j, (lo, span) in enumerate(ivs)],
+        "iid long, lo timestamp, hi timestamp")
+    got = sorted((r["pid"], r["iid"]) for r in
+                 range_join_binned(p, iv, bin_seconds=bin_seconds)
+                 .collect())
+    want = sorted((i, j) for i, s in enumerate(pts)
+                  for j, (lo, span) in enumerate(ivs)
+                  if lo <= s < lo + span)
+    assert got == want and len(got) == len(set(got))
+
+
+@given(edge_set=st.sets(
+    st.tuples(st.integers(min_value=0, max_value=12),
+              st.integers(min_value=0, max_value=12)),
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_bfs_matches_python_bfs(spark, edge_set):
+    """bfs_depths equals a driver-side BFS from node 0 on any small
+    directed graph (self-loops included), depth-capped identically."""
+    from collections import deque
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import bfs_depths
+    cap = 5
+    adj = {}
+    for s, d in edge_set:
+        adj.setdefault(s, []).append(d)
+    want, q = {0: 0}, deque([0])
+    while q:
+        u = q.popleft()
+        if want[u] >= cap:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    edges = spark.createDataFrame(sorted(edge_set), "src long, dst long")
+    got = {r["node"]: r["depth"]
+           for r in bfs_depths(edges, 0, max_rounds=cap).collect()}
+    assert got == want
