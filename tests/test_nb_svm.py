@@ -185,7 +185,20 @@ def test_mllib_confusion_goldens_sf001(spark):
 
     for alg, expected in em._MLLIB_GOLDEN_SF001.items():
         df = em.queries()[f"mllib_{alg}_confusion"](spark, "/root/testdata/sf0.01")
-        assert [tuple(r) for r in df.collect()] == expected, alg
+        rows = [tuple(r) for r in df.collect()]
+        assert rows == expected, alg
+        # Semantic backstop independent of the exact per-cell pin (the
+        # pin is a regression guard, not an oracle — r5 ADVICE): the
+        # fit must beat the majority class on its own eval split. If
+        # the pin ever flakes on a treeAggregate ulp, this is the
+        # assertion that distinguishes "re-derive the pin" from "the
+        # fit broke".
+        total = sum(c for (_p, _l, c) in rows)
+        correct = sum(c for (p, l, c) in rows if p == l)
+        per_label: dict = {}
+        for _p, l, c in rows:
+            per_label[l] = per_label.get(l, 0) + c
+        assert correct / total >= max(per_label.values()) / total * 0.8, alg
 
 
 def test_nb_compat_raw_underflow_quirk(spark, model_stats):
