@@ -311,3 +311,42 @@ def test_compact_files_identity_and_count(spark, tmp_path, sf_dir):
     a = spark.read.parquet(src).orderBy("event_id").collect()
     b = spark.read.parquet(dst).orderBy("event_id").collect()
     assert a == b
+
+
+def test_ivf_bucketed_layout_prunes_probe_scan(spark, sf_dir):
+    """The ANN-at-scale loop, closed: the IVF-assigned table written
+    BUCKETED BY cell means a probe (filter on the query's cells) scans
+    only the matching buckets — `SelectedBucketsCount: m out of N` with
+    m < N in the scan node — instead of the whole index. This is the
+    'persist the layout, probes become pruned scans' claim SCALE.md §4
+    makes, asserted on a real plan."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import ivf_assign_cells
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import read_table, write_bucketed
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec"))
+    assigned = ivf_assign_cells(emb, cents, n_centroids=8)
+    write_bucketed(assigned, "ivf_index_test", "cell", 8)
+    # autoBucketedScan drops the bucketed layout when no join/agg wants
+    # its distribution — which also forfeits bucket PRUNING; a probe
+    # workload turns it off so the filter can select buckets
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        idx = read_table(spark, "ivf_index_test")
+        probe = idx.filter(F.col("cell").isin(3, 5))
+        plan = probe._sc._jvm.PythonSQLUtils.explainString(
+            probe._jdf.queryExecution(), "formatted")
+        import re
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)) and int(m.group(1)) <= 2
+        # semantic check: pruned scan returns exactly the filtered rows
+        want = assigned.filter(F.col("cell").isin(3, 5)).count()
+        assert probe.count() == want and want > 0
+    finally:
+        spark.conf.set(key, old)
