@@ -2989,6 +2989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_median_price": R.exact_median_price,
         "temperature_mixture_plan": _temperature_mixture_plan,
         "stream_asof_enrich": _stream_asof_enrich,
+        "revenue_trend_ols": E.revenue_trend_ols,
+        "holdout_ab_lift": E.holdout_ab_lift,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
         # new in round 5: binned range join (interval containment with
@@ -6634,6 +6636,57 @@ SELECT o_orderkey,
        coalesce(c.op, 'keep') AS action
 FROM o FULL OUTER JOIN ch c USING (o_orderkey)
 ORDER BY o_orderkey
+"""
+    out["revenue_trend_ols"] = """
+WITH m AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS mi,
+         sum(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT count(*) AS n, sum(mi) AS sx, sum(mi * mi) AS sxx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(CAST(mi AS DECIMAL(18,2)) * y) AS DOUBLE) AS sxy
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS slope,
+  floor(((sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS intercept
+FROM a
+"""
+    out["holdout_ab_lift"] = f"""
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+arm AS (
+  SELECT conv,
+         CASE WHEN ({PORTABLE_HASH.format(col="'ab:v1:' || CAST(user_id AS VARCHAR)")} % 100) < 50
+              THEN 1 ELSE 0 END AS b
+  FROM pu
+),
+a AS (
+  SELECT sum(1 - b) AS n_a, sum(b) AS n_b,
+         sum(CASE WHEN b = 0 THEN conv ELSE 0 END) AS conv_a,
+         sum(CASE WHEN b = 1 THEN conv ELSE 0 END) AS conv_b
+  FROM arm
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+       {IR("conv_a", "n_a")} AS rate_a,
+       {IR("conv_b", "n_b")} AS rate_b,
+       CASE WHEN conv_a * n_b > 0
+            THEN CAST((conv_b * n_a * 1000000) // (conv_a * n_b) AS BIGINT)
+       END AS lift_micro
+FROM a
 """
     out["stream_asof_enrich"] = """
 WITH v AS (

@@ -1073,3 +1073,89 @@ def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts")))
         .alias("lag_us"))
         .orderBy("user_id", "event_id"))
+
+
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend over DAILY event revenue → one row
+    ``(n_days, slope, intercept)``: the least-squares line through
+    ``(epoch_day, daily_value_total)`` — the "is this metric growing"
+    primitive every ops dashboard fits.
+
+    Determinism discipline: x is the INTEGER epoch-day index, y is the
+    exact DECIMAL daily total cast to double at the aggregate edge —
+    so Σx, Σx², Σxy, Σy are exact (integer × 2-dp decimal products
+    summed in decimal) and the slope/intercept are a fixed,
+    per-plan-identical handful of double ops on one row:
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``, rounded 6 dp at the
+    output edge only. Degenerate single-day inputs make the
+    denominator zero — surfaced as a LOUD ANSI divide error rather
+    than a silent NULL trend. Shape: one day-keyed aggregate
+    (map-side partials, |days| rows), then scalar math — never a
+    corpus-sized second pass. At 100 TB the daily rollup is the only
+    exchange."""
+    e = load_table(spark, "events", sf_dir)
+    mi = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    monthly = (e.groupBy(mi.alias("_m"))
+               .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                    .alias("_y")))
+    agg = monthly.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_m").alias("_sx"),
+        F.sum(F.col("_m") * F.col("_m")).alias("_sxx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_m").cast("decimal(18,2)") * F.col("_y"))
+        .cast("double").alias("_sxy"))
+    n = F.col("_n").cast("double")
+    denom = n * F.col("_sxx").cast("double") \
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    slope = (n * F.col("_sxy")
+             - F.col("_sx").cast("double") * F.col("_sy")) / denom
+    intercept = (F.col("_sy") - slope * F.col("_sx").cast("double")) / n
+    return agg.select(
+        F.col("_n").cast("long").alias("n_days"),
+        pround(slope, 6).alias("slope"),
+        pround(intercept, 6).alias("intercept"))
+
+
+def holdout_ab_lift(spark: SparkSession, sf_dir: str,
+                    holdout_pct: int = 50) -> DataFrame:
+    """Deterministic experiment split + conversion lift → one row
+    ``(n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift_micro)``:
+    users hash into arm B when ``portable_hash(user) % 100 <
+    holdout_pct`` (stable membership across runs/engines — the same
+    seeded-hash discipline as ``mixture_sample``; no RNG state), a
+    user converts if they ever purchased, and lift is B's conversion
+    rate over A's in exact integer micro-units
+    (``(convB·nA·10^6) div (convA·nB)``, integer-exact — no double
+    ratio-of-ratios).
+
+    Shape: one user-level rollup (user-keyed, map-side partials), one
+    4-counter aggregate. The assignment column is what an experiment
+    pipeline would PERSIST (bucketed by user) so every metric reads
+    the same arms."""
+    from ..functions.hashing import portable_hash64
+    e = load_table(spark, "events", sf_dir)
+    per_user = (e.groupBy("user_id")
+                .agg(F.max((F.col("event_type") == "purchase")
+                           .cast("int")).alias("_conv")))
+    arm = (F.pmod(portable_hash64(
+        F.concat(F.lit("ab:v1:"), F.col("user_id").cast("string"))),
+        F.lit(100)) < holdout_pct).cast("int").alias("_b")
+    agg = (per_user.select("_conv", arm)
+           .agg(F.sum(F.lit(1) - F.col("_b")).alias("n_a"),
+                F.sum("_b").alias("n_b"),
+                F.sum(F.when(F.col("_b") == 0, F.col("_conv"))
+                      .otherwise(0)).alias("conv_a"),
+                F.sum(F.when(F.col("_b") == 1, F.col("_conv"))
+                      .otherwise(0)).alias("conv_b")))
+    from ..functions.rounding import sql_pround_iratio
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.expr(sql_pround_iratio("conv_a", "n_a")).alias("rate_a"),
+        F.expr(sql_pround_iratio("conv_b", "n_b")).alias("rate_b"),
+        F.expr("CASE WHEN conv_a * n_b > 0 THEN "
+               "(conv_b * n_a * 1000000L) div (conv_a * n_b) END")
+        .cast("long").alias("lift_micro"))
