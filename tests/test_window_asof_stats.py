@@ -1239,3 +1239,44 @@ def test_user_state_scd2_partitions_timeline(spark, sf_dir):
         changes = sum(1 for x, y in zip(by_user[uid], by_user[uid][1:])
                       if x != y)
         assert len(ivs) == changes + 1
+
+
+def test_revenue_trend_ols_matches_numpy_free_fit(spark, sf_dir):
+    """Closed-form slope/intercept must match a driver-side least
+    squares over the same daily rollup (pure-python, no numpy)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import revenue_trend_ols
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    r = revenue_trend_ols(spark, sf_dir).head()
+    daily = (load_table(spark, "events", sf_dir)
+             .groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                      .alias("d"))
+             .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("y")).collect())
+    xs = [row["d"] for row in daily]
+    ys = [row["y"] for row in daily]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert r["n_days"] == n
+    assert r["slope"] == pytest.approx(slope, abs=2e-6)
+    assert r["intercept"] == pytest.approx(intercept, abs=2e-6)
+
+
+def test_holdout_ab_lift_invariants(spark, sf_dir):
+    """Arms partition the user population; conversions never exceed
+    arm sizes; assignment is deterministic across invocations."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import holdout_ab_lift
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    r1 = holdout_ab_lift(spark, sf_dir).head()
+    r2 = holdout_ab_lift(spark, sf_dir).head()
+    assert r1 == r2  # stable membership, no RNG state
+    n_users = load_table(spark, "events", sf_dir) \
+        .select("user_id").distinct().count()
+    assert r1["n_a"] + r1["n_b"] == n_users
+    assert 0 <= r1["conv_a"] <= r1["n_a"]
+    assert 0 <= r1["conv_b"] <= r1["n_b"]
+    assert min(r1["n_a"], r1["n_b"]) > 0
