@@ -2991,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof_enrich": _stream_asof_enrich,
         "revenue_trend_ols": E.revenue_trend_ols,
         "holdout_ab_lift": E.holdout_ab_lift,
+        "weekly_active_users": E.weekly_active_users,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
         # new in round 5: binned range join (interval containment with
@@ -6636,6 +6637,19 @@ SELECT o_orderkey,
        coalesce(c.op, 'keep') AS action
 FROM o FULL OUTER JOIN ch c USING (o_orderkey)
 ORDER BY o_orderkey
+"""
+    out["weekly_active_users"] = """
+WITH fan AS (
+  SELECT make_timestamp(CAST(
+           ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) - k)
+           * 86400 * 1000000 AS BIGINT)) AS window_start,
+         user_id
+  FROM events, (SELECT unnest(range(0, 7)) AS k)
+)
+SELECT window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM fan GROUP BY window_start ORDER BY window_start
 """
     out["revenue_trend_ols"] = """
 WITH m AS (

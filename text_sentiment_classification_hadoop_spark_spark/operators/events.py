@@ -1159,3 +1159,26 @@ def holdout_ab_lift(spark: SparkSession, sf_dir: str,
         F.expr("CASE WHEN conv_a * n_b > 0 THEN "
                "(conv_b * n_a * 1000000L) div (conv_a * n_b) END")
         .cast("long").alias("lift_micro"))
+
+
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users, sliding daily (the WAU
+    curve) → ``(window_start, n_users, n_events)`` per epoch-aligned
+    daily slide.
+
+    Uses the native sliding ``F.window(ts, '7 days', '1 day')``
+    generator: each event fans out to its 7 covering windows (constant
+    factor, plan-computed) and one hash aggregate counts distinct
+    users per window — no self-join over day ranges. Exact distinct is
+    the audit form; at 100 TB swap ``approx_count_distinct`` for a
+    mergeable sketch and the plan shape is unchanged (same swap as
+    ``approx_distinct_users``). Trailing partial windows are kept —
+    the curve's edges are real calendar days."""
+    e = load_table(spark, "events", sf_dir)
+    win = F.window("ts", "7 days", "1 day")
+    return (e.groupBy(win.alias("w"))
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_users", "n_events")
+            .orderBy("window_start"))
