@@ -6730,7 +6730,8 @@ WITH stats AS (
 tot AS (SELECT sum(n_tokens) AS total FROM stats),
 p AS (
   SELECT lang, n_tokens,
-         CAST({IR("n_tokens", "total")} * 1000000.0 AS BIGINT) AS p_micro
+         CAST(floor({IR("n_tokens", "total")} * 1000000.0 + 0.5)
+              AS BIGINT) AS p_micro
   FROM stats, tot
 ),
 w AS (

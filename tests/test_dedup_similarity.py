@@ -967,3 +967,14 @@ def test_label_silhouette_planted_structure(spark):
     assert got[1]["n_confused"] == 1
     assert got[0]["mean_margin"] > 0
     assert math.isfinite(got[1]["mean_margin"])
+
+
+def test_label_silhouette_single_label_empty(spark):
+    """Degenerate single-label corpus: no foreign centroid exists, so
+    the report is EMPTY (matches the oracle's inner join), not a row
+    of NULL aggregates."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import label_silhouette
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i), 0.0, 0.0], 7) for i in range(5)],
+        "vec_id long, embedding array<float>, label int")
+    assert label_silhouette(emb).count() == 0

@@ -59,3 +59,24 @@ def test_sql_pround_avg2_mirror_agrees_on_both_engines(spark, tmp_path):
                          capture_output=True, text=True, check=True)
     duck_val = eval(out.stdout.strip())
     assert spark_val == duck_val == _half_up_mean(BIG)
+
+
+def test_pround_iratio_column_matches_sql_twin(spark):
+    """The Column-API pround_iratio must be value-identical to the
+    sql_pround_iratio text it claims to mirror, across ratio shapes
+    including the half-way cases the protocol exists for."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import (
+        pround_iratio,
+        sql_pround_iratio,
+    )
+    rows = [(1, 3), (2, 3), (1, 2), (3, 2), (999999, 1000000),
+            (1, 1000000), (4500000001, 9000000002), (7, 7),
+            (123456789012, 987654321)]
+    df = spark.createDataFrame(rows, "num long, den long")
+    out = df.select(
+        pround_iratio(F.col("num"), F.col("den")).alias("a"),
+        F.expr(sql_pround_iratio("num", "den")).alias("b")).collect()
+    for r in out:
+        assert r["a"] == r["b"]

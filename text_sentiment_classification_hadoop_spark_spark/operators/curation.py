@@ -769,10 +769,17 @@ def temperature_mixture_plan(docs: DataFrame, tau: float = 0.3,
     total = F.sum("n_tokens").over(full)
     b = int(budget_tokens)
     with_p = (stats.withColumn("_total", total)
+              # recover the integer micro-share M with a half-up floor,
+              # NOT a truncating cast: the ratio comes back as the
+              # double M/1e6, and (M/1e6)*1e6 lands at M−ε for ~1.2%
+              # of micro values — cast('long') truncated those to M−1
+              # while the oracle's rounding CAST kept M (round-6
+              # review finding; floor(x+0.5) absorbs ±0.5 exactly)
               .withColumn("p_micro",
-                          F.expr(sql_pround_iratio("n_tokens", "_total"))
-                          * F.lit(1000000.0))
-              .withColumn("p_micro", F.col("p_micro").cast("long"))
+                          F.floor(F.expr(sql_pround_iratio("n_tokens",
+                                                           "_total"))
+                                  * F.lit(1000000.0) + F.lit(0.5))
+                          .cast("long"))
               .withColumn(
                   "w_micro",
                   F.floor(F.pow(F.col("p_micro").cast("double")

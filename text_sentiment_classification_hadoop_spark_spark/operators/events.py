@@ -909,6 +909,20 @@ def cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cohort_start", "week_offset"))
 
 
+def floor_bin_expr(us_expr: str, bin_us: int):
+    """Exact integer FLOOR division of a microsecond expression into
+    ``bin_us`` buckets — THE bin-id formula for every binned time join
+    (batch range join, its streaming twin, the streaming as-of): pmod
+    yields the non-negative remainder, so ``(x − pmod(x, b)) div b`` is
+    exact integer floor division at any magnitude and either sign. The
+    double-quotient form this replaced truncated toward zero
+    (misbinning pre-1970 timestamps) and lost exactness past 2^53.
+    One definition on purpose: all three joins must bin identically or
+    batch/stream results skew."""
+    return F.expr(
+        f"(({us_expr}) - pmod(({us_expr}), {bin_us})) div {bin_us}")
+
+
 def range_join_binned(points: DataFrame, intervals: DataFrame,
                       ts_col: str = "ts", lo_col: str = "lo",
                       hi_col: str = "hi",
@@ -937,24 +951,13 @@ def range_join_binned(points: DataFrame, intervals: DataFrame,
     (a bursty hour) are plain join skew — AQE's skew split applies, as
     for any equi join.
     """
-    # Exact integer FLOOR division for the bin id: the earlier
-    # double-quotient form (unix_micros/bin_us cast long) truncated
-    # toward zero — misbinning pre-1970 timestamps — and lost
-    # microsecond exactness once the quotient left the double's 2^53
-    # window. pmod yields the non-negative remainder, so
-    # (x − pmod(x, b)) is the exact floor multiple and `div` on it is
-    # exact integer division at any magnitude and either sign.
     bin_us = int(bin_seconds) * 1_000_000
-
-    def _floor_bin(us_expr: str):
-        return F.expr(
-            f"(({us_expr}) - pmod(({us_expr}), {bin_us})) div {bin_us}")
-
-    p = points.withColumn("_bin", _floor_bin(f"unix_micros({ts_col})"))
+    p = points.withColumn(
+        "_bin", floor_bin_expr(f"unix_micros({ts_col})", bin_us))
     iv = (intervals
           .withColumn("_bin", F.explode(F.sequence(
-              _floor_bin(f"unix_micros({lo_col})"),
-              _floor_bin(f"unix_micros({hi_col}) - 1"))))
+              floor_bin_expr(f"unix_micros({lo_col})", bin_us),
+              floor_bin_expr(f"unix_micros({hi_col}) - 1", bin_us))))
           )
     return (p.join(iv, "_bin")
             .filter((F.col(ts_col) >= F.col(lo_col))
@@ -1055,10 +1058,10 @@ def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     reusable code path): every ``view`` event enriched with the next
     ``purchase`` by the same user at-or-after it →
     ``(user_id, event_id, ts, next_purchase_id, next_purchase_ts,
-    lag_s)``, NULLs when the user never purchases afterwards.
+    lag_us)``, NULLs when the user never purchases afterwards.
 
     One shuffle on user_id (union-sort-carry inside asof_join), then a
-    narrow projection. ``lag_s`` uses exact integer epoch math."""
+    narrow projection. ``lag_us`` is exact integer microseconds."""
     e = load_table(spark, "events", sf_dir)
     views = e.filter(F.col("event_type") == "view") \
         .select("user_id", "ts", "event_id")

@@ -900,11 +900,16 @@ def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain."""
     l = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
     bucket = F.floor(F.col("l_extendedprice")).cast("long")
+    # materialize the histogram once: n, k and the target bucket all
+    # derive from it, so the fact column is scanned exactly ONCE for
+    # phase 1 (an extra l.count() here would re-scan the whole fact
+    # just for a total the histogram already carries)
     hist = (l.groupBy(bucket.alias("_b"))
-            .agg(F.count(F.lit(1)).alias("_c")))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .localCheckpoint(eager=True))
     w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("_cum", F.sum("_c").over(w))
-    n = l.count()
+    n = hist.agg(F.sum("_c")).collect()[0][0]
     k = (n + 1) // 2
     row = (cum.filter(F.col("_cum") >= k).orderBy("_b").limit(1)
            .collect()[0])

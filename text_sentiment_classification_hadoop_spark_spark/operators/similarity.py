@@ -1113,10 +1113,10 @@ def label_silhouette(emb: DataFrame, id_col: str = "vec_id",
                          pround(F.col("su").cast("double") / F.col("n")
                                 / F.lit(1000000.0), 6).alias("c"))
                  .collect())
+    dims = max(r["d"] for r in cent_rows) + 1
     books: dict[int, list[float]] = {}
     for r in cent_rows:
-        books.setdefault(int(r["lbl"]), [0.0] * (max(
-            x["d"] for x in cent_rows) + 1))[r["d"]] = float(r["c"])
+        books.setdefault(int(r["lbl"]), [0.0] * dims)[r["d"]] = float(r["c"])
     blit = X.books_lit(sorted(books.items()))
     # hoisted per-row norm; cosine vs each centroid inside the lambda
     cos6 = X.pround_txt(
@@ -1129,7 +1129,12 @@ def label_silhouette(emb: DataFrame, id_col: str = "vec_id",
               .withColumn("_nv", F.expr(X.norm_txt(vec_col)))
               .select(F.col(label_col).alias("label"),
                       F.expr(own).alias("_own"),
-                      F.expr(f"({other}).c").alias("_oth")))
+                      F.expr(f"({other}).c").alias("_oth"))
+              # degenerate single-label corpus: no foreign centroid →
+              # _oth NULL; drop those rows so the report is empty,
+              # matching the oracle's inner join (with ≥2 labels _oth
+              # is never NULL and this filter is a no-op)
+              .filter(F.col("_oth").isNotNull()))
     mu = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5)) \
         .cast("long")  # noqa: E731 - exact micro-units of a 6dp value
     agg = (scored.groupBy("label")

@@ -534,19 +534,13 @@ def range_join_stream(events: DataFrame, windows: DataFrame,
     total is an exact decimal sum, so the streamed result matches the
     batch theta-join oracle bit-for-bit regardless of micro-batch
     boundaries."""
-    # Exact integer floor division (pmod + div), matching
-    # range_join_binned: sign-correct pre-1970 and exact past 2^53,
-    # where the double-quotient form misbins.
+    from ..operators.events import floor_bin_expr
     bin_us = int(bin_seconds) * 1_000_000
-
-    def _floor_bin(us_expr: str):
-        return F.expr(
-            f"(({us_expr}) - pmod(({us_expr}), {bin_us})) div {bin_us}")
-
-    binned = events.withColumn("_bin", _floor_bin("unix_micros(ts)"))
+    binned = events.withColumn(
+        "_bin", floor_bin_expr("unix_micros(ts)", bin_us))
     iv = windows.withColumn("_bin", F.explode(F.sequence(
-        _floor_bin("unix_micros(lo)"),
-        _floor_bin("unix_micros(hi) - 1"))))
+        floor_bin_expr("unix_micros(lo)", bin_us),
+        floor_bin_expr("unix_micros(hi) - 1", bin_us))))
     joined = (binned.join(F.broadcast(iv), "_bin")
               .filter((F.col("ts") >= F.col("lo"))
                       & (F.col("ts") < F.col("hi"))))
@@ -585,15 +579,12 @@ def asof_enrich_stream(views: DataFrame, purchases: DataFrame,
               Window.partitionBy("user_id").orderBy("lo", "purchase_id")))
           .withColumn("hi", F.coalesce(F.col("hi"),
                                        F.lit(hi_cap).cast("timestamp"))))
+    from ..operators.events import floor_bin_expr
     bin_us = int(bin_seconds) * 1_000_000
-
-    def _floor_bin(us_expr: str):
-        return F.expr(
-            f"(({us_expr}) - pmod(({us_expr}), {bin_us})) div {bin_us}")
-
     ivb = iv.withColumn("_bin", F.explode(F.sequence(
-        _floor_bin("unix_micros(lo)"), _floor_bin("unix_micros(hi) - 1"))))
-    vb = views.withColumn("_bin", _floor_bin("unix_micros(ts)"))
+        floor_bin_expr("unix_micros(lo)", bin_us),
+        floor_bin_expr("unix_micros(hi) - 1", bin_us))))
+    vb = views.withColumn("_bin", floor_bin_expr("unix_micros(ts)", bin_us))
     j = (vb.join(F.broadcast(ivb), ["_bin", "user_id"])
          .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))))
     return j.select(
