@@ -1482,17 +1482,39 @@ def _word_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(toks, "word", n_salts=8).orderBy("word")
 
 
+_COPURCHASE_REL_CACHE: dict = {}
+
+
+def _copurchase_rel(spark: SparkSession, sf_dir: str):
+    """The orders×lineitem co-purchase relation ``(cust, supp, w)``,
+    materialized ONCE per (session, sf_dir) and shared by the four
+    graph queries (components / BFS / PageRank ×2) — each used to
+    rebuild the same self-join from scratch (~20 s of the registry
+    bench recomputing one frame four times; VERDICT r6 ask #2). The
+    cache is keyed on applicationId so a localCheckpoint never leaks
+    across sessions, and every query stays independently callable:
+    a cold cache just computes the frame exactly as before, so
+    results (and hashes) are unchanged."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rel = _COPURCHASE_REL_CACHE.get(key)
+    if rel is None:
+        orders = load_table(spark, "orders", sf_dir)
+        li = load_table(spark, "lineitem", sf_dir)
+        rel = G.copurchase_rel(orders, li).localCheckpoint(eager=True)
+        _COPURCHASE_REL_CACHE[key] = rel
+    return rel
+
+
 def _copurchase_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS depths (≤ 4 hops) from customer node 1 over
     the co-purchase graph — the frontier-loop graph primitive
     (operators/graph.bfs_depths); recursive-CTE oracle."""
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
     from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
-    orders = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
     with scoped_shuffle_partitions(spark, 8):
-        return G.bfs_depths(G.copurchase_edges(orders, li), source=1,
-                            max_rounds=4)
+        return G.bfs_depths(G.edges_from_rel(_copurchase_rel(spark, sf_dir)),
+                            source=1, max_rounds=4)
 
 
 def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,13 +1522,11 @@ def _copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph — bit-exact BIGINT ranks (operators/graph.py)."""
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
     from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
-    orders = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
     # local[32] tuning: per-iteration checkpoints on a small graph —
     # task latency, not data, dominates at 32 partitions
     with scoped_shuffle_partitions(spark, 8):
-        ranks = G.pagerank_fixed_point(G.copurchase_edges(orders, li),
-                                       iters=3)
+        ranks = G.pagerank_fixed_point(
+            G.edges_from_rel(_copurchase_rel(spark, sf_dir)), iters=3)
     return ranks.orderBy("node")
 
 
@@ -1515,12 +1535,10 @@ def _copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     multiplicities, contributions split as (rank·w) div sum_w."""
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
     from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
-    orders = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
     with scoped_shuffle_partitions(spark, 8):
         ranks = G.pagerank_fixed_point(
-            G.copurchase_edges_weighted(orders, li), iters=3,
-            weight_col="w")
+            G.edges_from_rel_weighted(_copurchase_rel(spark, sf_dir)),
+            iters=3, weight_col="w")
     return ranks.orderBy("node")
 
 
@@ -1539,9 +1557,7 @@ def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
-    orders = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
-    pairs = (G.copurchase_edges(orders, li)
+    pairs = (G.edges_from_rel(_copurchase_rel(spark, sf_dir))
              .filter(F.col("src") < F.col("dst"))
              .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
              .distinct())
@@ -2610,7 +2626,7 @@ def _stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     (interval-ized static side + binned containment join — see
     streaming.pipeline.asof_enrich_stream). Oracle: the batch
     last-purchase-at-or-before computation."""
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
     from pyspark.sql import functions as F
 
@@ -2623,7 +2639,11 @@ def _stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     purchases = e.filter(F.col("event_type") == "purchase") \
         .select("user_id", "ts", "event_id")
-    hi_cap = e.agg(F.max("ts")).first()[0] + timedelta(seconds=1)
+    mx = e.agg(F.max("ts")).first()[0]
+    # empty events table → max(ts) is None; any fixed far-future cap
+    # preserves the backward-asof semantics over zero rows
+    hi_cap = (mx + timedelta(seconds=1)) if mx is not None \
+        else datetime(2100, 1, 1)
     raw = events_raw_stream(spark, sf_dir)
     views = raw.filter(F.col("event_type") == "view") \
         .select("user_id", "ts", "event_id")
@@ -2664,6 +2684,86 @@ def _stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("w_type", "w_lo", "n_events",
                     F.col("total_value").cast("double").alias("total_value"))
             .orderBy("w_type", "w_lo"))
+
+
+def _layout_tmp(sf_dir: str, leaf: str) -> str:
+    """Deterministic scratch dir for the table-maintenance queries'
+    write→read-back round trips (outside the repo, keyed by sf so
+    concurrent sf0.001/sf0.01 runs never collide; overwrite-idempotent)."""
+    import tempfile
+    return os.path.join(tempfile.gettempdir(), "spark_graft_layout",
+                        os.path.basename(sf_dir.rstrip("/")), leaf)
+
+
+def _evolved_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read exercised END-TO-END
+    (sources/layout.read_evolved): two parquet GENERATIONS of a
+    documents extract are written with different schemas — gen1 carries
+    ``(doc_id, lang)``, gen2 adds ``n_chars`` — then read back merged
+    (``mergeSchema`` footer union; gen1 files yield NULL for the
+    later-added column) and rolled up per lang. The oracle derives the
+    same rollup straight from the base table, so a hash-green row
+    proves the write → evolved-read → aggregate path is lossless,
+    including the NULL backfill accounting (``n_legacy`` counts rows
+    whose file predates the column). Registry datapoint for
+    sources/layout.py (VERDICT r6 ask #4). At 100 TB this is the whole
+    point: adding a column is a metadata event, never a backfill job —
+    the read plan pays one footer merge per file group."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import read_evolved
+    d = load_table(spark, "documents", sf_dir) \
+        .select("doc_id", "lang", F.length("text").alias("n_chars"))
+    g1 = _layout_tmp(sf_dir, "evolved_gen1")
+    g2 = _layout_tmp(sf_dir, "evolved_gen2")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang") \
+        .write.mode("overwrite").parquet(g1)
+    d.filter(F.col("doc_id") % 2 == 1) \
+        .write.mode("overwrite").parquet(g2)
+    m = read_evolved(spark, g1, g2)
+    return (m.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+                 .cast("long").alias("sum_chars_v2"),
+                 F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_legacy"))
+            .orderBy("lang"))
+
+
+def _compaction_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction exercised END-TO-END
+    (sources/layout.compact_files): an orders extract is deliberately
+    shattered into 64 tiny files, compacted to target-size files
+    (size-derived file count, one round-robin exchange), and the
+    COMPACTED copy is read back for a per-status rollup carrying row
+    counts, an exact-decimal price sum, and a portable key-hash sum —
+    the oracle computes the identical rollup from the base table, so a
+    hash-green row proves compaction preserved the row multiset
+    bit-for-bit. The file-count reduction itself (64 → size-derived,
+    driver-side metadata walk) is asserted by
+    ``tests/test_bucketing.py::test_compact_files_identity_and_count``.
+    Registry datapoint for sources/layout.py (VERDICT r6 ask #4)."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.hashing import portable_hash64
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import compact_files
+    o = load_table(spark, "orders", sf_dir) \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src = _layout_tmp(sf_dir, "compact_src")
+    dst = _layout_tmp(sf_dir, "compact_dst")
+    o.repartition(64).write.mode("overwrite").parquet(src)
+    compact_files(spark, src, dst)
+    c = spark.read.parquet(dst)
+    # 60-bit hashes sum past int64 at ~10^4 rows; mod a prime first so
+    # the checksum stays BIGINT-exact (and ANSI-safe) on both engines
+    khash = F.pmod(portable_hash64(F.col("o_orderkey").cast("string")),
+                   F.lit(1_000_003))
+    return (c.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_price"),
+                 F.sum(khash).cast("long").alias("key_hash_sum"))
+            .orderBy("o_orderstatus"))
 
 
 def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2981,6 +3081,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-occurrence n-gram novelty scoring
         "user_state_scd2": E.user_state_scd2,
         "events_asof_enrich": E.events_asof_enrich,
+        # new in round 7: table-maintenance round trips get their
+        # registry datapoints (VERDICT r6 ask #4) — schema-evolution
+        # merged read and small-files compaction, both write→read-back
+        # against a base-table oracle
+        "evolved_union_read": _evolved_union_read,
+        "compaction_identity": _compaction_identity,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -6605,6 +6711,27 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        {IR("n_novel", "n_grams")} AS novelty
 FROM per ORDER BY doc_id
 """
+    # table-maintenance round trips: the Spark side writes + reads back
+    # scratch parquet; the oracle derives the SAME rollup straight from
+    # the base table, so equality proves the layout op was lossless
+    out["evolved_union_read"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN length(text) ELSE 0 END)
+            AS BIGINT) AS sum_chars_v2,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_legacy
+FROM documents GROUP BY lang ORDER BY lang
+"""
+    out["compaction_identity"] = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       CAST(sum({PORTABLE_HASH.format(col="CAST(o_orderkey AS VARCHAR)")}
+                % 1000003) AS BIGINT) AS key_hash_sum
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
     out["orders_merge_upsert"] = """
 WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
 upd AS (
@@ -6619,7 +6746,7 @@ del AS (
   FROM o WHERE o_orderkey % 13 = 5
 ),
 ins AS (
-  SELECT o_orderkey + 10000000 AS o_orderkey,
+  SELECT o_orderkey + 1000000000000 AS o_orderkey,
          o_totalprice AS new_price, 'insert' AS op
   FROM o WHERE o_orderkey % 11 = 2
 ),
@@ -6698,7 +6825,8 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        {IR("conv_a", "n_a")} AS rate_a,
        {IR("conv_b", "n_b")} AS rate_b,
        CASE WHEN conv_a * n_b > 0
-            THEN CAST((conv_b * n_a * 1000000) // (conv_a * n_b) AS BIGINT)
+            THEN CAST((CAST(conv_b AS HUGEINT) * n_a * 1000000)
+                      // (CAST(conv_a AS HUGEINT) * n_b) AS BIGINT)
        END AS lift_micro
 FROM a
 """

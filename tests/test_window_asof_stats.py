@@ -1280,3 +1280,33 @@ def test_holdout_ab_lift_invariants(spark, sf_dir):
     assert 0 <= r1["conv_a"] <= r1["n_a"]
     assert 0 <= r1["conv_b"] <= r1["n_b"]
     assert min(r1["n_a"], r1["n_b"]) > 0
+
+
+def test_exact_median_single_bucket_recursion(spark, tmp_path):
+    """Pathological skew: EVERY price lands in one integer bucket, so
+    phase 3 would rank the whole table through a single-partition
+    window — the recursion level re-histograms at 1e4× granularity
+    and must still produce the exact lower median."""
+    prices = [5.0 + (i * 37 % 101) / 100.0 for i in range(101)]
+    spark.createDataFrame([(p,) for p in prices], "l_extendedprice double") \
+        .write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = R.exact_median_price(spark, str(tmp_path),
+                             bucket_rows_threshold=5).head()
+    expect = sorted(prices)[(len(prices) + 1) // 2 - 1]
+    assert r["n_rows"] == 101
+    assert r["k"] == 51
+    assert r["median"] == pytest.approx(expect, abs=0)
+    # threshold high enough to skip recursion → identical answer
+    r2 = R.exact_median_price(spark, str(tmp_path),
+                              bucket_rows_threshold=10**9).head()
+    assert r2["median"] == r["median"]
+
+
+def test_exact_median_empty_table(spark, tmp_path):
+    """Empty lineitem must yield zero rows (the oracle's empty join),
+    not a driver-side TypeError on the None total."""
+    spark.createDataFrame([], "l_extendedprice double") \
+        .write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = R.exact_median_price(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["n_rows", "k", "median"]

@@ -1159,8 +1159,13 @@ def holdout_ab_lift(spark: SparkSession, sf_dir: str,
         F.col("conv_b").cast("long").alias("conv_b"),
         F.expr(sql_pround_iratio("conv_a", "n_a")).alias("rate_a"),
         F.expr(sql_pround_iratio("conv_b", "n_b")).alias("rate_b"),
+        # numerator in decimal(38,0): conv_b·n_a·10^6 overflows BIGINT
+        # around 1e8 conversions × 1e9 users (silent wrap under
+        # non-ANSI Spark while DuckDB promotes to INT128 — a latent
+        # cross-engine divergence); 128-bit on BOTH engines is exact
         F.expr("CASE WHEN conv_a * n_b > 0 THEN "
-               "(conv_b * n_a * 1000000L) div (conv_a * n_b) END")
+               "(CAST(conv_b AS DECIMAL(38,0)) * n_a * 1000000) div "
+               "(CAST(conv_a AS DECIMAL(38,0)) * n_b) END")
         .cast("long").alias("lift_micro"))
 
 

@@ -43,22 +43,50 @@ RESET_MICRO = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
 SUPP_OFFSET = 1_000_000
 
 
-def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """Symmetric customer<->supplier edge list from orders x lineitem:
-    an undirected 'bought from' bipartite graph, as two directed edges
-    per relation. Symmetrization guarantees every node has out-degree
-    >= 1, so there is no dangling-mass special case."""
-    rel = (
+def copurchase_rel(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The co-purchase RELATION ``(cust, supp, w)`` — one row per
+    distinct customer<->supplier pair with its co-purchase multiplicity
+    (order-line count). This is the single orders×lineitem join + pair
+    aggregate that EVERY co-purchase graph view derives from; compute
+    it once (and ``localCheckpoint`` it) when several graph queries run
+    in one session — the weighted and unweighted edge lists are both
+    narrow projections of it."""
+    return (
         orders.select("o_orderkey", "o_custkey")
         .join(lineitem.select("l_orderkey", "l_suppkey"),
               F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("cust"),
-                (F.col("l_suppkey") + SUPP_OFFSET).alias("supp"))
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("cust"),
+                 (F.col("l_suppkey") + SUPP_OFFSET).alias("supp"))
+        .agg(F.count("*").cast("long").alias("w"))
     )
+
+
+def edges_from_rel(rel: DataFrame) -> DataFrame:
+    """Unweighted symmetric edge list ``(src, dst)`` from a
+    :func:`copurchase_rel` frame (pairs are already distinct — the
+    relation is pair-keyed). Symmetrization guarantees every node has
+    out-degree >= 1, so there is no dangling-mass special case."""
     fwd = rel.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
     rev = rel.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     return fwd.unionAll(rev)
+
+
+def edges_from_rel_weighted(rel: DataFrame) -> DataFrame:
+    """Weighted symmetric edge list ``(src, dst, w)`` from a
+    :func:`copurchase_rel` frame."""
+    fwd = rel.select(F.col("cust").alias("src"),
+                     F.col("supp").alias("dst"), "w")
+    rev = rel.select(F.col("supp").alias("src"),
+                     F.col("cust").alias("dst"), "w")
+    return fwd.unionAll(rev)
+
+
+def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Symmetric customer<->supplier edge list from orders x lineitem:
+    an undirected 'bought from' bipartite graph, as two directed edges
+    per relation (see :func:`copurchase_rel` / :func:`edges_from_rel`
+    for the shared-materialization decomposition)."""
+    return edges_from_rel(copurchase_rel(orders, lineitem))
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -138,19 +166,7 @@ def copurchase_edges_weighted(orders: DataFrame,
     MULTIPLICITY (number of order-lines linking the pair) as an integer
     edge weight ``w`` — the natural input to weight-proportional
     PageRank."""
-    rel = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(lineitem.select("l_orderkey", "l_suppkey"),
-              F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(F.col("o_custkey").alias("cust"),
-                 (F.col("l_suppkey") + SUPP_OFFSET).alias("supp"))
-        .agg(F.count("*").cast("long").alias("w"))
-    )
-    fwd = rel.select(F.col("cust").alias("src"),
-                     F.col("supp").alias("dst"), "w")
-    rev = rel.select(F.col("supp").alias("src"),
-                     F.col("cust").alias("dst"), "w")
-    return fwd.unionAll(rev)
+    return edges_from_rel_weighted(copurchase_rel(orders, lineitem))
 
 
 def pagerank_fixed_point(edges: DataFrame, iters: int = 3,

@@ -750,8 +750,12 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is self-contained and oracle-checkable: keys ≡ 0 (mod 7)
     get a price correction (+100.00, exact decimal), keys ≡ 5 (mod 13)
     are deleted, and every key ≡ 2 (mod 11) spawns a NEW order at
-    ``key + 10^7`` (disjoint key space). Precedence when a key matches
-    several rules: delete > update (MERGE's WHEN MATCHED order).
+    ``key + 10^12`` — disjoint from the base key space up to sf≈166k
+    (TPC-H max orderkey is 6·10^6·sf, so 10^12 clears the ~100 TB
+    scale this repo designs for with 10× headroom; the old 10^7
+    offset collided with base keys from sf≈1.7). Precedence when a
+    key matches several rules: delete > update (MERGE's WHEN MATCHED
+    order).
 
     Scale shape: MERGE is exactly ONE full-outer hash join on the
     table key — uniform, AQE-splittable — plus narrow CASE projection;
@@ -771,7 +775,7 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", F.lit(None).cast("double")
                     .alias("new_price"), F.lit("delete").alias("op")))
     ins = (o.filter(F.col("o_orderkey") % 11 == 2)
-           .select((F.col("o_orderkey") + F.lit(10_000_000))
+           .select((F.col("o_orderkey") + F.lit(1_000_000_000_000))
                    .alias("o_orderkey"),
                    F.col("o_totalprice").alias("new_price"),
                    F.lit("insert").alias("op")))
@@ -880,9 +884,28 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
-def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _select_bucket(rows: DataFrame, bucket, k: int):
+    """One histogram-selection level: aggregate ``rows`` by the
+    ``bucket`` expression, locate the bucket containing the k-th
+    element via a |buckets|-row cumulative scan, and return
+    ``(bucket_value, bucket_count, offset)`` where ``offset`` is the
+    1-indexed rank of the k-th element INSIDE that bucket. Two driver
+    scalars per level (convergence-probe budget)."""
+    hist = (rows.groupBy(bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .localCheckpoint(eager=True))
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    row = (cum.filter(F.col("_cum") >= k).orderBy("_b").limit(1)
+           .collect()[0])
+    return row["_b"], row["_c"], k - (row["_cum"] - row["_c"]), hist
+
+
+def exact_median_price(spark: SparkSession, sf_dir: str,
+                       bucket_rows_threshold: int = 4_000_000) -> DataFrame:
     """EXACT k-th order statistic (lower median) of ``l_extendedprice``
-    WITHOUT a global sort → one row ``(n_rows, k, median)``.
+    WITHOUT a global sort → one row ``(n_rows, k, median)`` (zero rows
+    on an empty table, matching the SQL oracle's empty join).
 
     ``approx_percentile`` (see ``price_quantiles``) is the 100 TB
     default, but audits and SLA math need exact quantiles; the naive
@@ -894,29 +917,43 @@ def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver scalars, convergence-probe budget), (3) ONE bucket's rows —
     the only data ever sorted — are ranked for the offset. Data cost:
     one histogram exchange + one bucket-sized sort, vs the full
-    range-shuffle a global sort pays. Recursing into the bucket
-    (re-histogram at finer granularity) bounds phase 3 for pathological
-    single-bucket skew; one level suffices at any realistic price
-    domain."""
+    range-shuffle a global sort pays.
+
+    Pathological single-bucket skew (a price bucket holding more than
+    ``bucket_rows_threshold`` rows — e.g. a constant-price table) is
+    bounded by ONE recursion level: the target bucket is re-histogrammed
+    at 10^4× finer granularity (``floor(price·10^4)`` — exhaustive for
+    2-decimal money, and for arbitrary doubles it still shrinks phase 3
+    by the sub-bucket spread) before the final rank. Exercised by
+    ``tests/test_window_asof_stats.py::test_exact_median_single_bucket_recursion``."""
     l = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
     bucket = F.floor(F.col("l_extendedprice")).cast("long")
-    # materialize the histogram once: n, k and the target bucket all
-    # derive from it, so the fact column is scanned exactly ONCE for
-    # phase 1 (an extra l.count() here would re-scan the whole fact
-    # just for a total the histogram already carries)
+    # phase 1+2 (shared histogram: n, k and the target bucket all
+    # derive from it, so the fact column is scanned exactly ONCE —
+    # an extra l.count() would re-scan the fact for a total the
+    # histogram already carries)
     hist = (l.groupBy(bucket.alias("_b"))
             .agg(F.count(F.lit(1)).alias("_c"))
             .localCheckpoint(eager=True))
+    n = hist.agg(F.sum("_c")).collect()[0][0]
+    if not n:  # empty table: no median row, like the oracle's join
+        return spark.createDataFrame(
+            [], "n_rows long, k long, median double")
+    k = (n + 1) // 2
     w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("_cum", F.sum("_c").over(w))
-    n = hist.agg(F.sum("_c")).collect()[0][0]
-    k = (n + 1) // 2
     row = (cum.filter(F.col("_cum") >= k).orderBy("_b").limit(1)
            .collect()[0])
-    target_bucket, prev_cum = row["_b"], row["_cum"] - row["_c"]
-    offset = k - prev_cum  # 1-indexed rank inside the target bucket
+    target_bucket, bucket_rows = row["_b"], row["_c"]
+    offset = k - (row["_cum"] - row["_c"])  # 1-indexed in-bucket rank
+    scoped = l.filter(bucket == F.lit(target_bucket))
+    if bucket_rows > bucket_rows_threshold:
+        # recursion level: finer histogram INSIDE the skewed bucket
+        fine = F.floor(F.col("l_extendedprice") * 10_000).cast("long")
+        fb, _fc, offset, _ = _select_bucket(scoped, fine, offset)
+        scoped = scoped.filter(fine == F.lit(fb))
     wb = Window.orderBy("l_extendedprice")
-    med = (l.filter(bucket == F.lit(target_bucket))
+    med = (scoped
            .withColumn("_rn", F.row_number().over(wb))
            .filter(F.col("_rn") == offset)
            .select(F.col("l_extendedprice").alias("median")))

@@ -98,6 +98,10 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="write a per-query result record (the committed "
+                         "SELFCHECK_r{N}.json artifact: full-registry "
+                         "self-verification each round, VERDICT r6 ask #1)")
     args = ap.parse_args()
 
     con = duckdb.connect()
@@ -119,6 +123,7 @@ def main():
                  "mllib_svm_confusion": "sf0.01"}
 
     n_pass = n_fail = n_noracle = n_skip = 0
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -126,34 +131,48 @@ def main():
         if pin and not args.sf.rstrip("/").endswith(pin):
             print(f"[SKIP] {name}: literal golden pinned to {pin}; "
                   f"not comparable at {args.sf}")
+            record[name] = {"status": "sf-pinned-skip"}
             n_skip += 1
             continue
         try:
             sdf = fn(spark, args.sf)
         except Exception as exc:
             print(f"[FAIL] {name}: spark error: {exc}")
+            record[name] = {"status": "fail", "err": f"spark: {exc}"[:500]}
             n_fail += 1
             continue
         if name not in oracles:
             cnt = sdf.count()
             print(f"[NO-ORACLE] {name}: rows={cnt}")
+            record[name] = {"status": "rows-only", "spark_rows": cnt}
             n_noracle += 1
             continue
         try:
             rel = con.sql(oracles[name])
         except Exception as exc:
             print(f"[FAIL] {name}: duckdb error: {exc}")
+            record[name] = {"status": "fail", "err": f"duckdb: {exc}"[:500]}
             n_fail += 1
             continue
         problems = compare(name, sdf, rel, args.verbose)
         if problems:
             print(f"[FAIL] {name}: " + "; ".join(problems))
+            record[name] = {"status": "fail",
+                            "err": "; ".join(problems)[:500]}
             n_fail += 1
         else:
             print(f"[PASS] {name}")
+            record[name] = {"status": "pass"}
             n_pass += 1
     skip_note = f", {n_skip} sf-pinned-skip" if n_skip else ""
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle{skip_note}")
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({"sf": args.sf, "n_pass": n_pass, "n_fail": n_fail,
+                       "n_rows_only": n_noracle, "n_sf_pinned_skip": n_skip,
+                       "queries": record}, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     spark.stop()
     return 1 if n_fail else 0
 
