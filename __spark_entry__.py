@@ -3087,6 +3087,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against a base-table oracle
         "evolved_union_read": _evolved_union_read,
         "compaction_identity": _compaction_identity,
+        # new in round 7: six more canonical TPC-H plan shapes (Q6
+        # pure-pushdown scan, Q7 disjunctive two-nation trade, Q8
+        # fraction-of-total market share, Q12 fact⋈fact conditional
+        # counts, Q14 promo share, Q19 OR-of-ANDs residual join, Q22
+        # scalar-subquery + anti-join rollup)
+        "forecast_revenue_change": R.forecast_revenue_change,
+        "volume_shipping": R.volume_shipping,
+        "market_share": R.market_share,
+        "ship_delay_priority": R.ship_delay_priority,
+        "promo_revenue_share": R.promo_revenue_share,
+        "disjunctive_band_revenue": R.disjunctive_band_revenue,
+        "dormant_customers": R.dormant_customers,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -6731,6 +6743,132 @@ SELECT o_orderstatus,
        CAST(sum({PORTABLE_HASH.format(col="CAST(o_orderkey AS VARCHAR)")}
                 % 1000003) AS BIGINT) AS key_hash_sum
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+    # round-7 TPC-H plan shapes. Shares (Q8/Q14) floor-divide exact
+    # scaled integers — DuckDB's decimal // routes through float, so
+    # the oracle scales the decimal sums to HUGEINT first.
+    out["forecast_revenue_change"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+    out["volume_shipping"] = """
+WITH n AS (SELECT n_nationkey, n_name FROM nation
+           WHERE n_name IN ('NATION_1', 'NATION_2'))
+SELECT supp_nation, cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN (SELECT s_suppkey, n_name AS supp_nation
+      FROM supplier JOIN n ON s_nationkey = n_nationkey) s
+  ON l_suppkey = s.s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN (SELECT c_custkey, n_name AS cust_nation
+      FROM customer JOIN n ON c_nationkey = n_nationkey) c
+  ON o_custkey = c.c_custkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+    OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+    out["market_share"] = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         sn.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+),
+g AS (
+  SELECT o_year,
+         CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                   AS DECIMAL(30,4)) * 10000 AS HUGEINT) AS num_i,
+         CAST(CAST(sum(vol) AS DECIMAL(30,4)) * 10000 AS HUGEINT) AS den_i
+  FROM j GROUP BY o_year
+)
+SELECT o_year,
+       CAST((num_i * 1000000) // den_i AS BIGINT) AS mkt_share_micro
+FROM g ORDER BY o_year
+"""
+    out["ship_delay_priority"] = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) < 30 THEN 'fast'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) < 90 THEN 'medium'
+            ELSE 'slow' END AS delay_band,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY delay_band ORDER BY delay_band
+"""
+    out["promo_revenue_share"] = """
+WITH g AS (
+  SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                   AS DECIMAL(30,4)) * 10000 AS HUGEINT) AS num_i,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                   AS DECIMAL(30,4)) * 10000 AS HUGEINT) AS den_i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY ship_month
+)
+SELECT ship_month,
+       CAST((num_i * 1000000) // den_i AS BIGINT) AS promo_share_micro
+FROM g ORDER BY ship_month
+"""
+    out["disjunctive_band_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+    out["dormant_customers"] = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / count(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_acctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
     out["orders_merge_upsert"] = """
 WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -961,3 +961,263 @@ def exact_median_price(spark: SparkSession, sf_dir: str,
         F.lit(n).cast("long").alias("n_rows"),
         F.lit(k).cast("long").alias("k"),
         "median")
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str,
+                            date_lo: str = "1996-01-01",
+                            date_hi: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change) → one row
+    ``(revenue)``: Σ ``l_extendedprice·l_discount`` over lineitems in
+    one ship-year with discount in [0.02, 0.04] and quantity < 24.
+
+    The canonical PUSHDOWN showcase: no join at all — every predicate
+    (date range, discount band, quantity cap) reaches the parquet scan
+    as ``PushedFilters`` and the read schema is 4 columns, so at
+    100 TB the job is min/max-pruned row groups + one map-side partial
+    sum + a 1-row exchange. Discount is compared in DECIMAL(18,2):
+    0.02/0.04 are not exact doubles, and a double comparison would sit
+    an ulp from the boundary on engine-dependent parses; the decimal
+    image is exact on both engines."""
+    l = load_table(spark, "lineitem", sf_dir)
+    d = dec2(F.col("l_discount"))
+    return (l.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        & (d >= F.lit("0.02").cast("decimal(18,2)"))
+        & (d <= F.lit("0.04").cast("decimal(18,2)"))
+        & (F.col("l_quantity") < 24))
+        .agg(F.sum(dec2(F.col("l_extendedprice")) * d)
+             .cast("double").alias("revenue")))
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str,
+                    nation_a: str = "NATION_1",
+                    nation_b: str = "NATION_2") -> DataFrame:
+    """TPC-H Q7 shape (volume shipping) → bilateral trade volume
+    between two nations per ship-year:
+    ``(supp_nation, cust_nation, l_year, revenue)``.
+
+    The plan property Q7 exists to test: the nation filter is a
+    DISJUNCTION over a pair of dimension arms — (supp=A ∧ cust=B) ∨
+    (supp=B ∧ cust=A) — so neither arm can be pruned independently;
+    both sides pre-filter to the two-nation union (tiny, broadcast)
+    and the pair constraint evaluates as a residual on the joined row.
+    Fact-side cost at 100 TB: lineitem shuffles once on orderkey to
+    meet orders (supplier and customer dims broadcast); the ship-date
+    range pushes to the scan. Revenue per (pair, year) is the exact
+    decimal Σ extprice·(1−disc)."""
+    n = load_table(spark, "nation", sf_dir) \
+        .filter(F.col("n_name").isin(nation_a, nation_b)) \
+        .select("n_nationkey", "n_name")
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (load_table(spark, "customer", sf_dir)
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    l = (load_table(spark, "lineitem", sf_dir)
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+         .select("l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"))
+    j = (l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .filter(((F.col("supp_nation") == nation_a)
+                  & (F.col("cust_nation") == nation_b))
+                 | ((F.col("supp_nation") == nation_b)
+                    & (F.col("cust_nation") == nation_a))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.sum(dec2(F.col("l_extendedprice"))
+                       * (F.lit(1) - dec2(F.col("l_discount"))))
+                 .cast("double").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def market_share(spark: SparkSession, sf_dir: str,
+                 nation: str = "NATION_1", region: str = "ASIA",
+                 p_type: str = "PROMO") -> DataFrame:
+    """TPC-H Q8 shape (national market share) → per order-year, one
+    nation's share of a region's market for one part type:
+    ``(o_year, mkt_share_micro)``.
+
+    Share-of-aggregate done shuffle-minimally: ONE pass builds the
+    (year, supplier-nation, volume) rollup — part (type-pruned,
+    broadcast) joins lineitem first so the fact contracts before the
+    orderkey shuffle; customer⋈nation⋈region prunes the demand side
+    (broadcast); supplier's nation tags the numerator. The share is a
+    conditional-sum / sum ratio INSIDE each year group — no second
+    aggregation or self-join, the standard fraction-of-total pattern.
+    Both sums are exact decimals and the share is floor-divided in
+    exact integer micro-units (numerator and denominator scaled to
+    integers first — ``mkt_share_micro`` = ⌊num/den·10^6⌋): a double
+    ratio would be FMA/parse-sensitive across engines, and DuckDB's
+    decimal ``//`` routes through float."""
+    p = load_table(spark, "part", sf_dir) \
+        .filter(F.col("p_type") == p_type).select("p_partkey")
+    r = load_table(spark, "region", sf_dir) \
+        .filter(F.col("r_name") == region).select("r_regionkey")
+    nat = load_table(spark, "nation", sf_dir)
+    n_region = (nat.join(F.broadcast(r),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey"))
+    c = (load_table(spark, "customer", sf_dir)
+         .join(F.broadcast(n_region),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey"))
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(nat.select("n_nationkey",
+                                      F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "supp_nation"))
+    o = (load_table(spark, "orders", sf_dir)
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    l = load_table(spark, "lineitem", sf_dir) \
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount")
+    vol = dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))
+    j = (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+    g = (j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+         .agg(F.sum(F.when(F.col("supp_nation") == nation, vol)
+                    .otherwise(F.lit("0").cast("decimal(18,2)")))
+              .cast("decimal(30,4)").alias("_num"),
+              F.sum(vol).cast("decimal(30,4)").alias("_den")))
+    share = F.expr("(CAST(_num * 10000 AS DECIMAL(38,0)) * 1000000) div "
+                   "CAST(_den * 10000 AS DECIMAL(38,0))")
+    return (g.select("o_year",
+                     share.cast("long").alias("mkt_share_micro"))
+            .orderBy("o_year"))
+
+
+def ship_delay_priority(spark: SparkSession, sf_dir: str,
+                        year_lo: str = "1996-01-01",
+                        year_hi: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority), adapted to
+    this dataset's columns (no ``l_shipmode``): lineitems shipped in
+    one year are banded by ship DELAY (days from order date:
+    <30 fast, <90 medium, else slow) and each band counts
+    critical-priority vs other orders →
+    ``(delay_band, high_line_count, low_line_count)``.
+
+    Q12's plan lesson is intact: a fact⋈fact equi-join (lineitem to
+    orders on orderkey — at 100 TB co-partition or bucket both on
+    orderkey so it is exchange-free) feeding conditional counts; the
+    band is a pure projection, the priority split a conditional sum,
+    one group-by on a 3-value key."""
+    o = load_table(spark, "orders", sf_dir) \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = (load_table(spark, "lineitem", sf_dir)
+         .filter((F.col("l_shipdate") >= F.lit(year_lo).cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit(year_hi).cast("timestamp")))
+         .select("l_orderkey", "l_shipdate"))
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (F.when(delay < 30, "fast")
+            .when(delay < 90, "medium").otherwise("slow"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(band.alias("delay_band"))
+            .agg(F.sum(hi.cast("int")).cast("long").alias("high_line_count"),
+                 F.sum((~hi).cast("int")).cast("long").alias("low_line_count"))
+            .orderBy("delay_band"))
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str,
+                        year_lo: str = "1996-01-01",
+                        year_hi: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q14 shape (promotion effect), per ship-month:
+    ``(ship_month, promo_share_micro)`` — the PROMO part type's
+    fraction of that month's discounted revenue in exact integer
+    micro-units (see :func:`market_share` for why the ratio floor-
+    divides scaled integers instead of dividing doubles).
+
+    Plan: part is a broadcast dim carrying only the promo flag (two
+    columns after pruning), the date range pushes to the lineitem
+    scan, and the share is the in-group conditional-sum ratio — the
+    same single-aggregation fraction-of-total shape as
+    :func:`market_share`, exercised at month grain."""
+    p = load_table(spark, "part", sf_dir) \
+        .select("p_partkey", (F.col("p_type") == "PROMO").alias("_promo"))
+    l = (load_table(spark, "lineitem", sf_dir)
+         .filter((F.col("l_shipdate") >= F.lit(year_lo).cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit(year_hi).cast("timestamp")))
+         .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount"))
+    vol = dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))
+    g = (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+         .agg(F.sum(F.when(F.col("_promo"), vol)
+                    .otherwise(F.lit("0").cast("decimal(18,2)")))
+              .cast("decimal(30,4)").alias("_num"),
+              F.sum(vol).cast("decimal(30,4)").alias("_den")))
+    share = F.expr("(CAST(_num * 10000 AS DECIMAL(38,0)) * 1000000) div "
+                   "CAST(_den * 10000 AS DECIMAL(38,0))")
+    return (g.select("ship_month",
+                     share.cast("long").alias("promo_share_micro"))
+            .orderBy("ship_month"))
+
+
+def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicates) → one row
+    ``(revenue)``: Σ discounted price over three OR'd brand/size/
+    quantity band conjunctions (adapted to this schema's columns:
+    brand + size bands replace brand + container).
+
+    The optimizer lesson Q19 encodes: an OR-of-ANDs spanning BOTH join
+    sides must not explode into a union of three joins — it is ONE
+    broadcast hash join (part is dim-sized) with the disjunction as a
+    residual predicate, plus the derivable prefix (brand ∈ {the three}
+    ∧ size ∈ [1,30]) pushed to the part scan so the broadcast build is
+    already pruned. Quantity bounds stay residual: they reference the
+    fact side."""
+    p = load_table(spark, "part", sf_dir) \
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+                & F.col("p_size").between(1, 30)) \
+        .select("p_partkey", "p_brand", "p_size")
+    l = load_table(spark, "lineitem", sf_dir) \
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(11, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(21, 30)
+           & F.col("l_quantity").between(20, 30)))
+    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(cond)
+            .agg(F.sum(dec2(F.col("l_extendedprice"))
+                       * (F.lit(1) - dec2(F.col("l_discount"))))
+                 .cast("double").alias("revenue")))
+
+
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted (no phone
+    column): customers with ABOVE-AVERAGE positive account balance and
+    NO orders at all, rolled up per market segment:
+    ``(c_mktsegment, n_custs, total_acctbal)``.
+
+    Two classic plan elements in one query: a scalar aggregate
+    (avg positive balance) consumed as a broadcast 1-row cross join —
+    never a driver collect — and a LEFT ANTI join against the orders
+    fact for the NOT EXISTS. At 100 TB the anti join is the only
+    shuffle (custkey on both sides; orders projects just its foreign
+    key, so the probe side is one slim column), and the scalar's cost
+    is a map-side partial over customer. ``total_acctbal`` sums
+    exactly in decimal."""
+    c = load_table(spark, "customer", sf_dir) \
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(davg(F.col("c_acctbal")).alias("_avg")))
+    o = load_table(spark, "orders", sf_dir).select("o_custkey")
+    return (c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("_avg"))
+            .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_custs"),
+                 dsum(F.col("c_acctbal")).alias("total_acctbal"))
+            .orderBy("c_mktsegment"))
