@@ -2621,6 +2621,11 @@ def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_mine(emb, docs)
 
 
+def _embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import embedding_drift_report
+    return embedding_drift_report(load_table(spark, "embeddings", sf_dir))
+
+
 def _stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming backward as-of against the static purchase table
     (interval-ized static side + binned containment join — see
@@ -3099,6 +3104,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": R.promo_revenue_share,
         "disjunctive_band_revenue": R.disjunctive_band_revenue,
         "dormant_customers": R.dormant_customers,
+        # new in round 7 (batch 2): Q9 profit rollup, Q13 double
+        # aggregation with zero-bucket LEFT join, Q15 view + scalar-max
+        # pattern, and the per-dimension embedding drift monitor
+        "nation_profit": R.nation_profit,
+        "customer_order_distribution": R.customer_order_distribution,
+        "top_supplier_revenue": R.top_supplier_revenue,
+        "embedding_drift_report": _embedding_drift_report,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -6869,6 +6881,72 @@ FROM customer, avg_bal
 WHERE c_acctbal > avg_bal.a
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+    out["nation_profit"] = """
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, o_year ORDER BY n_name, o_year
+"""
+    out["customer_order_distribution"] = """
+WITH pc AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+    out["top_supplier_revenue"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+ORDER BY s_suppkey
+"""
+    out["embedding_drift_report"] = """
+WITH ev AS (
+  SELECT vec_id % 2 = 1 AS b,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS xu
+  FROM embeddings
+),
+g AS (
+  SELECT d,
+         sum(CASE WHEN NOT b THEN xu ELSE 0 END) AS sa,
+         sum(CASE WHEN b THEN xu ELSE 0 END) AS sb,
+         sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN b THEN 1 ELSE 0 END) AS nb
+  FROM ev GROUP BY d
+)
+SELECT d,
+       floor((CAST(sa AS DOUBLE) / na / 1000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_a,
+       floor((CAST(sb AS DOUBLE) / nb / 1000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_b,
+       floor(((CAST(sb AS DOUBLE) / nb / 1000000.0)
+              - (CAST(sa AS DOUBLE) / na / 1000000.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS shift
+FROM g ORDER BY d
 """
     out["orders_merge_upsert"] = """
 WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),

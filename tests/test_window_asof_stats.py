@@ -1310,3 +1310,34 @@ def test_exact_median_empty_table(spark, tmp_path):
     out = R.exact_median_price(spark, str(tmp_path))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["n_rows", "k", "median"]
+
+
+def test_customer_order_distribution_partitions_customers(spark, sf_dir):
+    """Distribution buckets must partition the customer dim exactly,
+    including the zero-order bucket the LEFT join preserves."""
+    rows = R.customer_order_distribution(spark, sf_dir).collect()
+    n_cust = load_table(spark, "customer", sf_dir).count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    assert all(r["c_count"] >= 0 for r in rows)
+
+
+def test_top_supplier_revenue_is_argmax(spark, sf_dir):
+    """Winner rows carry the global max of the per-supplier rollup."""
+    out = R.top_supplier_revenue(spark, sf_dir).collect()
+    assert len(out) >= 1
+    top = out[0]["total_revenue"]
+    assert all(r["total_revenue"] == top for r in out)
+
+
+def test_embedding_drift_report_shape(spark, sf_dir):
+    """One row per dimension; shift consistent with the cohort means
+    (6-dp rounding tolerance); deterministic across invocations."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import embedding_drift_report
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = len(emb.head()["embedding"])
+    r1 = embedding_drift_report(emb).collect()
+    assert len(r1) == dims
+    for r in r1:
+        assert r["shift"] == pytest.approx(r["mean_b"] - r["mean_a"],
+                                           abs=2e-6)
+    assert embedding_drift_report(emb).collect() == r1

@@ -1221,3 +1221,98 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_custs"),
                  dsum(F.col("c_acctbal")).alias("total_acctbal"))
             .orderBy("c_mktsegment"))
+
+
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), adapted to this schema
+    (no ``partsupp``: part's retail price stands in as unit cost) →
+    per supplier-nation, per order-year:
+    ``(n_name, o_year, profit)`` where profit =
+    Σ extprice·(1−disc) − retailprice·quantity.
+
+    Q9's plan property: the fact joins BOTH dimension arms (part for
+    cost, supplier→nation for the group key) before the orderkey
+    shuffle to orders for the year — part and supplier broadcast, so
+    the only wide exchanges are the fact's orderkey join and the final
+    (nation, year) aggregate. Profit terms multiply exact decimals;
+    the sum stays decimal until the output cast."""
+    p = load_table(spark, "part", sf_dir) \
+        .select("p_partkey", "p_retailprice")
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(load_table(spark, "nation", sf_dir)
+                           .select("n_nationkey", "n_name")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "n_name"))
+    o = load_table(spark, "orders", sf_dir) \
+        .select("o_orderkey", "o_orderdate")
+    l = load_table(spark, "lineitem", sf_dir) \
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice", "l_discount")
+    amount = (dec2(F.col("l_extendedprice"))
+              * (F.lit(1) - dec2(F.col("l_discount")))
+              - dec2(F.col("p_retailprice")) * dec2(F.col("l_quantity")))
+    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("n_name",
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("profit"))
+            .orderBy("n_name", "o_year"))
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution) →
+    ``(c_count, custdist)``: how many customers placed exactly N
+    orders, including the zero-order bucket.
+
+    The double aggregation Q13 tests: a LEFT join from the customer
+    dim to the orders fact (preserves order-less customers), a
+    custkey-keyed count, then a second tiny aggregate over the count
+    histogram. At 100 TB the first aggregate is the only real
+    exchange (custkey); the histogram is |distinct counts| rows.
+    Ordered by (custdist desc, c_count desc), the benchmark's
+    presentation order — deterministic because (custdist, c_count)
+    pairs are unique by construction."""
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    per_cust = (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .select(F.col("c_count").cast("long").alias("c_count"),
+                    "custdist")
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str,
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15 shape (top supplier) → the supplier(s) whose quarterly
+    shipped revenue equals the global maximum:
+    ``(s_suppkey, s_name, total_revenue)``.
+
+    Q15's view + scalar-max pattern, Spark-first: the per-supplier
+    revenue rollup is computed ONCE (suppkey-keyed aggregate over the
+    date-pruned fact), its 1-row max broadcasts back as a cross join,
+    and the equality filter selects the winner(s) — no second rollup,
+    no window over the whole table. The max comparison happens on the
+    EXACT decimal revenue (doubles only at the output edge), so ties
+    select identically on both engines."""
+    l = (load_table(spark, "lineitem", sf_dir)
+         .filter((F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp")))
+         .select("l_suppkey", "l_extendedprice", "l_discount"))
+    rev = (l.groupBy("l_suppkey")
+           .agg(F.sum(dec2(F.col("l_extendedprice"))
+                      * (F.lit(1) - dec2(F.col("l_discount"))))
+                .alias("_rev")))
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (rev.join(F.broadcast(mx))
+            .filter(F.col("_rev") == F.col("_mx"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name",
+                    F.col("_rev").cast("double").alias("total_revenue"))
+            .orderBy("s_suppkey"))

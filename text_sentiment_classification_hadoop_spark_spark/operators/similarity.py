@@ -1153,3 +1153,44 @@ def label_silhouette(emb: DataFrame, id_col: str = "vec_id",
                / F.col("n_vecs") / F.lit(1000000.0), 6).alias("mean_margin"),
         F.col("n_confused").cast("long").alias("n_confused"))
         .orderBy("label"))
+
+
+def embedding_drift_report(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension distribution drift between two embedding cohorts
+    (the re-embedding / model-upgrade monitor: did the new batch's
+    geometry move?) → ``(d, mean_a, mean_b, shift)`` for every
+    dimension, ordered by ``d``.
+
+    Cohorts are the deterministic ``vec_id`` parity split (the stand-in
+    for yesterday's vs today's ingest; a production caller passes a
+    batch-date column as the cohort key — same plan). Components are
+    quantized to integer micro-units BEFORE aggregation (the
+    :func:`group_centroids` contract), so cohort sums are exact and
+    associative and the report is bit-identical across engines and
+    partitionings. Shape: one narrow pass over the vectors (posexplode
+    ×dims), ONE dims-sized partial-agg shuffle carrying both cohorts'
+    (sum, count) pairs as conditional aggregates — never two jobs, and
+    driver traffic is the dims-row result itself. At 100 TB with daily
+    batches this is the cheapest useful drift signal; pair a breach
+    with :func:`label_silhouette` for the expensive follow-up."""
+    xu = F.posexplode(
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(1000000.0)
+                                      + F.lit(0.5)).cast("long")))
+    j = emb.select((F.col(id_col) % 2 == 1).alias("_b"),
+                   xu.alias("d", "xu"))
+    g = (j.groupBy("d")
+         .agg(F.sum(F.when(~F.col("_b"), F.col("xu")).otherwise(0))
+              .alias("_sa"),
+              F.sum(F.when(F.col("_b"), F.col("xu")).otherwise(0))
+              .alias("_sb"),
+              F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("_na"),
+              F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("_nb")))
+    ma = F.col("_sa").cast("double") / F.col("_na") / F.lit(1000000.0)
+    mb = F.col("_sb").cast("double") / F.col("_nb") / F.lit(1000000.0)
+    return (g.select("d",
+                     pround(ma, 6).alias("mean_a"),
+                     pround(mb, 6).alias("mean_b"),
+                     pround(mb - ma, 6).alias("shift"))
+            .orderBy("d"))
