@@ -2621,6 +2621,40 @@ def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_mine(emb, docs)
 
 
+import math as _math
+
+# integer micro-unit DCG discount weights: w_i = round(1e6 / log2(i+1))
+# for ranks 1..10 — PRECOMPUTED so both engines use identical integer
+# literals (libm log2 could differ by an ulp between engines)
+_NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, 11)]
+# ideal DCG: relevance 10..1 laid out in rank order, micro-units
+_NDCG_IDCG = sum((11 - i) * _NDCG_W[i - 1] for i in range(1, 11))
+
+
+def _ann_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the sign-LSH ANN list against the exact top-10 (the
+    graded companion to recall/RBO: relevance of a hit = 11 − its
+    exact rank, position-discounted by 1/log2(rank+1)) → one row
+    ``(ndcg_micro)`` in exact integer micro-units. Discount weights
+    are precomputed integer literals shared with the oracle, so no
+    cross-engine transcendental appears anywhere in the plan."""
+    from pyspark.sql import functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    exact = SIM.cosine_topk(emb, q, k=10) \
+        .select("vec_id", F.col("rank").alias("_er"))
+    ann = SIM.ann_lsh_topk(emb, q, k=10) \
+        .select("vec_id", F.col("rank").alias("_ar"))
+    w = F.element_at(F.array(*[F.lit(x) for x in _NDCG_W]),
+                     F.col("_ar").cast("int"))
+    contrib = (ann.join(exact, "vec_id", "left")
+               .select((F.coalesce(F.lit(11) - F.col("_er"), F.lit(0))
+                        .cast("long") * w).alias("_c")))
+    return contrib.agg(
+        F.expr(f"CAST((coalesce(sum(_c), 0) * 1000000) div {_NDCG_IDCG} "
+               "AS BIGINT)").alias("ndcg_micro"))
+
+
 def _embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.similarity import embedding_drift_report
     return embedding_drift_report(load_table(spark, "embeddings", sf_dir))
@@ -3111,6 +3145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": R.customer_order_distribution,
         "top_supplier_revenue": R.top_supplier_revenue,
         "embedding_drift_report": _embedding_drift_report,
+        # new in round 7 (batch 3): delta-merge incremental MV
+        # maintenance, the k-anonymity governance census, and graded
+        # ANN ranking quality (nDCG@10, integer-weight discounts)
+        "incremental_agg_maintenance": R.incremental_agg_maintenance,
+        "k_anonymity_report": R.k_anonymity_report,
+        "ann_ndcg_at10": _ann_ndcg_at10,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -6503,6 +6543,19 @@ SELECT CAST(coalesce(sum({_case}), 0) AS DOUBLE) / {float(_L * 10 ** 10)!r}
        CAST(count(*) AS BIGINT) AS n_common
 FROM j
 """
+    _ndcg_case = ("CASE b.rank " + " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)) + " END")
+    out["ann_ndcg_at10"] = f"""
+WITH a AS ({out["cosine_topk"]}),
+b AS ({out["ann_lsh_topk"]}),
+j AS (
+  SELECT coalesce(11 - a.rank, 0) AS rel, {_ndcg_case} AS w
+  FROM b LEFT JOIN a ON a.vec_id = b.vec_id
+)
+SELECT CAST((coalesce(sum(rel * w), 0) * 1000000) // {_NDCG_IDCG}
+            AS BIGINT) AS ndcg_micro
+FROM j
+"""
     # The two MLlib fits: literal-VALUES oracles of the sf0.01 golden
     # counts (the driver compares at sf0.01 only). Deterministic because
     # the query pins an 8-partition sorted layout before the seeded
@@ -6947,6 +7000,51 @@ SELECT d,
               - (CAST(sa AS DOUBLE) / na / 1000000.0))
              * 1000000.0 + 0.5) / 1000000.0 AS shift
 FROM g ORDER BY d
+"""
+    # IVM: the oracle is the FULL RECOMPUTE over the post-CDC snapshot
+    # — equality proves the delta merge reconstructed it exactly
+    out["incremental_agg_maintenance"] = """
+WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+log AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 50 AS DOUBLE)
+           AS new_price, 'update' AS op, 1 AS version
+  FROM o WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS DOUBLE), 'delete', 1
+  FROM o WHERE o_orderkey % 5 = 3
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS DOUBLE), 'delete', 2
+  FROM o WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 25 AS DOUBLE),
+         'update', 2
+  FROM o WHERE o_orderkey % 5 = 2
+),
+latest AS (
+  SELECT o_orderkey, new_price, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY version DESC) AS rk
+    FROM log) WHERE rk = 1
+),
+applied AS (
+  SELECT o.o_orderstatus,
+         coalesce(l.new_price, o.o_totalprice) AS p
+  FROM o LEFT JOIN latest l USING (o_orderkey)
+  WHERE coalesce(l.op, 'keep') <> 'delete'
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM applied GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+    out["k_anonymity_report"] = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_n,
+       count(*) < 5 AS at_risk
+FROM customer GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
 """
     out["orders_merge_upsert"] = """
 WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -827,25 +827,14 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str,
                   / F.lit(7.0)).alias("avg_yearly"))
 
 
-def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC-log application (the Debezium/stream-compaction pattern):
-    a MULTI-VERSION change log is compacted latest-wins per key, then
-    applied to the base snapshot → ``(o_orderkey, o_totalprice,
-    last_version)`` of surviving rows (``last_version`` 0 = untouched).
-
-    Complements :func:`orders_merge_upsert` (single-batch MERGE): here
-    the same key can be touched by SEVERAL log versions and only the
-    highest version's op counts — v1 updates keys ≡1 (mod 5) (+50.00)
-    and deletes keys ≡3; v2 deletes keys ≡1 and updates keys ≡2
-    (+25.00). Net: ≡1 and ≡3 gone, ≡2 repriced.
-
-    Scale shape: log compaction is ONE key-keyed window (row_number by
-    version desc) over the LOG — log-sized, not table-sized — and the
-    apply is one key-equi join against the base; both share the key
-    partitioning. This is exactly how a foreachBatch sink applies a
-    micro-batch of Kafka CDC records to an Iceberg/Delta table."""
-    o = load_table(spark, "orders", sf_dir) \
-        .select("o_orderkey", "o_totalprice")
+def orders_cdc_latest(o: DataFrame) -> DataFrame:
+    """The deterministic two-version CDC log used by
+    :func:`orders_cdc_apply` AND :func:`incremental_agg_maintenance`,
+    compacted latest-wins per key → ``(o_orderkey, new_price, op,
+    version)`` for every touched key (v1: +50.00 on keys ≡1 (mod 5),
+    delete ≡3; v2: delete ≡1, +25.00 on ≡2 — net: ≡1 and ≡3 gone,
+    ≡2 repriced). Compaction is ONE key-keyed window over the LOG —
+    log-sized, never table-sized."""
     v1 = (o.filter(F.col("o_orderkey") % 5 == 1)
           .select("o_orderkey",
                   (dec2(F.col("o_totalprice"))
@@ -872,8 +861,30 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit(2).alias("version"))))
     log = v1.unionByName(v2)
     w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
-    latest = (log.withColumn("_rk", F.row_number().over(w))
-              .filter(F.col("_rk") == 1).drop("_rk"))
+    return (log.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk"))
+
+
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-log application (the Debezium/stream-compaction pattern):
+    a MULTI-VERSION change log is compacted latest-wins per key, then
+    applied to the base snapshot → ``(o_orderkey, o_totalprice,
+    last_version)`` of surviving rows (``last_version`` 0 = untouched).
+
+    Complements :func:`orders_merge_upsert` (single-batch MERGE): here
+    the same key can be touched by SEVERAL log versions and only the
+    highest version's op counts — v1 updates keys ≡1 (mod 5) (+50.00)
+    and deletes keys ≡3; v2 deletes keys ≡1 and updates keys ≡2
+    (+25.00). Net: ≡1 and ≡3 gone, ≡2 repriced.
+
+    Scale shape: log compaction is ONE key-keyed window (row_number by
+    version desc) over the LOG — log-sized, not table-sized — and the
+    apply is one key-equi join against the base; both share the key
+    partitioning. This is exactly how a foreachBatch sink applies a
+    micro-batch of Kafka CDC records to an Iceberg/Delta table."""
+    o = load_table(spark, "orders", sf_dir) \
+        .select("o_orderkey", "o_totalprice")
+    latest = orders_cdc_latest(o)
     j = o.join(latest, "o_orderkey", "left")
     return (j.filter(F.coalesce(F.col("op"), F.lit("keep")) != "delete")
             .select("o_orderkey",
@@ -1316,3 +1327,70 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str,
                     "s_name",
                     F.col("_rev").cast("double").alias("total_revenue"))
             .orderBy("s_suppkey"))
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (the delta-merge IVM
+    pattern): a per-status rollup of orders is kept current under the
+    CDC feed WITHOUT re-aggregating the table →
+    ``(o_orderstatus, n_rows, total_price)`` equal to a full recompute
+    over the post-CDC snapshot (which is exactly what the oracle does).
+
+    The 100 TB point: the base aggregate is computed once (here, in
+    this self-contained query; in production it is the stored MV), and
+    the refresh touches ONLY delta-sized data — the compacted log
+    (:func:`orders_cdc_latest`) joins the base table on its key for
+    old values (point lookups / a broadcast of the touched-key set),
+    per-status contribution deltas aggregate log-sized rows, and the
+    merge is a |statuses|-row outer join: Δn = −deletes,
+    Δsum = Σ(new−old) − Σ(old over deletes), all in exact DECIMAL so
+    base + delta is bit-equal to the recompute. No table-sized work
+    after the initial MV build — the whole refresh cost scales with
+    the change feed."""
+    o = load_table(spark, "orders", sf_dir) \
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    base_agg = (o.groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("_n0"),
+                     F.sum(dec2(F.col("o_totalprice"))).alias("_s0")))
+    latest = orders_cdc_latest(o.select("o_orderkey", "o_totalprice"))
+    touched = latest.join(o, "o_orderkey")  # old value + status lookup
+    is_del = F.col("op") == "delete"
+    delta = (touched.groupBy("o_orderstatus")
+             .agg(F.sum(F.when(is_del, -1).otherwise(0)).alias("_dn"),
+                  F.sum(F.when(is_del, -dec2(F.col("o_totalprice")))
+                        .otherwise(dec2(F.col("new_price"))
+                                   - dec2(F.col("o_totalprice"))))
+                  .alias("_ds")))
+    return (base_agg.join(delta, "o_orderstatus", "left")
+            .select("o_orderstatus",
+                    (F.col("_n0") + F.coalesce(F.col("_dn"), F.lit(0)))
+                    .cast("long").alias("n_rows"),
+                    (F.col("_s0") + F.coalesce(
+                        F.col("_ds"), F.lit("0").cast("decimal(18,2)")))
+                    .cast("double").alias("total_price"))
+            .orderBy("o_orderstatus"))
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str,
+                       k: int = 5) -> DataFrame:
+    """Privacy governance census: group the customer dim by its
+    quasi-identifier pair ``(c_nationkey, c_mktsegment)`` and flag
+    every group smaller than ``k`` → ``(c_nationkey, c_mktsegment,
+    group_n, at_risk)`` — the k-anonymity audit a release pipeline
+    runs before publishing joinable aggregates (small groups
+    re-identify individuals; the fix is suppression or coarsening of
+    the flagged cells).
+
+    Shape: ONE hash aggregate on the quasi-identifier key (map-side
+    partials make shuffle volume |cells|, not |rows|) and a pure
+    projection for the flag. At 100 TB the cell census is the cheap
+    precursor to l-diversity / t-closeness checks, which add only
+    per-cell distinct/distribution aggregates to the same plan."""
+    c = load_table(spark, "customer", sf_dir) \
+        .select("c_nationkey", "c_mktsegment")
+    return (c.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("group_n"))
+            .select(F.col("c_nationkey").cast("long").alias("c_nationkey"),
+                    "c_mktsegment", "group_n",
+                    (F.col("group_n") < k).alias("at_risk"))
+            .orderBy("c_nationkey", "c_mktsegment"))
