@@ -1567,6 +1567,22 @@ def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   shuffle_partitions=8).orderBy("node")
 
 
+def _supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by customer-basket Jaccard (market-basket
+    co-occurrence; operators/graph.cooccurrence_topk) — reuses the
+    memoized co-purchase relation, so the orders×lineitem build is
+    shared with the four graph queries."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    out = G.cooccurrence_topk(_copurchase_rel(spark, sf_dir), k=20)
+    return (out.select(
+        (F.col("supp_a") - G.SUPP_OFFSET).cast("long").alias("supp_a"),
+        (F.col("supp_b") - G.SUPP_OFFSET).cast("long").alias("supp_b"),
+        "n_co", "jaccard_micro")
+        .orderBy(F.col("jaccard_micro").desc(), "supp_a", "supp_b"))
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (rank, pair, merged, freq) — the
     distributed-tokenizer-training artifact. Oracle: the unrolled CTE
@@ -3151,6 +3167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_maintenance": R.incremental_agg_maintenance,
         "k_anonymity_report": R.k_anonymity_report,
         "ann_ndcg_at10": _ann_ndcg_at10,
+        # new in round 7 (batch 4): market-basket co-occurrence
+        # similarity and fixed-band RFM segmentation
+        "supplier_cooccurrence": _supplier_cooccurrence,
+        "events_rfm_segments": E.rfm_segments,
+        # new in round 7 (batch 4): the exact median generalized to
+        # per-group with ZERO driver scalars (both probes become joins)
+        "brand_median_price": R.brand_median_price,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -7045,6 +7068,74 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
        count(*) < 5 AS at_risk
 FROM customer GROUP BY c_nationkey, c_mktsegment
 ORDER BY c_nationkey, c_mktsegment
+"""
+    out["brand_median_price"] = """
+WITH j AS (
+  SELECT p_brand, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+r AS (
+  SELECT p_brand, l_extendedprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY p_brand) AS n
+  FROM j
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+       CAST((n + 1) // 2 AS BIGINT) AS k,
+       l_extendedprice AS median
+FROM r WHERE rn = (n + 1) // 2 ORDER BY p_brand
+"""
+    out["supplier_cooccurrence"] = """
+WITH rel AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT supp, count(*) AS d FROM rel GROUP BY supp),
+pairs AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b, count(*) AS n_co
+  FROM rel a JOIN rel b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY a.supp, b.supp
+)
+SELECT CAST(supp_a AS BIGINT) AS supp_a, CAST(supp_b AS BIGINT) AS supp_b,
+       CAST(n_co AS BIGINT) AS n_co,
+       CAST((n_co * 1000000) // (da.d + db.d - n_co) AS BIGINT)
+         AS jaccard_micro
+FROM pairs
+JOIN deg da ON pairs.supp_a = da.supp
+JOIN deg db ON pairs.supp_b = db.supp
+ORDER BY jaccard_micro DESC, supp_a ASC, supp_b ASC
+LIMIT 20
+"""
+    out["events_rfm_segments"] = """
+WITH p AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+t0 AS (SELECT max(ts) AS t0 FROM p),
+pu AS (
+  SELECT user_id,
+         min(date_diff('day', CAST(ts AS DATE), CAST(t0.t0 AS DATE)))
+           AS rec_days,
+         count(*) AS freq,
+         sum(CAST(value AS DECIMAL(18,2))) AS spend
+  FROM p, t0 GROUP BY user_id
+),
+b AS (
+  SELECT CASE WHEN rec_days < 3 THEN 3 WHEN rec_days < 10 THEN 2
+              ELSE 1 END AS r_band,
+         CASE WHEN freq >= 10 THEN 3 WHEN freq >= 3 THEN 2
+              ELSE 1 END AS f_band,
+         CASE WHEN spend >= 500 THEN 3 WHEN spend >= 100 THEN 2
+              ELSE 1 END AS m_band,
+         spend
+  FROM pu
+)
+SELECT CAST(r_band AS INTEGER) AS r_band,
+       CAST(f_band AS INTEGER) AS f_band,
+       CAST(m_band AS INTEGER) AS m_band,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(spend) AS DOUBLE) AS total_value
+FROM b GROUP BY r_band, f_band, m_band
+ORDER BY r_band, f_band, m_band
 """
     out["orders_merge_upsert"] = """
 WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -236,7 +236,7 @@ def test_orders_merge_upsert_invariants(spark, sf_dir):
         else:
             assert act == "keep" and p == price
         if k % 11 == 2:
-            assert acts[k + 10_000_000] == ("insert", price)
+            assert acts[k + 1_000_000_000_000] == ("insert", price)
     # no unexplained rows
     explained = len(base) + sum(1 for k in base if k % 11 == 2)
     assert len(rows) == explained

@@ -1190,3 +1190,48 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("window_start"),
                     "n_users", "n_events")
             .orderBy("window_start"))
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    FIXED absolute bands → ``(r_band, f_band, m_band, n_users,
+    total_value)``: one row per populated segment cell.
+
+    Bands are deterministic thresholds (recency: days since last
+    purchase <3 / <10 / else; frequency: purchase count >=10 / >=3 /
+    else; monetary: exact decimal spend >=500 / >=100 / else — scores
+    3=best..1), NOT quantiles: a global ntile would range-sort the
+    user rollup through one partition (the §12 window inventory's
+    anti-pattern) and make every band depend on every user — absolute
+    bands keep the whole segmentation a per-user projection, so the
+    plan is one user-keyed rollup of the purchase stream + a
+    |cells|-sized aggregate, embarrassingly parallel at any scale.
+    Recency is anchored to the corpus max(ts) (one scalar broadcast)
+    so the result is reproducible, not wall-clock-dependent."""
+    from ..functions.rounding import dec2
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    anchor = p.agg(F.max("ts").alias("_t0"))
+    per_user = (p.join(F.broadcast(anchor))
+                .groupBy("user_id")
+                .agg(F.min(F.datediff(F.col("_t0"), F.col("ts")))
+                     .alias("_rec_days"),
+                     F.count(F.lit(1)).alias("_freq"),
+                     F.sum(dec2(F.col("value"))).alias("_spend")))
+    r_band = (F.when(F.col("_rec_days") < 3, 3)
+              .when(F.col("_rec_days") < 10, 2).otherwise(1))
+    f_band = (F.when(F.col("_freq") >= 10, 3)
+              .when(F.col("_freq") >= 3, 2).otherwise(1))
+    m_band = (F.when(F.col("_spend") >= F.lit("500").cast("decimal(18,2)"), 3)
+              .when(F.col("_spend") >= F.lit("100").cast("decimal(18,2)"), 2)
+              .otherwise(1))
+    return (per_user
+            .select(r_band.cast("int").alias("r_band"),
+                    f_band.cast("int").alias("f_band"),
+                    m_band.cast("int").alias("m_band"),
+                    F.col("_spend"))
+            .groupBy("r_band", "f_band", "m_band")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.sum("_spend").cast("double").alias("total_value"))
+            .orderBy("r_band", "f_band", "m_band"))

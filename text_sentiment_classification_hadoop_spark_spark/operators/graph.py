@@ -259,3 +259,43 @@ def bfs_depths(edges: DataFrame, source: int,
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited.orderBy("node")
+
+
+def cooccurrence_topk(rel: DataFrame, k: int = 20) -> DataFrame:
+    """Item-item co-occurrence similarity (the market-basket /
+    collaborative-filtering primitive) over a bipartite relation
+    ``(cust, supp, w)`` (:func:`copurchase_rel`) → the ``k`` supplier
+    pairs most co-bought by the same customers:
+    ``(supp_a, supp_b, n_co, jaccard_micro)``, Jaccard in exact
+    integer micro-units, ordered by (jaccard desc, pair asc).
+
+    Plan: pair generation is the basket-oriented self-join on the
+    CUSTOMER key with ``supp_a < supp_b`` orientation (each unordered
+    pair generated once; never an item×item product), one pair-keyed
+    count, one broadcast of the |items|-sized degree table for the
+    union denominator, and a global top-k (TakeOrdered). Cost is
+    Σ_c deg(c)² over customers — the hub-customer quadratic every
+    co-occurrence engine has; at 100 TB cap each basket at the top-N
+    items by weight (drop-stats logged) or switch the tail to the
+    MinHash estimate (operators/dedup machinery) — the pair plan is
+    unchanged either way. Jaccard = co / (deg_a + deg_b − co),
+    floor-divided micro-exact on both engines."""
+    r = rel.select("cust", "supp")
+    deg = r.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    a = r.select(F.col("cust"), F.col("supp").alias("supp_a"))
+    b = r.select(F.col("cust"), F.col("supp").alias("supp_b"))
+    pairs = (a.join(b, "cust")
+             .filter(F.col("supp_a") < F.col("supp_b"))
+             .groupBy("supp_a", "supp_b")
+             .agg(F.count(F.lit(1)).alias("n_co")))
+    j = (pairs
+         .join(F.broadcast(deg.select(F.col("supp").alias("supp_a"),
+                                      F.col("deg").alias("_da"))), "supp_a")
+         .join(F.broadcast(deg.select(F.col("supp").alias("supp_b"),
+                                      F.col("deg").alias("_db"))), "supp_b")
+         .select("supp_a", "supp_b", F.col("n_co").cast("long").alias("n_co"),
+                 F.expr("CAST((n_co * 1000000) div (_da + _db - n_co) "
+                        "AS BIGINT)").alias("jaccard_micro")))
+    return (j.orderBy(F.col("jaccard_micro").desc(),
+                      F.col("supp_a").asc(), F.col("supp_b").asc())
+            .limit(k))

@@ -1394,3 +1394,59 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str,
                     "c_mktsegment", "group_n",
                     (F.col("group_n") < k).alias("at_risk"))
             .orderBy("c_nationkey", "c_mktsegment"))
+
+
+def brand_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group (lower) median — ``l_extendedprice`` per part
+    brand → ``(p_brand, n_rows, k, median)`` — as a PURE distributed
+    plan: the grouped generalization of :func:`exact_median_price`
+    with ZERO driver scalars (no collect anywhere; the single-group
+    form pays two scalar probes, the grouped form turns both into
+    joins, so it composes into larger plans and scales to millions of
+    groups).
+
+    Phases, all group-partitioned: (1) one (brand, price-bucket)
+    histogram aggregate; (2) per-brand totals + k, and the k-th
+    bucket located by a cumulative window PARTITIONED BY brand (the
+    §12 inventory's partitioned case — parallel by group, never one
+    partition) with a row_number pick of the first bucket reaching k;
+    (3) the fact filtered to each brand's single target bucket via a
+    broadcast of the |groups|-row bucket table, ranked within
+    (brand, bucket) for the in-bucket offset. Fact passes: histogram
+    + one bucket-filtered rank — a global per-group sort is never
+    built."""
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    l = (load_table(spark, "lineitem", sf_dir)
+         .select("l_partkey", "l_extendedprice")
+         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .select("p_brand", "l_extendedprice"))
+    bucket = F.floor(F.col("l_extendedprice")).cast("long")
+    hist = (l.groupBy("p_brand", bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c")))
+    cnt = (hist.groupBy("p_brand")
+           .agg(F.sum("_c").alias("_n"))
+           .withColumn("_k", (F.col("_n") + 1) / 2)
+           .withColumn("_k", F.floor(F.col("_k")).cast("long")))
+    wcum = Window.partitionBy("p_brand").orderBy("_b") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum))
+    wpick = Window.partitionBy("p_brand").orderBy("_b")
+    target = (cum.join(cnt, "p_brand")
+              .filter(F.col("_cum") >= F.col("_k"))
+              .withColumn("_rn", F.row_number().over(wpick))
+              .filter(F.col("_rn") == 1)
+              .select("p_brand", "_b", "_n", "_k",
+                      (F.col("_k") - (F.col("_cum") - F.col("_c")))
+                      .alias("_off")))
+    wrank = Window.partitionBy("p_brand").orderBy("l_extendedprice")
+    med = (l.join(F.broadcast(target),
+                  (l["p_brand"] == target["p_brand"])
+                  & (bucket == F.col("_b")))
+           .drop(target["p_brand"])
+           .withColumn("_rn", F.row_number().over(wrank))
+           .filter(F.col("_rn") == F.col("_off")))
+    return (med.select("p_brand",
+                       F.col("_n").cast("long").alias("n_rows"),
+                       F.col("_k").cast("long").alias("k"),
+                       F.col("l_extendedprice").alias("median"))
+            .orderBy("p_brand"))
