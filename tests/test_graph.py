@@ -147,3 +147,46 @@ def test_bfs_depths_min_over_multiple_paths(spark):
         "src long, dst long")
     got = {r["node"]: r["depth"] for r in bfs_depths(edges, 1, 5).collect()}
     assert got[4] == 2 and got[6] == 2 and got[5] == 1
+
+
+def test_cooccurrence_topk_exact_jaccard(spark):
+    """Hand-computable baskets: jaccard must be the exact micro floor
+    of |cust(a) ∩ cust(b)| / |cust(a) ∪ cust(b)|, pairs oriented a<b,
+    generated once."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import cooccurrence_topk
+    # baskets: c1={10,20,30}, c2={10,20}, c3={10}
+    rel = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 1), (1, 30, 1),
+         (2, 10, 1), (2, 20, 1), (3, 10, 1)],
+        "cust long, supp long, w long")
+    got = {(r["supp_a"], r["supp_b"]): (r["n_co"], r["jaccard_micro"])
+           for r in cooccurrence_topk(rel, k=10).collect()}
+    # deg: 10→3, 20→2, 30→1
+    assert got[(10, 20)] == (2, 2 * 1_000_000 // 3)   # 2/(3+2-2)
+    assert got[(10, 30)] == (1, 1_000_000 // 3)       # 1/(3+1-1)
+    assert got[(20, 30)] == (1, 500_000)              # 1/(2+1-1)
+    assert len(got) == 3
+    assert all(a < b for a, b in got)
+
+
+def test_rfm_segments_partition_users(spark, sf_dir):
+    """Segment cells partition the purchasing-user population; bands
+    stay in 1..3; total value equals the global purchase sum."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import rfm_segments
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    rows = rfm_segments(spark, sf_dir).collect()
+    p = load_table(spark, "events", sf_dir) \
+        .filter(F.col("event_type") == "purchase")
+    n_users = p.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r["r_band"] <= 3
+        assert 1 <= r["f_band"] <= 3
+        assert 1 <= r["m_band"] <= 3
+    total = p.agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double")).first()[0]
+    assert abs(sum(r["total_value"] for r in rows) - total) < 1e-6
