@@ -3174,6 +3174,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 7 (batch 4): the exact median generalized to
         # per-group with ZERO driver scalars (both probes become joins)
         "brand_median_price": R.brand_median_price,
+        # new in round 7 (batch 5): the last five TPC-H plan shapes —
+        # the registry now carries all 22 — Q2 correlated-min via
+        # aggregate-then-rejoin, Q11 scalar-fraction threshold, Q16
+        # anti-join + COUNT(DISTINCT), Q20 flattened semi-join chain,
+        # Q21 EXISTS/NOT-EXISTS collapsed to one order-keyed aggregate
+        "min_cost_supplier": R.min_cost_supplier,
+        "important_part_value": R.important_part_value,
+        "parts_supplier_counts": R.parts_supplier_counts,
+        "excess_stock_suppliers": R.excess_stock_suppliers,
+        "waiting_suppliers": R.waiting_suppliers,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -6997,6 +7007,104 @@ SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE r = (SELECT max(r) FROM rev)
 ORDER BY s_suppkey
+"""
+    out["min_cost_supplier"] = """
+WITH offers AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  GROUP BY p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+),
+best AS (
+  SELECT p_partkey AS pk, min(supply_cost) AS b FROM offers
+  GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey, p_brand, supply_cost
+FROM offers JOIN best ON p_partkey = pk AND supply_cost = b
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+"""
+    out["important_part_value"] = """
+WITH val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+  GROUP BY l_partkey
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(v AS DOUBLE) AS part_value
+FROM val
+WHERE v * 1000 > (SELECT sum(v) FROM val) * 1
+ORDER BY part_value DESC, p_partkey
+"""
+    out["parts_supplier_counts"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+    out["excess_stock_suppliers"] = """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         sum(l_quantity) AS stock,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01'
+                  THEN l_quantity ELSE 0.0 END) AS demand
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (SELECT l_suppkey FROM pairs
+                    WHERE stock > 2.0 * demand)
+ORDER BY s_suppkey
+"""
+    out["waiting_suppliers"] = """
+WITH po AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS nsupp,
+         count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                  + INTERVAL 90 DAY
+                             THEN l_suppkey END) AS nlate,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN l_suppkey END) AS latesk
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM po
+JOIN supplier ON latesk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE nsupp > 1 AND nlate = 1 AND n_name = 'NATION_9'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """
     out["embedding_drift_report"] = """
 WITH ev AS (

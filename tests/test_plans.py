@@ -325,3 +325,30 @@ def test_q18_aggregates_before_join(spark, sf_dir):
     rows = df.collect()
     assert len({r["o_orderkey"] for r in rows}) == len(rows)
     assert all(r["sum_qty"] > 300.0 for r in rows)
+
+
+def test_tpch_q2_q11_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q2/Q11 shapes: every dimension arm broadcasts; the correlated
+    min / scalar-fraction rejoin must be a hash join, never a nested
+    loop over the fact."""
+    for df in (R.min_cost_supplier(spark, sf_dir),
+               R.important_part_value(spark, sf_dir)):
+        plan = plan_string(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_anti_join_is_broadcast(spark, sf_dir):
+    """Q16's NOT-IN supplier exclusion must plan as a broadcast
+    anti-join, not a shuffled one — the complaint set is tiny."""
+    plan = plan_string(R.parts_supplier_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q21_is_single_fact_pass(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS collapse: the fact (lineitem) must be
+    scanned exactly once — the flattened form replaces the benchmark's
+    two extra self-joins with one order-keyed aggregate."""
+    plan = plan_string(R.waiting_suppliers(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 1
+    assert "CartesianProduct" not in plan

@@ -1450,3 +1450,222 @@ def brand_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("_k").cast("long").alias("k"),
                        F.col("l_extendedprice").alias("median"))
             .orderBy("p_brand"))
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str,
+                      region: str = "EUROPE",
+                      size: int = 15,
+                      ptype: str = "STANDARD") -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted to this schema
+    (no ``partsupp``: the supply catalog is DERIVED from lineitem as
+    each (part, supplier) pair's minimum observed unit price) → for
+    every part of the requested size/type supplied from the requested
+    region, the supplier(s) achieving the part's global minimum unit
+    cost: ``(s_acctbal, s_name, n_name, p_partkey, p_brand,
+    supply_cost)``.
+
+    Q2's plan property — the correlated MIN subquery — is expressed
+    as aggregate-then-rejoin, not a per-row subquery: the offer
+    relation aggregates once on (part, supplier), the per-part min is
+    a second part-keyed aggregate, and the winner filter is an equi-
+    join on (partkey, cost). At 100 TB the offer build is the only
+    fact-sized shuffle; part (size/type-pruned), supplier, nation and
+    region are all broadcast. Unit price is IEEE double division on
+    both engines, and min/equality over identical doubles is exact,
+    so the winner set matches bit-for-bit."""
+    r = (load_table(spark, "region", sf_dir)
+         .filter(F.col("r_name") == region))
+    n = (load_table(spark, "nation", sf_dir)
+         .join(F.broadcast(r),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey", "n_name"))
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = (load_table(spark, "part", sf_dir)
+         .filter((F.col("p_size") == size) & (F.col("p_type") == ptype))
+         .select("p_partkey", "p_brand"))
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    offers = (load_table(spark, "lineitem", sf_dir)
+              .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name",
+                       "s_acctbal", "n_name")
+              .agg(F.min(unit).alias("supply_cost")))
+    best = (offers.groupBy("p_partkey")
+            .agg(F.min("supply_cost").alias("_best")))
+    return (offers.join(best.withColumnRenamed("p_partkey", "_pk"),
+                        (F.col("p_partkey") == F.col("_pk"))
+                        & (F.col("supply_cost") == F.col("_best")))
+            .select("s_acctbal", "s_name", "n_name",
+                    F.col("p_partkey").cast("long").alias("p_partkey"),
+                    "p_brand", "supply_cost")
+            .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+            .limit(100))
+
+
+def important_part_value(spark: SparkSession, sf_dir: str,
+                         nation: str = "NATION_9",
+                         per_mille: int = 1) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted (no
+    ``partsupp``: a part's "stock value" from one nation's suppliers
+    is the discounted revenue its lineitems from those suppliers
+    realized) → parts whose value exceeds ``per_mille``/1000 of the
+    nation's total: ``(p_partkey, part_value)``, value-descending.
+
+    Q11's plan property — group-aggregate compared against a scalar
+    fraction of the SAME aggregate — is one suppkey-pruned fact pass:
+    the per-part aggregate shuffles on partkey, its grand total
+    re-aggregates the per-part rows (no second fact scan), and the
+    1-row total broadcasts back as a cross join. The threshold
+    compare is kept in EXACT decimal by scaling to integer per-mille
+    (value·1000 > total·per_mille) — no double rounding on the cut
+    line, so both engines keep the same parts."""
+    n = (load_table(spark, "nation", sf_dir)
+         .filter(F.col("n_name") == nation))
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey"))
+    l = (load_table(spark, "lineitem", sf_dir)
+         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .select("l_partkey", "l_extendedprice", "l_discount"))
+    val = (l.groupBy("l_partkey")
+           .agg(F.sum(dec2(F.col("l_extendedprice"))
+                      * (F.lit(1) - dec2(F.col("l_discount"))))
+                .alias("_v")))
+    total = val.agg(F.sum("_v").alias("_t"))
+    return (val.join(F.broadcast(total))
+            .filter(F.col("_v") * F.lit(1000) > F.col("_t") * F.lit(per_mille))
+            .select(F.col("l_partkey").cast("long").alias("p_partkey"),
+                    F.col("_v").cast("double").alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "p_partkey"))
+
+
+def parts_supplier_counts(spark: SparkSession, sf_dir: str,
+                          brand_excl: str = "Brand#5",
+                          type_excl_prefix: str = "MEDIUM",
+                          sizes: tuple = (1, 5, 10, 15, 20, 25, 30, 35)
+                          ) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship), adapted (no
+    ``partsupp``: the part↔supplier relation is the DISTINCT pairs
+    observed in lineitem; "customer complaints" suppliers are those
+    with negative account balance) → per (brand, type, size) outside
+    the excluded brand/type-prefix and inside the size list, how many
+    distinct acceptable suppliers carry such a part:
+    ``(p_brand, p_type, p_size, supplier_cnt)``.
+
+    Q16's plan property — NOT IN subquery + COUNT(DISTINCT) — maps to
+    a broadcast anti-join (the complaint supplier set is tiny) and a
+    two-level distinct aggregate. The pair-distinct is the only
+    fact-sized shuffle, keyed on (partkey, suppkey) — high cardinality
+    and skew-free; part is attribute-pruned and broadcast."""
+    pairs = (load_table(spark, "lineitem", sf_dir)
+             .select("l_partkey", "l_suppkey").distinct())
+    bad = (load_table(spark, "supplier", sf_dir)
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    p = (load_table(spark, "part", sf_dir)
+         .filter((F.col("p_brand") != brand_excl)
+                 & ~F.col("p_type").startswith(type_excl_prefix)
+                 & F.col("p_size").isin(*sizes))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (pairs.join(F.broadcast(bad),
+                       F.col("l_suppkey") == F.col("s_suppkey"),
+                       "left_anti")
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .select("p_brand", "p_type",
+                    F.col("p_size").cast("int").alias("p_size"),
+                    F.col("supplier_cnt").cast("long").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str,
+                           name_prefix: str = "small",
+                           nation: str = "NATION_9",
+                           date_lo: str = "1996-01-01",
+                           date_hi: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted (no
+    ``partsupp.ps_availqty``: a pair's "stock on hand" is its total
+    shipped quantity across all years, and the Q20 threshold — stock
+    exceeding half the period's demand — becomes total >
+    2 × window-quantity) → suppliers in the nation holding excess
+    stock of any matching-name part:
+    ``(s_suppkey, s_name, s_acctbal)``.
+
+    Q20's nested-semi-join chain is flattened into ONE conditional
+    aggregate: both the "availqty" and the window demand come from a
+    single (part, supplier)-keyed pass over the name-pruned fact
+    (sum + filtered sum), the threshold is a row-local compare (the
+    2× factor keeps quantities in exact integers-in-doubles, no
+    division), and the surviving pair set semi-joins the supplier dim.
+    At 100 TB the name-pruned broadcast of part cuts the fact before
+    its only shuffle."""
+    p = (load_table(spark, "part", sf_dir)
+         .filter(F.col("p_name").startswith(name_prefix))
+         .select("p_partkey"))
+    l = (load_table(spark, "lineitem", sf_dir)
+         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate"))
+    in_win = ((F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+              & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp")))
+    pairs = (l.groupBy("l_partkey", "l_suppkey")
+             .agg(F.sum("l_quantity").alias("_stock"),
+                  F.sum(F.when(in_win, F.col("l_quantity"))
+                        .otherwise(F.lit(0.0))).alias("_demand")))
+    excess = (pairs.filter(F.col("_stock") > F.lit(2.0) * F.col("_demand"))
+              .select("l_suppkey").distinct())
+    n = (load_table(spark, "nation", sf_dir)
+         .filter(F.col("n_name") == nation))
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")))
+    return (s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"),
+                   "left_semi")
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name", "s_acctbal")
+            .orderBy("s_suppkey"))
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str,
+                      nation: str = "NATION_9",
+                      late_days: int = 90) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted
+    (no commit/receipt dates: a line is LATE when it ships more than
+    ``late_days`` after the order date) → per supplier in the nation,
+    how many finished multi-supplier orders that supplier alone
+    delivered late: ``(s_name, numwait)``.
+
+    Q21's EXISTS + NOT-EXISTS double self-join collapses into ONE
+    orderkey-keyed aggregate: per order, the distinct-supplier count,
+    the distinct-LATE-supplier count, and (via max, well-defined when
+    that count is 1) the sole late supplier. The waiting condition is
+    then a row-local filter (nsupp > 1 AND nlate = 1) — no second or
+    third pass over the fact, which at 100 TB replaces two fact-fact
+    joins with a single shuffle. The supplier/nation probe is a
+    broadcast at the |suppliers| scale."""
+    o = (load_table(spark, "orders", sf_dir)
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    l = (load_table(spark, "lineitem", sf_dir)
+         .select("l_orderkey", "l_suppkey", "l_shipdate"))
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {int(late_days)} DAYS"))
+    po = (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(F.countDistinct("l_suppkey").alias("_nsupp"),
+               F.countDistinct(F.when(late, F.col("l_suppkey")))
+               .alias("_nlate"),
+               F.max(F.when(late, F.col("l_suppkey"))).alias("_latesk")))
+    n = (load_table(spark, "nation", sf_dir)
+         .filter(F.col("n_name") == nation))
+    s = (load_table(spark, "supplier", sf_dir)
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name"))
+    return (po.filter((F.col("_nsupp") > 1) & (F.col("_nlate") == 1))
+            .join(F.broadcast(s), F.col("_latesk") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(100))
