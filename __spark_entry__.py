@@ -2630,6 +2630,51 @@ def _label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_silhouette(load_table(spark, "embeddings", sf_dir))
 
 
+def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import embedding_outliers
+    return embedding_outliers(load_table(spark, "embeddings", sf_dir))
+
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import source_overlap
+    return source_overlap(load_table(spark, "documents", sf_dir))
+
+
+def _stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k (trending types) — the canonical two-stage
+    pattern: the INCREMENTAL half (watermarked tumbling counts, state
+    bounded by the watermark) runs in the stream; the rank runs
+    downstream on the finalized windows (an append/complete stream
+    cannot host a rank window — ranking completed windows after the
+    sink IS the production shape, e.g. a trending dashboard over a
+    streaming rollup table). Rank partitioned per window — parallel,
+    deterministic (count desc, type asc)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        events_raw_stream,
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+        tumbling_counts_stream,
+    )
+    raw = events_raw_stream(spark, sf_dir)
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(tumbling_counts_stream(raw, minutes=60),
+                                 "stream_trending_topk",
+                                 output_mode="complete")
+    q.stop()
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc())
+    return (spark.table("stream_trending_topk")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("window_start", "event_type",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("rnk").cast("int").alias("rnk"))
+            .orderBy("window_start", "rnk"))
+
+
 def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.similarity import bitext_mine
     emb = load_table(spark, "embeddings", sf_dir)
@@ -3184,6 +3229,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_supplier_counts": R.parts_supplier_counts,
         "excess_stock_suppliers": R.excess_stock_suppliers,
         "waiting_suppliers": R.waiting_suppliers,
+        # new in round 7 (batch 6): per-label embedding outlier pruning,
+        # the cross-source content-overlap (syndication) matrix, and the
+        # streaming top-k two-stage pattern (incremental windowed counts
+        # in the stream, rank on the finalized windows)
+        "embedding_outliers": _embedding_outliers,
+        "source_overlap": _source_overlap,
+        "stream_trending_topk": _stream_trending_topk,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -7508,6 +7560,64 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
         * 1000000.0 + 0.5) / 1000000.0 AS mean_margin,
   CAST(sum(conf) AS BIGINT) AS n_confused
 FROM per GROUP BY label ORDER BY label
+"""
+    out["embedding_outliers"] = """
+WITH ev AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS lbl, d,
+         floor((CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                     AS DOUBLE)
+                / count(*) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS c
+  FROM ev GROUP BY label, d
+),
+cn AS (SELECT lbl, sqrt(sum(c * c)) AS nc FROM cent GROUP BY lbl),
+nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM ev GROUP BY vec_id),
+vc AS (
+  SELECT ev.vec_id, ev.label, sum(ev.x * cent.c) AS dot
+  FROM ev JOIN cent ON ev.d = cent.d AND ev.label = cent.lbl
+  GROUP BY ev.vec_id, ev.label
+),
+scored AS (
+  SELECT vc.vec_id, vc.label,
+         floor((vc.dot / (nv.nv * cn.nc)) * 1000000.0 + 0.5) / 1000000.0
+           AS own_cos
+  FROM vc JOIN cn ON vc.label = cn.lbl JOIN nv USING (vec_id)
+)
+SELECT label, CAST(vec_id AS BIGINT) AS vec_id, own_cos,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY own_cos ASC, vec_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY label, rnk
+"""
+    out["source_overlap"] = """
+WITH fp AS (
+  SELECT DISTINCT source, substr(text, 1, 80) AS f FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(DISTINCT a.f) AS BIGINT) AS shared_fingerprints
+FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY shared_fingerprints DESC, source_a, source_b
+"""
+    out["stream_trending_topk"] = """
+WITH wc AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                        * 1000000) AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type ASC) AS rnk
+      FROM wc)
+WHERE rnk <= 3
+ORDER BY window_start, rnk
 """
     out["local_supplier_volume"] = """
 SELECT n.n_name,

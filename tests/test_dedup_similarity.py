@@ -978,3 +978,35 @@ def test_label_silhouette_single_label_empty(spark):
         [(i, [1.0, float(i), 0.0, 0.0], 7) for i in range(5)],
         "vec_id long, embedding array<float>, label int")
     assert label_silhouette(emb).count() == 0
+
+
+def test_embedding_outliers_planted(spark):
+    """A planted far-from-centroid vector must rank as its label's #1
+    outlier, and ranks must be 1..k with non-decreasing own-cosine."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import embedding_outliers
+    rows = [(i, [1.0, 0.01 * i, 0.0, 0.0], 0) for i in range(8)]
+    rows.append((999, [-1.0, 0.0, 0.0, 0.0], 0))  # antipodal outlier
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = embedding_outliers(emb, k=3).collect()
+    assert [r["rnk"] for r in got] == [1, 2, 3]
+    assert got[0]["vec_id"] == 999
+    assert got[0]["own_cos"] <= got[1]["own_cos"] <= got[2]["own_cos"]
+
+
+def test_source_overlap_counts_shared_prefixes(spark):
+    """Two sources sharing exactly one 80-char prefix produce one
+    symmetric pair row (a < b) with count 1; a third disjoint source
+    contributes nothing."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import source_overlap
+    shared = "x" * 100
+    docs = spark.createDataFrame(
+        [(1, shared + "tailA", "en", "web", 105),
+         (2, shared + "tailB", "en", "books", 105),
+         (3, "y" * 100, "en", "code", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = source_overlap(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["source_a"], r["source_b"]) == ("books", "web")
+    assert r["shared_fingerprints"] == 1

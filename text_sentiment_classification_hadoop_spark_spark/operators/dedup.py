@@ -979,3 +979,33 @@ def dup_kgram_stats(df: DataFrame, text_col: str = "text",
                        pround(dp.cast("double") / n_kg, 6))
                 .otherwise(F.lit(0.0)).alias("dup_frac"))
             .orderBy(id_col))
+
+
+def source_overlap(docs: DataFrame, prefix_len: int = 80) -> DataFrame:
+    """Cross-source content-overlap matrix — the syndication /
+    mirror-site detector a corpus audit runs before de-dup budgeting:
+    for every unordered source pair, how many distinct document
+    prefix-fingerprints both sources carry →
+    ``(source_a, source_b, shared_fingerprints)``.
+
+    Shape: the (source, fingerprint) relation is DISTINCT-reduced
+    first (one fingerprint-keyed shuffle over the corpus), and the
+    pair join is keyed on the fingerprint — per-fingerprint fan-out is
+    bounded by |sources| (post-distinct), so the join output is at
+    most |fingerprints|·|sources|²/2 rows and the aggregate result at
+    most |sources|²/2: no all-pairs document work anywhere. At 100 TB
+    this is one dedup-shaped shuffle plus a bounded equi-join —
+    identical skew posture to exact dedup."""
+    fp = (docs.select("source",
+                      F.sha2(F.substring(F.col("text"), 1, prefix_len), 256)
+                      .alias("_fp"))
+          .distinct())
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, (F.col("a._fp") == F.col("b._fp"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.countDistinct("a._fp").cast("long")
+                 .alias("shared_fingerprints"))
+            .orderBy(F.col("shared_fingerprints").desc(),
+                     "source_a", "source_b"))

@@ -1079,6 +1079,32 @@ def bitext_mine(emb: DataFrame, doc_langs: DataFrame,
             .orderBy("src_id"))
 
 
+def _label_centroid_books_lit(emb: DataFrame, vec_col: str,
+                              label_col: str) -> str:
+    """Per-label centroid codebook as a SQL array literal: exact
+    integer micro-unit sums per (label, dim) — |labels|·dims rows,
+    collected once (codebook-sized driver traffic, same budget as the
+    PQ/IVF books) — each mean rounded to 6 dp so downstream cosines
+    are engine-stable."""
+    xu = F.posexplode(
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(1000000.0)
+                                      + F.lit(0.5)).cast("long")))
+    cent_rows = (emb.select(F.col(label_col).alias("lbl"),
+                            xu.alias("d", "xu"))
+                 .groupBy("lbl", "d")
+                 .agg(F.sum("xu").alias("su"), F.count(F.lit(1)).alias("n"))
+                 .select("lbl", "d",
+                         pround(F.col("su").cast("double") / F.col("n")
+                                / F.lit(1000000.0), 6).alias("c"))
+                 .collect())
+    dims = max(r["d"] for r in cent_rows) + 1
+    books: dict[int, list[float]] = {}
+    for r in cent_rows:
+        books.setdefault(int(r["lbl"]), [0.0] * dims)[r["d"]] = float(r["c"])
+    return X.books_lit(sorted(books.items()))
+
+
 def label_silhouette(emb: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      label_col: str = "label") -> DataFrame:
@@ -1101,23 +1127,7 @@ def label_silhouette(emb: DataFrame, id_col: str = "vec_id",
     a |labels|-row rollup from integer micro-sums — order-independent,
     engine-stable. No shuffle carries vectors except the one label
     rollup of micro-cosines."""
-    xu = F.posexplode(
-        F.transform(F.col(vec_col),
-                    lambda x: F.floor(x.cast("double") * F.lit(1000000.0)
-                                      + F.lit(0.5)).cast("long")))
-    cent_rows = (emb.select(F.col(label_col).alias("lbl"),
-                            xu.alias("d", "xu"))
-                 .groupBy("lbl", "d")
-                 .agg(F.sum("xu").alias("su"), F.count(F.lit(1)).alias("n"))
-                 .select("lbl", "d",
-                         pround(F.col("su").cast("double") / F.col("n")
-                                / F.lit(1000000.0), 6).alias("c"))
-                 .collect())
-    dims = max(r["d"] for r in cent_rows) + 1
-    books: dict[int, list[float]] = {}
-    for r in cent_rows:
-        books.setdefault(int(r["lbl"]), [0.0] * dims)[r["d"]] = float(r["c"])
-    blit = X.books_lit(sorted(books.items()))
+    blit = _label_centroid_books_lit(emb, vec_col, label_col)
     # hoisted per-row norm; cosine vs each centroid inside the lambda
     cos6 = X.pround_txt(
         f"({X.dot_txt(vec_col, 'p.v')} / (_nv * {X.norm_txt('p.v')}))", 6)
@@ -1194,3 +1204,40 @@ def embedding_drift_report(emb: DataFrame, id_col: str = "vec_id",
                      pround(mb, 6).alias("mean_b"),
                      pround(mb - ma, 6).alias("shift"))
             .orderBy("d"))
+
+
+def embedding_outliers(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label",
+                       k: int = 5) -> DataFrame:
+    """Per-label embedding OUTLIERS — the curation op that prunes (or
+    flags for re-labeling) the vectors farthest from their own label's
+    centroid → the ``k`` lowest own-centroid cosines per label:
+    ``(label, vec_id, own_cos, rnk)``.
+
+    Shape: the shared micro-unit centroid codebook
+    (:func:`_label_centroid_books_lit` — |labels|·dims driver rows,
+    exact integer sums), then ONE narrow scoring pass (per-row norm
+    hoisted, cosine rounded 6 dp), and a rank window PARTITIONED BY
+    label — parallel by group, never one partition; ties break on
+    ``vec_id`` so the cut is deterministic on both engines. No shuffle
+    carries vectors except the |labels|-way rank exchange."""
+    from pyspark.sql import Window
+
+    blit = _label_centroid_books_lit(emb, vec_col, label_col)
+    cos6 = X.pround_txt(
+        f"({X.dot_txt(vec_col, 'p.v')} / (_nv * {X.norm_txt('p.v')}))", 6)
+    own = (f"(array_max(transform(filter({blit}, p -> p.i = {label_col}), "
+           f"p -> named_struct('c', {cos6}, 'i', 0L)))).c")
+    scored = (widen(emb)
+              .withColumn("_nv", F.expr(X.norm_txt(vec_col)))
+              .select(F.col(label_col).alias("label"),
+                      F.col(id_col).alias("vec_id"),
+                      F.expr(own).alias("own_cos")))
+    w = Window.partitionBy("label").orderBy(F.col("own_cos").asc(),
+                                            F.col("vec_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("label", F.col("vec_id").cast("long").alias("vec_id"),
+                    "own_cos", F.col("rnk").cast("int").alias("rnk"))
+            .orderBy("label", "rnk"))
