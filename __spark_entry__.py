@@ -2675,6 +2675,16 @@ def _stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start", "rnk"))
 
 
+def _length_percentile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import length_percentile_docs
+    return length_percentile_docs(load_table(spark, "documents", sf_dir))
+
+
+def _doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import doc_length_gini
+    return doc_length_gini(load_table(spark, "documents", sf_dir))
+
+
 def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.similarity import bitext_mine
     emb = load_table(spark, "embeddings", sf_dir)
@@ -3236,6 +3246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _embedding_outliers,
         "source_overlap": _source_overlap,
         "stream_trending_topk": _stream_trending_topk,
+        # new in round 7 (batch 7): sort-free corpus diagnostics — the
+        # distributed-CDF exact percentile (histogram + bounded window
+        # + broadcast join back; replaces a corpus-wide cume_dist) and
+        # the histogram-form Gini length-inequality coefficient
+        "length_percentile_docs": _length_percentile_docs,
+        "doc_length_gini": _doc_length_gini,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -7604,6 +7620,29 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY shared_fingerprints DESC, source_a, source_b
+"""
+    out["length_percentile_docs"] = f"""
+WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cle FROM h),
+nn AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       {IR("cle", "n")} AS pct_rank
+FROM documents JOIN cum ON n_chars = v CROSS JOIN nn
+ORDER BY doc_id
+"""
+    out["doc_length_gini"] = f"""
+WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT v, c,
+               coalesce(sum(c) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cb
+        FROM h),
+s AS (SELECT sum(v * (c * cb + (c * (c + 1)) // 2)) AS sr,
+             sum(v * c) AS t, sum(c) AS n
+      FROM cum)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS total_chars,
+       {IR("2 * sr - (n + 1) * t", "n * t")} AS gini
+FROM s
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

@@ -639,3 +639,40 @@ def test_temperature_mixture_plan_invariants(spark, sf_dir):
     for r in flat:  # τ=1: share ≈ natural proportion (quantization ulp)
         assert abs(r["target_tokens"] / 1_000_000 - r["n_tokens"] / tot) \
             < 5e-3
+
+
+def test_length_percentile_matches_cume_dist(spark):
+    """The histogram CDF must equal the classic cume_dist definition
+    (count ≤ v over n) on a small corpus with ties."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import length_percentile_docs
+    rows = [(i, "x", "en", "web", ln) for i, ln in
+            enumerate([10, 10, 20, 30, 30, 30, 40])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["doc_id"]: r["pct_rank"]
+           for r in length_percentile_docs(docs).collect()}
+    lens = [10, 10, 20, 30, 30, 30, 40]
+    for i, ln in enumerate(lens):
+        expect = round(sum(1 for x in lens if x <= ln) / len(lens), 6)
+        assert abs(got[i] - expect) < 1e-9, (i, got[i], expect)
+
+
+def test_doc_length_gini_known_values(spark):
+    """Gini = 0 for equal lengths; matches the closed-form rank formula
+    on an unequal corpus."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import doc_length_gini
+
+    def mk(lens):
+        return spark.createDataFrame(
+            [(i, "x", "en", "web", ln) for i, ln in enumerate(lens)],
+            "doc_id long, text string, lang string, source string, n_chars long")
+
+    assert doc_length_gini(mk([50, 50, 50, 50])).collect()[0]["gini"] == 0.0
+    lens = [1, 2, 3, 4, 10]
+    xs = sorted(lens)
+    n, t = len(xs), sum(xs)
+    sr = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = round((2 * sr - (n + 1) * t) / (n * t), 6)
+    got = doc_length_gini(mk(lens)).collect()[0]
+    assert got["n_docs"] == n and got["total_chars"] == t
+    assert abs(got["gini"] - expect) < 1e-9

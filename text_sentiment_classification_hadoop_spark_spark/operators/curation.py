@@ -802,3 +802,74 @@ def temperature_mixture_plan(docs: DataFrame, tau: float = 0.3,
         "p_micro", "w_micro",
         F.col("target_tokens").cast("long").alias("target_tokens"))
         .orderBy("lang"))
+
+
+def length_percentile_docs(docs: DataFrame, id_col: str = "doc_id",
+                           len_col: str = "n_chars") -> DataFrame:
+    """Per-document EXACT length percentile (cumulative distribution
+    rank) WITHOUT a global sort → ``(doc_id, n_chars, pct_rank)``
+    where pct_rank = |docs with length ≤ this|/n, half-up 6 dp.
+
+    The distributed-CDF shape (§12 discipline): a length histogram
+    aggregate (one corpus shuffle, |distinct lengths| rows), ONE
+    partition-less cumulative window over that bounded histogram —
+    never over the corpus — and a broadcast join back on the length
+    key. The rank ratio uses the remainder-exact integer protocol
+    (:func:`..functions.rounding.pround_iratio`), so the percentile is
+    engine-stable with no double-rounding at cut boundaries. The
+    classic ``cume_dist()`` window over all docs would range-sort the
+    corpus through one partition; this form replaces it with a
+    histogram-sized window plus a narrow join."""
+    from ..functions.rounding import pround_iratio
+
+    h = (docs.groupBy(F.col(len_col).alias("_v"))
+         .agg(F.count(F.lit(1)).alias("_c")))
+    wc = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select("_v", F.sum("_c").over(wc).alias("_cle"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    return (docs.select(id_col, len_col)
+            .join(F.broadcast(cum), F.col(len_col) == F.col("_v"))
+            .join(F.broadcast(n))
+            .select(F.col(id_col),
+                    F.col(len_col).cast("long").alias("n_chars"),
+                    pround_iratio(F.col("_cle"), F.col("_n"))
+                    .alias("pct_rank"))
+            .orderBy(id_col))
+
+
+def doc_length_gini(docs: DataFrame, len_col: str = "n_chars"
+                    ) -> DataFrame:
+    """Corpus length-inequality coefficient (Gini over document
+    lengths) → one row ``(n_docs, total_chars, gini)`` — the
+    diversity/imbalance diagnostic a mixture planner reads before
+    setting sampling temperatures.
+
+    Exact and sort-free: Gini needs the rank-weighted sum
+    Σᵢ rankᵢ·xᵢ over ascending lengths, which the histogram form
+    computes per DISTINCT value v (count c, cumulative-before C) as
+    v·(c·C + c(c+1)/2) — all integer arithmetic. One histogram
+    aggregate, one partition-less window over the |distinct lengths|-
+    row histogram (bounded — §12 inventory), and the final
+    G = (2·Σranks − (n+1)·T)/(n·T) via the remainder-exact integer
+    ratio. No corpus sort, no driver collect; magnitudes hold to the
+    same decimal(30,0) envelope as every other iratio in the repo."""
+    from ..functions.rounding import pround_iratio
+
+    h = (docs.groupBy(F.col(len_col).alias("_v"))
+         .agg(F.count(F.lit(1)).alias("_c")))
+    wb = Window.orderBy("_v") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select("_v", "_c",
+                   F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_cb"))
+    s = cum.agg(
+        F.sum(F.col("_v")
+              * (F.col("_c") * F.col("_cb")
+                 + F.expr("_c * (_c + 1) DIV 2"))).alias("_sr"),
+        F.sum(F.col("_v") * F.col("_c")).alias("_t"),
+        F.sum("_c").alias("_n"))
+    return s.select(
+        F.col("_n").cast("long").alias("n_docs"),
+        F.col("_t").cast("long").alias("total_chars"),
+        pround_iratio(F.lit(2) * F.col("_sr")
+                      - (F.col("_n") + 1) * F.col("_t"),
+                      F.col("_n") * F.col("_t")).alias("gini"))
