@@ -2685,6 +2685,37 @@ def _doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_length_gini(load_table(spark, "documents", sf_dir))
 
 
+def _benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.benford_prices(load_table(spark, "orders", sf_dir))
+
+
+def _revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.revenue_mom_growth(load_table(spark, "orders", sf_dir))
+
+
+def _doc_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.doc_lexical_stats(load_table(spark, "documents", sf_dir))
+
+
+def _copurchase_cheapest_paths(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """4-round Bellman-Ford cheapest costs from customer node 1 over
+    the WEIGHTED co-purchase graph (edge cost = 1_000_000 DIV
+    multiplicity — heavily co-bought pairs are cheap to traverse);
+    min-plus relaxation, distance table contracted per round
+    (operators/graph.bellman_ford_costs); unrolled min-plus CTE
+    oracle. Shares the memoized co-purchase relation."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
+    edges = (G.edges_from_rel_weighted(_copurchase_rel(spark, sf_dir))
+             .select("src", "dst",
+                     F.expr("CAST(1000000 DIV w AS LONG)").alias("cost")))
+    with scoped_shuffle_partitions(spark, 8):
+        return G.bellman_ford_costs(edges, source=1, rounds=4)
+
+
 def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.similarity import bitext_mine
     emb = load_table(spark, "embeddings", sf_dir)
@@ -3252,6 +3283,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the histogram-form Gini length-inequality coefficient
         "length_percentile_docs": _length_percentile_docs,
         "doc_length_gini": _doc_length_gini,
+        # round 7 (batch 8): integer-exact analytics — Benford digit
+        # audit, MoM revenue ratio, CUSUM change point, log2 gap
+        # histogram, lexical diversity, weighted Bellman-Ford
+        "benford_prices": _benford_prices,
+        "revenue_mom_growth": _revenue_mom_growth,
+        "cusum_changepoint": E.cusum_changepoint,
+        "interarrival_hist": E.interarrival_hist,
+        "doc_lexical_stats": _doc_lexical_stats,
+        "copurchase_cheapest_paths": _copurchase_cheapest_paths,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -7643,6 +7683,118 @@ s AS (SELECT sum(v * (c * cb + (c * (c + 1)) // 2)) AS sr,
 SELECT CAST(n AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS total_chars,
        {IR("2 * sr - (n + 1) * t", "n * t")} AS gini
 FROM s
+"""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import (
+        BENFORD_MICRO)
+    _bvals = ", ".join(f"({d}, {int(BENFORD_MICRO[d])})" for d in range(1, 10))
+    out["benford_prices"] = f"""
+WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS cents FROM orders),
+per AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit, count(*) AS n
+        FROM c GROUP BY 1),
+tt AS (SELECT count(*) AS t FROM c),
+b(digit, bexp) AS (VALUES {_bvals}),
+o AS (SELECT per.digit, n, bexp,
+             CAST(floor(((CAST(n AS DECIMAL(30,0)) * 2000000 + t)
+                         - (CAST(n AS DECIMAL(30,0)) * 2000000 + t)
+                           % (CAST(t AS DECIMAL(30,0)) * 2))
+                        / (CAST(t AS DECIMAL(30,0)) * 2) + 0.5) AS BIGINT)
+               AS obs
+      FROM per CROSS JOIN tt JOIN b ON b.digit = per.digit)
+SELECT digit, CAST(n AS BIGINT) AS n_orders, obs AS observed_micro,
+       CAST(bexp AS BIGINT) AS benford_micro,
+       abs(obs - CAST(bexp AS BIGINT)) AS dev_micro
+FROM o ORDER BY digit
+"""
+    out["revenue_mom_growth"] = f"""
+WITH m AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_key,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1),
+l AS (SELECT month_key, rev_cents,
+             lag(rev_cents) OVER (ORDER BY month_key) AS prev_cents
+      FROM m)
+SELECT CAST(month_key AS INTEGER) AS month_key, rev_cents, prev_cents,
+       CASE WHEN prev_cents IS NOT NULL
+            THEN {IR("rev_cents", "prev_cents")} END AS mom_ratio
+FROM l ORDER BY month_key
+"""
+    out["cusum_changepoint"] = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+  FROM events GROUP BY 1),
+cum AS (SELECT day,
+               CAST(sum(y) OVER (ORDER BY day) AS DECIMAL(38,0)) AS c,
+               CAST(row_number() OVER (ORDER BY day) AS DECIMAL(38,0)) AS k
+        FROM d),
+tot AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(y) AS DECIMAL(38,0)) AS gt
+        FROM d),
+s AS (SELECT day, n, gt, abs(n * c - k * gt) AS ns
+      FROM cum CROSS JOIN tot)
+SELECT day AS change_day, CAST(n AS BIGINT) AS n_days,
+       CAST(gt AS BIGINT) AS total_cents,
+       {IR("ns", "n * gt")} AS cusum_micro
+FROM s ORDER BY ns DESC, day LIMIT 1
+"""
+    out["interarrival_hist"] = f"""
+WITH g AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+per AS (SELECT CASE WHEN gap = 0 THEN 0
+                    ELSE CAST(length(bin(gap)) AS INTEGER) END AS bucket,
+               count(*) AS n
+        FROM gg GROUP BY 1),
+tt AS (SELECT count(*) AS t FROM gg)
+SELECT bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0
+                 ELSE 1 << (bucket - 1) END AS BIGINT) AS lo_seconds,
+       CAST(n AS BIGINT) AS n_gaps,
+       {IR("n", "t")} AS share_micro
+FROM per CROSS JOIN tt ORDER BY bucket
+"""
+    out["doc_lexical_stats"] = rf"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      AS n_distinct,
+    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg
+  FROM documents)
+SELECT doc_id, n_tokens, n_distinct,
+       {IR("n_distinct", "n_tokens")} AS ttr_micro,
+       {IR("chars", "n_tokens")} AS mean_word_len_micro,
+       {IR("vg", "n_tokens")} AS vgroups_per_word_micro
+FROM s ORDER BY doc_id
+"""
+    _mp = """SELECT node, min(cost) AS cost FROM (
+    SELECT node, cost FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.cost + e.cost AS cost
+    FROM {prev} d JOIN edges e ON e.src = d.node) GROUP BY node"""
+    out["copurchase_cheapest_paths"] = f"""
+WITH rel AS MATERIALIZED (
+  SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp, count(*) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+edges AS MATERIALIZED (
+  SELECT cust AS src, supp AS dst, CAST(1000000 // w AS BIGINT) AS cost
+  FROM rel
+  UNION ALL
+  SELECT supp AS src, cust AS dst, CAST(1000000 // w AS BIGINT) AS cost
+  FROM rel),
+d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),
+r1 AS MATERIALIZED ({_mp.format(prev="d0")}),
+r2 AS MATERIALIZED ({_mp.format(prev="r1")}),
+r3 AS MATERIALIZED ({_mp.format(prev="r2")}),
+r4 AS MATERIALIZED ({_mp.format(prev="r3")})
+SELECT node, CAST(cost AS BIGINT) AS cost FROM r4 ORDER BY node
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

@@ -190,3 +190,52 @@ def test_rfm_segments_partition_users(spark, sf_dir):
     total = p.agg(F.sum(F.col("value").cast("decimal(18,2)"))
                   .cast("double")).first()[0]
     assert abs(sum(r["total_value"] for r in rows) - total) < 1e-6
+
+
+def test_bellman_ford_cheapest_vs_bruteforce(spark):
+    """4-round min-plus relaxation on a weighted diamond with a cheap
+    long path: 1→2→4 costs 10+10=20 but 1→3→5→4 costs 1+1+1=3 — the
+    cheaper 3-edge path must win over the shorter 2-edge one, and a
+    round cap below the path length must NOT see it."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import bellman_ford_costs
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 4, 10), (1, 3, 1), (3, 5, 1), (5, 4, 1),
+         (7, 8, 1)],
+        "src long, dst long, cost long")
+    got = {r["node"]: r["cost"]
+           for r in bellman_ford_costs(edges, 1, rounds=4).collect()}
+    assert got == {1: 0, 2: 10, 3: 1, 5: 2, 4: 3}
+    capped = {r["node"]: r["cost"]
+              for r in bellman_ford_costs(edges, 1, rounds=2).collect()}
+    assert capped[4] == 20  # only the 2-edge path is visible yet
+
+
+def test_bellman_ford_matches_dijkstra_random(spark):
+    """Random sparse digraph: 6-round relaxation equals a driver-side
+    Dijkstra for every node within 6 hops (the graph is small enough
+    that 6 rounds cover its diameter)."""
+    import heapq
+    import random
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import bellman_ford_costs
+    rng = random.Random(7)
+    n = 40
+    es = [(rng.randrange(n), rng.randrange(n), rng.randint(1, 9))
+          for _ in range(160)]
+    edges = spark.createDataFrame(es, "src long, dst long, cost long")
+    adj: dict = {}
+    for u, v, c in es:
+        adj.setdefault(u, []).append((v, c))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, c in adj.get(u, []):
+            if d + c < dist.get(v, 1 << 60):
+                dist[v] = d + c
+                heapq.heappush(pq, (d + c, v))
+    got = {r["node"]: r["cost"]
+           for r in bellman_ford_costs(edges, 0, rounds=n).collect()}
+    assert got == dist

@@ -676,3 +676,19 @@ def test_doc_length_gini_known_values(spark):
     got = doc_length_gini(mk(lens)).collect()[0]
     assert got["n_docs"] == n and got["total_chars"] == t
     assert abs(got["gini"] - expect) < 1e-9
+
+
+def test_doc_lexical_stats_hand_doc(spark):
+    """Hand doc: 5 tokens, 3 distinct, 20 letters, 7 vowel groups —
+    every ratio is the exact half-up micro value."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.text_analysis import doc_lexical_stats
+    docs = spark.createDataFrame(
+        [(0, "spark spark rules the cluster")],
+        "doc_id long, text string")
+    r = doc_lexical_stats(docs).collect()[0]
+    assert r["n_tokens"] == 5 and r["n_distinct"] == 4
+    assert r["ttr_micro"] == 0.8
+    # chars without whitespace: 5+5+5+3+7 = 25 -> 25/5 = 5.0
+    assert r["mean_word_len_micro"] == 5.0
+    # vowel groups: spark(a) spark(a) rules(u,e) the(e) cluster(u,e) = 7
+    assert r["vgroups_per_word_micro"] == 1.4

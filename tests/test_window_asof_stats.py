@@ -1341,3 +1341,98 @@ def test_embedding_drift_report_shape(spark, sf_dir):
         assert r["shift"] == pytest.approx(r["mean_b"] - r["mean_a"],
                                            abs=2e-6)
     assert embedding_drift_report(emb).collect() == r1
+
+
+def test_benford_prices_hand_counts(spark):
+    """Hand-made price list: digit counts, integer micro shares, and
+    the literal Benford table all line up; digits never 0."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import (
+        BENFORD_MICRO, benford_prices)
+    prices = [1.23, 19.99, 150.00, 1999.01, 2.50, 31.41, 0.97, 9999.99]
+    orders = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prices)],
+        "o_orderkey long, o_totalprice double")
+    rows = {r["digit"]: r for r in benford_prices(orders).collect()}
+    # leading digits of cents: 123->1, 1999->1, 15000->1, 199901->1,
+    # 250->2, 3141->3, 97->9, 999999->9
+    assert {d: rows[d]["n_orders"] for d in rows} == {1: 4, 2: 1, 3: 1, 9: 2}
+    assert rows[1]["observed_micro"] == 500000   # 4/8 half-up micro
+    assert rows[2]["observed_micro"] == 125000
+    for d, r in rows.items():
+        assert r["benford_micro"] == BENFORD_MICRO[d]
+        assert r["dev_micro"] == abs(r["observed_micro"] - BENFORD_MICRO[d])
+
+
+def test_revenue_mom_growth_hand_ratio(spark):
+    """Two months, 2x revenue: ratio is exactly 2.0; first month NULL."""
+    import datetime
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import revenue_mom_growth
+    orders = spark.createDataFrame(
+        [(1, 100.00, datetime.datetime(1995, 1, 10)),
+         (2, 50.00, datetime.datetime(1995, 1, 20)),
+         (3, 300.00, datetime.datetime(1995, 2, 5))],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp")
+    rows = revenue_mom_growth(orders).collect()
+    assert [r["month_key"] for r in rows] == [199501, 199502]
+    assert rows[0]["rev_cents"] == 15000 and rows[0]["mom_ratio"] is None
+    assert rows[1]["prev_cents"] == 15000
+    assert rows[1]["mom_ratio"] == 2.0
+
+
+def test_cusum_changepoint_finds_level_shift(spark, tmp_path, monkeypatch):
+    """A series flat at 10.00/day for 10 days then 30.00/day for 10
+    days: max |CUSUM| lands exactly on the last low day."""
+    import datetime
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import cusum_changepoint
+    rows = []
+    for i in range(20):
+        v = 10.0 if i < 10 else 30.0
+        rows.append((i, datetime.datetime(2024, 1, 1 + i, 12, 0, 0),
+                     1, "purchase", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as EV
+    orig = EV.load_table
+    monkeypatch.setattr(
+        EV, "load_table",
+        lambda s, name, d: s.read.parquet(p) if name == "events"
+        else orig(s, name, d))
+    r = cusum_changepoint(spark, str(tmp_path)).collect()[0]
+    assert r["change_day"] == datetime.date(2024, 1, 10)
+    assert r["n_days"] == 20 and r["total_cents"] == 40000
+    # |n*S_k| peaks at k=10: n*C - k*T = 20*10000 - 10*40000 = -200000
+    # normalized |.|/(n*T) = 200000/800000 = 0.25
+    assert r["cusum_micro"] == 0.25
+
+
+def test_interarrival_hist_hand_gaps(spark, tmp_path, monkeypatch):
+    """One user with gaps 0s, 1s, 5s, 16s: buckets 0, 1, 3, 5 with
+    lo_seconds 0, 1, 4, 16 and quarter shares."""
+    import datetime
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import interarrival_hist
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    offs = [0, 0, 1, 6, 22]   # gaps: 0, 1, 5, 16
+    rows = [(i, base + datetime.timedelta(seconds=o), 1, "view", 1.0, "{}")
+            for i, o in enumerate(offs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as EV
+    orig = EV.load_table
+    monkeypatch.setattr(
+        EV, "load_table",
+        lambda s, name, d: s.read.parquet(p) if name == "events"
+        else orig(s, name, d))
+    got = {r["bucket"]: r for r in interarrival_hist(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 3, 5}
+    assert {b: got[b]["lo_seconds"] for b in got} == {0: 0, 1: 1, 3: 4, 5: 16}
+    for b in got:
+        assert got[b]["n_gaps"] == 1 and got[b]["share_micro"] == 0.25

@@ -1235,3 +1235,86 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
                  F.sum("_spend").cast("double").alias("total_value"))
             .orderBy("r_band", "f_band", "m_band"))
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over DAILY event value totals →
+    one row ``(change_day, n_days, total_cents, cusum_micro)``: the
+    day k maximizing |S_k| where S_k = Σ_{j≤k}(y_j − ȳ) — the
+    standard "did the metric's level shift, and when" screen on an
+    ops dashboard (the max-|CUSUM| day is the estimated change
+    point).
+
+    Integer-exact: daily totals are exact cents (BIGINT), and instead
+    of the double mean the statistic is scaled by n: n·S_k =
+    n·C_k − k·T (C_k = cumulative cents through day k, T = grand
+    total, k = day rank) — all DECIMAL(38,0) products, no FP until
+    the final normalized ratio |n·S_k| / (n·T) in remainder-exact
+    micro units. Ties break to the earliest day. Shape: one day-keyed
+    aggregate (map-side partials, |days| rows), ONE cumulative window
+    over that bounded day table (§12 inventory), a 1-row broadcast
+    total, and a top-1 — never a corpus-sized sort."""
+    from ..functions.rounding import pround_iratio
+
+    e = load_table(spark, "events", sf_dir)
+    daily = (e.groupBy(F.to_date("ts").alias("day"))
+             .agg((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+                  .cast("long").alias("_y")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("_y").over(w).cast("decimal(38,0)").alias("_c"),
+        F.row_number().over(Window.orderBy("day"))
+        .cast("decimal(38,0)").alias("_k"))
+    tot = daily.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+                    F.sum("_y").cast("decimal(38,0)").alias("_t"))
+    s = (cum.join(F.broadcast(tot))
+         .select("day", "_n", "_t",
+                 F.abs(F.col("_n") * F.col("_c")
+                       - F.col("_k") * F.col("_t")).alias("_ns")))
+    return (s.orderBy(F.col("_ns").desc(), "day").limit(1)
+            .select(F.col("day").alias("change_day"),
+                    F.col("_n").cast("long").alias("n_days"),
+                    F.col("_t").cast("long").alias("total_cents"),
+                    pround_iratio(F.col("_ns"), F.col("_n") * F.col("_t"))
+                    .alias("cusum_micro")))
+
+
+def interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed inter-event gap histogram → one row per bucket
+    ``(bucket, lo_seconds, n_gaps, share_micro)``: per-user
+    consecutive-event gaps in whole seconds, bucketed by bit length
+    (bucket 0 = same second, bucket b covers [2^{b-1}, 2^b) seconds)
+    — the burstiness / dwell-time profile that sizes streaming
+    watermarks and session gaps.
+
+    Engine-portable by construction: timestamps FLOOR to epoch
+    seconds (Spark's long cast floors; the oracle must floor(epoch())
+    too — DuckDB's bigint cast ROUNDS), and the bucket is
+    ``length(bin(gap))`` — the bit length of an exact integer,
+    rendered identically by both engines' ``bin`` — never
+    floor(log2(double)), whose libm last-ulp can flip at exact powers
+    of two. Shape: one user-keyed lag window (parallel by user), then
+    a ≤64-group aggregate with a broadcast 1-row total."""
+    from ..functions.rounding import pround_iratio
+
+    e = load_table(spark, "events", sf_dir)
+    sec = F.col("ts").cast("long")
+    prev = F.lag(sec).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    gaps = (e.select((sec - prev).alias("gap"))
+            .filter(F.col("gap").isNotNull()))
+    bucket = F.when(F.col("gap") == 0, F.lit(0)) \
+        .otherwise(F.length(F.bin("gap"))).cast("int")
+    per = gaps.groupBy(bucket.alias("bucket")) \
+        .agg(F.count(F.lit(1)).alias("_n"))
+    tot = gaps.agg(F.count(F.lit(1)).alias("_t"))
+    lo = F.when(F.col("bucket") == 0, F.lit(0)) \
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")) \
+        .cast("long")
+    return (per.join(F.broadcast(tot))
+            .select("bucket", lo.alias("lo_seconds"),
+                    F.col("_n").cast("long").alias("n_gaps"),
+                    pround_iratio(F.col("_n"), F.col("_t"))
+                    .alias("share_micro"))
+            .orderBy("bucket"))

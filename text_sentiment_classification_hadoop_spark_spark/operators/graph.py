@@ -299,3 +299,37 @@ def cooccurrence_topk(rel: DataFrame, k: int = 20) -> DataFrame:
     return (j.orderBy(F.col("jaccard_micro").desc(),
                       F.col("supp_a").asc(), F.col("supp_b").asc())
             .limit(k))
+
+
+def bellman_ford_costs(edges: DataFrame, source: int,
+                       rounds: int = 4,
+                       cost_col: str = "cost") -> DataFrame:
+    """K-round Bellman-Ford single-source cheapest costs over a
+    weighted directed edge list ``(src, dst, <cost_col>)`` →
+    ``(node, cost)`` = the minimum path cost from ``source`` using at
+    most ``rounds`` edges (integer costs; unreached nodes absent).
+    The weighted companion to :func:`bfs_depths` — hop counts become
+    additive costs, min-plus relaxation replaces the frontier visit.
+
+    Pregel-style and bounded: each round equi-joins the CURRENT
+    distance table (≤ |nodes| rows — contracted to min-per-node every
+    round, so path proliferation never materializes) against the edge
+    list on ``src``, unions, and re-minimizes; ``localCheckpoint``
+    per round keeps lineage flat. Fixed round count (no convergence
+    probe) keeps the operator deterministic and oracle-mirrorable as
+    K unrolled min-plus CTEs. At 100 TB the per-round shuffle is
+    distance-table × average-degree — frontier-scaled, never
+    graph²."""
+    sess = edges.sparkSession
+    dist = (sess.createDataFrame([(int(source), 0)], "node long, cost long")
+            .localCheckpoint(eager=True))
+    e = edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"),
+                     F.col(cost_col).alias("_c"))
+    for _ in range(rounds):
+        relaxed = (dist.join(e, dist.node == e._s)
+                   .select(F.col("_d").alias("node"),
+                           (F.col("cost") + F.col("_c")).alias("cost")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("cost").alias("cost"))
+                .localCheckpoint(eager=True))
+    return dist.orderBy("node")

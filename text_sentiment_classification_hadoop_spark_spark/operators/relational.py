@@ -1669,3 +1669,80 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str,
             .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name")
             .limit(100))
+
+
+BENFORD_MICRO = {d: __import__("math").floor(
+    __import__("math").log10(1.0 + 1.0 / d) * 1e6 + 0.5) for d in range(1, 10)}
+"""Benford first-digit expectation log10(1+1/d), half-up micro-units.
+
+Computed ONCE at import as a Python literal table and injected into
+both engines as constants, so no runtime libm call (whose last-ulp
+behavior differs across engines) ever enters the comparison."""
+
+
+def benford_prices(orders: DataFrame) -> DataFrame:
+    """First-digit Benford's-law audit over ``o_totalprice`` → 9 rows
+    ``(digit, n_orders, observed_micro, benford_micro, dev_micro)`` —
+    the classic fraud / data-quality screen (synthetic or fabricated
+    money columns flunk it; organic ones follow log10(1+1/d)).
+
+    Integer-exact throughout — NO floating point reaches the output:
+    the price becomes exact CENTS (DECIMAL(18,2)·100 → BIGINT), the
+    leading digit is the first character of the cents' decimal
+    rendering (multiplying by 100 shifts the point without touching
+    the mantissa digits — no log10/pow10 on doubles, whose floor can
+    ulp-flip at exact powers of ten), the observed share is the
+    remainder-exact half-up integer micro count (the pround_iratio
+    protocol kept IN integers: M = (A − A%B)/B is an exact decimal
+    multiple, cast to BIGINT), and the Benford expectation is the
+    import-time literal table above. Shape: one 9-group aggregate
+    with map-side partials + a broadcast 1-row total — a single
+    corpus pass at any scale."""
+    cents = (dec2(F.col("o_totalprice")) * 100).cast("long")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = orders.groupBy(d.alias("digit")) \
+        .agg(F.count(F.lit(1)).alias("_n"))
+    tot = orders.agg(F.count(F.lit(1)).alias("_t"))
+    a = F.col("_n").cast("decimal(30,0)") * F.lit(2_000_000) + F.col("_t")
+    b = F.col("_t").cast("decimal(30,0)") * F.lit(2)
+    obs = ((a - a % b) / b).cast("long")
+    bexp = F.element_at(
+        F.array(*[F.lit(int(BENFORD_MICRO[i])) for i in range(1, 10)]),
+        F.col("digit")).cast("long")
+    return (per.join(F.broadcast(tot))
+            .select(F.col("digit"),
+                    F.col("_n").cast("long").alias("n_orders"),
+                    obs.alias("observed_micro"),
+                    bexp.alias("benford_micro"),
+                    F.abs(obs - bexp).alias("dev_micro"))
+            .orderBy("digit"))
+
+
+def revenue_mom_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue ratio → one row per order month
+    ``(month_key, rev_cents, prev_cents, mom_ratio)`` where
+    ``month_key = year·100 + month`` (an integer key — no date
+    FORMATTING enters the comparison) and ``mom_ratio`` is this
+    month's revenue over last month's in remainder-exact 6-dp units
+    (NULL for the first month). The growth-dashboard primitive.
+
+    Revenue is summed as exact cents (DECIMAL(18,2)·100 → BIGINT per
+    month), so the lag ratio divides two exact integers. Shape: one
+    month-keyed aggregate (map-side partials, |months| rows ≈ 84 for
+    TPC-H's 7-year clock at ANY scale factor) and one lag window over
+    that bounded month table — inventoried in SCALE.md §12."""
+    from ..functions.rounding import pround_iratio
+
+    mk = (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+    m = (orders.groupBy(mk.alias("month_key"))
+         .agg((F.sum(dec2(F.col("o_totalprice"))) * 100)
+              .cast("long").alias("rev_cents")))
+    w = Window.orderBy("month_key")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        F.col("month_key").cast("int").alias("month_key"),
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.when(prev.isNotNull(),
+               pround_iratio(F.col("rev_cents"), prev))
+        .alias("mom_ratio")).orderBy("month_key")

@@ -855,3 +855,37 @@ def ctfidf_keywords(df: DataFrame, group_col: str = "lang",
     return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
             .filter(F.col("rk") <= top_k)
             .orderBy("grp", "rk"))
+
+
+def doc_lexical_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document lexical-diversity profile → ``(doc_id, n_tokens,
+    n_distinct, ttr_micro, mean_word_len_micro, vgroups_per_word_micro)``
+    — the type-token ratio (templated / machine-generated text scores
+    LOW), mean word length, and vowel-group-per-word syllable proxy
+    that curation pipelines threshold on before training-set
+    admission.
+
+    All-native row expressions (split / array_distinct /
+    aggregate-free): counts are exact integers and every ratio uses
+    the remainder-exact half-up protocol, so the output hashes
+    engine-stably. The whole operator is a narrow map — no shuffle,
+    no UDF; at 100 TB it rides the scan."""
+    from ..functions.rounding import pround_iratio
+
+    text = F.col(text_col)
+    toks = F.split(text, r"\s+")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    vg = F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+"))
+    return (df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        pround_iratio(nd.cast("long"), n.cast("long")).alias("ttr_micro"),
+        pround_iratio(chars.cast("long"), n.cast("long"))
+        .alias("mean_word_len_micro"),
+        pround_iratio(vg.cast("long"), n.cast("long"))
+        .alias("vgroups_per_word_micro"))
+        .orderBy(id_col))
