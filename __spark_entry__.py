@@ -2716,6 +2716,11 @@ def _copurchase_cheapest_paths(spark: SparkSession,
         return G.bellman_ford_costs(edges, source=1, rounds=4)
 
 
+def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pca_power_top_component(
+        load_table(spark, "embeddings", sf_dir))
+
+
 def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.similarity import bitext_mine
     emb = load_table(spark, "embeddings", sf_dir)
@@ -3292,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_hist": E.interarrival_hist,
         "doc_lexical_stats": _doc_lexical_stats,
         "copurchase_cheapest_paths": _copurchase_cheapest_paths,
+        "embedding_pca_power": _embedding_pca_power,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -7795,6 +7801,37 @@ r2 AS MATERIALIZED ({_mp.format(prev="r1")}),
 r3 AS MATERIALIZED ({_mp.format(prev="r2")}),
 r4 AS MATERIALIZED ({_mp.format(prev="r3")})
 SELECT node, CAST(cost AS BIGINT) AS cost FROM r4 ORDER BY node
+"""
+    _pit = []
+    for _k in range(1, 9):
+        _pv = "v0" if _k == 1 else f"v{_k - 1}"
+        _pit.append(f"""w{_k} AS MATERIALIZED (
+  SELECT c.i AS d, sum(c.cij * v.v) AS w
+  FROM c JOIN {_pv} v ON v.d = c.j GROUP BY 1),
+v{_k} AS MATERIALIZED (
+  SELECT d, CASE WHEN w < 0 THEN -1 ELSE 1 END
+            * ((abs(w) * 1000000) // (SELECT max(abs(w)) FROM w{_k}))
+            AS v
+  FROM w{_k})""")
+    out["embedding_pca_power"] = f"""
+WITH au AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS xu
+  FROM embeddings),
+gram AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j,
+         CAST(sum(CAST(a.xu AS HUGEINT) * b.xu) AS HUGEINT) AS g
+  FROM au a JOIN au b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+su AS (SELECT d, CAST(sum(xu) AS HUGEINT) AS s FROM au GROUP BY d),
+c AS MATERIALIZED (
+  SELECT gram.i, gram.j,
+         (SELECT count(*) FROM embeddings) * g - si.s * sj.s AS cij
+  FROM gram JOIN su si ON si.d = gram.i JOIN su sj ON sj.d = gram.j),
+v0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS v FROM su),
+{", ".join(_pit)}
+SELECT CAST(d AS INTEGER) AS d, CAST(v AS BIGINT) AS loading_micro
+FROM v8 ORDER BY d
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

@@ -1010,3 +1010,33 @@ def test_source_overlap_counts_shared_prefixes(spark):
     r = got[0]
     assert (r["source_a"], r["source_b"]) == ("books", "web")
     assert r["shared_fingerprints"] == 1
+
+
+def test_pca_power_finds_dominant_axis(spark):
+    """Anisotropic cloud: variance 100x larger along a known oblique
+    direction — the power iteration's max-normalized loading vector
+    must align with numpy's top eigenvector of the same centered
+    integer-micro scatter matrix (cosine > 0.999), with the dominant
+    component pinned at ±1e6 by construction."""
+    import math
+    import random
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import (
+        pca_power_top_component)
+    rng = random.Random(11)
+    axis = [0.6, 0.8, 0.0, 0.0]
+    rows = []
+    for i in range(300):
+        t = rng.gauss(0, 10.0)
+        noise = [rng.gauss(0, 0.5) for _ in range(4)]
+        vec = [t * a + e + 3.0 for a, e in zip(axis, noise)]
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["d"]: r["loading_micro"]
+           for r in pca_power_top_component(emb, iters=12).collect()}
+    v = [got[d] for d in range(4)]
+    assert max(abs(x) for x in v) == 1_000_000
+    dot = sum(a * b for a, b in zip(axis, v))
+    cos = abs(dot) / (math.sqrt(sum(a * a for a in axis))
+                      * math.sqrt(sum(b * b for b in v)))
+    assert cos > 0.999, (cos, v)
