@@ -1274,7 +1274,10 @@ def pca_power_top_component(emb: DataFrame, vec_col: str = "embedding",
         F.transform(F.col(vec_col),
                     lambda x: F.floor(x.cast("double") * F.lit(1000000.0)
                                       + F.lit(0.5)).cast("long")))
-    au = emb.select(F.col(id_col).alias("_v"), xu_col.alias("d", "xu"))
+    # widen BEFORE the dims²-fan-out self-join: a single-row-group
+    # parquet input would run the CPU-heavy Gram stage on one task
+    au = widen(emb).select(F.col(id_col).alias("_v"),
+                           xu_col.alias("d", "xu"))
     a = au.select(F.col("_v"), F.col("d").alias("i"), F.col("xu").alias("_xi"))
     b = au.select(F.col("_v"), F.col("d").alias("j"), F.col("xu").alias("_xj"))
     gram = (a.join(b, "_v")
