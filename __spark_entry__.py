@@ -3298,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lexical_stats": _doc_lexical_stats,
         "copurchase_cheapest_paths": _copurchase_cheapest_paths,
         "embedding_pca_power": _embedding_pca_power,
+        "events_value_drift": E.value_drift,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -7832,6 +7833,35 @@ v0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS v FROM su),
 {", ".join(_pit)}
 SELECT CAST(d AS INTEGER) AS d, CAST(v AS BIGINT) AS loading_micro
 FROM v8 ORDER BY d
+"""
+
+    def _imicro(n: str, t: str) -> str:
+        a = f"(CAST({n} AS DECIMAL(30,0)) * 2000000 + {t})"
+        b = f"(CAST({t} AS DECIMAL(30,0)) * 2)"
+        return f"CAST(floor(({a} - {a} % {b}) / {b} + 0.5) AS BIGINT)"
+
+    out["events_value_drift"] = f"""
+WITH bnd AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+                    CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+             FROM events),
+x AS (SELECT CASE WHEN c = 0 THEN 0
+                  ELSE CAST(length(bin(c)) AS INTEGER) END AS bucket,
+             CASE WHEN s > (lo + hi) // 2 THEN 1 ELSE 0 END AS half
+      FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s
+            FROM events) CROSS JOIN bnd),
+per AS (SELECT bucket, sum(1 - half) AS na, sum(half) AS nb
+        FROM x GROUP BY 1),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM per),
+m AS (SELECT bucket, na, nb,
+             {_imicro("na", "ta")} AS p,
+             {_imicro("nb", "tb")} AS q
+      FROM per CROSS JOIN tot)
+SELECT bucket, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       p AS p_micro, q AS q_micro,
+       CASE WHEN p + q > 0 THEN (p - q) * (p - q) // (p + q)
+            ELSE CAST(0 AS BIGINT) END AS contrib_micro
+FROM m ORDER BY bucket
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

@@ -1436,3 +1436,37 @@ def test_interarrival_hist_hand_gaps(spark, tmp_path, monkeypatch):
     assert {b: got[b]["lo_seconds"] for b in got} == {0: 0, 1: 1, 3: 4, 5: 16}
     for b in got:
         assert got[b]["n_gaps"] == 1 and got[b]["share_micro"] == 0.25
+
+
+def test_value_drift_hand_shift(spark, tmp_path, monkeypatch):
+    """First half all 1.00 (cents 100 -> bucket 7), second half all
+    40.96 (cents 4096 -> bucket 13): shares are 1e6 on opposite sides
+    and each bucket's contribution is (1e6)^2 DIV 1e6 = 1e6."""
+    import datetime
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import value_drift
+    rows = []
+    for i in range(10):
+        v = 1.00 if i < 5 else 40.96
+        rows.append((i, datetime.datetime(2024, 1, 1, 0, 0, i), 1,
+                     "view", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as EV
+    orig = EV.load_table
+    monkeypatch.setattr(
+        EV, "load_table",
+        lambda s, name, d: s.read.parquet(p) if name == "events"
+        else orig(s, name, d))
+    got = {r["bucket"]: r for r in value_drift(spark, str(tmp_path)).collect()}
+    # midpoint second = (0+9)//2 = 4: events 0-4 are half A (5 rows),
+    # 5-9 half B (5 rows)
+    assert set(got) == {7, 13}
+    assert (got[7]["n_a"], got[7]["n_b"]) == (5, 0)
+    assert (got[13]["n_a"], got[13]["n_b"]) == (0, 5)
+    for b in (7, 13):
+        assert {got[b]["p_micro"], got[b]["q_micro"]} == {0, 1000000}
+        assert got[b]["contrib_micro"] == 1000000

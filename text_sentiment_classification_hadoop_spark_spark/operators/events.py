@@ -1318,3 +1318,57 @@ def interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pround_iratio(F.col("_n"), F.col("_t"))
                     .alias("share_micro"))
             .orderBy("bucket"))
+
+
+def value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift screen between the FIRST and SECOND
+    half of the event timeline → one row per value bucket
+    ``(bucket, n_a, n_b, p_micro, q_micro, contrib_micro)`` — the
+    "did the metric's distribution shift" monitor run before trusting
+    a trained model on this week's traffic. ``contrib_micro`` is the
+    per-bucket term of the χ²-style divergence Σ (p−q)²/(p+q); the
+    classic PSI's log-ratio is deliberately NOT used — ln() is a libm
+    call whose last-ulp differs across engines, while this statistic
+    is exact integer arithmetic end to end.
+
+    Integer-exact: the timeline splits at the integer midpoint of
+    floored epoch seconds ((min+max) DIV 2 — no double time math),
+    the bucket is the bit length of exact CENTS (``bin()`` rendering,
+    as in :func:`interarrival_hist`), shares are remainder-exact
+    integer micros, and the contribution is ``(p−q)² DIV (p+q)`` on
+    those BIGINT micros. Shape: one min/max aggregate (broadcast
+    back), one ≤64-group conditional aggregate — two corpus passes,
+    no window, nothing corpus-sized downstream."""
+    e = load_table(spark, "events", sf_dir)
+    sec = F.col("ts").cast("long")
+    bounds = e.agg(F.min(sec).alias("_lo"), F.max(sec).alias("_hi"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    bucket = F.when(cents == 0, F.lit(0)) \
+        .otherwise(F.length(F.bin(cents))).cast("int")
+    per = (e.join(F.broadcast(bounds))
+           .select(bucket.alias("bucket"),
+                   F.expr("CAST(CASE WHEN CAST(ts AS LONG) > "
+                          "(_lo + _hi) DIV 2 THEN 1 ELSE 0 END AS INT)")
+                   .alias("_b"))
+           .groupBy("bucket")
+           .agg(F.sum(1 - F.col("_b")).alias("_na"),
+                F.sum("_b").alias("_nb")))
+    tot = per.agg(F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb"))
+
+    def _micro(n, t):
+        a = n.cast("decimal(30,0)") * F.lit(2_000_000) + t
+        b = t.cast("decimal(30,0)") * F.lit(2)
+        return ((a - a % b) / b).cast("long")
+
+    named = (per.join(F.broadcast(tot))
+             .select("bucket",
+                     F.col("_na").cast("long").alias("n_a"),
+                     F.col("_nb").cast("long").alias("n_b"),
+                     _micro(F.col("_na"), F.col("_ta")).alias("p_micro"),
+                     _micro(F.col("_nb"), F.col("_tb")).alias("q_micro")))
+    return (named.withColumn(
+        "contrib_micro",
+        F.expr("CASE WHEN p_micro + q_micro > 0 THEN "
+               "(p_micro - q_micro) * (p_micro - q_micro) "
+               "DIV (p_micro + q_micro) ELSE CAST(0 AS BIGINT) END"))
+        .orderBy("bucket"))
