@@ -2716,6 +2716,54 @@ def _copurchase_cheapest_paths(spark: SparkSession,
         return G.bellman_ford_costs(edges, source=1, rounds=4)
 
 
+def _nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram over the NB margin's deciles →
+    ``(bucket, n, n_pos, pos_rate_micro, min_m, max_m)`` — does a
+    higher margin actually mean a higher empirical positive rate?
+    (The PR curve reads operating points; this reads CALIBRATION.)
+    Bucketing is ntile(10) over the total order (margin, doc_id) —
+    deterministic under margin ties; the per-bucket extremes are
+    min/max picks (order-independent doubles), the rate is the
+    remainder-exact integer ratio. Same single-task-sort caveat and
+    scale swap as `_nb_pr_curve` (test-set-sized window; two-phase
+    rank at corpus scale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import (
+        pround, sql_pround_iratio)
+    from text_sentiment_classification_hadoop_spark_spark.operators import nb as NB
+    _, test = S.train_test(S.labeled_documents(spark, sf_dir))
+    model, stats = S._nb_trained(spark, sf_dir)
+    scored = NB.nb_score(test, model, stats)
+    marg = scored.select(
+        "doc_id", "label",
+        pround(F.col("score_pos") - F.col("score_neg"), 6).alias("m"))
+    b = F.ntile(10).over(Window.orderBy("m", "doc_id"))
+    return (marg.select(b.alias("bucket"), "label", "m")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.when(F.col("label") == 1.0, 1).otherwise(0))
+                 .cast("long").alias("n_pos"),
+                 F.min("m").alias("min_m"),
+                 F.max("m").alias("max_m"))
+            .withColumn("pos_rate_micro",
+                        F.expr(sql_pround_iratio("n_pos", "n")))
+            .select("bucket", "n", "n_pos", "pos_rate_micro",
+                    "min_m", "max_m")
+            .orderBy("bucket"))
+
+
+def _basket_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 association rules by lift over the co-purchase baskets
+    (operators/graph.association_rules_topk); shares the memoized
+    orders×lineitem relation with the graph family."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
+    with scoped_shuffle_partitions(spark, 8):
+        return G.association_rules_topk(_copurchase_rel(spark, sf_dir))
+
+
 def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pca_power_top_component(
         load_table(spark, "embeddings", sf_dir))
@@ -3299,6 +3347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_cheapest_paths": _copurchase_cheapest_paths,
         "embedding_pca_power": _embedding_pca_power,
         "events_value_drift": E.value_drift,
+        "basket_rules_topk": _basket_rules_topk,
+        "nb_calibration": _nb_calibration,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -7862,6 +7912,61 @@ SELECT bucket, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        CASE WHEN p + q > 0 THEN (p - q) * (p - q) // (p + q)
             ELSE CAST(0 AS BIGINT) END AS contrib_micro
 FROM m ORDER BY bucket
+"""
+    out["basket_rules_topk"] = """
+WITH rel AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nn AS (SELECT count(DISTINCT cust) AS nt FROM rel),
+deg AS (SELECT supp, count(*) AS deg FROM rel GROUP BY 1),
+pairs AS (
+  SELECT a.supp AS sa, b.supp AS sb, count(*) AS n_co
+  FROM rel a JOIN rel b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+dirs AS (
+  SELECT sa AS ante, sb AS cons, n_co FROM pairs
+  UNION ALL
+  SELECT sb AS ante, sa AS cons, n_co FROM pairs),
+j AS (SELECT ante, cons, da.deg AS na, dc.deg AS nc, n_co, nt
+      FROM dirs
+      JOIN deg da ON da.supp = ante
+      JOIN deg dc ON dc.supp = cons
+      CROSS JOIN nn)
+SELECT ante, cons, CAST(na AS BIGINT) AS n_ante,
+       CAST(nc AS BIGINT) AS n_cons, CAST(n_co AS BIGINT) AS n_co,
+       CAST((n_co * 1000000) // nt AS BIGINT) AS support_micro,
+       CAST((n_co * 1000000) // na AS BIGINT) AS confidence_micro,
+       CAST((CAST(n_co AS HUGEINT) * nt * 1000000)
+            // (CAST(na AS HUGEINT) * nc) AS BIGINT) AS lift_micro
+FROM j ORDER BY lift_micro DESC, ante, cons LIMIT 20
+"""
+    out["nb_calibration"] = f"""
+WITH {DOCS_CTE},
+sums AS (
+  SELECT t.doc_id,
+         sum(ln((m.pos_count + 1) / (s.pos_w + vb.v))) AS s_pos,
+         sum(ln((m.neg_count + 1) / (s.neg_w + vb.v))) AS s_neg
+  FROM tok_test t JOIN model m USING (word), stats s, vocab vb
+  GROUP BY t.doc_id
+),
+marg AS (
+  SELECT d.doc_id, d.label,
+         floor(((ln(s.pos_t / s.tweets) + coalesce(su.s_pos, 0.0))
+                - (ln(s.neg_t / s.tweets) + coalesce(su.s_neg, 0.0)))
+               * 1000000.0 + 0.5) / 1000000.0 AS m
+  FROM test d LEFT JOIN sums su USING (doc_id), stats s
+),
+bk AS (
+  SELECT ntile(10) OVER (ORDER BY m, doc_id) AS bucket, label, m
+  FROM marg
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       {IR("sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END)", "count(*)")}
+         AS pos_rate_micro,
+       min(m) AS min_m, max(m) AS max_m
+FROM bk GROUP BY bucket ORDER BY bucket
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

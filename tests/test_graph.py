@@ -239,3 +239,24 @@ def test_bellman_ford_matches_dijkstra_random(spark):
     got = {r["node"]: r["cost"]
            for r in bellman_ford_costs(edges, 0, rounds=n).collect()}
     assert got == dist
+
+
+def test_association_rules_hand_values(spark):
+    """Baskets c1={A,B}, c2={A,B}, c3={A}, c4={B,C}... exact directed
+    confidence and lift, floor-micro, both rule directions emitted."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.graph import association_rules_topk
+    # (cust, supp, w): A=10 bought by c1,c2,c3; B=20 by c1,c2,c4; C=30 by c4
+    rel = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 1), (2, 10, 1), (2, 20, 1), (3, 10, 1),
+         (4, 20, 1), (4, 30, 1)],
+        "cust long, supp long, w long")
+    rows = {(r["ante"], r["cons"]): r
+            for r in association_rules_topk(rel, k=10, min_co=2).collect()}
+    # only pair with n_co >= 2 is (10, 20): n_co=2, n_A=3, n_B=3, N=4
+    assert set(rows) == {(10, 20), (20, 10)}
+    r = rows[(10, 20)]
+    assert (r["n_ante"], r["n_cons"], r["n_co"]) == (3, 3, 2)
+    assert r["support_micro"] == 500000            # 2/4
+    assert r["confidence_micro"] == 666666         # floor(2/3 micro)
+    assert r["lift_micro"] == 888888               # floor(2*4/(3*3) micro)
+    assert rows[(20, 10)]["confidence_micro"] == 666666

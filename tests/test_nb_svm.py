@@ -252,3 +252,20 @@ def test_nb_pr_curve_monotonicity(spark):
             assert 0.0 <= r["precision"] <= 1.0
         if r["recall"] is not None:
             assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_nb_calibration_partitions_and_monotone(spark, sf_dir):
+    """The 10 margin-decile buckets partition the test set (sizes sum
+    to n, each within 1 of n/10), bucket margin ranges are disjoint
+    and ascending, and pos_rate is the exact micro ratio."""
+    import __spark_entry__ as entry
+    rows = entry._nb_calibration(spark, sf_dir).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    n = sum(r["n"] for r in rows)
+    for r in rows:
+        assert abs(r["n"] - n / 10) <= 1
+        assert r["min_m"] <= r["max_m"]
+        assert r["pos_rate_micro"] == round(r["n_pos"] / r["n"] + 1e-12, 6) \
+            or abs(r["pos_rate_micro"] - r["n_pos"] / r["n"]) < 1e-6
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_m"] <= b["min_m"]

@@ -333,3 +333,58 @@ def bellman_ford_costs(edges: DataFrame, source: int,
                 .groupBy("node").agg(F.min("cost").alias("cost"))
                 .localCheckpoint(eager=True))
     return dist.orderBy("node")
+
+
+def association_rules_topk(rel: DataFrame, k: int = 20,
+                           min_co: int = 2) -> DataFrame:
+    """Directed association rules over the same bipartite baskets as
+    :func:`cooccurrence_topk` → the ``k`` rules ``ante ⇒ cons`` with
+    the highest lift: ``(ante, cons, n_ante, n_cons, n_co,
+    support_micro, confidence_micro, lift_micro)`` — the recommender/
+    market-basket staple (support = P(a,b), confidence = P(b|a),
+    lift = P(a,b)/(P(a)P(b))).
+
+    Same plan skeleton as the undirected co-occurrence (basket
+    self-join on the customer key, a<b orientation generated ONCE
+    then mirrored into both rule directions — never an item×item
+    product; broadcast degree table; TakeOrdered top-k), with every
+    metric in exact integer micro-units: support and confidence by
+    the remainder-exact protocol, lift as ``(n_co·N·10^6) DIV
+    (n_a·n_b)`` computed in DECIMAL(38,0) so the product can't wrap a
+    BIGINT at large N (the `holdout_ab_lift` overflow lesson). The
+    ``min_co`` floor prunes noise pairs before the mirror. Hub-basket
+    quadratic and its caps: see :func:`cooccurrence_topk`."""
+    r = rel.select("cust", "supp")
+    n_total = r.select("cust").distinct().count()
+    deg = r.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    a = r.select(F.col("cust"), F.col("supp").alias("supp_a"))
+    b = r.select(F.col("cust"), F.col("supp").alias("supp_b"))
+    pairs = (a.join(b, "cust")
+             .filter(F.col("supp_a") < F.col("supp_b"))
+             .groupBy("supp_a", "supp_b")
+             .agg(F.count(F.lit(1)).alias("n_co"))
+             .filter(F.col("n_co") >= min_co))
+    both = pairs.select(F.col("supp_a").alias("ante"),
+                        F.col("supp_b").alias("cons"), "n_co") \
+        .unionByName(pairs.select(F.col("supp_b").alias("ante"),
+                                  F.col("supp_a").alias("cons"), "n_co"))
+    j = (both
+         .join(F.broadcast(deg.select(F.col("supp").alias("ante"),
+                                      F.col("deg").alias("_na"))), "ante")
+         .join(F.broadcast(deg.select(F.col("supp").alias("cons"),
+                                      F.col("deg").alias("_nc"))), "cons"))
+    lift = F.expr(
+        f"CAST((CAST(n_co AS DECIMAL(38,0)) * {int(n_total)} * 1000000)"
+        " DIV (CAST(_na AS DECIMAL(38,0)) * _nc) AS BIGINT)")
+    conf = F.expr("CAST((n_co * 1000000) DIV _na AS BIGINT)")
+    supp = F.expr(
+        f"CAST((n_co * 1000000) DIV {int(n_total)} AS BIGINT)")
+    return (j.select("ante", "cons",
+                     F.col("_na").cast("long").alias("n_ante"),
+                     F.col("_nc").cast("long").alias("n_cons"),
+                     F.col("n_co").cast("long").alias("n_co"),
+                     supp.alias("support_micro"),
+                     conf.alias("confidence_micro"),
+                     lift.alias("lift_micro"))
+            .orderBy(F.col("lift_micro").desc(), "ante", "cons")
+            .limit(k))
