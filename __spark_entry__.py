@@ -2716,6 +2716,10 @@ def _copurchase_cheapest_paths(spark: SparkSession,
         return G.bellman_ford_costs(edges, source=1, rounds=4)
 
 
+def _brand_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.brand_price_deciles(load_table(spark, "part", sf_dir))
+
+
 def _nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram over the NB margin's deciles →
     ``(bucket, n, n_pos, pos_rate_micro, min_m, max_m)`` — does a
@@ -3349,6 +3353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_drift": E.value_drift,
         "basket_rules_topk": _basket_rules_topk,
         "nb_calibration": _nb_calibration,
+        "brand_price_deciles": _brand_price_deciles,
+        "l_diversity_report": R.l_diversity_report,
+        "conversion_lifetable": E.conversion_lifetable,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -7967,6 +7974,69 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n,
          AS pos_rate_micro,
        min(m) AS min_m, max(m) AS max_m
 FROM bk GROUP BY bucket ORDER BY bucket
+"""
+    out["brand_price_deciles"] = """
+WITH x AS (SELECT p_brand, p_partkey,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS c
+           FROM part),
+t AS (SELECT p_brand,
+             ntile(10) OVER (PARTITION BY p_brand
+                             ORDER BY c, p_partkey) AS decile, c
+      FROM x)
+SELECT p_brand, decile, CAST(count(*) AS BIGINT) AS n_parts,
+       min(c) AS lo_cents, max(c) AS hi_cents
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["l_diversity_report"] = """
+WITH x AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c = 0 THEN 0
+              WHEN c < 0 THEN -CAST(length(bin(abs(c))) AS INTEGER)
+              ELSE CAST(length(bin(abs(c))) AS INTEGER) END AS band
+  FROM (SELECT c_nationkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM customer))
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_n,
+       CAST(count(DISTINCT band) AS BIGINT) AS n_sensitive,
+       count(DISTINCT band) < 3 AS at_risk
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["conversion_lifetable"] = f"""
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN d END) AS fv,
+         min(CASE WHEN event_type = 'purchase' THEN d END) AS fp
+  FROM (SELECT user_id, event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events) GROUP BY user_id),
+hz AS (SELECT max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+              AS h
+       FROM events),
+u AS (SELECT CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END
+               AS ev,
+             CASE WHEN fp IS NOT NULL AND fp >= fv THEN fp - fv
+                  ELSE h - fv END AS dur
+      FROM pu CROSS JOIN hz WHERE fv IS NOT NULL),
+per AS (SELECT CASE WHEN dur = 0 THEN 0
+                    ELSE CAST(length(bin(dur)) AS INTEGER) END AS bucket,
+               sum(ev) AS nev, sum(1 - ev) AS ncen
+        FROM u GROUP BY 1),
+nt AS (SELECT count(*) AS n FROM u),
+cum AS (SELECT bucket, nev, ncen,
+               coalesce(sum(nev + ncen)
+                        OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS xb
+        FROM per)
+SELECT bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0
+                 ELSE 1 << (bucket - 1) END AS BIGINT) AS lo_days,
+       CAST(nev AS BIGINT) AS n_events, CAST(ncen AS BIGINT) AS n_censored,
+       CAST(n - xb AS BIGINT) AS at_risk,
+       {IR("nev", "n - xb")} AS hazard_micro
+FROM cum CROSS JOIN nt ORDER BY bucket
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

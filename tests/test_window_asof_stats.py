@@ -1470,3 +1470,41 @@ def test_value_drift_hand_shift(spark, tmp_path, monkeypatch):
     for b in (7, 13):
         assert {got[b]["p_micro"], got[b]["q_micro"]} == {0, 1000000}
         assert got[b]["contrib_micro"] == 1000000
+
+
+def test_brand_price_deciles_partition_and_edges(spark, sf_dir):
+    """Deciles partition each brand (sizes within 1), edges are
+    non-overlapping and ascending within a brand."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import brand_price_deciles
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    part = load_table(spark, "part", sf_dir)
+    rows = brand_price_deciles(part).collect()
+    by_brand: dict = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], []).append(r)
+    n_parts = part.count()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    for brand, rs in by_brand.items():
+        rs.sort(key=lambda r: r["decile"])
+        sizes = [r["n_parts"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["lo_cents"] <= a["hi_cents"] <= b["lo_cents"]
+
+
+def test_conversion_lifetable_accounting(spark, sf_dir):
+    """Lifetable bookkeeping: at_risk decreases by exactly the prior
+    bucket's exits, the first bucket's at_risk is the full cohort,
+    and events+censored per bucket never exceed its at_risk."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import conversion_lifetable
+    rows = conversion_lifetable(spark, sf_dir).collect()
+    assert rows, "cohort must be non-empty"
+    total = rows[0]["at_risk"]
+    assert total == sum(r["n_events"] + r["n_censored"] for r in rows)
+    run = total
+    for r in rows:
+        assert r["at_risk"] == run
+        assert r["n_events"] + r["n_censored"] <= r["at_risk"]
+        assert 0 <= r["hazard_micro"] <= 1
+        run -= r["n_events"] + r["n_censored"]
+    assert run == 0

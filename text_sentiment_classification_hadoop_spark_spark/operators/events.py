@@ -1372,3 +1372,68 @@ def value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                "(p_micro - q_micro) * (p_micro - q_micro) "
                "DIV (p_micro + q_micro) ELSE CAST(0 AS BIGINT) END"))
         .orderBy("bucket"))
+
+
+def conversion_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete survival lifetable for view→purchase conversion → one
+    row per log2 day-bucket ``(bucket, lo_days, n_events, n_censored,
+    at_risk, hazard_micro)`` — the actuarial "how fast do users
+    convert, and at what rate per horizon" table (Kaplan-Meier's
+    discrete sibling; hazard_b = events_b / at-risk-at-bucket-start).
+
+    Exact and engine-stable: durations are whole-day integers (first
+    qualifying purchase day − first view day; users who never convert
+    are right-CENSORED at the global max event day), the bucket is
+    the integer bit length (the :func:`interarrival_hist` trick), the
+    at-risk count is N minus the cumulative exits BEFORE the bucket
+    (one window over the ≤64-row bucket table — §12 bounded), and the
+    hazard is the remainder-exact integer ratio. Denominator is
+    always positive: a bucket's own members are at risk at its start.
+    Shape: one user-level rollup (user-keyed partials), one scalar
+    horizon broadcast, one ≤64-group aggregate + bounded window."""
+    from ..functions.rounding import pround_iratio
+
+    e = load_table(spark, "events", sf_dir)
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    per_user = (e.select("user_id", "event_type", day.alias("_d"))
+                .groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "view",
+                                  F.col("_d"))).alias("_fv"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.col("_d"))).alias("_fp")))
+    horizon = e.agg(F.max(day).alias("_h"))
+    u = (per_user.filter(F.col("_fv").isNotNull())
+         .join(F.broadcast(horizon))
+         .select(
+             F.when(F.col("_fp").isNotNull()
+                    & (F.col("_fp") >= F.col("_fv")), 1).otherwise(0)
+             .alias("_ev"),
+             F.when(F.col("_fp").isNotNull()
+                    & (F.col("_fp") >= F.col("_fv")),
+                    F.col("_fp") - F.col("_fv"))
+             .otherwise(F.col("_h") - F.col("_fv")).alias("_dur")))
+    bucket = F.when(F.col("_dur") == 0, F.lit(0)) \
+        .otherwise(F.length(F.bin("_dur"))).cast("int")
+    per = (u.select(bucket.alias("bucket"), "_ev")
+           .groupBy("bucket")
+           .agg(F.sum("_ev").alias("_nev"),
+                F.sum(1 - F.col("_ev")).alias("_ncen")))
+    n_tot = u.agg(F.count(F.lit(1)).alias("_n"))
+    wb = Window.orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    lo = F.when(F.col("bucket") == 0, F.lit(0)) \
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")) \
+        .cast("long")
+    return (per.join(F.broadcast(n_tot))
+            .withColumn("_exits_before",
+                        F.coalesce(F.sum(F.col("_nev") + F.col("_ncen"))
+                                   .over(wb), F.lit(0)))
+            .select("bucket", lo.alias("lo_days"),
+                    F.col("_nev").cast("long").alias("n_events"),
+                    F.col("_ncen").cast("long").alias("n_censored"),
+                    (F.col("_n") - F.col("_exits_before")).cast("long")
+                    .alias("at_risk"),
+                    pround_iratio(F.col("_nev"),
+                                  F.col("_n") - F.col("_exits_before"))
+                    .alias("hazard_micro"))
+            .orderBy("bucket"))

@@ -1746,3 +1746,57 @@ def revenue_mom_growth(orders: DataFrame) -> DataFrame:
         F.when(prev.isNotNull(),
                pround_iratio(F.col("rev_cents"), prev))
         .alias("mom_ratio")).orderBy("month_key")
+
+
+def brand_price_deciles(part: DataFrame) -> DataFrame:
+    """Per-brand retail-price decile table → one row per (brand,
+    decile) ``(p_brand, decile, n_parts, lo_cents, hi_cents)`` — the
+    banding a pricing dashboard draws and a skew diagnosis reads
+    (which brands' price mass sits where).
+
+    The window PARTITIONS BY brand (inherits the shuffle's
+    parallelism — never the §12 single-partition shape) and orders by
+    the exact-cents price with the part key as tiebreak, so ntile
+    assignment is a total order and deterministic in both engines.
+    Decile edges are min/max picks over exact integers. One shuffle
+    on brand, |brands|·10 output rows."""
+    cents = (dec2(F.col("p_retailprice")) * 100).cast("long")
+    w = Window.partitionBy("p_brand").orderBy("_c", "p_partkey")
+    return (part.select("p_brand", "p_partkey", cents.alias("_c"))
+            .withColumn("decile", F.ntile(10).over(w))
+            .groupBy("p_brand", "decile")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                 F.min("_c").alias("lo_cents"),
+                 F.max("_c").alias("hi_cents"))
+            .orderBy("p_brand", "decile"))
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str,
+                       l_min: int = 3) -> DataFrame:
+    """l-diversity companion to :func:`k_anonymity_report`: for each
+    quasi-identifier cell ``(c_nationkey, c_mktsegment)``, how many
+    DISTINCT sensitive values (account-balance band) does it contain?
+    → ``(c_nationkey, c_mktsegment, group_n, n_sensitive, at_risk)``
+    — a k-anonymous cell whose members all share one sensitive value
+    still leaks it; this census flags cells with < ``l_min`` distinct
+    bands.
+
+    The sensitive band is sign · bit-length of exact |cents| — pure
+    integer arithmetic (no negative-division engine skew: DIV
+    truncation differs from // flooring on negatives, so the sign is
+    factored out FIRST). Same single hash-aggregate shape as the
+    k-census, plus the per-cell distinct (map-side partial distinct
+    on (cell, band))."""
+    c = load_table(spark, "customer", sf_dir)
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    band = (F.when(cents == 0, F.lit(0))
+            .otherwise(F.when(cents < 0, -1).otherwise(1)
+                       * F.length(F.bin(F.abs(cents))))).cast("int")
+    return (c.select("c_nationkey", "c_mktsegment", band.alias("_band"))
+            .groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("group_n"),
+                 F.countDistinct("_band").cast("long").alias("n_sensitive"))
+            .select(F.col("c_nationkey").cast("long").alias("c_nationkey"),
+                    "c_mktsegment", "group_n", "n_sensitive",
+                    (F.col("n_sensitive") < l_min).alias("at_risk"))
+            .orderBy("c_nationkey", "c_mktsegment"))
