@@ -3356,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_price_deciles": _brand_price_deciles,
         "l_diversity_report": R.l_diversity_report,
         "conversion_lifetable": E.conversion_lifetable,
+        "concurrent_sessions": E.concurrent_sessions_timeline,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8037,6 +8038,22 @@ SELECT bucket,
        CAST(n - xb AS BIGINT) AS at_risk,
        {IR("nev", "n - xb")} AS hazard_micro
 FROM cum CROSS JOIN nt ORDER BY bucket
+"""
+    out["concurrent_sessions"] = f"""
+WITH sess AS ({out["events_sessionize"]}),
+deltas AS (
+  SELECT CAST(floor(epoch(session_start)) AS BIGINT) // 3600 AS h,
+         1 AS d
+  FROM sess
+  UNION ALL
+  SELECT CAST(floor(epoch(session_end)) AS BIGINT) // 3600 + 1 AS h,
+         -1 AS d
+  FROM sess),
+net AS (SELECT h, sum(d) AS net FROM deltas GROUP BY h)
+SELECT CAST(h AS BIGINT) AS hour_idx, CAST(net AS BIGINT) AS net,
+       CAST(sum(net) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS concurrent
+FROM net ORDER BY hour_idx
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

@@ -1508,3 +1508,21 @@ def test_conversion_lifetable_accounting(spark, sf_dir):
         assert 0 <= r["hazard_micro"] <= 1
         run -= r["n_events"] + r["n_censored"]
     assert run == 0
+
+
+def test_concurrent_sessions_conservation(spark, sf_dir):
+    """Scan-line bookkeeping: the running count equals the prefix sum
+    of nets, ends nonnegative everywhere, and returns to zero at the
+    final boundary (every +1 has its matching -1)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import (
+        concurrent_sessions_timeline, sessionize)
+    rows = concurrent_sessions_timeline(spark, sf_dir).collect()
+    run = 0
+    for r in rows:
+        run += r["net"]
+        assert r["concurrent"] == run
+        assert run >= 0
+    assert run == 0
+    # peak sanity: max concurrency never exceeds the session count
+    n_sessions = sessionize(spark, sf_dir).count()
+    assert max(r["concurrent"] for r in rows) <= n_sessions

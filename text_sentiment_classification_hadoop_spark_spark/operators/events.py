@@ -1437,3 +1437,35 @@ def conversion_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("_n") - F.col("_exits_before"))
                     .alias("hazard_micro"))
             .orderBy("bucket"))
+
+
+def concurrent_sessions_timeline(spark: SparkSession, sf_dir: str,
+                                 gap_minutes: int = 30) -> DataFrame:
+    """Scan-line concurrency curve over the sessionized events → one
+    row per hour WHERE THE COUNT CHANGES ``(hour_idx, net,
+    concurrent)`` — how many sessions are simultaneously open
+    (capacity planning / peak-load readout). ``hour_idx`` is the
+    epoch-hour integer (floored epoch DIV 3600 — no timezone-bearing
+    timestamp math crosses the engine boundary), ``net`` the +starts
+    −ends delta in that hour, ``concurrent`` the running count.
+
+    The interval-stabbing pattern WITHOUT an interval join: each
+    session emits +1 at its start hour and −1 at (end hour + 1), the
+    deltas contract to one row per active hour (map-side partials),
+    and ONE cumulative window over that |hours|-bounded table (≈61k
+    rows for TPC-H's 7-year clock — §12 histogram class) yields the
+    concurrency. Joining events against hour ranges would be
+    O(sessions·duration); this is O(sessions + hours)."""
+    s = sessionize(spark, sf_dir, gap_minutes)
+    hs = F.expr("CAST(session_start AS LONG) DIV 3600")
+    he = F.expr("CAST(session_end AS LONG) DIV 3600")
+    deltas = (s.select(hs.alias("h"), F.lit(1).alias("_d"))
+              .unionByName(s.select((he + 1).alias("h"),
+                                    F.lit(-1).alias("_d"))))
+    net = deltas.groupBy("h").agg(F.sum("_d").alias("net"))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return (net.select(F.col("h").cast("long").alias("hour_idx"),
+                       F.col("net").cast("long").alias("net"),
+                       F.sum("net").over(w).cast("long")
+                       .alias("concurrent"))
+            .orderBy("hour_idx"))
