@@ -1948,6 +1948,31 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "session_start"))
 
 
+def _stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user funnel progression (custom stateful
+    operator #2, ``applyInPandasWithState``): each user's monotone
+    stage-advancement events over view→click→purchase. A single
+    availableNow batch makes the emitted set = every distinct stage a
+    user reached (ascending) — the DISTINCT oracle; multi-batch state
+    carry is pytest-covered (tests/test_events_streaming.py)."""
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        events_raw_stream,
+        funnel_stage_stream,
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+    )
+    ensure_engine_confs(spark)
+    raw = events_raw_stream(spark, sf_dir)
+    with stream_shuffle_partitions(spark):
+        q = run_stream_to_memory(funnel_stage_stream(raw),
+                                 "stream_funnel_stages",
+                                 output_mode="append")
+    q.stop()
+    return (spark.table("stream_funnel_stages")
+            .orderBy("user_id", "stage_idx"))
+
+
 def _stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup (custom stateful operator,
     ``applyInPandasWithState``): a deliberately duplicated document
@@ -3357,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_report": R.l_diversity_report,
         "conversion_lifetable": E.conversion_lifetable,
         "concurrent_sessions": E.concurrent_sessions_timeline,
+        "stream_funnel_stages": _stream_funnel_stages,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8054,6 +8080,16 @@ SELECT CAST(h AS BIGINT) AS hour_idx, CAST(net AS BIGINT) AS net,
        CAST(sum(net) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS concurrent
 FROM net ORDER BY hour_idx
+"""
+    out["stream_funnel_stages"] = """
+WITH s AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase'))
+SELECT user_id,
+       CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+            ELSE 3 END AS INTEGER) AS stage_idx,
+       event_type AS stage
+FROM s ORDER BY user_id, stage_idx
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

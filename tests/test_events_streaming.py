@@ -449,3 +449,37 @@ def test_stream_range_join_agrees_with_batch(spark, sf_dir):
     expected = [(r["w_type"], r["w_lo"], r["n_events"],
                  round(r["total_value"], 6)) for r in batch.collect()]
     assert streamed == expected and len(streamed) > 0
+
+
+def test_funnel_stage_stream_monotone_state_across_batches(
+        spark, tmp_path_factory):
+    """State carries across micro-batches: a user who 'view'ed in
+    batch 1 must NOT re-emit view in batch 2, must emit click when it
+    first appears, and a user jumping straight to purchase emits only
+    the stages present — ascending, each exactly once."""
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import funnel_stage_stream
+    base = str(tmp_path_factory.mktemp("fn") / "ev")
+    schema = "user_id long, event_type string"
+    # batch file 1: u1 views; u2 purchases outright; u3 views+clicks
+    spark.createDataFrame(
+        [(1, "view"), (2, "purchase"), (3, "view"), (3, "click")],
+        schema).write.mode("overwrite").parquet(base + "/f1")
+    # batch file 2: u1 views AGAIN (suppressed) then clicks; u3 views
+    # again (suppressed); u4 appears with click only
+    spark.createDataFrame(
+        [(1, "view"), (1, "click"), (3, "view"), (4, "click")],
+        schema).write.mode("overwrite").parquet(base + "/f2")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(base + "/f*"))
+    q = run_stream_to_memory(funnel_stage_stream(stream), "funnel_test",
+                             output_mode="append")
+    rows = sorted((r["user_id"], r["stage_idx"], r["stage"])
+                  for r in spark.table("funnel_test").collect())
+    q.stop()
+    assert rows == [
+        (1, 1, "view"), (1, 2, "click"),
+        (2, 3, "purchase"),
+        (3, 1, "view"), (3, 2, "click"),
+        (4, 2, "click"),
+    ]

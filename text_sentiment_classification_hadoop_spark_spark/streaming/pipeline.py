@@ -592,3 +592,54 @@ def asof_enrich_stream(views: DataFrame, purchases: DataFrame,
         F.col("purchase_id").alias("last_purchase_id"),
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("lo")))
         .alias("gap_us"))
+
+
+def funnel_stage_stream(df: DataFrame, user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        stages: tuple = ("view", "click", "purchase")
+                        ) -> DataFrame:
+    """Custom stateful streaming operator: per-user MONOTONE funnel
+    progression — emit a row each time a user first reaches a deeper
+    funnel stage → ``(user_id, stage_idx, stage)``. The incremental
+    twin of the batch funnel: downstream consumers see stage-
+    advancement EVENTS instead of recomputing the funnel per batch.
+
+    Built on ``applyInPandasWithState`` (Arrow-batched GroupState):
+    state is ONE integer per user (deepest stage index), so the store
+    grows with |users|, never stream length. Within a micro-batch the
+    semantics are deliberately ORDER-INSENSITIVE — the set of stages
+    present is compared against the state and every newly exceeded
+    stage is emitted in ascending order — so results don't depend on
+    intra-batch row order (deterministic under any file/shuffle
+    order). At scale, add a ProcessingTimeTimeout TTL if the funnel
+    has an abandonment horizon."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stage_list = list(stages)
+    idx = {s: i + 1 for i, s in enumerate(stage_list)}
+    out_schema = T.StructType([
+        T.StructField(user_col, T.LongType()),
+        T.StructField("stage_idx", T.IntegerType()),
+        T.StructField("stage", T.StringType()),
+    ])
+    state_schema = T.StructType([T.StructField("deepest", T.IntegerType())])
+
+    def advance(key, pdfs, state):
+        import pandas as pd
+        present: set = set()
+        for pdf in pdfs:
+            present.update(pdf[type_col].unique().tolist())
+        cur = state.get[0] if state.exists else 0
+        new = sorted(i for s, i in idx.items() if s in present and i > cur)
+        if new:
+            state.update((int(new[-1]),))
+            yield pd.DataFrame({
+                user_col: [key[0]] * len(new),
+                "stage_idx": new,
+                "stage": [stage_list[i - 1] for i in new],
+            })
+
+    return (df.filter(F.col(type_col).isin(stage_list))
+            .groupBy(user_col)
+            .applyInPandasWithState(advance, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
