@@ -3383,6 +3383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lifetable": E.conversion_lifetable,
         "concurrent_sessions": E.concurrent_sessions_timeline,
         "stream_funnel_stages": _stream_funnel_stages,
+        "winsorized_revenue": R.winsorized_revenue_stats,
+        "referential_integrity": R.referential_integrity_report,
+        "join_key_skew": R.join_key_skew_report,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8090,6 +8093,87 @@ SELECT user_id,
             ELSE 3 END AS INTEGER) AS stage_idx,
        event_type AS stage
 FROM s ORDER BY user_id, stage_idx
+"""
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import (
+        sql_pround_avg2 as AV2)
+    out["winsorized_revenue"] = f"""
+WITH v AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+           FROM lineitem),
+nn AS (SELECT count(*) AS n FROM v),
+rk AS (SELECT p, row_number() OVER (ORDER BY p) AS r FROM v),
+cuts AS (SELECT
+  (SELECT p FROM rk, nn WHERE r = greatest(1, (n * 5 + 99) // 100))
+    AS lo,
+  (SELECT p FROM rk, nn WHERE r = greatest(1, (n * 95 + 99) // 100))
+    AS hi),
+c AS (SELECT CASE WHEN p < lo THEN lo WHEN p > hi THEN hi ELSE p END
+             AS cp, p, lo, hi
+      FROM v CROSS JOIN cuts)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(lo) AS DOUBLE) AS lo_cut,
+       CAST(max(hi) AS DOUBLE) AS hi_cut,
+       CAST(sum(CASE WHEN p < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_lo,
+       CAST(sum(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_hi,
+       {AV2("cp")} AS winsorized_mean
+FROM c
+"""
+    out["referential_integrity"] = """
+SELECT * FROM (
+  SELECT 'customer.c_nationkey -> nation' AS fk,
+         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_child,
+         CAST((SELECT count(*) FROM customer
+               WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+              AS BIGINT) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_orderkey -> orders',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem
+               WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey -> supplier',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem
+               WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'nation.n_regionkey -> region',
+         CAST((SELECT count(*) FROM nation) AS BIGINT),
+         CAST((SELECT count(*) FROM nation
+               WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer',
+         CAST((SELECT count(*) FROM orders) AS BIGINT),
+         CAST((SELECT count(*) FROM orders
+               WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+              AS BIGINT)
+) ORDER BY fk
+"""
+    out["join_key_skew"] = f"""
+WITH pk AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+h AS (SELECT c AS v, count(*) AS n FROM pk GROUP BY 1),
+cum AS (SELECT v, n,
+               coalesce(sum(n) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cb
+        FROM h),
+s AS (SELECT sum(v * (n * cb + (n * (n + 1)) // 2)) AS sr,
+             sum(v * n) AS t, sum(n) AS k, max(v) AS mx
+      FROM cum)
+SELECT CAST(t AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_keys,
+       CAST(mx AS BIGINT) AS max_key_rows,
+       {IR("mx", "t")} AS top_share_micro,
+       {IR("2 * sr - (k + 1) * t", "k * t")} AS gini_micro
+FROM s
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

@@ -1526,3 +1526,70 @@ def test_concurrent_sessions_conservation(spark, sf_dir):
     # peak sanity: max concurrency never exceeds the session count
     n_sessions = sessionize(spark, sf_dir).count()
     assert max(r["concurrent"] for r in rows) <= n_sessions
+
+
+def test_winsorized_revenue_bounds_and_counts(spark, sf_dir):
+    """Cut points are genuine order statistics (≈5%/95% of rows sit
+    strictly outside), the winsorized mean lies inside [lo, hi], and
+    clamping is idempotent bookkeeping (clamped counts match a direct
+    filter)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import winsorized_revenue_stats
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    r = winsorized_revenue_stats(spark, sf_dir).collect()[0]
+    l = load_table(spark, sf_dir=sf_dir, name="lineitem")
+    n = l.count()
+    assert r["n_rows"] == n
+    assert r["lo_cut"] <= r["winsorized_mean"] <= r["hi_cut"]
+    from pyspark.sql import functions as F
+    below = l.filter(F.col("l_extendedprice") < r["lo_cut"]).count()
+    above = l.filter(F.col("l_extendedprice") > r["hi_cut"]).count()
+    assert r["n_clamped_lo"] == below and r["n_clamped_hi"] == above
+    assert below <= (n * 5 + 99) // 100
+    assert above <= n - ((n * 95 + 99) // 100) + 1
+
+
+def test_referential_integrity_clean_snapshot(spark, sf_dir):
+    """The generated snapshot is referentially intact: six FK edges,
+    zero orphans, child counts equal to the raw table counts."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import referential_integrity_report
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    rows = referential_integrity_report(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert all(r["n_orphans"] == 0 for r in rows)
+    li = load_table(spark, "lineitem", sf_dir).count()
+    got = {r["fk"]: r["n_child"] for r in rows}
+    assert got["lineitem.l_orderkey -> orders"] == li
+    assert got["lineitem.l_partkey -> part"] == li
+
+
+def test_join_key_skew_uniform_vs_skewed(spark, tmp_path, monkeypatch):
+    """A perfectly uniform key distribution scores gini 0 and
+    top_share 1/n_keys; a one-hot-key distribution scores near 1."""
+    import text_sentiment_classification_hadoop_spark_spark.operators.relational as REL
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import join_key_skew_report
+
+    def fake(rows):
+        df = spark.createDataFrame([(k,) for k in rows], "l_orderkey long")
+        p = str(tmp_path / f"li_{len(rows)}_{rows[0]}.parquet")
+        df.write.mode("overwrite").parquet(p)
+        return p
+
+    orig = REL.load_table
+    # uniform: 4 keys x 3 rows
+    p1 = fake([1, 2, 3, 4] * 3)
+    monkeypatch.setattr(
+        REL, "load_table",
+        lambda s, name, d: s.read.parquet(p1) if name == "lineitem"
+        else orig(s, name, d))
+    r = join_key_skew_report(spark, str(tmp_path)).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (12, 4, 3)
+    assert r["gini_micro"] == 0.0 and r["top_share_micro"] == 0.25
+    # skewed: one key holds 97 of 100 rows
+    p2 = fake([7] * 97 + [8, 9, 10])
+    monkeypatch.setattr(
+        REL, "load_table",
+        lambda s, name, d: s.read.parquet(p2) if name == "lineitem"
+        else orig(s, name, d))
+    r = join_key_skew_report(spark, str(tmp_path)).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (100, 4, 97)
+    assert r["top_share_micro"] == 0.97 and r["gini_micro"] > 0.7

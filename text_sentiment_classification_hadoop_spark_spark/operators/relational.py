@@ -1800,3 +1800,144 @@ def l_diversity_report(spark: SparkSession, sf_dir: str,
                     "c_mktsegment", "group_n", "n_sensitive",
                     (F.col("n_sensitive") < l_min).alias("at_risk"))
             .orderBy("c_nationkey", "c_mktsegment"))
+
+
+def _kth_price(l: DataFrame, k: int, col: str = "l_extendedprice"):
+    """Exact k-th order statistic of a 2-dp money column as ONE driver
+    scalar, via the :func:`_select_bucket` two-phase selection (integer
+    buckets → in-bucket rank). The winsorize/trimmed-stat building
+    block; the caller pays one histogram pass + one bucket-sized sort
+    per quantile (histogram reuse across quantiles is a documented
+    optimization, not needed at the 2-quantile call sites)."""
+    bucket = F.floor(F.col(col)).cast("long")
+    b, _c, offset, _ = _select_bucket(l.select(col), bucket, k)
+    wb = Window.orderBy(col)
+    return (l.filter(bucket == F.lit(b))
+            .withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == offset)
+            .collect()[0][col])
+
+
+def winsorized_revenue_stats(spark: SparkSession, sf_dir: str,
+                             lo_pct: int = 5,
+                             hi_pct: int = 95) -> DataFrame:
+    """Winsorized (robust) revenue statistics → one row ``(n_rows,
+    lo_cut, hi_cut, n_clamped_lo, n_clamped_hi, winsorized_mean)``:
+    ``l_extendedprice`` with values below the exact p05 / above the
+    exact p95 order statistic CLAMPED to those cut points, then the
+    exact mean — the outlier-robust aggregate a revenue dashboard
+    shows next to the raw mean.
+
+    Exactness: cut points are true order statistics (rank
+    ``ceil(n·p/100)``) found by the two-phase histogram selection —
+    never ``approx_percentile`` — so the clamp boundary is engine-
+    stable; clamped values remain exact 2-dp money, so the mean uses
+    the remainder-exact decimal protocol (``pround_avg2``). Driver
+    traffic: four scalars (two per quantile — the selection-probe
+    budget). Fact passes: one histogram + two bucket-sized ranks +
+    one clamped aggregate; a global sort never happens."""
+    l = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    n = l.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "n_rows long, lo_cut double, hi_cut double, "
+                "n_clamped_lo long, n_clamped_hi long, "
+                "winsorized_mean double")
+    k_lo = (n * lo_pct + 99) // 100
+    k_hi = (n * hi_pct + 99) // 100
+    lo_cut = _kth_price(l, max(1, k_lo))
+    hi_cut = _kth_price(l, max(1, k_hi))
+    p = dec2(F.col("l_extendedprice"))
+    lo_d = F.lit(f"{lo_cut:.2f}").cast("decimal(18,2)")
+    hi_d = F.lit(f"{hi_cut:.2f}").cast("decimal(18,2)")
+    clamped = F.when(p < lo_d, lo_d).when(p > hi_d, hi_d).otherwise(p)
+    return (l.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(float(lo_cut)).alias("lo_cut"),
+        F.lit(float(hi_cut)).alias("hi_cut"),
+        F.sum(F.when(p < lo_d, 1).otherwise(0)).cast("long")
+        .alias("n_clamped_lo"),
+        F.sum(F.when(p > hi_d, 1).otherwise(0)).cast("long")
+        .alias("n_clamped_hi"),
+        pround_avg2(clamped).alias("winsorized_mean")))
+
+
+def referential_integrity_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Cross-table foreign-key audit → one row per FK edge
+    ``(fk, n_child, n_orphans)`` over the full TPC-H-ish snowflake —
+    the referential-integrity census a warehouse runs after every
+    load (orphaned children mean a broken or racing ingest).
+
+    Each edge is one LEFT ANTI join from child key to parent key
+    (parent side reduced to DISTINCT keys first — broadcast-sized for
+    dims, key-shuffle for facts) plus a count; the six 1-row results
+    union into the report. At 100 TB each audit is a semi-join-shaped
+    pass the optimizer can run off a bloom filter of parent keys."""
+    edges = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    parts = []
+    for fk, ct, ck, pt, pk in edges:
+        child = load_table(spark, ct, sf_dir).select(F.col(ck).alias("_k"))
+        parent = (load_table(spark, pt, sf_dir)
+                  .select(F.col(pk).alias("_k")).distinct())
+        orphans = child.join(parent, "_k", "left_anti")
+        parts.append(child.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(orphans.agg(
+                F.count(F.lit(1)).cast("long").alias("n_orphans"))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk")
+
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for the workhorse join key
+    ``lineitem.l_orderkey`` → one row ``(n_rows, n_keys,
+    max_key_rows, top_share_micro, gini_micro)`` — the census a query
+    planner (or a human sizing AQE skew thresholds) reads before a
+    key-partitioned join: how unequal are the per-key row counts?
+
+    Integer-exact: per-key counts (one key-shuffle with map-side
+    partials), then the count-of-counts HISTOGRAM (|distinct count
+    values| rows — tiny), and the Gini over per-key counts by the
+    same rank-weighted histogram identity as ``doc_length_gini`` —
+    one bounded partition-less window (§12), remainder-exact ratios.
+    top_share = max key's share of all rows in micro units."""
+    from ..functions.rounding import pround_iratio
+
+    l = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    per_key = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_c"))
+    h = per_key.groupBy(F.col("_c").alias("_v")) \
+        .agg(F.count(F.lit(1)).alias("_n"))
+    wb = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select("_v", "_n",
+                   F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_cb"))
+    s = cum.agg(
+        F.sum(F.col("_v") * (F.col("_n") * F.col("_cb")
+                             + F.expr("_n * (_n + 1) DIV 2"))).alias("_sr"),
+        F.sum(F.col("_v") * F.col("_n")).alias("_t"),
+        F.sum("_n").alias("_k"),
+        F.max(F.col("_v")).alias("_mx"))
+    return s.select(
+        F.col("_t").cast("long").alias("n_rows"),
+        F.col("_k").cast("long").alias("n_keys"),
+        F.col("_mx").cast("long").alias("max_key_rows"),
+        pround_iratio(F.col("_mx"), F.col("_t")).alias("top_share_micro"),
+        pround_iratio(F.lit(2) * F.col("_sr")
+                      - (F.col("_k") + 1) * F.col("_t"),
+                      F.col("_k") * F.col("_t")).alias("gini_micro"))
