@@ -1494,11 +1494,20 @@ def _copurchase_rel(spark: SparkSession, sf_dir: str):
     cache is keyed on applicationId so a localCheckpoint never leaks
     across sessions, and every query stays independently callable:
     a cold cache just computes the frame exactly as before, so
-    results (and hashes) are unchanged."""
+    results (and hashes) are unchanged. BOUNDED: one entry per app —
+    switching sf_dir unpersists the previous entry's RDD blocks, so a
+    long-lived session iterating many sf dirs never accumulates
+    unreleased storage."""
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     rel = _COPURCHASE_REL_CACHE.get(key)
     if rel is None:
+        for stale_key in [k for k in _COPURCHASE_REL_CACHE if k[0] == app]:
+            try:
+                _COPURCHASE_REL_CACHE.pop(stale_key).rdd.unpersist()
+            except Exception:
+                pass
         orders = load_table(spark, "orders", sf_dir)
         li = load_table(spark, "lineitem", sf_dir)
         rel = G.copurchase_rel(orders, li).localCheckpoint(eager=True)
@@ -1833,9 +1842,16 @@ def _mllib_confusion(algorithm: str):
         # ``NaiveBayes.py:61-75`` / ``SVM.py:63-76``).
         docs = docs.repartition(8, "doc_id").sortWithinPartitions("doc_id")
         preds, _model = mllib_pipeline(docs, algorithm=algorithm)
-        return (preds.groupBy("prediction", "label")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .orderBy("prediction", "label"))
+        # materialize the (≤ n_labels²-row) confusion eagerly off the
+        # still-cached featurized frames, then release them — nothing
+        # stays pinned across the session (see mllib_pipeline docs).
+        out = (preds.groupBy("prediction", "label")
+               .agg(F.count(F.lit(1)).alias("cnt"))
+               .orderBy("prediction", "label")
+               .localCheckpoint(eager=True))
+        for cached in getattr(preds, "_graft_cached", []):
+            cached.unpersist()
+        return out
     return run
 
 
@@ -2909,12 +2925,16 @@ def _stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("w_type", "w_lo"))
 
 
-def _layout_tmp(sf_dir: str, leaf: str) -> str:
+def _layout_tmp(spark: SparkSession, sf_dir: str, leaf: str) -> str:
     """Deterministic scratch dir for the table-maintenance queries'
-    write→read-back round trips (outside the repo, keyed by sf so
-    concurrent sf0.001/sf0.01 runs never collide; overwrite-idempotent)."""
+    write→read-back round trips (outside the repo). Keyed by BOTH the
+    sf basename and the session's applicationId so concurrent runs
+    never collide — across DIFFERENT sfs and across different sessions
+    running the SAME sf; within one session the path is stable and the
+    writes are overwrite-idempotent."""
     import tempfile
     return os.path.join(tempfile.gettempdir(), "spark_graft_layout",
+                        spark.sparkContext.applicationId,
                         os.path.basename(sf_dir.rstrip("/")), leaf)
 
 
@@ -2937,8 +2957,8 @@ def _evolved_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.sources.layout import read_evolved
     d = load_table(spark, "documents", sf_dir) \
         .select("doc_id", "lang", F.length("text").alias("n_chars"))
-    g1 = _layout_tmp(sf_dir, "evolved_gen1")
-    g2 = _layout_tmp(sf_dir, "evolved_gen2")
+    g1 = _layout_tmp(spark, sf_dir, "evolved_gen1")
+    g2 = _layout_tmp(spark, sf_dir, "evolved_gen2")
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang") \
         .write.mode("overwrite").parquet(g1)
     d.filter(F.col("doc_id") % 2 == 1) \
@@ -2972,8 +2992,8 @@ def _compaction_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.sources.layout import compact_files
     o = load_table(spark, "orders", sf_dir) \
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    src = _layout_tmp(sf_dir, "compact_src")
-    dst = _layout_tmp(sf_dir, "compact_dst")
+    src = _layout_tmp(spark, sf_dir, "compact_src")
+    dst = _layout_tmp(spark, sf_dir, "compact_dst")
     o.repartition(64).write.mode("overwrite").parquet(src)
     compact_files(spark, src, dst)
     c = spark.read.parquet(dst)
@@ -7831,7 +7851,7 @@ s AS (SELECT day, n, gt, abs(n * c - k * gt) AS ns
       FROM cum CROSS JOIN tot)
 SELECT day AS change_day, CAST(n AS BIGINT) AS n_days,
        CAST(gt AS BIGINT) AS total_cents,
-       {IR("ns", "n * gt")} AS cusum_micro
+       {IR("ns", "n * gt")} AS cusum_frac
 FROM s ORDER BY ns DESC, day LIMIT 1
 """
     out["interarrival_hist"] = f"""
@@ -7850,22 +7870,22 @@ SELECT bucket,
        CAST(CASE WHEN bucket = 0 THEN 0
                  ELSE 1 << (bucket - 1) END AS BIGINT) AS lo_seconds,
        CAST(n AS BIGINT) AS n_gaps,
-       {IR("n", "t")} AS share_micro
+       {IR("n", "t")} AS share_frac
 FROM per CROSS JOIN tt ORDER BY bucket
 """
     out["doc_lexical_stats"] = rf"""
 WITH s AS (
   SELECT doc_id,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT)
       AS n_distinct,
     CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
     CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg
   FROM documents)
 SELECT doc_id, n_tokens, n_distinct,
-       {IR("n_distinct", "n_tokens")} AS ttr_micro,
-       {IR("chars", "n_tokens")} AS mean_word_len_micro,
-       {IR("vg", "n_tokens")} AS vgroups_per_word_micro
+       {IR("n_distinct", "n_tokens")} AS ttr_frac,
+       {IR("chars", "n_tokens")} AS mean_word_len_frac,
+       {IR("vg", "n_tokens")} AS vgroups_per_word_frac
 FROM s ORDER BY doc_id
 """
     _mp = """SELECT node, min(cost) AS cost FROM (
@@ -8065,7 +8085,7 @@ SELECT bucket,
                  ELSE 1 << (bucket - 1) END AS BIGINT) AS lo_days,
        CAST(nev AS BIGINT) AS n_events, CAST(ncen AS BIGINT) AS n_censored,
        CAST(n - xb AS BIGINT) AS at_risk,
-       {IR("nev", "n - xb")} AS hazard_micro
+       {IR("nev", "n - xb")} AS hazard_frac
 FROM cum CROSS JOIN nt ORDER BY bucket
 """
     out["concurrent_sessions"] = f"""
@@ -8171,8 +8191,8 @@ s AS (SELECT sum(v * (n * cb + (n * (n + 1)) // 2)) AS sr,
       FROM cum)
 SELECT CAST(t AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_keys,
        CAST(mx AS BIGINT) AS max_key_rows,
-       {IR("mx", "t")} AS top_share_micro,
-       {IR("2 * sr - (k + 1) * t", "k * t")} AS gini_micro
+       {IR("mx", "t")} AS top_share_frac,
+       {IR("2 * sr - (k + 1) * t", "k * t")} AS gini_frac
 FROM s
 """
     out["stream_trending_topk"] = """

@@ -138,8 +138,27 @@ def main() -> None:
     # round-over-round movers can be judged against measured noise.
     import statistics
 
+    # Ambient-pressure hygiene + instrumentation (VERDICT r7 ask #3:
+    # the 217-query common subtotal drifted +16% r6→r7 with no plan
+    # changes — consistent with JVM heap/GC pressure accumulating over
+    # a longer single-process run). Between passes: drop the SQL
+    # relation cache and prompt a full GC so ContextCleaner releases
+    # dereferenced localCheckpoint RDD blocks; record per-pass heap and
+    # subtotals so drift is MEASURED, not assumed.
+    jvm_rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+
+    def heap_mb() -> float:
+        return round((jvm_rt.totalMemory() - jvm_rt.freeMemory()) / 2**20, 1)
+
+    def inter_pass_hygiene() -> None:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     samples: dict[str, list[float]] = {n: [] for n in names + tail}
+    pass_totals: list[float] = []
+    heap_per_pass: list[float] = []
     for pass_i in range(repeat):
+        pass_t0 = time.perf_counter()
         for name in names + tail:
             fn = qs[name]
             t0 = time.perf_counter()
@@ -148,6 +167,12 @@ def main() -> None:
             samples[name].append(dt)
             print(f"# [{pass_i + 1}/{repeat}] {name}: {dt:.3f}s"
                   f" ({n} rows)", file=sys.stderr)
+        pass_totals.append(round(time.perf_counter() - pass_t0, 3))
+        heap_per_pass.append(heap_mb())
+        inter_pass_hygiene()
+        print(f"# pass {pass_i + 1} total {pass_totals[-1]}s, "
+              f"heap {heap_per_pass[-1]} MB (post-pass, pre-GC)",
+              file=sys.stderr)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -178,6 +203,8 @@ def main() -> None:
         "repeat": repeat,
         "queries": timings,
         "spread": spread,
+        "pass_totals": pass_totals,
+        "heap_mb_per_pass": heap_per_pass,
         "sf": sf_val,
     })
     # The driver captures only the LAST 2000 chars of stdout; a 120-query

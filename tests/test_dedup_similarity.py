@@ -1040,3 +1040,27 @@ def test_pca_power_finds_dominant_axis(spark):
     cos = abs(dot) / (math.sqrt(sum(a * a for a in axis))
                       * math.sqrt(sum(b * b for b in v)))
     assert cos > 0.999, (cos, v)
+
+
+def test_pca_power_partial_gram_strategy_identical(spark):
+    """The 100 TB Gram path (per-partition partial Grams via
+    mapInPandas + exact DECIMAL reduce) must produce LOADINGS
+    IDENTICAL to the oracle-mirrored self-join form — both are
+    integer-exact over the same micro-quantized input, so the power
+    iteration sees bit-equal Gram matrices. Input spread over several
+    partitions so multiple partial Grams actually reduce."""
+    import random
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.similarity import (
+        pca_power_top_component)
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(200)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(7)
+    a = sorted((r["d"], r["loading_micro"]) for r in
+               pca_power_top_component(emb, iters=6,
+                                       strategy="selfjoin").collect())
+    b = sorted((r["d"], r["loading_micro"]) for r in
+               pca_power_top_component(emb, iters=6,
+                                       strategy="partial_gram").collect())
+    assert a == b and len(a) == 6

@@ -457,18 +457,33 @@ def test_funnel_stage_stream_monotone_state_across_batches(
     batch 1 must NOT re-emit view in batch 2, must emit click when it
     first appears, and a user jumping straight to purchase emits only
     the stages present — ascending, each exactly once."""
+    import glob as _glob
+    import os as _os
+
     from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import funnel_stage_stream
     base = str(tmp_path_factory.mktemp("fn") / "ev")
     schema = "user_id long, event_type string"
+    # Each logical batch MUST be exactly one data file (coalesce(1)):
+    # with maxFilesPerTrigger=1 a multi-part write would split one
+    # user's stages across micro-batches in nondeterministic file
+    # order, and the monotone operator would legitimately suppress a
+    # late-arriving shallower stage.
     # batch file 1: u1 views; u2 purchases outright; u3 views+clicks
     spark.createDataFrame(
         [(1, "view"), (2, "purchase"), (3, "view"), (3, "click")],
-        schema).write.mode("overwrite").parquet(base + "/f1")
+        schema).coalesce(1).write.mode("overwrite").parquet(base + "/f1")
     # batch file 2: u1 views AGAIN (suppressed) then clicks; u3 views
     # again (suppressed); u4 appears with click only
     spark.createDataFrame(
         [(1, "view"), (1, "click"), (3, "view"), (4, "click")],
-        schema).write.mode("overwrite").parquet(base + "/f2")
+        schema).coalesce(1).write.mode("overwrite").parquet(base + "/f2")
+    # FileStreamSource orders files by modification time (oldest
+    # first); pin mtimes so f1 is always the first micro-batch even
+    # when both writes land inside one filesystem-timestamp tick.
+    for pf in _glob.glob(base + "/f1/*.parquet"):
+        _os.utime(pf, (1_000_000_000, 1_000_000_000))
+    for pf in _glob.glob(base + "/f2/*.parquet"):
+        _os.utime(pf, (1_000_000_100, 1_000_000_100))
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(base + "/f*"))
@@ -482,4 +497,65 @@ def test_funnel_stage_stream_monotone_state_across_batches(
         (2, 3, "purchase"),
         (3, 1, "view"), (3, 2, "click"),
         (4, 2, "click"),
+    ]
+
+
+def test_funnel_stage_stream_ttl_evicts_idle_state(spark, tmp_path_factory):
+    """ttl_minutes arms a ProcessingTimeTimeout: a user idle past the
+    horizon has their state evicted on the next micro-batch, so a
+    re-emitted stage 'view' is RE-reported (funnel restarted) instead
+    of suppressed by the stale deepest-stage state. Active users are
+    refreshed and keep their monotone suppression."""
+    import time
+
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import funnel_stage_stream
+
+    # ProcessingTimeTimeout makes the engine schedule continuous
+    # micro-batches (each batch may fire timeouts), so neither
+    # processAllAvailable() nor trigger(availableNow) ever settles —
+    # run ONE long-lived default-trigger query and POLL the memory
+    # sink for the expected row count instead.
+    base = str(tmp_path_factory.mktemp("fnttl") / "ev")
+    schema = "user_id long, event_type string"
+    stream = spark.readStream.schema(schema).parquet(base + "/f*")
+    out = funnel_stage_stream(stream, ttl_minutes=2 / 60)  # 2 s TTL
+    q = (out.writeStream.format("memory").queryName("funnel_ttl")
+         .outputMode("append").start())
+
+    def wait_rows(n, timeout=90.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            rows = spark.table("funnel_ttl").collect()
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(
+            f"sink stuck at {len(spark.table('funnel_ttl').collect())} "
+            f"rows, wanted {n}")
+
+    try:
+        # batch 1: u1 and u2 view — states armed with the 2 s TTL
+        spark.createDataFrame([(1, "view"), (2, "view")], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(base + "/f1")
+        wait_rows(2)
+        time.sleep(3)  # let both TTLs lapse
+        # decoy batch: u9's data forces a micro-batch in which u1/u2
+        # have NO data and are past their timeout → both EVICTED here
+        # (deterministic: eviction is complete before f3 is written).
+        spark.createDataFrame([(9, "view")], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(base + "/f2")
+        wait_rows(3)
+        # batch 3: u1 re-views → state was evicted, the funnel
+        # restarted, so 'view' RE-EMITS (NoTimeout would suppress it);
+        # u2 clicks → fresh state, click is its first emitted stage.
+        spark.createDataFrame([(1, "view"), (2, "click")], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(base + "/f3")
+        rows = sorted((r["user_id"], r["stage_idx"], r["stage"])
+                      for r in wait_rows(5))
+    finally:
+        q.stop()
+    assert rows == [
+        (1, 1, "view"), (1, 1, "view"),
+        (2, 1, "view"), (2, 2, "click"),
+        (9, 1, "view"),
     ]

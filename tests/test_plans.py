@@ -352,3 +352,12 @@ def test_tpch_q21_is_single_fact_pass(spark, sf_dir):
     plan = plan_string(R.waiting_suppliers(spark, sf_dir))
     assert plan.count("lineitem.parquet") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_referential_integrity_single_fact_scan(spark, sf_dir):
+    """The FK audit's three lineitem edges must SHARE one fact scan
+    (membership flags off one pass), never three anti-join passes —
+    the 100 TB shape (VERDICT r7 ask #6)."""
+    plan = plan_string(R.referential_integrity_report(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 1
+    assert "CartesianProduct" not in plan

@@ -687,8 +687,8 @@ def test_doc_lexical_stats_hand_doc(spark):
         "doc_id long, text string")
     r = doc_lexical_stats(docs).collect()[0]
     assert r["n_tokens"] == 5 and r["n_distinct"] == 4
-    assert r["ttr_micro"] == 0.8
+    assert r["ttr_frac"] == 0.8
     # chars without whitespace: 5+5+5+3+7 = 25 -> 25/5 = 5.0
-    assert r["mean_word_len_micro"] == 5.0
+    assert r["mean_word_len_frac"] == 5.0
     # vowel groups: spark(a) spark(a) rules(u,e) the(e) cluster(u,e) = 7
-    assert r["vgroups_per_word_micro"] == 1.4
+    assert r["vgroups_per_word_frac"] == 1.4

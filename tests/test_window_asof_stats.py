@@ -1407,7 +1407,7 @@ def test_cusum_changepoint_finds_level_shift(spark, tmp_path, monkeypatch):
     assert r["n_days"] == 20 and r["total_cents"] == 40000
     # |n*S_k| peaks at k=10: n*C - k*T = 20*10000 - 10*40000 = -200000
     # normalized |.|/(n*T) = 200000/800000 = 0.25
-    assert r["cusum_micro"] == 0.25
+    assert r["cusum_frac"] == 0.25
 
 
 def test_interarrival_hist_hand_gaps(spark, tmp_path, monkeypatch):
@@ -1435,7 +1435,7 @@ def test_interarrival_hist_hand_gaps(spark, tmp_path, monkeypatch):
     assert set(got) == {0, 1, 3, 5}
     assert {b: got[b]["lo_seconds"] for b in got} == {0: 0, 1: 1, 3: 4, 5: 16}
     for b in got:
-        assert got[b]["n_gaps"] == 1 and got[b]["share_micro"] == 0.25
+        assert got[b]["n_gaps"] == 1 and got[b]["share_frac"] == 0.25
 
 
 def test_value_drift_hand_shift(spark, tmp_path, monkeypatch):
@@ -1505,7 +1505,7 @@ def test_conversion_lifetable_accounting(spark, sf_dir):
     for r in rows:
         assert r["at_risk"] == run
         assert r["n_events"] + r["n_censored"] <= r["at_risk"]
-        assert 0 <= r["hazard_micro"] <= 1
+        assert 0 <= r["hazard_frac"] <= 1
         run -= r["n_events"] + r["n_censored"]
     assert run == 0
 
@@ -1583,7 +1583,7 @@ def test_join_key_skew_uniform_vs_skewed(spark, tmp_path, monkeypatch):
         else orig(s, name, d))
     r = join_key_skew_report(spark, str(tmp_path)).collect()[0]
     assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (12, 4, 3)
-    assert r["gini_micro"] == 0.0 and r["top_share_micro"] == 0.25
+    assert r["gini_frac"] == 0.0 and r["top_share_frac"] == 0.25
     # skewed: one key holds 97 of 100 rows
     p2 = fake([7] * 97 + [8, 9, 10])
     monkeypatch.setattr(
@@ -1592,4 +1592,4 @@ def test_join_key_skew_uniform_vs_skewed(spark, tmp_path, monkeypatch):
         else orig(s, name, d))
     r = join_key_skew_report(spark, str(tmp_path)).collect()[0]
     assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (100, 4, 97)
-    assert r["top_share_micro"] == 0.97 and r["gini_micro"] > 0.7
+    assert r["top_share_frac"] == 0.97 and r["gini_frac"] > 0.7

@@ -279,6 +279,8 @@ def main(argv: list[str] | None = None) -> int:
         docs = _docs(spark, args.input, "nb", clean_chain_a)
         preds, _model = mllib_pipeline(docs, algorithm=algo)
         _print_metrics(preds, with_weighted=True)
+        for cached in getattr(preds, "_graft_cached", []):
+            cached.unpersist()
 
     # M9: wall-clock around explicit actions (unlike the reference's
     # Spark timer, which stopped before materialization)

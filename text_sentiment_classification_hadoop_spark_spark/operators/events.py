@@ -1239,7 +1239,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection over DAILY event value totals →
-    one row ``(change_day, n_days, total_cents, cusum_micro)``: the
+    one row ``(change_day, n_days, total_cents, cusum_frac)``: the
     day k maximizing |S_k| where S_k = Σ_{j≤k}(y_j − ȳ) — the
     standard "did the metric's level shift, and when" screen on an
     ops dashboard (the max-|CUSUM| day is the estimated change
@@ -1277,12 +1277,12 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_n").cast("long").alias("n_days"),
                     F.col("_t").cast("long").alias("total_cents"),
                     pround_iratio(F.col("_ns"), F.col("_n") * F.col("_t"))
-                    .alias("cusum_micro")))
+                    .alias("cusum_frac")))
 
 
 def interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed inter-event gap histogram → one row per bucket
-    ``(bucket, lo_seconds, n_gaps, share_micro)``: per-user
+    ``(bucket, lo_seconds, n_gaps, share_frac)``: per-user
     consecutive-event gaps in whole seconds, bucketed by bit length
     (bucket 0 = same second, bucket b covers [2^{b-1}, 2^b) seconds)
     — the burstiness / dwell-time profile that sizes streaming
@@ -1316,7 +1316,7 @@ def interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("bucket", lo.alias("lo_seconds"),
                     F.col("_n").cast("long").alias("n_gaps"),
                     pround_iratio(F.col("_n"), F.col("_t"))
-                    .alias("share_micro"))
+                    .alias("share_frac"))
             .orderBy("bucket"))
 
 
@@ -1377,7 +1377,7 @@ def value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def conversion_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete survival lifetable for view→purchase conversion → one
     row per log2 day-bucket ``(bucket, lo_days, n_events, n_censored,
-    at_risk, hazard_micro)`` — the actuarial "how fast do users
+    at_risk, hazard_frac)`` — the actuarial "how fast do users
     convert, and at what rate per horizon" table (Kaplan-Meier's
     discrete sibling; hazard_b = events_b / at-risk-at-bucket-start).
 
@@ -1435,7 +1435,7 @@ def conversion_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("at_risk"),
                     pround_iratio(F.col("_nev"),
                                   F.col("_n") - F.col("_exits_before"))
-                    .alias("hazard_micro"))
+                    .alias("hazard_frac"))
             .orderBy("bucket"))
 
 

@@ -1869,18 +1869,53 @@ def referential_integrity_report(spark: SparkSession,
     the referential-integrity census a warehouse runs after every
     load (orphaned children mean a broken or racing ingest).
 
-    Each edge is one LEFT ANTI join from child key to parent key
-    (parent side reduced to DISTINCT keys first — broadcast-sized for
-    dims, key-shuffle for facts) plus a count; the six 1-row results
-    union into the report. At 100 TB each audit is a semi-join-shaped
-    pass the optimizer can run off a bloom filter of parent keys."""
-    edges = [
-        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
-         "orders", "o_orderkey"),
-        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
-         "part", "p_partkey"),
-        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
-         "supplier", "s_suppkey"),
+    The three lineitem edges share ONE fact scan: lineitem's three FK
+    columns get a membership flag each via LEFT joins against the
+    distinct parent keys (part/supplier broadcast; orders key-shuffle
+    — still a single pipelined pass over the fact), then one aggregate
+    emits all three orphan counts. Remaining edges (orders→customer,
+    customer→nation, nation→region) are each one anti-join-shaped pass
+    over a strictly smaller table. NULL child FKs are NOT orphans
+    (SQL ``NOT IN`` semantics): the orphan predicate requires the key
+    to be non-null, so both engines agree by construction. At 100 TB
+    the big-fact audit is one scan + one shuffle, never three."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey")
+    o_keys = (load_table(spark, "orders", sf_dir)
+              .select(F.col("o_orderkey").alias("l_orderkey")).distinct()
+              .withColumn("_has_o", F.lit(1)))
+    p_keys = (load_table(spark, "part", sf_dir)
+              .select(F.col("p_partkey").alias("l_partkey")).distinct()
+              .withColumn("_has_p", F.lit(1)))
+    s_keys = (load_table(spark, "supplier", sf_dir)
+              .select(F.col("s_suppkey").alias("l_suppkey")).distinct()
+              .withColumn("_has_s", F.lit(1)))
+    flagged = (li.join(o_keys, "l_orderkey", "left")
+               .join(F.broadcast(p_keys), "l_partkey", "left")
+               .join(F.broadcast(s_keys), "l_suppkey", "left"))
+
+    def _orphan(key_col, flag_col):
+        return F.sum(F.when(F.col(key_col).isNotNull()
+                            & F.col(flag_col).isNull(), 1)
+                     .otherwise(0)).cast("long")
+
+    fact = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        _orphan("l_orderkey", "_has_o").alias("_orph_o"),
+        _orphan("l_partkey", "_has_p").alias("_orph_p"),
+        _orphan("l_suppkey", "_has_s").alias("_orph_s"))
+    fact_rows = fact.select(F.explode(F.array(
+        F.struct(F.lit("lineitem.l_orderkey -> orders").alias("fk"),
+                 F.col("_n").alias("n_child"),
+                 F.col("_orph_o").alias("n_orphans")),
+        F.struct(F.lit("lineitem.l_partkey -> part").alias("fk"),
+                 F.col("_n").alias("n_child"),
+                 F.col("_orph_p").alias("n_orphans")),
+        F.struct(F.lit("lineitem.l_suppkey -> supplier").alias("fk"),
+                 F.col("_n").alias("n_child"),
+                 F.col("_orph_s").alias("n_orphans")),
+    )).alias("_e")).select("_e.*")
+    small_edges = [
         ("orders.o_custkey -> customer", "orders", "o_custkey",
          "customer", "c_custkey"),
         ("customer.c_nationkey -> nation", "customer", "c_nationkey",
@@ -1888,12 +1923,13 @@ def referential_integrity_report(spark: SparkSession,
         ("nation.n_regionkey -> region", "nation", "n_regionkey",
          "region", "r_regionkey"),
     ]
-    parts = []
-    for fk, ct, ck, pt, pk in edges:
+    parts = [fact_rows]
+    for fk, ct, ck, pt, pk in small_edges:
         child = load_table(spark, ct, sf_dir).select(F.col(ck).alias("_k"))
         parent = (load_table(spark, pt, sf_dir)
                   .select(F.col(pk).alias("_k")).distinct())
-        orphans = child.join(parent, "_k", "left_anti")
+        orphans = (child.filter(F.col("_k").isNotNull())
+                   .join(parent, "_k", "left_anti"))
         parts.append(child.agg(
             F.lit(fk).alias("fk"),
             F.count(F.lit(1)).cast("long").alias("n_child"))
@@ -1908,7 +1944,7 @@ def referential_integrity_report(spark: SparkSession,
 def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis for the workhorse join key
     ``lineitem.l_orderkey`` → one row ``(n_rows, n_keys,
-    max_key_rows, top_share_micro, gini_micro)`` — the census a query
+    max_key_rows, top_share_frac, gini_frac)`` — the census a query
     planner (or a human sizing AQE skew thresholds) reads before a
     key-partitioned join: how unequal are the per-key row counts?
 
@@ -1937,7 +1973,7 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_t").cast("long").alias("n_rows"),
         F.col("_k").cast("long").alias("n_keys"),
         F.col("_mx").cast("long").alias("max_key_rows"),
-        pround_iratio(F.col("_mx"), F.col("_t")).alias("top_share_micro"),
+        pround_iratio(F.col("_mx"), F.col("_t")).alias("top_share_frac"),
         pround_iratio(F.lit(2) * F.col("_sr")
                       - (F.col("_k") + 1) * F.col("_t"),
-                      F.col("_k") * F.col("_t")).alias("gini_micro"))
+                      F.col("_k") * F.col("_t")).alias("gini_frac"))

@@ -1245,7 +1245,8 @@ def embedding_outliers(emb: DataFrame, id_col: str = "vec_id",
 
 def pca_power_top_component(emb: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            iters: int = 8) -> DataFrame:
+                            iters: int = 8,
+                            strategy: str = "selfjoin") -> DataFrame:
     """Top principal component of the embedding cloud via fixed-round
     power iteration → ``(d, loading_micro)`` — one signed integer
     micro-unit loading per dimension, max-normalized to ±1e6. The
@@ -1265,25 +1266,77 @@ def pca_power_top_component(emb: DataFrame, vec_col: str = "embedding",
     same class as the k-means centroid collect. The oracle mirrors
     every round in HUGEINT CTEs; magnitudes stay ≤ ~1e34 ≪ int128.
 
-    Scale path: the self-join Gram is dims²-wide per row (n·dims²
-    intermediate); at 100 TB swap it for per-partition partial Grams
-    via ``mapInPandas`` (dims² floats per PARTITION, then one exact
-    micro-quantized reduce) — the plan downstream of the Gram is
-    identical. Fixed v₀ = all-ones pins the eigenvector sign."""
-    xu_col = F.posexplode(
-        F.transform(F.col(vec_col),
-                    lambda x: F.floor(x.cast("double") * F.lit(1000000.0)
-                                      + F.lit(0.5)).cast("long")))
+    Gram strategies (both integer-exact, identical downstream plan —
+    ``strategy=``):
+
+    - ``"selfjoin"`` (default, the oracle-mirrored form): ONE
+      vec_id-keyed self-join + (i,j) aggregate. dims²-wide per row
+      (n·dims² shuffle intermediate) — fine to mid scale, visible in
+      the plan as one shuffle.
+    - ``"partial_gram"`` (the 100 TB path): per-PARTITION dims×dims
+      partial Grams via ``mapInPandas`` — each task matmuls its own
+      quantized rows (int64 chunks sized so no product sum can
+      overflow, accumulated into arbitrary-precision Python ints) and
+      emits dims² rows; one exact DECIMAL(38,0) reduce sums the
+      partials. Shuffle volume collapses from n·dims² rows to
+      |partitions|·dims² — the Gram cost rides the scan.
+
+    Fixed v₀ = all-ones pins the eigenvector sign."""
+    if strategy not in ("selfjoin", "partial_gram"):
+        raise ValueError(f"unknown Gram strategy: {strategy!r}")
+    xu_lambda = lambda x: F.floor(  # noqa: E731
+        x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    xu_col = F.posexplode(F.transform(F.col(vec_col), xu_lambda))
     # widen BEFORE the dims²-fan-out self-join: a single-row-group
     # parquet input would run the CPU-heavy Gram stage on one task
     au = widen(emb).select(F.col(id_col).alias("_v"),
                            xu_col.alias("d", "xu"))
-    a = au.select(F.col("_v"), F.col("d").alias("i"), F.col("xu").alias("_xi"))
-    b = au.select(F.col("_v"), F.col("d").alias("j"), F.col("xu").alias("_xj"))
-    gram = (a.join(b, "_v")
-            .groupBy("i", "j")
-            .agg(F.sum((F.col("_xi") * F.col("_xj")).cast("decimal(38,0)"))
-                 .alias("g")))
+    if strategy == "selfjoin":
+        a = au.select(F.col("_v"), F.col("d").alias("i"),
+                      F.col("xu").alias("_xi"))
+        b = au.select(F.col("_v"), F.col("d").alias("j"),
+                      F.col("xu").alias("_xj"))
+        gram = (a.join(b, "_v")
+                .groupBy("i", "j")
+                .agg(F.sum((F.col("_xi") * F.col("_xj"))
+                           .cast("decimal(38,0)")).alias("g")))
+    else:
+        qvec = widen(emb).select(
+            F.transform(F.col(vec_col), xu_lambda).alias("_xu"))
+
+        def _partial_grams(batches):
+            import numpy as np
+            import pandas as pd
+            G = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf["_xu"].tolist(), dtype=np.int64)
+                if G is None:
+                    G = np.zeros((X.shape[1], X.shape[1]), dtype=object)
+                # 512-row chunks: |xu| ≤ ~2e9 even for wild inputs →
+                # chunk Gram ≤ 512·4e18... keep xu ≤ ~4e6 (unit-norm
+                # embeddings quantized at 1e6) → ≤ 512·1.6e13 ≈ 8e15,
+                # far inside int64; exactness then moves to the
+                # object-dtype (Python bigint) accumulator.
+                for s in range(0, len(X), 512):
+                    ch = X[s:s + 512]
+                    G += (ch.T @ ch).astype(object)
+            if G is None:
+                return
+            d = G.shape[0]
+            ii, jj = np.indices((d, d))
+            from decimal import Decimal
+            yield pd.DataFrame({
+                "i": ii.ravel().astype("int32"),
+                "j": jj.ravel().astype("int32"),
+                "g": [Decimal(int(x)) for x in G.ravel()],
+            })
+
+        partials = qvec.mapInPandas(
+            _partial_grams, "i int, j int, g decimal(38,0)")
+        gram = (partials.groupBy("i", "j")
+                .agg(F.sum("g").cast("decimal(38,0)").alias("g")))
     su = au.groupBy("d").agg(F.sum("xu").alias("s"))
     n = emb.count()
     g_rows = {(r["i"], r["j"]): int(r["g"]) for r in gram.collect()}

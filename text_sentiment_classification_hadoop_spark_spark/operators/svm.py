@@ -261,11 +261,22 @@ def mllib_pipeline(docs: DataFrame, algorithm: str = "nb", text_col: str = "text
     ``randomSplit([0.75, 0.25], seed=1234)``.
 
     Quirk preserved as documented (``NaiveBayes.py:56-61``): IDF is fit
-    on the FULL dataset before the train/test split (leakage) — exactly
+    on the FULL dataset before the split (leakage) — exactly
     what the reference does.
+
+    The featurized chain is computed three times without caching (IDF
+    fit pass, the estimator's instance materialization, the test
+    transform), so ``featurized`` and ``rescaled`` are PERSISTED for
+    the duration of the fit. The caller owns the release: the cached
+    frames ride on the returned predictions DataFrame as
+    ``preds._graft_cached`` — unpersist them once the predictions have
+    been consumed (the registry wrappers aggregate the tiny confusion
+    eagerly and release immediately, so nothing stays pinned across a
+    long session).
 
     Returns ``(predictions_df, model)``.
     """
+    from pyspark import StorageLevel
     from pyspark.ml.classification import LinearSVC, NaiveBayes
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
@@ -274,9 +285,9 @@ def mllib_pipeline(docs: DataFrame, algorithm: str = "nb", text_col: str = "text
     tok = Tokenizer(inputCol="tweet", outputCol="words")
     words = tok.transform(base)
     tf = HashingTF(inputCol="words", outputCol="rawFeatures", numFeatures=num_features)
-    featurized = tf.transform(words)
+    featurized = tf.transform(words).persist(StorageLevel.MEMORY_AND_DISK)
     idf = IDF(inputCol="rawFeatures", outputCol="features").fit(featurized)
-    rescaled = idf.transform(featurized)
+    rescaled = idf.transform(featurized).persist(StorageLevel.MEMORY_AND_DISK)
     train, test = rescaled.randomSplit([0.75, 0.25], seed=seed)
     if algorithm == "nb":
         est = NaiveBayes(featuresCol="features", labelCol="label")
@@ -286,4 +297,6 @@ def mllib_pipeline(docs: DataFrame, algorithm: str = "nb", text_col: str = "text
     else:
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     model = est.fit(train)
-    return model.transform(test), model
+    preds = model.transform(test)
+    preds._graft_cached = [featurized, rescaled]
+    return preds, model

@@ -860,7 +860,7 @@ def ctfidf_keywords(df: DataFrame, group_col: str = "lang",
 def doc_lexical_stats(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Per-document lexical-diversity profile → ``(doc_id, n_tokens,
-    n_distinct, ttr_micro, mean_word_len_micro, vgroups_per_word_micro)``
+    n_distinct, ttr_frac, mean_word_len_frac, vgroups_per_word_frac)``
     — the type-token ratio (templated / machine-generated text scores
     LOW), mean word length, and vowel-group-per-word syllable proxy
     that curation pipelines threshold on before training-set
@@ -883,9 +883,9 @@ def doc_lexical_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         nd.cast("long").alias("n_distinct"),
-        pround_iratio(nd.cast("long"), n.cast("long")).alias("ttr_micro"),
+        pround_iratio(nd.cast("long"), n.cast("long")).alias("ttr_frac"),
         pround_iratio(chars.cast("long"), n.cast("long"))
-        .alias("mean_word_len_micro"),
+        .alias("mean_word_len_frac"),
         pround_iratio(vg.cast("long"), n.cast("long"))
-        .alias("vgroups_per_word_micro"))
+        .alias("vgroups_per_word_frac"))
         .orderBy(id_col))

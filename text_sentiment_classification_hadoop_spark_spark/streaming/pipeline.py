@@ -596,8 +596,8 @@ def asof_enrich_stream(views: DataFrame, purchases: DataFrame,
 
 def funnel_stage_stream(df: DataFrame, user_col: str = "user_id",
                         type_col: str = "event_type",
-                        stages: tuple = ("view", "click", "purchase")
-                        ) -> DataFrame:
+                        stages: tuple = ("view", "click", "purchase"),
+                        ttl_minutes: float | None = None) -> DataFrame:
     """Custom stateful streaming operator: per-user MONOTONE funnel
     progression — emit a row each time a user first reaches a deeper
     funnel stage → ``(user_id, stage_idx, stage)``. The incremental
@@ -611,8 +611,18 @@ def funnel_stage_stream(df: DataFrame, user_col: str = "user_id",
     present is compared against the state and every newly exceeded
     stage is emitted in ascending order — so results don't depend on
     intra-batch row order (deterministic under any file/shuffle
-    order). At scale, add a ProcessingTimeTimeout TTL if the funnel
-    has an abandonment horizon."""
+    order).
+
+    ``ttl_minutes``: abandonment horizon. ``None`` (default) keeps
+    state forever (NoTimeout — suits bounded user populations or
+    replays). A number arms a ProcessingTimeTimeout refreshed on every
+    batch in which the user appears; a user idle past the TTL has
+    their state EVICTED on the next micro-batch, bounding the store by
+    |users active within the horizon| instead of all-time |users|.
+    After eviction the funnel restarts from stage 0 — the correct
+    semantics for an abandonment model, and the 100 TB knob: an
+    unbounded stream with unbounded user churn MUST set a TTL or the
+    state store grows without bound."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stage_list = list(stages)
@@ -623,9 +633,17 @@ def funnel_stage_stream(df: DataFrame, user_col: str = "user_id",
         T.StructField("stage", T.StringType()),
     ])
     state_schema = T.StructType([T.StructField("deepest", T.IntegerType())])
+    ttl_ms = None if ttl_minutes is None else max(
+        1, int(ttl_minutes * 60_000))
+    timeout_conf = (GroupStateTimeout.NoTimeout if ttl_ms is None
+                    else GroupStateTimeout.ProcessingTimeTimeout)
 
     def advance(key, pdfs, state):
         import pandas as pd
+        if ttl_ms is not None and state.hasTimedOut:
+            # Idle past the horizon with no data this batch: evict.
+            state.remove()
+            return
         present: set = set()
         for pdf in pdfs:
             present.update(pdf[type_col].unique().tolist())
@@ -633,6 +651,10 @@ def funnel_stage_stream(df: DataFrame, user_col: str = "user_id",
         new = sorted(i for s, i in idx.items() if s in present and i > cur)
         if new:
             state.update((int(new[-1]),))
+        if ttl_ms is not None and state.exists:
+            # Activity-based TTL: any appearance refreshes the clock.
+            state.setTimeoutDuration(ttl_ms)
+        if new:
             yield pd.DataFrame({
                 user_col: [key[0]] * len(new),
                 "stage_idx": new,
@@ -642,4 +664,4 @@ def funnel_stage_stream(df: DataFrame, user_col: str = "user_id",
     return (df.filter(F.col(type_col).isin(stage_list))
             .groupBy(user_col)
             .applyInPandasWithState(advance, out_schema, state_schema,
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", timeout_conf))

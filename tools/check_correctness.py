@@ -166,11 +166,22 @@ def main():
             n_pass += 1
     skip_note = f", {n_skip} sf-pinned-skip" if n_skip else ""
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle{skip_note}")
+    # pin the artifact to the registry: a full (non --only) run MUST
+    # have covered every queries() entry — a SELFCHECK generated before
+    # a trailing commit added queries can't silently strand them
+    # (VERDICT r7 ask #2).
+    n_covered = n_pass + n_fail + n_noracle + n_skip
+    if not only:
+        assert n_covered == len(qs), (
+            f"selfcheck covered {n_covered} queries but the registry "
+            f"has {len(qs)} — regenerate at HEAD")
     if args.json:
         import json
         with open(args.json, "w") as f:
             json.dump({"sf": args.sf, "n_pass": n_pass, "n_fail": n_fail,
                        "n_rows_only": n_noracle, "n_sf_pinned_skip": n_skip,
+                       "n_registry": len(qs), "covered_full_registry":
+                       (not only) and n_covered == len(qs),
                        "queries": record}, f, indent=1, sort_keys=True)
         print(f"wrote {args.json}")
     spark.stop()
