@@ -2656,6 +2656,15 @@ def _source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quality_report(load_table(spark, "documents", sf_dir))
 
 
+def _jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard ≥ 0.5 pairs via lossless prefix
+    filtering (operators/dedup.jaccard_prefix_pairs) — the oracle is a
+    deliberate O(n²) brute force, so a hash-green row proves the
+    candidate pruning misses NOTHING."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import jaccard_prefix_pairs
+    return jaccard_prefix_pairs(load_table(spark, "documents", sf_dir))
+
+
 def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import ngram_novelty
     return ngram_novelty(load_table(spark, "documents", sf_dir))
@@ -3406,6 +3415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_revenue": R.winsorized_revenue_stats,
         "referential_integrity": R.referential_integrity_report,
         "join_key_skew": R.join_key_skew_report,
+        "revenue_bootstrap_ci": R.revenue_bootstrap_ci,
+        "jaccard_prefix_pairs": _jaccard_prefix_pairs,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8194,6 +8205,60 @@ SELECT CAST(t AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_keys,
        {IR("mx", "t")} AS top_share_frac,
        {IR("2 * sr - (k + 1) * t", "k * t")} AS gini_frac
 FROM s
+"""
+    # Poisson(1) bootstrap: multiplicities read off the portable
+    # 60-bit hash against exact pre-quantized CDF cut points
+    # (operators/relational.POISSON1_CUTS_2POW60) — bit-identical to
+    # the Spark side by construction; mean via the remainder-exact
+    # protocol, CI bounds as order statistics of the 16 replicate sums.
+    out["revenue_bootstrap_ci"] = """
+WITH rep AS (
+  SELECT b, CAST(sum(m * CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(30,2)) AS rev
+  FROM (
+    SELECT b, l_extendedprice,
+      CASE WHEN h < 424136118829305329 THEN 0
+           WHEN h < 848272237658610659 THEN 1
+           WHEN h < 1060340297073263324 THEN 2
+           WHEN h < 1131029650211480879 THEN 3
+           WHEN h < 1148701988496035267 THEN 4
+           ELSE 5 END AS m
+    FROM (
+      SELECT r.b AS b, l_extendedprice,
+        CAST(('0x' || substr(md5(concat(l_orderkey, '-', l_linenumber,
+                                        '-', r.b)), 1, 15)) AS BIGINT) AS h
+      FROM lineitem CROSS JOIN (SELECT unnest(range(0, 16)) AS b) r) q1) q2
+  GROUP BY b)
+SELECT CAST(count(*) AS INT) AS n_replicates,
+       floor((CAST(sum(rev) AS DECIMAL(32,2)) * 2000000 + count(*)
+              - (CAST(sum(rev) AS DECIMAL(32,2)) * 2000000 + count(*))
+                % (2 * count(*)))
+             / (2 * count(*)) + 0.5) / 1e6 AS mean_rev,
+       CAST(list_sort(list(rev))[2] AS DOUBLE) AS lo_rev,
+       CAST(list_sort(list(rev))[15] AS DOUBLE) AS hi_rev
+FROM rep
+"""
+    # Brute-force all-pairs twin of the lossless prefix-filter join:
+    # the oracle deliberately does the O(n²) work the engine side
+    # prunes, so hash-green == zero false negatives.
+    out["jaccard_prefix_pairs"] = f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])) AS toks
+  FROM tk WHERE len(w) >= 2),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(a.toks) AS BIGINT) AS n_a,
+         CAST(len(b.toks) AS BIGINT) AS n_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, n_a, n_b, n_common,
+       {IR("n_common", "n_a + n_b - n_common")} AS jac_frac
+FROM p
+WHERE n_common * 1000000 >= 500000 * (n_a + n_b - n_common)
+ORDER BY doc_a, doc_b
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

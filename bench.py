@@ -20,28 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from text_sentiment_classification_hadoop_spark_spark.session import get_spark  # noqa: E402
 
-
-def main() -> None:
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--repeat", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT",
-                                               "3")),
-                    help="samples per query; reported value is the "
-                         "median (single runs carry no round-over-round "
-                         "signal — the r5 bench showed ±40% noise)")
-    cli = ap.parse_args()
-    repeat = max(1, cli.repeat)
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench")
-
-    import __spark_entry__ as entry
-
-    # Headline set: the sentiment pipelines (the reference's workload)
-    # plus the full extension families — mirrors what the correctness
-    # gate covers so BENCH and CORRECTNESS speak about the same queries.
-    names = [
+# Headline set: the sentiment pipelines (the reference's workload)
+# plus the full extension families — mirrors what the correctness
+# gate covers so BENCH and CORRECTNESS speak about the same queries.
+# Module-level so tests can assert every name resolves in queries()
+# (a renamed registry key must fail a pytest, not the driver bench).
+HEADLINE_QUERIES = [
         # sentiment (the reference workload)
         "nb_predictions", "nb_confusion", "nb_metrics", "nb_pr_curve",
         "svm_predictions", "svm_declared_weights", "svm_metrics",
@@ -111,7 +95,27 @@ def main() -> None:
         "stream_winnow_fingerprints",
         "stream_doc_repetition", "stream_curation_gates",
         "stream_neardup_candidates", "stream_hourly_profile",
-    ]
+]
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT",
+                                               "3")),
+                    help="samples per query; reported value is the "
+                         "median (single runs carry no round-over-round "
+                         "signal — the r5 bench showed ±40% noise)")
+    cli = ap.parse_args()
+    repeat = max(1, cli.repeat)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    import __spark_entry__ as entry
+
+    names = HEADLINE_QUERIES
     # Registry tail: every remaining queries() entry, timed the same way
     # so the bench covers the FULL registry. Kept out of the headline
     # `value` so that metric stays composition-stable across rounds —

@@ -1064,3 +1064,37 @@ def test_pca_power_partial_gram_strategy_identical(spark):
                pca_power_top_component(emb, iters=6,
                                        strategy="partial_gram").collect())
     assert a == b and len(a) == 6
+
+
+def test_jaccard_prefix_pairs_matches_brute_force(spark):
+    """Prefix filtering is LOSSLESS: the pruned join must return
+    exactly the pairs a brute-force all-pairs sweep finds — planted
+    near-dup (one-word edit), exact dup, and unrelated docs."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.dedup import jaccard_prefix_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy cat tonight",  # near-dup of 1
+        3: "completely different words about spark shuffles and plans",
+        4: "the quick brown fox jumps over the lazy dog tonight",  # exact dup of 1
+        5: "one two",  # minimal doc: a single bigram shingle
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["n_common"]
+           for r in jaccard_prefix_pairs(docs, tau_micro=500_000).collect()}
+
+    def shingle_set(t):
+        w = t.split(" ")
+        return {f"{a} {b}" for a, b in zip(w, w[1:])}
+
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = shingle_set(texts[a]), shingle_set(texts[b])
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union and inter * 2 >= union:  # tau = 0.5
+                expect[(a, b)] = inter
+    assert got == expect and (1, 4) in got and (1, 2) in got
+    assert all(k[0] != 3 and k[1] != 3 for k in got)

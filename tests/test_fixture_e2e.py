@@ -55,3 +55,21 @@ def test_svm_compat_golden_confusion(spark):
     got = sorted((r["prediction"], r["label"], r["cnt"])
                  for r in M.confusion_matrix(scored).collect())
     assert got == [(0.0, 0.0, 15), (1.0, 0.0, 1), (1.0, 1.0, 15)]
+
+
+def test_bench_headline_names_resolve_in_registry():
+    """Every bench headline name must be a live queries() key — a
+    registry rename must fail HERE, not in the driver's bench run."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py")
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
+    qs = set(entry.queries())
+    missing = [n for n in bench_mod.HEADLINE_QUERIES if n not in qs]
+    assert not missing, missing
+    assert len(set(bench_mod.HEADLINE_QUERIES)) == len(bench_mod.HEADLINE_QUERIES)

@@ -1593,3 +1593,27 @@ def test_join_key_skew_uniform_vs_skewed(spark, tmp_path, monkeypatch):
     r = join_key_skew_report(spark, str(tmp_path)).collect()[0]
     assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (100, 4, 97)
     assert r["top_share_frac"] == 0.97 and r["gini_frac"] > 0.7
+
+
+def test_revenue_bootstrap_ci_deterministic_and_ordered(spark, sf_dir):
+    """The Poisson bootstrap must be fully deterministic (hash-driven
+    multiplicities — two runs bit-equal) with ordered CI bounds
+    bracketing the mean, and the replicate spread must stay within a
+    sane band of the true total (multiplicities average 1)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import revenue_bootstrap_ci
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    r1 = revenue_bootstrap_ci(spark, sf_dir).collect()[0]
+    r2 = revenue_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r1 == r2
+    assert r1["n_replicates"] == 16
+    assert r1["lo_rev"] <= r1["mean_rev"] <= r1["hi_rev"]
+    true_total = (load_table(spark, "lineitem", sf_dir)
+                  .agg(F.sum(F.col("l_extendedprice")
+                             .cast("decimal(18,2)")).cast("double"))
+                  .collect()[0][0])
+    # Poisson(1) resampling: replicate sums concentrate around the
+    # true total; 20% is far outside plausible noise at any sf.
+    assert abs(r1["mean_rev"] - true_total) / true_total < 0.2
+    assert (r1["hi_rev"] - r1["lo_rev"]) / true_total < 0.2

@@ -1009,3 +1009,84 @@ def source_overlap(docs: DataFrame, prefix_len: int = 80) -> DataFrame:
                  .alias("shared_fingerprints"))
             .orderBy(F.col("shared_fingerprints").desc(),
                      "source_a", "source_b"))
+
+
+def jaccard_prefix_pairs(docs: DataFrame, tau_micro: int = 500_000,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """EXACT set-similarity self-join via PREFIX FILTERING → every
+    document pair whose word-BIGRAM-set Jaccard ≥ τ, as ``(doc_a,
+    doc_b, n_a, n_b, n_common, jac_frac)`` — the lossless complement
+    to the MinHash/SimHash family above: no false negatives by
+    THEOREM, not by probability, so it is the dedup pass to run when a
+    recall guarantee matters (e.g. benchmark decontamination audits).
+    Set elements are word 2-shingles (:func:`shingles_expr`, k=2):
+    unigram word sets over template-generated corpora are near-
+    saturated (Jaccard ≥ 0.5 for most pairs), while bigram sets
+    isolate true near-dups — same discrimination argument as the
+    MinHash shingling above.
+
+    Prefix-filter principle (AllPairs/PPJoin): order every vocabulary
+    shingle by (document frequency asc, shingle asc) — one GLOBAL
+    total order, rarest first — and take each doc's first
+    ``p = n − ⌈τ·n⌉ + 1`` shingles as its prefix. Any pair with
+    Jaccard ≥ τ shares ≥ ⌈τ·n⌉ elements, which cannot all hide in the
+    ``⌈τ·n⌉−1`` suffix positions, so qualifying pairs MUST collide on
+    a prefix element. Candidates therefore come from an equi-join on
+    prefix shingles (O(Σ posting²) over RARE shingles only — the
+    frequency-ascending order puts the shortest postings in prefixes),
+    then one exact ``array_intersect`` verify per candidate. ⌈τ·n⌉ is
+    computed in pure integer arithmetic ((τ_micro·n + 999999) DIV
+    10^6) so the prefix boundary is engine-stable.
+
+    Scale: two shuffles (shingle df, per-doc set build) + the
+    candidate equi-join; NEVER an all-pairs product — the oracle
+    brute-forces all O(n²) pairs precisely because the engine side
+    must not. jac_frac is the remainder-exact 6-dp ratio."""
+    from ..functions.rounding import pround_iratio
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            shingles_expr(F.col(text_col), k=2))).alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    # The ordered-set frame feeds THREE consumers (prefix explode +
+    # both sides of the verify join); Spark shares no subplans across
+    # a DAG, so materialize it once — 1× the set-build cost instead
+    # of 3× (the co-purchase-relation lesson applied locally).
+    sets = (toks.join(dfreq, "tok")
+            .groupBy(id_col)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "tok"))),
+                lambda s: s["tok"]).alias("_toks"),
+                F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint(eager=True))
+    plen = (F.col("_n")
+            - F.expr(f"CAST(({tau_micro} * _n + 999999) DIV 1000000 "
+                     f"AS BIGINT)") + F.lit(1))
+    prefix = sets.select(F.col(id_col), F.explode(
+        F.slice("_toks", F.lit(1), plen.cast("int"))).alias("tok"))
+    cand = (prefix.alias("pa")
+            .join(prefix.alias("pb"),
+                  (F.col("pa.tok") == F.col("pb.tok"))
+                  & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")))
+            .select(F.col(f"pa.{id_col}").alias("doc_a"),
+                    F.col(f"pb.{id_col}").alias("doc_b"))
+            .distinct())
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("_toks").alias("_ta"), F.col("_n").alias("n_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("_toks").alias("_tb"), F.col("_n").alias("n_b"))
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("n_common", inter)
+            .filter(F.col("n_common") * F.lit(1_000_000)
+                    >= F.lit(int(tau_micro)) * union)
+            .select("doc_a", "doc_b",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    "n_common",
+                    pround_iratio(F.col("n_common"), union)
+                    .alias("jac_frac"))
+            .orderBy("doc_a", "doc_b"))

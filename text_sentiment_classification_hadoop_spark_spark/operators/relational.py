@@ -1977,3 +1977,70 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround_iratio(F.lit(2) * F.col("_sr")
                       - (F.col("_k") + 1) * F.col("_t"),
                       F.col("_k") * F.col("_t")).alias("gini_frac"))
+
+
+# Poisson(1) CDF cut points quantized to the portable hash's 60-bit
+# domain (floor(CDF(k) * 2^60), k = 0..4; computed once in exact
+# Decimal arithmetic). Integer comparisons against these pins make the
+# bootstrap multiplicities IDENTICAL on Spark and DuckDB — no double
+# image of the CDF is ever taken on either engine.
+POISSON1_CUTS_2POW60 = (
+    424136118829305329,     # P(X<=0) = e^-1
+    848272237658610659,     # P(X<=1)
+    1060340297073263324,    # P(X<=2)
+    1131029650211480879,    # P(X<=3)
+    1148701988496035267,    # P(X<=4); remainder -> multiplicity 5
+)
+
+
+def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str,
+                         n_replicates: int = 16) -> DataFrame:
+    """Deterministic Poisson bootstrap over total lineitem revenue →
+    one row ``(n_replicates, mean_rev, lo_rev, hi_rev)`` — the
+    uncertainty band a metrics dashboard shows next to the point
+    estimate (how much of the revenue number is sampling noise?).
+
+    Poisson(1) bootstrap is THE distributed-friendly resampling scheme
+    (each row's per-replicate multiplicity is independent, so no
+    global draw-without-replacement pass): multiplicity m(row, b) is
+    read off the row's 60-bit portable hash of ``orderkey-linenumber-
+    b`` against the pre-quantized Poisson CDF cut points — fully
+    deterministic, identical on both engines, and embarrassingly
+    parallel. Replicate sums accumulate in exact DECIMAL; the CI is
+    ORDER STATISTICS of the B replicate sums (rank 2 / rank B−1 →
+    ≈87.5% central coverage at B=16), and the mean uses the
+    remainder-exact half-up protocol.
+
+    Scale: the fan-out is a narrow map (each row emits B=16 lightweight
+    rows), the aggregate has B groups with map-side partials, and the
+    final order-statistic step sees exactly B values — at 100 TB the
+    whole query is one scan + one 16-group shuffle, no window, no
+    driver loop. Compare BASELINE.md's single point estimate: same
+    pass cost, an error bar for free."""
+    from ..functions.hashing import portable_hash64
+
+    c0, c1, c2, c3, c4 = POISSON1_CUTS_2POW60
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    rep = l.withColumn("b", F.explode(F.sequence(
+        F.lit(0), F.lit(int(n_replicates) - 1))))
+    h = portable_hash64(F.concat_ws(
+        "-", F.col("l_orderkey"), F.col("l_linenumber"), F.col("b")))
+    m = (F.when(h < c0, 0).when(h < c1, 1).when(h < c2, 2)
+         .when(h < c3, 3).when(h < c4, 4).otherwise(5))
+    sums = (rep.groupBy("b")
+            .agg(F.sum(m * dec2(F.col("l_extendedprice")))
+                 .cast("decimal(30,2)").alias("rev")))
+    agg = sums.agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum("rev").cast("decimal(32,2)").alias("_s"),
+        F.sort_array(F.collect_list("rev")).alias("_revs"))
+    a = F.col("_s") * F.lit(2 * 10 ** 6) + F.col("_c")
+    b_ = F.col("_c") * F.lit(2)
+    q = (a - a % b_) / b_
+    return agg.select(
+        F.col("_c").cast("int").alias("n_replicates"),
+        (F.floor(q + F.lit(0.5)) / F.lit(1e6)).alias("mean_rev"),
+        F.element_at("_revs", 2).cast("double").alias("lo_rev"),
+        F.element_at("_revs", int(n_replicates) - 1).cast("double")
+        .alias("hi_rev"))
