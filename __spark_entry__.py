@@ -2657,7 +2657,7 @@ def _source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-shingle Jaccard ≥ 0.5 pairs via lossless prefix
+    """Exact bigram-shingle Jaccard ≥ 0.8 pairs via lossless prefix
     filtering (operators/dedup.jaccard_prefix_pairs) — the oracle is a
     deliberate O(n²) brute force, so a hash-green row proves the
     candidate pruning misses NOTHING."""
@@ -8257,7 +8257,7 @@ p AS (
 SELECT doc_a, doc_b, n_a, n_b, n_common,
        {IR("n_common", "n_a + n_b - n_common")} AS jac_frac
 FROM p
-WHERE n_common * 1000000 >= 500000 * (n_a + n_b - n_common)
+WHERE n_common * 1000000 >= 800000 * (n_a + n_b - n_common)
 ORDER BY doc_a, doc_b
 """
     out["stream_trending_topk"] = """

@@ -1011,7 +1011,7 @@ def source_overlap(docs: DataFrame, prefix_len: int = 80) -> DataFrame:
                      "source_a", "source_b"))
 
 
-def jaccard_prefix_pairs(docs: DataFrame, tau_micro: int = 500_000,
+def jaccard_prefix_pairs(docs: DataFrame, tau_micro: int = 800_000,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """EXACT set-similarity self-join via PREFIX FILTERING → every
@@ -1064,12 +1064,20 @@ def jaccard_prefix_pairs(docs: DataFrame, tau_micro: int = 500_000,
     plen = (F.col("_n")
             - F.expr(f"CAST(({tau_micro} * _n + 999999) DIV 1000000 "
                      f"AS BIGINT)") + F.lit(1))
-    prefix = sets.select(F.col(id_col), F.explode(
+    prefix = sets.select(F.col(id_col), F.col("_n"), F.explode(
         F.slice("_toks", F.lit(1), plen.cast("int"))).alias("tok"))
+    # Candidate join carries the set sizes so the LENGTH FILTER
+    # (Jaccard ≥ τ ⇒ τ·max(n_a,n_b) ≤ min(n_a,n_b)) prunes pairs
+    # BEFORE the dedup shuffle and the array verify — the standard
+    # AllPairs companion filter, also lossless.
     cand = (prefix.alias("pa")
             .join(prefix.alias("pb"),
                   (F.col("pa.tok") == F.col("pb.tok"))
-                  & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")))
+                  & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+                  & (F.lit(int(tau_micro))
+                     * F.greatest(F.col("pa._n"), F.col("pb._n"))
+                     <= F.lit(1_000_000)
+                     * F.least(F.col("pa._n"), F.col("pb._n"))))
             .select(F.col(f"pa.{id_col}").alias("doc_a"),
                     F.col(f"pb.{id_col}").alias("doc_b"))
             .distinct())
@@ -1079,7 +1087,10 @@ def jaccard_prefix_pairs(docs: DataFrame, tau_micro: int = 500_000,
                      F.col("_toks").alias("_tb"), F.col("_n").alias("n_b"))
     inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
     union = F.col("n_a") + F.col("n_b") - F.col("n_common")
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+    # widen() before the CPU-bound array_intersect verify: the
+    # candidate frame is byte-tiny, so AQE would coalesce it onto a
+    # handful of tasks (the embedding_near_dups lesson).
+    return (widen(cand).join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("n_common", inter)
             .filter(F.col("n_common") * F.lit(1_000_000)
                     >= F.lit(int(tau_micro)) * union)

@@ -2038,9 +2038,13 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str,
     a = F.col("_s") * F.lit(2 * 10 ** 6) + F.col("_c")
     b_ = F.col("_c") * F.lit(2)
     q = (a - a % b_) / b_
+    # CASE guards + try_element_at: an empty fact table yields one
+    # NULL-valued row instead of an ANSI divide-by-zero / invalid-index
+    # error (the winsorized_revenue empty-guard lesson, in-plan form).
     return agg.select(
         F.col("_c").cast("int").alias("n_replicates"),
-        (F.floor(q + F.lit(0.5)) / F.lit(1e6)).alias("mean_rev"),
-        F.element_at("_revs", 2).cast("double").alias("lo_rev"),
-        F.element_at("_revs", int(n_replicates) - 1).cast("double")
-        .alias("hi_rev"))
+        F.when(F.col("_c") > 0,
+               F.floor(q + F.lit(0.5)) / F.lit(1e6)).alias("mean_rev"),
+        F.try_element_at("_revs", F.lit(2)).cast("double").alias("lo_rev"),
+        F.try_element_at("_revs", F.lit(int(n_replicates) - 1))
+        .cast("double").alias("hi_rev"))
