@@ -2665,6 +2665,11 @@ def _jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(load_table(spark, "documents", sf_dir))
 
 
+def _source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import source_diversity_index
+    return source_diversity_index(load_table(spark, "documents", sf_dir))
+
+
 def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import ngram_novelty
     return ngram_novelty(load_table(spark, "documents", sf_dir))
@@ -3417,6 +3422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_key_skew": R.join_key_skew_report,
         "revenue_bootstrap_ci": R.revenue_bootstrap_ci,
         "jaccard_prefix_pairs": _jaccard_prefix_pairs,
+        "revenue_mad_outliers": R.revenue_mad_outliers,
+        "nation_trend_ols": R.nation_trend_ols,
+        "source_diversity": _source_diversity,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8259,6 +8267,76 @@ SELECT doc_a, doc_b, n_a, n_b, n_common,
 FROM p
 WHERE n_common * 1000000 >= 800000 * (n_a + n_b - n_common)
 ORDER BY doc_a, doc_b
+"""
+    # MAD: both order statistics replayed with window ranks; rank
+    # ⌈n/2⌉ picks the same VALUE as the two-phase selection under any
+    # tie order. Deviations of 2-dp money from a 2-dp median are exact
+    # 2-dp decimals, so the 3·MAD compare is exact on both engines.
+    out["revenue_mad_outliers"] = """
+WITH v AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+           FROM lineitem),
+nn AS (SELECT count(*) AS n FROM v),
+rk AS (SELECT p, row_number() OVER (ORDER BY p) AS r FROM v),
+med AS (SELECT p AS m FROM rk, nn WHERE r = greatest(1, (n + 1) // 2)),
+d AS (SELECT CAST(abs(p - m) AS DECIMAL(18,2)) AS dv
+      FROM v CROSS JOIN med),
+rk2 AS (SELECT dv, row_number() OVER (ORDER BY dv) AS r FROM d),
+mad AS (SELECT dv AS md FROM rk2, nn WHERE r = greatest(1, (n + 1) // 2))
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_rows,
+       CAST((SELECT m FROM med) AS DOUBLE) AS median_price,
+       CAST((SELECT md FROM mad) AS DOUBLE) AS mad,
+       CAST((SELECT count(*) FROM d CROSS JOIN mad WHERE dv > 3 * md)
+            AS BIGINT) AS n_outliers
+"""
+    # Exact-integer OLS (HUGEINT mirror of the DECIMAL(38,0) form):
+    # one double division per statistic — the grouped intercept's
+    # cancellation makes any earlier double op engine-variant.
+    out["nation_trend_ols"] = """
+WITH m AS (
+  SELECT n_name,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS HUGEINT) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+a AS (
+  SELECT n_name, count(*) AS n, sum(mi) AS sx, sum(mi * mi) AS sxx,
+         sum(y) AS sy,
+         sum(CAST(mi AS HUGEINT) * y) AS sxy
+  FROM m GROUP BY 1
+),
+f AS (
+  SELECT n_name, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
+         sy, CAST(sx AS HUGEINT) AS sxh
+  FROM a
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_months,
+  CASE WHEN n > 1 THEN
+    floor(CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE)
+          * 1000000.0 + 0.5) / 1000000.0 END AS slope,
+  CASE WHEN n > 1 THEN
+    floor(CAST(sy * den - num * sxh AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * den * 100 AS DOUBLE)
+          * 1000000.0 + 0.5) / 1000000.0 END AS intercept
+FROM f ORDER BY n_name
+"""
+    out["source_diversity"] = f"""
+WITH per AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+g AS (
+  SELECT source, sum(c) AS n, count(*) AS k, max(c) AS mx,
+         sum(c * c) AS ssq
+  FROM per GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS n_langs,
+       {IR("mx", "n")} AS top_lang_share_frac,
+       {IR("n * n - ssq", "n * n")} AS simpson_frac
+FROM g ORDER BY source
 """
     out["stream_trending_topk"] = """
 WITH wc AS (

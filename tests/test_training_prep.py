@@ -692,3 +692,23 @@ def test_doc_lexical_stats_hand_doc(spark):
     assert r["mean_word_len_frac"] == 5.0
     # vowel groups: spark(a) spark(a) rules(u,e) the(e) cluster(u,e) = 7
     assert r["vgroups_per_word_frac"] == 1.4
+
+
+def test_source_diversity_index_golden(spark):
+    """Gini-Simpson golden values: a single-language source scores 0,
+    a perfectly 2-way-uniform source scores 0.5, and a 3-way-uniform
+    source 2/3 (all exact under the integer protocol)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import source_diversity_index
+    rows = [
+        (1, "t", "en", "mono"), (2, "t", "en", "mono"),
+        (3, "t", "en", "duo"), (4, "t", "de", "duo"),
+        (5, "t", "en", "trio"), (6, "t", "de", "trio"), (7, "t", "fr", "trio"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r for r in source_diversity_index(docs).collect()}
+    assert got["mono"]["simpson_frac"] == 0.0 and got["mono"]["n_langs"] == 1
+    assert got["duo"]["simpson_frac"] == 0.5
+    assert got["duo"]["top_lang_share_frac"] == 0.5
+    assert got["trio"]["simpson_frac"] == 0.666667  # 1 - 3*(1/9), 6dp half-up
+    assert got["trio"]["n_docs"] == 3

@@ -1617,3 +1617,46 @@ def test_revenue_bootstrap_ci_deterministic_and_ordered(spark, sf_dir):
     # true total; 20% is far outside plausible noise at any sf.
     assert abs(r1["mean_rev"] - true_total) / true_total < 0.2
     assert (r1["hi_rev"] - r1["lo_rev"]) / true_total < 0.2
+
+
+def test_revenue_mad_outliers_invariants(spark, sf_dir):
+    """MAD census invariants: both order statistics positive, the
+    outlier count strictly below n (the median itself can never be an
+    outlier), and the whole row deterministic across calls."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import revenue_mad_outliers
+    r1 = revenue_mad_outliers(spark, sf_dir).collect()[0]
+    r2 = revenue_mad_outliers(spark, sf_dir).collect()[0]
+    assert r1 == r2
+    assert r1["mad"] >= 0 and r1["median_price"] > 0
+    assert 0 <= r1["n_outliers"] < r1["n_rows"]
+
+
+def test_nation_trend_ols_identity(spark, sf_dir):
+    """OLS residuals sum to zero: for every nation the fitted line
+    must reproduce the monthly mean revenue, mean(y) = slope*mean(x)
+    + intercept, to within the 6-dp output rounding."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import nation_trend_ols
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    fit = {r["n_name"]: r for r in nation_trend_ols(spark, sf_dir).collect()}
+    assert fit and all(r["n_months"] >= 1 for r in fit.values())
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    stats = (o.join(c, o["o_custkey"] == c["c_custkey"])
+             .join(n, c["c_nationkey"] == n["n_nationkey"])
+             .groupBy("n_name", mi.alias("m"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("y"))
+             .groupBy("n_name")
+             .agg(F.avg("m").alias("mx"), F.avg("y").alias("my"))
+             .collect())
+    for r in stats:
+        f = fit[r["n_name"]]
+        if f["slope"] is None:
+            continue
+        pred = f["slope"] * r["mx"] + f["intercept"]
+        assert abs(pred - r["my"]) < max(1.0, abs(r["my"]) * 1e-4), \
+            (r["n_name"], pred, r["my"])

@@ -873,3 +873,42 @@ def doc_length_gini(docs: DataFrame, len_col: str = "n_chars"
         pround_iratio(F.lit(2) * F.col("_sr")
                       - (F.col("_n") + 1) * F.col("_t"),
                       F.col("_n") * F.col("_t")).alias("gini"))
+
+
+def source_diversity_index(docs: DataFrame, group_col: str = "source",
+                           label_col: str = "lang") -> DataFrame:
+    """Per-source language-diversity census → one row per source
+    ``(source, n_docs, n_langs, top_lang_share_frac, simpson_frac)``
+    — the concentration screen a curation pipeline reads before
+    weighting sources: a source whose docs are 95% one language
+    contributes less distributional diversity than its row count
+    suggests.
+
+    Diversity is the GINI-SIMPSON index 1 − Σ(c_l/n)², chosen over
+    Shannon entropy deliberately: it needs no ln() (a libm call whose
+    last ulp is engine-variant — the PSI-drift lesson), so the whole
+    statistic is exact integer arithmetic (n² − Σc²) followed by one
+    remainder-exact 6-dp ratio. top_lang_share is max(c)/n under the
+    same protocol.
+
+    Scale: one (source, lang) hash aggregate with map-side partials,
+    then one |sources|-group rollup — shuffle volume is label-
+    cardinality-sized at any corpus size."""
+    from ..functions.rounding import pround_iratio
+
+    per = (docs.groupBy(group_col, label_col)
+           .agg(F.count(F.lit(1)).alias("_c")))
+    g = per.groupBy(group_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_k"),
+        F.max("_c").alias("_mx"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ssq"))
+    return (g.select(
+        F.col(group_col),
+        F.col("_n").cast("long").alias("n_docs"),
+        F.col("_k").cast("long").alias("n_langs"),
+        pround_iratio(F.col("_mx"), F.col("_n"))
+        .alias("top_lang_share_frac"),
+        pround_iratio(F.col("_n") * F.col("_n") - F.col("_ssq"),
+                      F.col("_n") * F.col("_n")).alias("simpson_frac"))
+        .orderBy(group_col))

@@ -2048,3 +2048,113 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str,
         F.try_element_at("_revs", F.lit(2)).cast("double").alias("lo_rev"),
         F.try_element_at("_revs", F.lit(int(n_replicates) - 1))
         .cast("double").alias("hi_rev"))
+
+
+def revenue_mad_outliers(spark: SparkSession, sf_dir: str,
+                         k_sigma: int = 3) -> DataFrame:
+    """Robust outlier census via MEDIAN ABSOLUTE DEVIATION → one row
+    ``(n_rows, median_price, mad, n_outliers)``: rows whose
+    ``|price − median| > k·MAD`` — the outlier detector that, unlike
+    mean/stddev z-scores, is not itself dragged by the outliers it
+    hunts (50% breakdown point).
+
+    Exactness: BOTH order statistics (the median and the median of
+    absolute deviations) come from the two-phase histogram selection
+    (:func:`_kth_price`) — never ``approx_percentile`` — and
+    deviations of 2-dp money from a 2-dp median are themselves exact
+    2-dp decimals, so the ``k·MAD`` threshold compare is exact decimal
+    arithmetic with no float boundary. Rank is ``⌈n/2⌉`` (the lower
+    median), identical to the oracle's window-rank pick by VALUE even
+    under ties (equal ranks hold equal values in any sorted order).
+
+    Scale: two selection probes (one histogram pass + one bucket-sized
+    rank each) + one counting pass — driver traffic four scalars, a
+    global sort never happens; same budget class as
+    :func:`winsorized_revenue_stats`."""
+    l = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    n = l.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "n_rows long, median_price double, mad double, "
+                "n_outliers long")
+    k_med = max(1, (n + 1) // 2)
+    med = _kth_price(l, k_med)
+    med_d = F.lit(f"{med:.2f}").cast("decimal(18,2)")
+    dev = l.select(F.abs(dec2(F.col("l_extendedprice")) - med_d)
+                   .cast("decimal(18,2)").alias("_dev"))
+    mad = _kth_price(dev, k_med, col="_dev")
+    thr = F.lit(f"{mad:.2f}").cast("decimal(18,2)") * F.lit(int(k_sigma))
+    return (dev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(float(med)).alias("median_price"),
+        F.lit(float(mad)).alias("mad"),
+        F.sum(F.when(F.col("_dev") > thr, 1).otherwise(0)).cast("long")
+        .alias("n_outliers")))
+
+
+def nation_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly revenue OLS trend → one row per nation
+    ``(n_name, n_months, slope, intercept)`` — the grouped twin of
+    ``events.revenue_trend_ols``: which markets are growing and how
+    fast, fit in closed form from four exact sums per group.
+
+    Determinism discipline — STRICTER than the global OLS: the grouped
+    intercept's ``Σy − slope·Σx`` cancels catastrophically (Σx ≈ 10⁶
+    per nation), so an engine-ulp difference in an intermediate double
+    slope amplifies past the 6-dp output rounding (measured: 4.6e-4 on
+    NATION_7 with the double-op form). Cure: money in integer CENTS,
+    every sum and the closed-form numerators/denominators in exact
+    DECIMAL(38,0) (N = nΣxy − ΣxΣy, D = nΣx² − (Σx)²,
+    I_num = Σy·D − N·Σx), and exactly ONE double division per output
+    statistic — slope = N/(100·D), intercept = I_num/(100·n·D) — both
+    engines cast the identical exact integers and perform one IEEE
+    divide. Magnitude envelope ≈ 10²² ≪ the 10³⁸ decimal/HUGEINT cap;
+    overflow errors loudly under ANSI, never rounds silently.
+    Single-month nations surface a NULL slope (CASE-guarded zero
+    denominator) rather than an engine-variant error.
+
+    Scale: customer/nation broadcast under the fact→dim pattern, one
+    (nation, month) aggregate with map-side partials, one |nations|-
+    sized group aggregate — two shuffles total, the second over
+    |nations|·|months| rows."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_totalprice", "o_orderdate")
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey")
+    nat = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    mi = (F.year("o_orderdate") * F.lit(12)
+          + F.month("o_orderdate")).cast("long")
+    cents = (dec2(F.col("o_totalprice")) * F.lit(100)).cast("long")
+    monthly = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+               .join(F.broadcast(nat),
+                     c["c_nationkey"] == nat["n_nationkey"])
+               .groupBy("n_name", mi.alias("_m"))
+               .agg(F.sum(cents).alias("_y")))
+
+    def d38(col):
+        return col.cast("decimal(38,0)")
+
+    agg = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_m").alias("_sx"),
+        F.sum(F.col("_m") * F.col("_m")).alias("_sxx"),
+        F.sum(d38(F.col("_y"))).alias("_sy"),
+        F.sum(d38(F.col("_m")) * d38(F.col("_y"))).alias("_sxy"))
+    num = d38(F.col("_n")) * F.col("_sxy") - d38(F.col("_sx")) * F.col("_sy")
+    den = (d38(F.col("_n")) * d38(F.col("_sxx"))
+           - d38(F.col("_sx")) * d38(F.col("_sx")))
+    icpt_num = F.col("_sy") * den - num * d38(F.col("_sx"))
+    slope = F.when(F.col("_n") > 1,
+                   num.cast("double")
+                   / (den * F.lit(100)).cast("double"))
+    intercept = F.when(F.col("_n") > 1,
+                       icpt_num.cast("double")
+                       / (d38(F.col("_n")) * den * F.lit(100))
+                       .cast("double"))
+    return (agg.select(
+        "n_name",
+        F.col("_n").cast("long").alias("n_months"),
+        pround(slope, 6).alias("slope"),
+        pround(intercept, 6).alias("intercept"))
+        .orderBy("n_name"))
