@@ -3425,6 +3425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_mad_outliers": R.revenue_mad_outliers,
         "nation_trend_ols": R.nation_trend_ols,
         "source_diversity": _source_diversity,
+        "pricing_rollup": R.pricing_rollup,
+        "events_unpivot": E.user_event_unpivot,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8325,6 +8327,31 @@ SELECT n_name, CAST(n AS BIGINT) AS n_months,
           / CAST(CAST(n AS HUGEINT) * den * 100 AS DOUBLE)
           * 1000000.0 + 0.5) / 1000000.0 END AS intercept
 FROM f ORDER BY n_name
+"""
+    # UNPIVOT mirror: the long form is just the per-(user, type)
+    # count with zero cells dropped — which is also the direct
+    # aggregate, so the oracle doubles as a pivot→unpivot round-trip
+    # identity check.
+    out["events_unpivot"] = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+    # ROLLUP with the same exact-decimal protocol at every level;
+    # GROUPING(a, b) carries Spark's grouping_id bit convention.
+    out["pricing_rollup"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       {AV2("l_extendedprice")} AS avg_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
 """
     out["source_diversity"] = f"""
 WITH per AS (

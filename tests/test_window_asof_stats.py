@@ -1660,3 +1660,48 @@ def test_nation_trend_ols_identity(spark, sf_dir):
         pred = f["slope"] * r["mx"] + f["intercept"]
         assert abs(pred - r["my"]) < max(1.0, abs(r["my"]) * 1e-4), \
             (r["n_name"], pred, r["my"])
+
+
+def test_pricing_rollup_subtotals_exact(spark, sf_dir):
+    """ROLLUP exactness: every parent level must equal the SUM of its
+    children exactly (decimal protocol — no float drift between
+    levels), and the Expand fan-out must produce all three gid levels."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import pricing_rollup
+    rows = pricing_rollup(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    from decimal import Decimal
+
+    def dsum_(vals):
+        # compare through Decimal: the engine's sums are exact 2-dp
+        # decimals cast to double at the edge, and toDouble does not
+        # commute with float summation — a raw Python float sum could
+        # miss by an ulp even though the engine values are exact.
+        return float(sum(Decimal(f"{v:.2f}") for v in vals))
+
+    grand = by_gid[3][0]
+    assert grand["n_rows"] == sum(r["n_rows"] for r in by_gid[0])
+    assert grand["sum_base_price"] == dsum_(
+        r["sum_base_price"] for r in by_gid[1])
+    for p in by_gid[1]:
+        kids = [r for r in by_gid[0] if r["l_returnflag"] == p["l_returnflag"]]
+        assert p["n_rows"] == sum(r["n_rows"] for r in kids)
+        assert p["sum_qty"] == dsum_(r["sum_qty"] for r in kids)
+
+
+def test_unpivot_is_pivot_inverse(spark, sf_dir):
+    """Melt identity: unpivoting the pivoted matrix (zero cells
+    dropped) must equal the direct (user, type) aggregate."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import user_event_unpivot
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    got = {(r["user_id"], r["event_type"]): r["n"]
+           for r in user_event_unpivot(spark, sf_dir).collect()}
+    direct = {(r["user_id"], r["event_type"]): r["n"] for r in
+              load_table(spark, "events", sf_dir)
+              .groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()}
+    assert got == direct and len(got) > 0

@@ -136,6 +136,26 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) coverage — the inverse of :func:`user_event_pivot`:
+    the wide per-user count matrix melts back to long
+    ``(user_id, event_type, n)``, zero-count cells dropped. The
+    wide→long reshape every feature store needs when a model wants
+    sparse long form but the serving table is a pivoted matrix.
+
+    Spark's native ``unpivot`` lowers to a single Expand node — one
+    narrow pass over the wide frame, |values| output rows per input
+    row, no shuffle beyond the pivot's own; the oracle mirrors with
+    UNION ALL arms (static value list, same discipline as the pivot).
+    """
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = user_event_pivot(spark, sf_dir)
+    return (wide.unpivot("user_id", types, "event_type", "n")
+            .filter(F.col("n") > 0)
+            .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+            .orderBy("user_id", "event_type"))
+
+
 def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered window analytics (north-star window functions,
     §2.11): event sequence number, gap to the previous event in exact

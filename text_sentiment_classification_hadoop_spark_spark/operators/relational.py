@@ -2158,3 +2158,33 @@ def nation_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(slope, 6).alias("slope"),
         pround(intercept, 6).alias("intercept"))
         .orderBy("n_name"))
+
+
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level pricing report via ROLLUP → per (returnflag,
+    linestatus) totals PLUS per-returnflag subtotals PLUS the grand
+    total, in ONE aggregate pass — the grouping-sets operator class
+    (ROLLUP/CUBE) the Q1-style report grows into when a dashboard
+    wants every drill level at once. ``gid`` is the grouping_id
+    bitmask (0 = leaf, 1 = linestatus rolled up, 3 = grand total),
+    identical bit convention on both engines (verified).
+
+    Exactness: the same decimal protocol as ``pricing_summary``
+    (dsum / remainder-exact mean) at every level — subtotals are
+    sums of exact decimals, so parent rows equal the sum of their
+    children BY CONSTRUCTION, not to within float error.
+
+    Scale: Catalyst expands rollup into a single Expand + hash
+    aggregate — each input row fans to |levels| = 3 aggregate keys
+    with map-side partials; shuffle volume is O(groups·levels), never
+    a second fact pass per level."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return (l.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("int").alias("gid"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 dsum(F.col("l_quantity")).alias("sum_qty"),
+                 dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 pround_avg2(F.col("l_extendedprice")).alias("avg_price"))
+            .select("l_returnflag", "l_linestatus", "gid",
+                    "n_rows", "sum_qty", "sum_base_price", "avg_price")
+            .orderBy("gid", "l_returnflag", "l_linestatus"))
