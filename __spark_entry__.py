@@ -896,6 +896,27 @@ def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.canonical_docs(docs, pairs).orderBy("doc_id")
 
 
+def _neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE census → one row per cluster size
+    ``(cluster_size, n_clusters, n_docs)`` over the canonical
+    resolution's components (singletons excluded) — the shape report a
+    dedup pipeline reads before choosing a keep policy: many 2-doc
+    pairs mean syndication, a few giant clusters mean template spam,
+    and the n_docs column prices each policy's deletion volume.
+    Derived from the same LSH→CC assignment as ``dedup_canonical``
+    (one extra size-keyed hash aggregate over the |docs|-row
+    assignment — histogram-bounded output)."""
+    from pyspark.sql import functions as F
+    assign = _dedup_canonical(spark, sf_dir)
+    per = (assign.groupBy("canonical_id")
+           .agg(F.count(F.lit(1)).alias("_sz"))
+           .filter(F.col("_sz") >= 2))
+    return (per.groupBy(F.col("_sz").cast("long").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 F.sum("_sz").cast("long").alias("n_docs"))
+            .orderBy("cluster_size"))
+
+
 def _zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over (o_custkey, epoch-day of
     o_orderdate) — the multi-dimensional sort key
@@ -3427,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_diversity": _source_diversity,
         "pricing_rollup": R.pricing_rollup,
         "events_unpivot": E.user_event_unpivot,
+        "neardup_cluster_sizes": _neardup_cluster_sizes,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8352,6 +8374,18 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag, l_linestatus
+"""
+    # Cluster-size census: one aggregate over the dedup_canonical
+    # assignment — reuse its full recursive-CC oracle as a subquery.
+    out["neardup_cluster_sizes"] = f"""
+SELECT CAST(_sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(_sz) AS BIGINT) AS n_docs
+FROM (
+  SELECT canonical_id, count(*) AS _sz
+  FROM ({out["dedup_canonical"]}) a
+  GROUP BY canonical_id HAVING count(*) >= 2) s
+GROUP BY _sz ORDER BY cluster_size
 """
     out["source_diversity"] = f"""
 WITH per AS (

@@ -1098,3 +1098,23 @@ def test_jaccard_prefix_pairs_matches_brute_force(spark):
                 expect[(a, b)] = inter
     assert got == expect and (1, 4) in got and (1, 2) in got
     assert all(k[0] != 3 and k[1] != 3 for k in got)
+
+
+def test_neardup_cluster_sizes_consistent_with_assignment(spark, sf_dir):
+    """The size census must tie out against the canonical assignment:
+    Σ(n_clusters·cluster_size) = n_docs column = docs in non-singleton
+    clusters, and every cluster size is >= 2."""
+    import collections
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    census = em.queries()["neardup_cluster_sizes"](spark, sf_dir).collect()
+    assign = em.queries()["dedup_canonical"](spark, sf_dir).collect()
+    sizes = collections.Counter(r["canonical_id"] for r in assign)
+    expect = collections.Counter(s for s in sizes.values() if s >= 2)
+    got = {r["cluster_size"]: r["n_clusters"] for r in census}
+    assert got == dict(expect)
+    for r in census:
+        assert r["cluster_size"] >= 2
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
