@@ -2686,6 +2686,16 @@ def _jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(load_table(spark, "documents", sf_dir))
 
 
+def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the corpus-trained BPE
+    merges (operators/bpe.fertility_by_group) — subwords per word, the
+    cross-lingual tokenizer-equity metric."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [p for p, _ in BPE.bpe_train(BPE.word_freqs(docs), BPE_MERGES)]
+    return BPE.fertility_by_group(docs, merges)
+
+
 def _source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import source_diversity_index
     return source_diversity_index(load_table(spark, "documents", sf_dir))
@@ -3449,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": R.pricing_rollup,
         "events_unpivot": E.user_event_unpivot,
         "neardup_cluster_sizes": _neardup_cluster_sizes,
+        "bpe_fertility": _bpe_fertility,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8375,6 +8386,21 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag, l_linestatus
 """
+    # Fertility: the BPE dictionary CTE chain (unrolled merges,
+    # MATERIALIZED against DuckDB CTE re-inlining) + one group-by;
+    # seg covers every distinct corpus word so the join drops nothing.
+    out["bpe_fertility"] = (
+        f"WITH {_bpe_dict_ctes(BPE_MERGES)},\n"
+        f"seg AS MATERIALIZED (SELECT word, "
+        f"CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub "
+        f"FROM s{BPE_MERGES}),\n"
+        "dw AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS word FROM documents)\n"
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_words,\n"
+        "       CAST(sum(s.n_sub) AS BIGINT) AS n_subwords,\n"
+        f"       {IR('sum(s.n_sub)', 'count(*)')} AS fertility_frac\n"
+        "FROM dw d JOIN seg s ON d.word = s.word\n"
+        "GROUP BY lang ORDER BY lang")
     # Cluster-size census: one aggregate over the dedup_canonical
     # assignment — reuse its full recursive-CC oracle as a subquery.
     out["neardup_cluster_sizes"] = f"""

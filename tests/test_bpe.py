@@ -187,3 +187,24 @@ def test_vocab_curve_monotone_and_bounded(spark):
     assert cums[-1] == total  # top >= vocab size -> full coverage
     freqs = [r["freq"] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_fertility_by_group_bounds_and_consistency(spark):
+    """Fertility is >= 1 (a word yields at least one subword), exact
+    counts tie out against the per-word dictionary, and a group made
+    of un-merged words shows strictly higher fertility than one whose
+    words the merges fully fuse."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    rows = [
+        (1, "aa aa aa aa aa aa", "fused"),
+        (2, "aa aa aa aa", "fused"),
+        (3, "xyz qrs xyz", "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    merges = [p for p, _ in BPE.bpe_train(BPE.word_freqs(docs), 2)]
+    got = {r["lang"]: r for r in
+           BPE.fertility_by_group(docs, merges).collect()}
+    assert got["fused"]["n_words"] == 10 and got["raw"]["n_words"] == 3
+    assert all(r["fertility_frac"] >= 1.0 for r in got.values())
+    # 'aa' merges to one token after the first merge; xyz/qrs never do
+    assert got["fused"]["fertility_frac"] < got["raw"]["fertility_frac"]

@@ -235,3 +235,43 @@ def vocab_coverage_curve(df: DataFrame, merges: list[str],
         .filter(F.col("rank") <= top)
         .orderBy("rank")
     )
+
+
+def fertility_by_group(df: DataFrame, merges: list[str],
+                       group_col: str = "lang",
+                       text_col: str = "text") -> DataFrame:
+    """Tokenizer FERTILITY per group → ``(lang, n_words, n_subwords,
+    fertility_frac)``: subword tokens emitted per word under the
+    learned merges — THE cross-lingual tokenizer-equity metric (a
+    language with fertility 2× pays twice the sequence length, twice
+    the compute, and half the effective context for the same text).
+
+    Same vocabulary-dictionary discipline as
+    :func:`bpe_doc_token_counts`: the merge cascade runs once per
+    DISTINCT word; the corpus-sized side is a word explode joined
+    against the broadcast segmented dictionary, then ONE group-by over
+    |groups| rows. fertility is the remainder-exact 6-dp ratio of two
+    exact integer sums — engine-stable."""
+    from ..functions.rounding import pround_iratio
+
+    seq = symbol_seq(F.col("word"))
+    for pair in merges:
+        seq = _merge_once(seq, pair, pair.replace(" ", ""))
+    seg = (
+        df.select(F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word")).distinct()
+        .select("word", F.size(F.split(seq, " ")).cast("long").alias("n_sub"))
+    )
+    grp_words = df.select(
+        F.col(group_col), F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word"))
+    return (grp_words.join(F.broadcast(seg), "word")
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_sub").cast("long").alias("n_subwords"))
+            .select(group_col, "n_words", "n_subwords",
+                    pround_iratio(F.col("n_subwords"), F.col("n_words"))
+                    .alias("fertility_frac"))
+            .orderBy(group_col))
