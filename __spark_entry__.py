@@ -2855,8 +2855,13 @@ def _basket_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry datapoint runs the 100 TB Gram strategy (per-partition
+    partial Grams via mapInPandas, |partitions|*dims^2 shuffle rows);
+    tests/test_similarity.py proves it bit-identical to the
+    oracle-mirrored selfjoin form."""
     return SIM.pca_power_top_component(
-        load_table(spark, "embeddings", sf_dir))
+        load_table(spark, "embeddings", sf_dir),
+        strategy="partial_gram")
 
 
 def _bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

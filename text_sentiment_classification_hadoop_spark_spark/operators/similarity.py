@@ -1314,14 +1314,24 @@ def pca_power_top_component(emb: DataFrame, vec_col: str = "embedding",
                 X = np.array(pdf["_xu"].tolist(), dtype=np.int64)
                 if G is None:
                     G = np.zeros((X.shape[1], X.shape[1]), dtype=object)
-                # 512-row chunks: |xu| ≤ ~2e9 even for wild inputs →
-                # chunk Gram ≤ 512·4e18... keep xu ≤ ~4e6 (unit-norm
-                # embeddings quantized at 1e6) → ≤ 512·1.6e13 ≈ 8e15,
-                # far inside int64; exactness then moves to the
-                # object-dtype (Python bigint) accumulator.
-                for s in range(0, len(X), 512):
-                    ch = X[s:s + 512]
-                    G += (ch.T @ ch).astype(object)
+                # Chunk rows so no int64 Gram entry can overflow:
+                # |Σ xuᵢ·xuⱼ| over a chunk ≤ chunk·mx², so keep
+                # chunk·mx² ≤ 2⁶². For unit-norm embeddings quantized
+                # at 1e6 (mx ≈ 1e6) that allows chunks of thousands of
+                # rows; wilder magnitudes shrink the chunk, and if even
+                # a single row would overflow (mx² > 2⁶²) the matmul
+                # runs in Python bigints outright. Exactness always
+                # lands in the object-dtype (bigint) accumulator.
+                mx = int(np.abs(X).max())
+                if mx and mx * mx > (1 << 62):
+                    Xo = X.astype(object)
+                    G += Xo.T @ Xo
+                else:
+                    chunk = 512 if mx == 0 else max(
+                        1, min(512, (1 << 62) // (mx * mx)))
+                    for s in range(0, len(X), chunk):
+                        ch = X[s:s + chunk]
+                        G += (ch.T @ ch).astype(object)
             if G is None:
                 return
             d = G.shape[0]
