@@ -183,10 +183,12 @@ def test_mllib_confusion_goldens_sf001(spark):
     the two can never drift apart."""
     import __spark_entry__ as em
 
-    for alg, expected in em._MLLIB_GOLDEN_SF001.items():
-        df = em.queries()[f"mllib_{alg}_confusion"](spark, "/root/testdata/sf0.01")
+    for sf_tag, goldens in em._MLLIB_GOLDENS.items():
+      for alg, expected in goldens.items():
+        df = em.queries()[f"mllib_{alg}_confusion"](
+            spark, f"/root/testdata/{sf_tag}")
         rows = [tuple(r) for r in df.collect()]
-        assert rows == expected, alg
+        assert rows == expected, (sf_tag, alg)
         # Semantic backstop independent of the exact per-cell pin (the
         # pin is a regression guard, not an oracle — r5 ADVICE): the
         # fit must beat the majority class on its own eval split. If

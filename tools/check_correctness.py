@@ -114,23 +114,28 @@ def main():
     oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
 
-    # literal-VALUES goldens derived at ONE scale factor: valid only
-    # against that sf's tables (the driver checks at sf0.01; running
-    # this tool at another sf would red these rows spuriously — the
-    # fit differs because the corpus differs, not because the query
-    # drifted). Skip them loudly anywhere else.
-    sf_pinned = {"mllib_nb_confusion": "sf0.01",
-                 "mllib_svm_confusion": "sf0.01"}
+    # literal-VALUES goldens are derived PER scale factor (the fit
+    # differs because the corpus differs, not because the query
+    # drifted). `oracle_sql()` ships the driver's sf0.01 pin; for any
+    # other sf with a derived golden we substitute the matching
+    # per-sf oracle so both selfcheck scales compare for real
+    # (VERDICT r8 ask #2). Only an sf with NO derived golden skips.
+    sf_tag = args.sf.rstrip("/").rsplit("/", 1)[-1]
+    sf_pinned = {"mllib_nb_confusion": "nb", "mllib_svm_confusion": "svm"}
+    oracle_override = {}
+    for qname, alg in sf_pinned.items():
+        if sf_tag != "sf0.01" and sf_tag in entrymod._MLLIB_GOLDENS:
+            oracle_override[qname] = entrymod._mllib_confusion_oracle(
+                alg, sf_tag)
 
     n_pass = n_fail = n_noracle = n_skip = 0
     record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        pin = sf_pinned.get(name)
-        if pin and not args.sf.rstrip("/").endswith(pin):
-            print(f"[SKIP] {name}: literal golden pinned to {pin}; "
-                  f"not comparable at {args.sf}")
+        if (name in sf_pinned and sf_tag != "sf0.01"
+                and name not in oracle_override):
+            print(f"[SKIP] {name}: no derived golden for {sf_tag}")
             record[name] = {"status": "sf-pinned-skip"}
             n_skip += 1
             continue
@@ -148,7 +153,7 @@ def main():
             n_noracle += 1
             continue
         try:
-            rel = con.sql(oracles[name])
+            rel = con.sql(oracle_override.get(name, oracles[name]))
         except Exception as exc:
             print(f"[FAIL] {name}: duckdb error: {exc}")
             record[name] = {"status": "fail", "err": f"duckdb: {exc}"[:500]}
