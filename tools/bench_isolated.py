@@ -1,0 +1,116 @@
+"""Isolated per-query benchmark: fresh-JVM medians for the expensive tail.
+
+SCALE.md §16 measured ±20% ambient spread on identical-code HEADLINE
+totals, so round-over-round regress/win claims need a better signal:
+each named query timed in its OWN fresh Spark session (new subprocess →
+new JVM, no relation cache, no memoized per-session relations, no heap
+pressure inherited from 270 earlier queries), repeated ``--repeat``
+times, reported as the median (VERDICT r8 ask #3).
+
+Default query list: the top ``--top`` (20) most expensive registry
+entries by the committed ``bench_result.json`` per-query medians.
+
+Usage:
+    python tools/bench_isolated.py --json BENCH_ISOLATED_r9.json
+    python tools/bench_isolated.py --names jaccard_prefix_pairs --repeat 3
+    python tools/bench_isolated.py --worker jaccard_prefix_pairs   # internal
+
+The artifact maps name -> {median, samples, rows}; compare the medians
+across rounds — they carry the isolation guarantees the headline total
+cannot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_worker(name: str, sf_dir: str) -> None:
+    """Time ONE query in THIS (fresh) process and print a JSON line."""
+    from text_sentiment_classification_hadoop_spark_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_isolated:{name}")
+    import __spark_entry__ as entry
+
+    from pyspark.sql import functions as F
+    # same one-time warmup as bench.py: touch parquet reader, shuffle,
+    # codegen — so the measurement is the query, not JVM startup
+    (spark.read.parquet(f"{sf_dir}/region.parquet")
+     .groupBy(F.lower(F.col("r_name")).alias("k")).count().count())
+
+    fn = entry.queries()[name]
+    t0 = time.perf_counter()
+    rows = fn(spark, sf_dir).count()
+    dt = time.perf_counter() - t0
+    print("BENCH_ISOLATED " + json.dumps(
+        {"name": name, "sec": round(dt, 3), "rows": rows}))
+    spark.stop()
+
+
+def default_names(top: int) -> list[str]:
+    with open(os.path.join(REPO, "bench_result.json")) as f:
+        per_query = json.load(f)["queries"]
+    ranked = sorted(per_query.items(), key=lambda kv: -kv[1])
+    return [k for k, _ in ranked[:top]]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--names", default=None,
+                    help="comma list; default = --top by bench_result.json")
+    ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--json", default=None, metavar="PATH")
+    args = ap.parse_args()
+
+    if args.worker:
+        run_worker(args.worker, args.sf)
+        return 0
+
+    names = (args.names.split(",") if args.names
+             else default_names(args.top))
+    results: dict[str, dict] = {}
+    for name in names:
+        samples, rows = [], None
+        for trial in range(args.repeat):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker", name, "--sf", args.sf],
+                capture_output=True, text=True, cwd=REPO, timeout=900)
+            line = next((ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("BENCH_ISOLATED ")), None)
+            if proc.returncode != 0 or line is None:
+                sys.stderr.write(f"[{name} trial {trial}] worker failed:\n"
+                                 + proc.stderr[-2000:] + "\n")
+                continue
+            rec = json.loads(line[len("BENCH_ISOLATED "):])
+            samples.append(rec["sec"])
+            rows = rec["rows"]
+        med = round(statistics.median(samples), 3) if samples else None
+        results[name] = {"median": med, "samples": samples, "rows": rows}
+        print(f"{name}: median {med}s over {samples} ({rows} rows)")
+
+    artifact = {"sf": args.sf, "repeat": args.repeat,
+                "isolation": "fresh JVM per trial (subprocess)",
+                "queries": results}
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
+    return 0 if all(r["median"] is not None for r in results.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
