@@ -3284,6 +3284,119 @@ def _mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_token_plan(load_table(spark, "documents", sf_dir))
 
 
+def _store_scratch(sf_dir: str, tag: str) -> str:
+    """Fresh deterministic scratch base for a persistent-store drive:
+    wiped on entry so re-invocations (bench passes, correctness
+    re-runs, a different sf) rebuild the store from the sf tables
+    instead of replaying a stale checkpoint onto stale contents."""
+    import os
+    import shutil
+    import tempfile
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_stores",
+                        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _count_store_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once persistent COUNT store (streaming/pipeline.
+    incremental_counts_to_store) driven end-to-end: the documents
+    table split into two micro-batches (doc_id parity files +
+    maxFilesPerTrigger=1), word-exploded in-stream, merged into a
+    versioned parquet store per batch; the query returns the latest
+    committed version. Final totals are batch-order-invariant, so the
+    oracle is the plain batch word count over the whole table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        incremental_counts_to_store,
+        read_count_store,
+        stream_shuffle_partitions,
+    )
+    ensure_engine_confs(spark)
+    base = _store_scratch(sf_dir, "counts")
+    in_dir, store = os.path.join(base, "in"), os.path.join(base, "store")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    raw = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    words = raw.select(F.explode(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias("word"))
+    with stream_shuffle_partitions(spark):
+        incremental_counts_to_store(words, store, key_col="word",
+                                    query_name="count_store_drive")
+    return read_count_store(spark, store).orderBy("word")
+
+
+def _dedup_store_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once persistent SEEN-KEY store (streaming/pipeline.
+    incremental_dedup_to_store) driven end-to-end: micro-batch 1
+    ingests the doc_id-even half, micro-batch 2 ingests the WHOLE
+    table — so every even-doc hash arrives again and must be
+    suppressed by the store anti-join, while odd-doc hashes append.
+    The query reads the store back WITHOUT dedup, so any suppression
+    failure shows up as extra rows against the distinct-md5 oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        incremental_dedup_to_store,
+        stream_shuffle_partitions,
+    )
+    ensure_engine_confs(spark)
+    base = _store_scratch(sf_dir, "dedup")
+    in_dir, store = os.path.join(base, "in"), os.path.join(base, "store")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    raw = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    hashed = raw.select(F.md5(F.col("text")).alias("text_hash"))
+    with stream_shuffle_partitions(spark):
+        incremental_dedup_to_store(hashed, store, key_col="text_hash",
+                                   query_name="dedup_store_drive")
+    return (spark.read.parquet(store)
+            .select("text_hash").orderBy("text_hash"))
+
+
+def _training_shards_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer (sources/layout.write_training_shards)
+    driven end-to-end: the shuffle_split manifest joined back to its
+    payload, materialized as split=/shard= parquet, then read back and
+    audited per shard — doc count, payload sum, shuffle_key span. The
+    oracle recomputes the same census from the manifest hash, so a
+    row routed to the wrong shard dir (or dropped/duplicated by the
+    dynamic-partition write) breaks the hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import shuffle_split
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import write_training_shards
+    base = _store_scratch(sf_dir, "shards")
+    path = os.path.join(base, "shards")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    manifest_docs = shuffle_split(docs).join(docs, "doc_id")
+    write_training_shards(manifest_docs, path, n_shards=16)
+    back = spark.read.parquet(path)
+    return (back.groupBy("split", F.col("shard").cast("int").alias("shard"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.min("shuffle_key").alias("min_key"),
+                 F.max("shuffle_key").alias("max_key"))
+            .orderBy("split", "shard"))
+
+
 def _training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import training_manifest
     return training_manifest(load_table(spark, "documents", sf_dir))
@@ -3545,6 +3658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_neardup_candidates": _stream_neardup_candidates,
         "mixture_token_plan": _mixture_token_plan,
         "training_manifest": _training_manifest,
+        "count_store_contents": _count_store_contents,
+        "dedup_store_contents": _dedup_store_contents,
+        "training_shards_readback": _training_shards_readback,
         "mmr_rerank": _mmr_rerank,
         "ctfidf_keywords": _ctfidf_keywords,
         "ann_rbo_at10": _ann_rbo_at10,
@@ -6333,6 +6449,26 @@ SELECT q.doc_id, q.grp AS lang, q.score AS n_chars, q.rk,
        ds.dsir_micro_nats, sp.split, sp.shard
 FROM q JOIN ds USING (doc_id) JOIN sp USING (doc_id)
 ORDER BY q.doc_id
+"""
+    # Persistent-store drives (r8 ask #5): final store contents are
+    # batch-order-invariant, so the oracles are plain batch recomputes.
+    out["count_store_contents"] = """
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents)
+GROUP BY word ORDER BY word
+"""
+    out["dedup_store_contents"] = """
+SELECT DISTINCT md5(text) AS text_hash FROM documents ORDER BY text_hash
+"""
+    out["training_shards_readback"] = f"""
+WITH sp AS ({out["shuffle_split_docs"]}),
+m AS (SELECT sp.split, sp.shard, sp.shuffle_key, d.n_chars
+      FROM sp JOIN documents d USING (doc_id))
+SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(shuffle_key) AS min_key, max(shuffle_key) AS max_key
+FROM m GROUP BY split, shard ORDER BY split, shard
 """
     out["mmr_rerank"] = _mmr_sql()
     out["knn_graph"] = _knn_graph_sql()
