@@ -1516,19 +1516,23 @@ def _copurchase_rel(spark: SparkSession, sf_dir: str):
     across sessions, and every query stays independently callable:
     a cold cache just computes the frame exactly as before, so
     results (and hashes) are unchanged. BOUNDED: one entry per app —
-    switching sf_dir unpersists the previous entry's RDD blocks, so a
-    long-lived session iterating many sf dirs never accumulates
-    unreleased storage."""
+    switching sf_dir frees the previous entry's checkpoint blocks via
+    the JVM-side RDD handle (``queryExecution().logical().rdd()`` —
+    the Python-side ``df.rdd`` is a derived wrapper whose unpersist
+    would be a no-op), with dereference + ContextCleaner GC as the
+    fallback, so a long-lived session iterating many sf dirs never
+    accumulates unreleased storage."""
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     rel = _COPURCHASE_REL_CACHE.get(key)
     if rel is None:
         for stale_key in [k for k in _COPURCHASE_REL_CACHE if k[0] == app]:
+            stale = _COPURCHASE_REL_CACHE.pop(stale_key)
             try:
-                _COPURCHASE_REL_CACHE.pop(stale_key).rdd.unpersist()
+                stale._jdf.queryExecution().logical().rdd().unpersist(False)
             except Exception:
-                pass
+                pass  # dropped reference still frees via ContextCleaner
         orders = load_table(spark, "orders", sf_dir)
         li = load_table(spark, "lineitem", sf_dir)
         rel = G.copurchase_rel(orders, li).localCheckpoint(eager=True)
@@ -1862,7 +1866,8 @@ def _mllib_confusion(algorithm: str):
         # (same evaluation protocol as the reference's own
         # ``NaiveBayes.py:61-75`` / ``SVM.py:63-76``).
         docs = docs.repartition(8, "doc_id").sortWithinPartitions("doc_id")
-        preds, _model = mllib_pipeline(docs, algorithm=algorithm)
+        preds, _model, cached_frames = mllib_pipeline(docs,
+                                                       algorithm=algorithm)
         # materialize the (≤ n_labels²-row) confusion eagerly off the
         # still-cached featurized frames, then release them — nothing
         # stays pinned across the session (see mllib_pipeline docs).
@@ -1870,7 +1875,7 @@ def _mllib_confusion(algorithm: str):
                .agg(F.count(F.lit(1)).alias("cnt"))
                .orderBy("prediction", "label")
                .localCheckpoint(eager=True))
-        for cached in getattr(preds, "_graft_cached", []):
+        for cached in cached_frames:
             cached.unpersist()
         return out
     return run

@@ -162,9 +162,11 @@ def test_mllib_pipeline_runs(spark, sf_dir):
     """M7/T3/T5/T6/M1: the reference's vector path end-to-end."""
     from text_sentiment_classification_hadoop_spark_spark.operators.sentiment import labeled_documents
     docs = labeled_documents(spark, sf_dir)
-    preds, model = SVM.mllib_pipeline(docs, algorithm="nb")
+    preds, model, cached_frames = SVM.mllib_pipeline(docs, algorithm="nb")
     assert preds.filter(F.col("prediction").isNotNull()).count() > 0
     assert "features" in preds.columns
+    for cached in cached_frames:
+        cached.unpersist()
 
 
 def test_mllib_confusion_goldens_sf001(spark):

@@ -277,9 +277,9 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.svm import mllib_pipeline
         algo = "nb" if args.command == "nb-mllib" else "svm"
         docs = _docs(spark, args.input, "nb", clean_chain_a)
-        preds, _model = mllib_pipeline(docs, algorithm=algo)
+        preds, _model, cached_frames = mllib_pipeline(docs, algorithm=algo)
         _print_metrics(preds, with_weighted=True)
-        for cached in getattr(preds, "_graft_cached", []):
+        for cached in cached_frames:
             cached.unpersist()
 
     # M9: wall-clock around explicit actions (unlike the reference's

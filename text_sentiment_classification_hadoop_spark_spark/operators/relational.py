@@ -2074,9 +2074,13 @@ def revenue_mad_outliers(spark: SparkSession, sf_dir: str,
     l = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
     n = l.count()
     if n == 0:
+        # one (0, NULL, NULL, 0) row — the oracle's scalar subqueries
+        # produce exactly this on an empty table, and the bootstrap-CI
+        # twin uses the same in-plan convention (r8 ADVICE)
         return spark.createDataFrame(
-            [], "n_rows long, median_price double, mad double, "
-                "n_outliers long")
+            [(0, None, None, 0)],
+            "n_rows long, median_price double, mad double, "
+            "n_outliers long")
     k_med = max(1, (n + 1) // 2)
     med = _kth_price(l, k_med)
     med_d = F.lit(f"{med:.2f}").cast("decimal(18,2)")

@@ -268,13 +268,16 @@ def mllib_pipeline(docs: DataFrame, algorithm: str = "nb", text_col: str = "text
     fit pass, the estimator's instance materialization, the test
     transform), so ``featurized`` and ``rescaled`` are PERSISTED for
     the duration of the fit. The caller owns the release: the cached
-    frames ride on the returned predictions DataFrame as
-    ``preds._graft_cached`` — unpersist them once the predictions have
-    been consumed (the registry wrappers aggregate the tiny confusion
-    eagerly and release immediately, so nothing stays pinned across a
-    long session).
+    frames are returned EXPLICITLY as the third element — unpersist
+    each once the predictions have been consumed (the registry
+    wrappers aggregate the tiny confusion eagerly and release
+    immediately, so nothing stays pinned across a long session).
+    Callers that ignore the third element leak two MEMORY_AND_DISK
+    frames for the session — the explicit return makes that visible
+    at the call site instead of riding a private attribute that a
+    ``preds``-transforming caller would silently lose.
 
-    Returns ``(predictions_df, model)``.
+    Returns ``(predictions_df, model, cached_frames)``.
     """
     from pyspark import StorageLevel
     from pyspark.ml.classification import LinearSVC, NaiveBayes
@@ -298,5 +301,4 @@ def mllib_pipeline(docs: DataFrame, algorithm: str = "nb", text_col: str = "text
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     model = est.fit(train)
     preds = model.transform(test)
-    preds._graft_cached = [featurized, rescaled]
-    return preds, model
+    return preds, model, [featurized, rescaled]
