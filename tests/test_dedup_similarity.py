@@ -288,7 +288,12 @@ def test_cc_alternating_matches_label_prop(spark):
     from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
     rng = random.Random(7)
     cases = [
-        [(i, i + 1) for i in range(1, 40)],                   # 40-node path
+        # 16-node path: still O(diameter) label-prop rounds vs O(log)
+        # alternating; the LONG-path stress lives in
+        # test_cc_alternating_chain_round_count (64 nodes) — here every
+        # extra path node costs one more full label-prop round (~0.4 s
+        # of suite time each)
+        [(i, i + 1) for i in range(1, 16)],
         [(100, j) for j in range(101, 120)],                  # star hub
         [(1, 2), (2, 3), (5, 6), (9, 9)],                     # islands + self
         [(rng.randrange(50), rng.randrange(50)) for _ in range(60)],

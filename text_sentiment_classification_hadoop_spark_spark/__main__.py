@@ -60,7 +60,14 @@ def _print_metrics(scored, with_weighted: bool = False) -> None:
         print(f"Weighted F-measure = {M.weighted_f_measure(scored)}")
 
 
-def main(argv: list[str] | None = None) -> int:
+def _stop(spark, owns: bool) -> None:
+    # only stop a session this invocation created: callers embedding the
+    # CLI (pytest, notebooks) pass their own session and keep it alive
+    if owns:
+        spark.stop()
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(prog="text_sentiment_classification_hadoop_spark_spark")
     p.add_argument("command", choices=[
         "nb-compat", "svm-compat", "svm-strict", "nb-mllib", "svm-mllib",
@@ -87,8 +94,10 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     from .functions.cleaning import clean_chain_a, clean_chain_b
-    from .session import get_spark
-    spark = get_spark(app_name=f"cli-{args.command}")
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+        spark = get_spark(app_name=f"cli-{args.command}")
     t0 = time.perf_counter()
 
     if args.command == "curate":
@@ -116,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
                 .parquet(args.out)
             print(f"Kept corpus written to {args.out}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
-        spark.stop()
+        _stop(spark, owns_spark)
         return 0
 
     if args.command == "dedup":
@@ -150,7 +159,7 @@ def main(argv: list[str] | None = None) -> int:
                 .parquet(args.out)
             print(f"Deduplicated corpus written to {args.out}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
-        spark.stop()
+        _stop(spark, owns_spark)
         return 0
 
     if args.command == "tokenize-train":
@@ -173,7 +182,7 @@ def main(argv: list[str] | None = None) -> int:
             save_merges(spark, merges, args.out)
             print(f"Merge table written to {args.out}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
-        spark.stop()
+        _stop(spark, owns_spark)
         return 0
 
     if args.command == "search":
@@ -195,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"  {h['rank']:3d}. doc {h['doc_id']} "
                   f"(score {h['score']}): {snippet}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
-        spark.stop()
+        _stop(spark, owns_spark)
         return 0
 
     if args.command == "explain":
@@ -219,7 +228,7 @@ def main(argv: list[str] | None = None) -> int:
         df = qs[args.query](spark, sf_dir)
         print(plan_string(df))
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
-        spark.stop()
+        _stop(spark, owns_spark)
         return 0
 
     if args.command == "manifest":
@@ -245,7 +254,7 @@ def main(argv: list[str] | None = None) -> int:
             write_training_shards(payload, args.out)
             print(f"Training shards written to {args.out}")
         print(f"Execution time: {time.perf_counter() - t0:.2f} s")
-        spark.stop()
+        _stop(spark, owns_spark)
         return 0
 
     if args.command in ("nb-compat", "svm-compat", "svm-strict"):
@@ -285,7 +294,7 @@ def main(argv: list[str] | None = None) -> int:
     # M9: wall-clock around explicit actions (unlike the reference's
     # Spark timer, which stopped before materialization)
     print(f"Execution time: {time.perf_counter() - t0:.2f} s")
-    spark.stop()
+    _stop(spark, owns_spark)
     return 0
 
 

@@ -356,8 +356,14 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
             src = widen(emb).crossJoin(
                 F.broadcast(_one_row_book(spark, cents)))
             cell = F.expr(X.nearest_cell_over_txt(vec_col, "_cb"))
-        long_form = src.select(
-            cell.alias("cell"),
+        # the argmax MUST be projected before the posexplode: a sibling
+        # expression of a generator lands in the Generate's own project
+        # list and is re-evaluated per exploded element — dims× the
+        # k·dims argmax per row (measured 18× slower at k=64, d=64).
+        # As the generator child's projection it runs once per row.
+        assigned = src.select(cell.alias("cell"), F.col(vec_col))
+        long_form = assigned.select(
+            "cell",
             F.posexplode(F.transform(F.col(vec_col),
                                      lambda x: x.cast("double"))).alias("d", "x"))
         means = long_form.groupBy("cell", "d").agg(
@@ -619,8 +625,12 @@ def pq_train_books(emb: DataFrame, n_segments: int = 4, n_codes: int = 8,
             cells = F.expr("array(" + ", ".join(
                 X.pq_seg_cell_over_txt(vec_col, f"_cbs[{s}]", s, seg_len)
                 for s in range(n_segments)) + ")")
-        lf = src.select(
-            cells.alias("_cells"),
+        # project the n_segments argmaxes BEFORE the posexplode (same
+        # generator-sibling hazard as kmeans_fit: a sibling of the
+        # generator re-evaluates per exploded element, dims× per row)
+        assigned = src.select(cells.alias("_cells"), F.col(vec_col))
+        lf = assigned.select(
+            "_cells",
             F.posexplode(F.transform(
                 F.col(vec_col),
                 lambda x: x.cast("double"))).alias("d", "x"))
