@@ -1617,6 +1617,33 @@ def _supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_micro").desc(), "supp_a", "supp_b"))
 
 
+def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted synchronous label propagation (3 rounds) over the
+    co-purchase graph — COMMUNITY detection vs the components query's
+    min-label CC: the update is the weight-mode of the neighborhood
+    (operators/graph.lpa_communities; Raghavan et al. 2007), so the
+    near-fully-connected bipartite graph still splits along heavy
+    co-purchase weight concentrations instead of collapsing to one
+    label per connected component. Shares the memoized co-purchase
+    relation with the five other graph queries."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
+    with scoped_shuffle_partitions(spark, 8):
+        labels = G.lpa_communities(
+            G.edges_from_rel_weighted(_copurchase_rel(spark, sf_dir)),
+            rounds=3)
+    return labels.orderBy("node")
+
+
+def _sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-allowed A-then-B sequential rules over 30-min-gap sessions
+    (operators/events.sequential_rules) — PrefixSpan's length-2 pattern
+    class with exact integer confidence; see the operator docstring for
+    the determinism contract the oracle mirrors."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import events as EV
+    return EV.sequential_rules(spark, sf_dir, k=20)
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (rank, pair, merged, freq) — the
     distributed-tokenizer-training artifact. Oracle: the unrolled CTE
@@ -3599,6 +3626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": E.user_event_unpivot,
         "neardup_cluster_sizes": _neardup_cluster_sizes,
         "bpe_fertility": _bpe_fertility,
+        # new in round 9: community detection (weight-mode LPA — a
+        # different fixpoint than min-label CC) and sequence mining
+        # (gap-allowed A-then-B rules — order-sensitive, unlike basket
+        # rules; non-consecutive, unlike event_transitions)
+        "copurchase_communities": _copurchase_communities,
+        "sequential_rules": _sequential_rules,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8662,5 +8695,86 @@ FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY b.sum_qty DESC, o.o_orderkey ASC
+"""
+    # Weight-mode LPA, 3 synchronous rounds UNROLLED (a recursive CTE
+    # can't express "all nodes update simultaneously from round t"):
+    # each round is one vote aggregate + one (ws DESC, label ASC)
+    # argmax, mirroring graph.lpa_communities term for term.
+    _lpa_round = """
+v{r} AS MATERIALIZED (
+  SELECT e.dst AS node, l.label, sum(e.w) AS ws
+  FROM edges e JOIN l{p} l ON e.src = l.node GROUP BY 1, 2),
+l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY ws DESC, label ASC) AS rn
+    FROM v{r}) WHERE rn = 1)"""
+    out["copurchase_communities"] = ("""
+WITH rel AS MATERIALIZED (
+  SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp,
+         CAST(count(*) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+edges AS MATERIALIZED (
+  SELECT cust AS src, supp AS dst, w FROM rel
+  UNION ALL
+  SELECT supp AS src, cust AS dst, w FROM rel),
+l0 AS MATERIALIZED (SELECT DISTINCT dst AS node, dst AS label FROM edges),"""
+        + ",".join(_lpa_round.format(r=r, p=r - 1) for r in (1, 2, 3)) + """
+SELECT node, CAST(label AS BIGINT) AS community
+FROM l3 ORDER BY node
+""")
+    # Sequential rules: the top_session_paths gap-session CTE, then a
+    # session-keyed rn<rn self-join (gap-allowed A-then-B), DISTINCT
+    # per session, exact integer floor confidence.
+    out["sequential_rules"] = """
+WITH lagd AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid
+  FROM lagd
+),
+ev AS MATERIALIZED (
+  SELECT user_id, sid, event_type, rn FROM (
+    SELECT user_id, sid, event_type,
+           row_number() OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id) AS rn
+    FROM sess) WHERE rn <= 50
+),
+pat AS (
+  SELECT DISTINCT a.user_id, a.sid,
+         a.event_type AS antecedent, b.event_type AS consequent
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.sid = b.sid AND a.rn < b.rn
+),
+nab AS (
+  SELECT antecedent, consequent, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM pat GROUP BY 1, 2
+),
+na AS (
+  SELECT antecedent, CAST(count(*) AS BIGINT) AS n_antecedent
+  FROM (SELECT DISTINCT user_id, sid, event_type AS antecedent FROM ev)
+  GROUP BY 1
+),
+rules AS (
+  SELECT nab.antecedent, nab.consequent, nab.n_sessions, na.n_antecedent,
+         CAST((nab.n_sessions * 1000000) // na.n_antecedent AS BIGINT)
+           AS confidence_micro
+  FROM nab JOIN na ON nab.antecedent = na.antecedent
+)
+SELECT antecedent, consequent, n_sessions, n_antecedent, confidence_micro,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, antecedent ASC,
+                               consequent ASC) AS INTEGER) AS rank
+FROM rules
+ORDER BY n_sessions DESC, antecedent ASC, consequent ASC
+LIMIT 20
 """
     return out

@@ -260,3 +260,68 @@ def test_association_rules_hand_values(spark):
     assert r["confidence_micro"] == 666666         # floor(2/3 micro)
     assert r["lift_micro"] == 888888               # floor(2*4/(3*3) micro)
     assert rows[(20, 10)]["confidence_micro"] == 666666
+
+
+def _sym(spark, triples):
+    """Symmetrized weighted edge frame from (u, v, w) triples."""
+    both = [(u, v, w) for u, v, w in triples] + \
+           [(v, u, w) for u, v, w in triples]
+    return spark.createDataFrame(both, "src long, dst long, w long")
+
+
+def test_lpa_two_communities_with_weak_bridge(spark):
+    """Two triangles joined by a weak bridge: LPA keeps two communities
+    (each triangle's min id) where min-label CC would merge everything
+    — the contract difference the operator exists for."""
+    edges = _sym(spark, [
+        (1, 2, 5), (2, 3, 5), (1, 3, 5),      # triangle A
+        (10, 11, 5), (11, 12, 5), (10, 12, 5),  # triangle B
+        (3, 10, 1),                           # weak bridge
+    ])
+    got = {r["node"]: r["community"]
+           for r in G.lpa_communities(edges, rounds=3).collect()}
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_lpa_matches_python_simulation(spark):
+    """Synchronous-update parity against a literal python simulation of
+    the documented rule (Σw argmax, ties → smallest label) on a
+    pseudo-random weighted graph, at two round counts."""
+    import random
+    rng = random.Random(13)
+    triples = {(min(a, b), max(a, b)): w for a, b, w in
+               ((rng.randrange(20), rng.randrange(20), rng.randrange(1, 6))
+                for _ in range(40)) if a != b}
+    triples = [(u, v, w) for (u, v), w in sorted(triples.items())]
+
+    def simulate(rounds):
+        nbrs: dict[int, list[tuple[int, int]]] = {}
+        for u, v, w in triples:
+            nbrs.setdefault(u, []).append((v, w))
+            nbrs.setdefault(v, []).append((u, w))
+        label = {n: n for n in nbrs}
+        for _ in range(rounds):
+            new = {}
+            for n, adj in nbrs.items():
+                votes: dict[int, int] = {}
+                for m, w in adj:
+                    votes[label[m]] = votes.get(label[m], 0) + w
+                new[n] = min(votes, key=lambda L: (-votes[L], L))
+            label = new
+        return label
+
+    edges = _sym(spark, triples)
+    for rounds in (1, 3):
+        got = {r["node"]: r["community"]
+               for r in G.lpa_communities(edges, rounds=rounds).collect()}
+        assert got == simulate(rounds), f"rounds={rounds}"
+
+
+def test_lpa_tie_takes_smallest_label(spark):
+    """Equal-weight vote: node 5's neighbors carry labels 1 and 2 with
+    identical weight — the argmax must settle on 1 (label ASC)."""
+    edges = _sym(spark, [(1, 5, 3), (2, 5, 3)])
+    got = {r["node"]: r["community"]
+           for r in G.lpa_communities(edges, rounds=1).collect()}
+    assert got[5] == 1

@@ -1079,8 +1079,13 @@ def test_range_join_binned_survives_burst_skew(spark):
                        "16KB")
         t0 = datetime(2024, 3, 1, 12, 0, 0)
         hot_us = int(t0.timestamp()) * 1_000_000
-        # 90% of 60k points in the single hot hour, rest spread over 100h
-        pts = spark.range(60_000).select(
+        # 90% of 20k points in the single hot hour, rest spread over
+        # 100h — the hot bin's shuffle partition (~18k rows × 40
+        # intervals) stays orders of magnitude over the lowered 64KB
+        # threshold, so the skew-split assertion is unchanged; 20k vs
+        # the original 60k only trims the naive-comparison cost (this
+        # is a plan-behavior test, not a data-scale test)
+        pts = spark.range(20_000).select(
             F.col("id").alias("pid"),
             F.timestamp_micros(
                 F.when(F.col("id") % 10 < 9,
@@ -1705,3 +1710,75 @@ def test_unpivot_is_pivot_inverse(spark, sf_dir):
               .groupBy("user_id", "event_type")
               .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()}
     assert got == direct and len(got) > 0
+
+
+def test_sequential_rules_hand_sessions(spark, monkeypatch):
+    """Gap-allowed A-then-B on handmade sessions: non-consecutive pairs
+    count, order matters, once-per-session dedup holds, and confidence
+    is the exact integer floor ratio."""
+    import datetime as dt
+
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as ev
+    T0 = dt.datetime(2024, 1, 1)
+    # user 1 session: view, click, view, buy  (one session, gaps < 30min)
+    # user 2 session: view, buy
+    # user 3 session: buy, view   (reverse order — must NOT count view>buy)
+    rows = [
+        (1, T0, 1, "view", 0.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=2), 1, "view", 0.0, "{}"),
+        (4, T0 + dt.timedelta(minutes=3), 1, "buy", 0.0, "{}"),
+        (5, T0, 2, "view", 0.0, "{}"),
+        (6, T0 + dt.timedelta(minutes=5), 2, "buy", 0.0, "{}"),
+        (7, T0, 3, "buy", 0.0, "{}"),
+        (8, T0 + dt.timedelta(minutes=5), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    monkeypatch.setattr(ev, "load_table", lambda s, n, d: df)
+    got = {(r["antecedent"], r["consequent"]):
+           (r["n_sessions"], r["n_antecedent"], r["confidence_micro"])
+           for r in ev.sequential_rules(spark, "ignored", k=50).collect()}
+    # view>buy: sessions 1 and 2 (user 3 is buy-then-view); 3 sessions
+    # contain view -> confidence = 2*1e6 div 3 = 666666 (floor, exact)
+    assert got[("view", "buy")] == (2, 3, 666666)
+    # non-consecutive: view ... buy with click between still counts;
+    # click>buy from user 1 only
+    assert got[("click", "buy")] == (1, 1, 1000000)
+    # A>A: view appears twice in user 1's session only
+    assert got[("view", "view")] == (1, 3, 333333)
+    # order-sensitivity: buy>view exists (user 3) with support 1 of 3
+    assert got[("buy", "view")] == (1, 3, 333333)
+    # once-per-session dedup: view>click counted once for user 1
+    assert got[("view", "click")] == (1, 3, 333333)
+
+
+def test_sequential_rules_session_gap_and_cap(spark, monkeypatch):
+    """A >30-min gap splits the session (the pair across it vanishes);
+    events past the max_len truncation are invisible to patterns AND to
+    the antecedent denominator."""
+    import datetime as dt
+
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as ev
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, T0, 1, "a", 0.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=40), 1, "b", 0.0, "{}"),  # new session
+        (3, T0, 2, "a", 0.0, "{}"),
+        (4, T0 + dt.timedelta(minutes=1), 2, "b", 0.0, "{}"),
+        (5, T0 + dt.timedelta(minutes=2), 2, "c", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    monkeypatch.setattr(ev, "load_table", lambda s, n, d: df)
+    got = {(r["antecedent"], r["consequent"]): r["n_sessions"]
+           for r in ev.sequential_rules(spark, "ignored", k=50).collect()}
+    assert ("a", "b") in got and got[("a", "b")] == 1   # user 2 only
+    # truncation: cap at 2 events hides c entirely
+    got2 = {(r["antecedent"], r["consequent"]): r["n_sessions"]
+            for r in ev.sequential_rules(spark, "ignored", k=50,
+                                         max_len=2).collect()}
+    assert ("b", "c") not in got2 and ("a", "c") not in got2
+    assert got2[("a", "b")] == 1

@@ -1489,3 +1489,82 @@ def concurrent_sessions_timeline(spark: SparkSession, sf_dir: str,
                        F.sum("net").over(w).cast("long")
                        .alias("concurrent"))
             .orderBy("hour_idx"))
+
+
+def sequential_rules(spark: SparkSession, sf_dir: str, k: int = 20,
+                     gap_min: int = 30, max_len: int = 50) -> DataFrame:
+    """Gap-allowed sequential association rules over gap sessions →
+    ``(antecedent, consequent, n_sessions, n_antecedent,
+    confidence_micro, rank)`` — top-``k`` "users who do A later do B"
+    patterns. The sequence-mining contract the repo's neighbors don't
+    cover: ``event_transitions`` counts only CONSECUTIVE bigrams,
+    ``top_session_paths`` only session OPENINGS, and basket rules
+    (``association_rules_topk``) ignore order entirely; here A→B
+    matches positions i < j ANYWHERE in the session (PrefixSpan's
+    length-2 pattern class), counted once per session.
+
+    Determinism contract (what the oracle recomputes): sessions are the
+    30-min-gap sessions (same derivation as ``top_session_paths``);
+    within-session order is ``(ts, event_id)`` row_number; sessions
+    truncate at ``max_len`` events (the scale bound — see below); a
+    pattern counts once per session (DISTINCT); confidence =
+    ``n_sessions(A then B) * 1e6 DIV n_sessions(A in first max_len)``
+    in exact integer floor micro-units; rank by
+    ``(n_sessions DESC, antecedent ASC, consequent ASC)``. A→A is a
+    valid pattern (the type recurs later in the session).
+
+    Scale shape: one user-keyed window pass to sessionize, then a
+    SESSION-keyed equi self-join — candidate pairs are O(len²) per
+    session, hard-capped at ``max_len²`` by the truncation (the same
+    bound PrefixSpan implementations impose), never cross-session; the
+    DISTINCT and both counts partial-aggregate map-side on
+    (session/pattern) keys. The rule table is |type-pairs|-sized, the
+    top-k single-partition sort |rules|-sized — nothing corpus-sized
+    leaves the session-keyed stages."""
+    from pyspark.sql import Window
+    e = load_table(spark, "events", sf_dir) \
+        .select("user_id", "event_id", "ts", "event_type")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (F.when(
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(w_user) > gap_min * 60,
+        1).otherwise(0))
+    sess = (e.withColumn("_new", F.coalesce(new_sess, F.lit(1)))
+            .withColumn("_sid", F.sum("_new").over(
+                w_user.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))))
+    w_sess = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    ev = (sess.withColumn("_rn", F.row_number().over(w_sess))
+          .filter(F.col("_rn") <= max_len)
+          .select("user_id", "_sid", "event_type", "_rn"))
+    a = ev.select("user_id", "_sid",
+                  F.col("event_type").alias("antecedent"),
+                  F.col("_rn").alias("_ra"))
+    b = ev.select("user_id", "_sid",
+                  F.col("event_type").alias("consequent"),
+                  F.col("_rn").alias("_rb"))
+    pat = (a.join(b, ["user_id", "_sid"])
+           .filter(F.col("_ra") < F.col("_rb"))
+           .select("user_id", "_sid", "antecedent", "consequent")
+           .distinct())
+    n_ab = pat.groupBy("antecedent", "consequent").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    n_a = (ev.select("user_id", "_sid",
+                     F.col("event_type").alias("antecedent")).distinct()
+           .groupBy("antecedent")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_antecedent")))
+    rules = (n_ab.join(n_a, "antecedent")
+             .withColumn("confidence_micro",
+                         F.expr("CAST(n_sessions * 1000000 DIV "
+                                "n_antecedent AS BIGINT)")))
+    top = (rules.orderBy(F.col("n_sessions").desc(),
+                         F.col("antecedent").asc(),
+                         F.col("consequent").asc())
+           .limit(k))
+    w_rank = Window.orderBy(F.col("n_sessions").desc(),
+                            F.col("antecedent").asc(),
+                            F.col("consequent").asc())
+    return (top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+            .select("antecedent", "consequent", "n_sessions",
+                    "n_antecedent", "confidence_micro", "rank")
+            .orderBy("rank"))

@@ -388,3 +388,53 @@ def association_rules_topk(rel: DataFrame, k: int = 20,
                      lift.alias("lift_micro"))
             .orderBy(F.col("lift_micro").desc(), "ante", "cons")
             .limit(k))
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007,
+    "Near linear time algorithm to detect community structures") over a
+    symmetric weighted edge list ``(src, dst, w)`` → ``(node,
+    community)`` — COMMUNITY detection, a different contract from
+    :func:`~..dedup.connected_components`' min-label CC: the update is
+    the weight-MODE of the neighborhood, not the min, so densely
+    intra-linked groups keep their own label even inside one connected
+    component.
+
+    Update (all nodes simultaneously, ``rounds`` fixed):
+
+        label'(v) = argmax_L  Σ  w(u,v)   over neighbors u with
+                    label(u) = L; ties → smallest L
+
+    Determinism contract (cross-engine, what the unrolled-SQL oracle
+    recomputes): init label(v) = v; synchronous rounds (no in-round
+    visibility — the asynchronous variant is order-dependent and can't
+    be oracled); integer weights summed in BIGINT; argmax by
+    ``(Σw DESC, label ASC)``. A FIXED round count rather than a
+    convergence probe: sync LPA can 2-cycle on bipartite structure, so
+    "run r rounds" is the well-defined semantics (r=3 reaches the
+    obvious partition on shallow community graphs; scale it with graph
+    diameter, not size).
+
+    Scale shape: each round is one (src-keyed) equi-join of the
+    checkpointed edge list against the |V|-sized label table, a
+    partial-aggregating ``(node, label)`` sum, and a ``node``-keyed
+    max-struct argmax — two shuffles per round, both on node ids, hub
+    skew absorbed map-side exactly like PageRank's contribution sum.
+    Nothing driver-sided; the label table never exceeds |V| rows."""
+    edges = (edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("dst").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n"), "label")
+            .agg(F.sum("w").alias("ws")))
+        # argmax (ws desc, label asc) as one max-struct: flip the label
+        # sign so the lexicographic max is (max ws, then MIN label)
+        labels = (
+            votes.groupBy(F.col("n").alias("node"))
+            .agg(F.max(F.struct(F.col("ws"), (-F.col("label")).alias("_nl")))
+                 .alias("_m"))
+            .select("node", (-F.col("_m._nl")).alias("label")))
+    return labels.select("node", F.col("label").alias("community"))
