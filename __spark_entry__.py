@@ -579,6 +579,89 @@ def _bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
     return f"WITH {_bpe_dict_ctes(n_merges)}\n{arms}\nORDER BY merge_rank"
 
 
+BPE_BATCH_K = 4
+
+
+def _bpe_merges_batched_sql(n_merges: int = BPE_MERGES,
+                            batch_k: int = BPE_BATCH_K) -> str:
+    """Unrolled BATCHED BPE oracle (mirror of ``bpe.bpe_train`` with
+    ``batch_k>1``). Per round: the same pair-count aggregation as the
+    sequential oracle, then the greedy symbol-disjoint selection
+    (quota = min(batch_k, merges remaining); candidate list = top
+    ``4*quota`` by (f DESC, pair ASC), or top-1 when quota is 1; a
+    candidate defers when its left/right symbol or merged OUTPUT
+    collides with a selected pair's inputs/output) expressed as a
+    single-row recursive CTE carrying the used-symbol set, then the
+    round's rewrites chained in selection order via NULL-sentinel
+    no-op replaces (list index past len(pp) is NULL in DuckDB →
+    coalesce to chr(1), which never occurs). Rounds are unrolled to
+    the worst case (one merge per round, ``n_merges`` rounds);
+    exhausted-quota rounds degrade to no-ops exactly like the Spark
+    loop's exit."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.bpe import REPLACE_PASSES
+    parts = [
+        """wf AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents) u
+  GROUP BY w)""",
+        "s0 AS MATERIALIZED (SELECT word, freq, "
+        "regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM wf)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        done = (" + ".join(f"(SELECT len(pp) FROM b{i})" for i in range(1, r))
+                or "0")
+        ok = (f"len(s.pp) < (SELECT quota FROM q{r})"
+              f" AND NOT list_contains(s.used, string_split(c.pair, ' ')[1])"
+              f" AND NOT list_contains(s.used, string_split(c.pair, ' ')[2])"
+              f" AND NOT list_contains(s.used, replace(c.pair, ' ', ''))")
+        rep = "' ' || seq || ' '"
+        for j in range(1, batch_k + 1):
+            pat = f"coalesce((SELECT ' ' || pp[{j}] || ' ' FROM b{r}), chr(1))"
+            new = (f"coalesce((SELECT ' ' || replace(pp[{j}], ' ', '') || ' '"
+                   f" FROM b{r}), chr(1))")
+            for _ in range(REPLACE_PASSES):
+                rep = f"replace({rep}, {pat}, {new})"
+        parts += [
+            f"q{r} AS MATERIALIZED (SELECT least({batch_k}, "
+            f"{n_merges} - ({done})) AS quota)",
+            f"""p{r} AS MATERIALIZED (
+  SELECT sym || ' ' || nxt AS pair, sum(freq) AS f FROM (
+    SELECT freq, unnest(l[1:len(l)-1]) AS sym, unnest(l[2:len(l)]) AS nxt
+    FROM (SELECT freq, string_split(seq, ' ') AS l FROM {prev}) t) u
+  GROUP BY pair)""",
+            f"cand{r} AS MATERIALIZED (SELECT pair, CAST(f AS BIGINT) AS f, "
+            f"CAST(row_number() OVER (ORDER BY f DESC, pair ASC) AS BIGINT) "
+            f"AS rn FROM p{r} ORDER BY f DESC, pair ASC LIMIT "
+            f"(SELECT CASE WHEN quota = 1 THEN 1 ELSE 4 * quota END "
+            f"FROM q{r}))",
+            f"""sel{r} AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS used,
+         CAST([] AS VARCHAR[]) AS pp, CAST([] AS BIGINT[]) AS pf
+  UNION ALL
+  SELECT c.rn AS i,
+    CASE WHEN {ok} THEN s.used || [string_split(c.pair, ' ')[1],
+      string_split(c.pair, ' ')[2], replace(c.pair, ' ', '')]
+      ELSE s.used END AS used,
+    CASE WHEN {ok} THEN s.pp || [c.pair] ELSE s.pp END AS pp,
+    CASE WHEN {ok} THEN s.pf || [c.f] ELSE s.pf END AS pf
+  FROM sel{r} s JOIN cand{r} c ON c.rn = s.i + 1)""",
+            f"b{r} AS MATERIALIZED (SELECT pp, pf FROM sel{r} "
+            f"ORDER BY i DESC LIMIT 1)",
+            f"s{r} AS MATERIALIZED (SELECT word, freq, trim({rep}) AS seq "
+            f"FROM {prev})",
+        ]
+    arms = "\nUNION ALL ".join(
+        f"SELECT {r} AS rnd, unnest(range(1, len(pp) + 1)) AS pos, "
+        f"unnest(pp) AS pair, unnest(pf) AS f FROM b{r}"
+        for r in range(1, n_merges + 1))
+    return ("WITH RECURSIVE " + ",\n".join(parts) + ",\nallm AS (" + arms
+            + ")\nSELECT CAST(row_number() OVER (ORDER BY rnd, pos) AS INTEGER)"
+              " AS merge_rank, pair, replace(pair, ' ', '') AS merged,"
+              " CAST(f AS BIGINT) AS freq\nFROM allm ORDER BY merge_rank")
+
+
 def _bpe_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
     return (f"WITH {_bpe_dict_ctes(n_merges)}\n"
             "SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM ("
@@ -1651,6 +1734,19 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
     docs = load_table(spark, "documents", sf_dir)
     return BPE.bpe_merges_df(docs, n_merges=BPE_MERGES)
+
+
+def _bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training (``batch_k=4`` — the 100 TB job-count
+    lever, VERDICT r9 ask #3): each round selects up to 4
+    symbol-disjoint pairs (over inputs AND merged outputs, so the
+    round's rewrites commute) from one ranked pair count and applies
+    them in one rewrite — job count drops ~4-fold vs sequential BPE.
+    Oracle: ``_bpe_merges_batched_sql`` re-derives the greedy
+    selection as a per-round recursive CTE."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    docs = load_table(spark, "documents", sf_dir)
+    return BPE.bpe_merges_df(docs, n_merges=BPE_MERGES, batch_k=BPE_BATCH_K)
 
 
 def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3320,12 +3416,20 @@ def _store_scratch(sf_dir: str, tag: str) -> str:
     """Fresh deterministic scratch base for a persistent-store drive:
     wiped on entry so re-invocations (bench passes, correctness
     re-runs, a different sf) rebuild the store from the sf tables
-    instead of replaying a stale checkpoint onto stale contents."""
+    instead of replaying a stale checkpoint onto stale contents.
+
+    The path is keyed by the driver PID (ADVICE r9): two concurrent
+    sessions running the same store drive (bench + correctness check),
+    or two sf dirs sharing a basename, get disjoint directories instead
+    of racing on the rmtree/rebuild mid-stream. Within one process the
+    path stays deterministic, so consecutive invocations still exercise
+    the wipe-and-rebuild contract the hygiene pytest pins."""
     import os
     import shutil
     import tempfile
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_stores",
-                        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stores",
+        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     return base
@@ -3768,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _semdedup,
         # --- new this round: distributed BPE tokenizer training ---
         "bpe_merges": _bpe_merges,
+        "bpe_merges_batched": _bpe_merges_batched,
         "bpe_token_counts": _bpe_token_counts,
         "bpe_doc_token_counts": _bpe_doc_token_counts,
         "bpe_vocab_curve": _bpe_vocab_curve,
@@ -4279,6 +4384,7 @@ ORDER BY d.doc_id
         # distributed BPE training: unrolled merge loop (pure BIGINT +
         # identical replace semantics — see operators/bpe.py docstring)
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_merges_batched": _bpe_merges_batched_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "bpe_doc_token_counts": _bpe_doc_token_counts_sql(),
         "bpe_vocab_curve": _bpe_vocab_curve_sql(),

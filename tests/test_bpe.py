@@ -246,6 +246,22 @@ def test_bpe_batched_rounds_select_symbol_disjoint_pairs(spark):
     assert all(f > 0 for _, f in merges)
 
 
+def test_bpe_batch_selection_defers_output_input_collisions():
+    """ADVICE r9 (medium): a candidate whose INPUT equals an earlier-
+    selected pair's merged OUTPUT must defer ('th e' after 't h' →
+    output 'th'), else the round's chained rewrites merge occurrences
+    created mid-round that were never counted. The reverse direction
+    ('t h' after 'th e') must defer too — its rewrite would produce a
+    symbol the earlier rewrite consumes, breaking commutation."""
+    ranked = [("t h", 10), ("th e", 9), ("a b", 8)]
+    assert BPE.select_batch(ranked, 3) == [("t h", 10), ("a b", 8)]
+    ranked_rev = [("th e", 10), ("t h", 9), ("a b", 8)]
+    assert BPE.select_batch(ranked_rev, 3) == [("th e", 10), ("a b", 8)]
+    # plain input-symbol sharing still defers; quota still honored
+    assert BPE.select_batch([("e s", 9), ("s t", 9), ("t w", 8)], 2) == [
+        ("e s", 9), ("t w", 8)]
+
+
 def test_bpe_batch_k_rejects_nonpositive(spark):
     wf = BPE.word_freqs(_docs(spark, ["ab cd"]))
     with pytest.raises(ValueError):

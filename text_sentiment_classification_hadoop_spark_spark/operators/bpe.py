@@ -95,6 +95,28 @@ def _pair_counts(dic: DataFrame) -> DataFrame:
     )
 
 
+def select_batch(ranked: list[tuple[str, int]], k: int) -> list[tuple[str, int]]:
+    """Greedy symbol-disjoint batch selection from a ranked
+    ``(pair, freq)`` candidate list (frequency desc / pair asc order
+    assumed). A candidate is deferred when its left symbol, right
+    symbol, or merged OUTPUT collides with any already-selected pair's
+    inputs or output — e.g. 'th e' defers when 't h' (output 'th') was
+    selected this round, and 't h' defers when 'th e' (input 'th') was:
+    either combination would let the round's chained rewrites cascade
+    into occurrences created mid-round that were never counted."""
+    selected: list[tuple[str, int]] = []
+    used: set[str] = set()
+    for pair, f in ranked:
+        a, b = pair.split(" ")
+        if a in used or b in used or a + b in used:
+            continue
+        selected.append((pair, f))
+        used.update((a, b, a + b))
+        if len(selected) == k:
+            break
+    return selected
+
+
 def bpe_train(words: DataFrame, n_merges: int = 8,
               batch_k: int = 1) -> list[tuple[str, int]]:
     """Learn ``n_merges`` BPE merges from a ``(word, freq)`` dictionary.
@@ -110,12 +132,15 @@ def bpe_train(words: DataFrame, n_merges: int = 8,
     but a 30k-round driver loop at a production vocabulary. With
     ``batch_k>1`` each round selects up to ``batch_k``
     SYMBOL-DISJOINT pairs from one ranked pair count (greedy by
-    frequency desc / pair asc; a candidate whose left or right symbol
-    appears in an already-selected pair of the round is deferred to a
-    later round) and applies them all in one rewrite — the standard
-    scalable batched approximation (job count drops ~k-fold).
-    Symbol-disjointness makes the within-round rewrites commute, so
-    the result stays deterministic; the DIVERGENCE from sequential BPE
+    frequency desc / pair asc; a candidate is deferred to a later
+    round when any of its left symbol, right symbol, or merged OUTPUT
+    symbol collides with an already-selected pair's inputs or output)
+    and applies them all in one rewrite — the standard scalable
+    batched approximation (job count drops ~k-fold). Disjointness
+    over inputs AND outputs makes the within-round rewrites commute
+    (no selected rewrite can consume or produce a symbol another
+    selected rewrite touches, so each reported frequency is the true
+    pre-round count); the DIVERGENCE from sequential BPE
     is that pairs ranked 2..k are chosen against counts that ignore
     the round's earlier merges (e.g. after merging ``t h``, sequential
     BPE would count ``th e`` — batched BPE never saw ``th`` this
@@ -136,22 +161,12 @@ def bpe_train(words: DataFrame, n_merges: int = 8,
                .limit(k if k == 1 else 4 * k).collect())
         if not top:
             break
-        selected: list = []
-        used: set[str] = set()
-        for r in top:
-            a, b = r["pair"].split(" ")
-            if a in used or b in used:
-                continue
-            selected.append(r)
-            used.update((a, b))
-            if len(selected) == k:
-                break
+        selected = select_batch([(r["pair"], int(r["f"])) for r in top], k)
         if not selected:  # unreachable (first ranked pair never conflicts)
-            selected = top[:1]
+            selected = [(top[0]["pair"], int(top[0]["f"]))]
         seq = F.col("seq")
-        for r in selected:
-            pair = r["pair"]
-            merges.append((pair, int(r["f"])))
+        for pair, f in selected:
+            merges.append((pair, f))
             seq = _merge_once(seq, pair, pair.replace(" ", ""))
         dic = dic.select(
             "word", "freq", seq.alias("seq")
@@ -160,11 +175,11 @@ def bpe_train(words: DataFrame, n_merges: int = 8,
 
 
 def bpe_merges_df(df: DataFrame, n_merges: int = 8,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text", batch_k: int = 1) -> DataFrame:
     """End-to-end train -> merge table ``(merge_rank, pair, merged,
     freq)`` — the driver-checkable learned-tokenizer artifact."""
     spark = df.sparkSession
-    merges = bpe_train(word_freqs(df, text_col), n_merges)
+    merges = bpe_train(word_freqs(df, text_col), n_merges, batch_k=batch_k)
     rows = [(i + 1, p, p.replace(" ", ""), f)
             for i, (p, f) in enumerate(merges)]
     return spark.createDataFrame(

@@ -420,7 +420,14 @@ def lpa_communities(edges: DataFrame, rounds: int = 3) -> DataFrame:
     partial-aggregating ``(node, label)`` sum, and a ``node``-keyed
     max-struct argmax — two shuffles per round, both on node ids, hub
     skew absorbed map-side exactly like PageRank's contribution sum.
-    Nothing driver-sided; the label table never exceeds |V| rows."""
+    Nothing driver-sided; the label table never exceeds |V| rows.
+
+    Each round eagerly ``localCheckpoint``s the |V|-sized label table
+    (same discipline as ``pagerank_fixed_point``): plan depth stays
+    O(1) in ``rounds``, and the round's shuffles execute under whatever
+    shuffle-partition scope is active at CALL time rather than at
+    whenever the caller finally collects (ADVICE r9 — a lazy 3-round
+    plan made ``scoped_shuffle_partitions`` a no-op for the rounds)."""
     edges = (edges.select("src", "dst", F.col("w").cast("long").alias("w"))
              .localCheckpoint(eager=True))
     labels = (edges.select(F.col("dst").alias("node")).distinct()
@@ -436,5 +443,6 @@ def lpa_communities(edges: DataFrame, rounds: int = 3) -> DataFrame:
             votes.groupBy(F.col("n").alias("node"))
             .agg(F.max(F.struct(F.col("ws"), (-F.col("label")).alias("_nl")))
                  .alias("_m"))
-            .select("node", (-F.col("_m._nl")).alias("label")))
+            .select("node", (-F.col("_m._nl")).alias("label"))
+            .localCheckpoint(eager=True))
     return labels.select("node", F.col("label").alias("community"))

@@ -85,10 +85,18 @@ def main() -> int:
     for name in names:
         samples, rows = [], None
         for trial in range(args.repeat):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--worker", name, "--sf", args.sf],
-                capture_output=True, text=True, cwd=REPO, timeout=900)
+            # a hung worker must cost one trial, not the whole run —
+            # catch TimeoutExpired so every already-collected median
+            # still reaches the artifact (ADVICE r9)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--worker", name, "--sf", args.sf],
+                    capture_output=True, text=True, cwd=REPO, timeout=900)
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(f"[{name} trial {trial}] worker timed out"
+                                 " after 900s; recording failed trial\n")
+                continue
             line = next((ln for ln in proc.stdout.splitlines()
                          if ln.startswith("BENCH_ISOLATED ")), None)
             if proc.returncode != 0 or line is None:
