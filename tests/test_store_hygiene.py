@@ -1,0 +1,61 @@
+"""Post-invocation state hygiene for the persistent-store drive
+queries (VERDICT r9 ask #5): the three store drives run streaming jobs
+*inside* ``queries()``, and bench invokes each query 3x in one session
+— so a leaked query handle or a replay onto stale store contents would
+silently corrupt every invocation after the first. Pin the contract:
+
+1. after an invocation returns (and its result is collected),
+   ``spark.streams.active`` is empty — the drive stopped every
+   streaming query it started;
+2. the scratch dir is wiped and rebuilt on entry — a marker file
+   planted after invocation #1 is gone after invocation #2;
+3. invocation #2 produces bit-identical results to invocation #1
+   (no replay onto stale state, no checkpoint reuse across wipes).
+"""
+
+import os
+import tempfile
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+STORE_DRIVES = {
+    "count_store_contents": "counts",
+    "dedup_store_contents": "dedup",
+    "training_shards_readback": "shards",
+}
+
+
+def _scratch_base(tag: str) -> str:
+    # mirror of __spark_entry__._store_scratch's path derivation (pid-
+    # keyed since ADVICE r9; pytest invokes in-process, same pid)
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_stores",
+        f"{tag}_{os.path.basename(SF.rstrip('/'))}_{os.getpid()}")
+
+
+@pytest.mark.parametrize("name,tag", sorted(STORE_DRIVES.items()))
+def test_store_drive_state_hygiene(spark, name, tag):
+    fn = entry.queries()[name]
+
+    first = [tuple(r) for r in fn(spark, SF).collect()]
+    assert spark.streams.active == [], (
+        f"{name} invocation 1 leaked streaming queries: "
+        f"{[q.name for q in spark.streams.active]}")
+    base = _scratch_base(tag)
+    assert os.path.isdir(base), f"{name} scratch base missing: {base}"
+    marker = os.path.join(base, "_stale_marker_from_prev_invocation")
+    with open(marker, "w") as f:
+        f.write("must be wiped on next entry")
+
+    second = [tuple(r) for r in fn(spark, SF).collect()]
+    assert spark.streams.active == [], (
+        f"{name} invocation 2 leaked streaming queries")
+    assert not os.path.exists(marker), (
+        f"{name} did not wipe-and-rebuild its scratch dir on re-entry")
+    assert first == second, (
+        f"{name} re-invocation diverged: replayed onto stale state?")
+    assert len(first) > 0

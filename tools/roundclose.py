@@ -1,0 +1,137 @@
+"""Round-close artifact regeneration — one invocation, all per-round
+artifacts, hard-failing when any artifact's coverage lags the registry
+(VERDICT r9 ask #2: two consecutive rounds shipped a stale audit; this
+makes regeneration mechanical so it can't happen again).
+
+Regenerates, in order:
+
+1. ``PLANAUDIT.md``            (tools/audit_plans.py, sf0.001)
+2. ``SELFCHECK_r{N}.json``     (tools/check_correctness.py, sf0.01)
+3. ``SELFCHECK_r{N}_sf0001.json`` (same, sf0.001)
+4. ``BENCH_ISOLATED_r{N}.json`` (tools/bench_isolated.py, top-20 x 3)
+
+and then verifies, against ``len(__spark_entry__.queries())`` at HEAD:
+
+- PLANAUDIT audited-count == registry count, and cartesian products == 0
+- both selfchecks: covered_full_registry, n_fail == 0,
+  n_sf_pinned_skip == 0, n_registry == registry count
+- isolated bench: every requested query has a non-null median
+
+Exit 0 only when every check passes. Run as the LAST commit of every
+round:
+
+    python tools/roundclose.py --round 10
+    python tools/roundclose.py --round 10 --skip bench_isolated  # partial
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+STEPS = ("planaudit", "selfcheck_sf001", "selfcheck_sf0001", "bench_isolated")
+
+
+def registry_size() -> int:
+    import __spark_entry__ as entry
+    return len(entry.queries())
+
+
+def run(cmd: list[str], problems: list[str]) -> None:
+    """Run one regeneration step; a non-zero exit is recorded (the
+    step's artifact is still verified below — check_correctness writes
+    its json before exiting 1) and the remaining steps still run."""
+    print(f"\n=== {' '.join(cmd)}", flush=True)
+    rc = subprocess.run(cmd, cwd=REPO).returncode
+    if rc != 0:
+        problems.append(f"step exited {rc}: {' '.join(cmd)}")
+
+
+def verify_planaudit(n_registry: int, problems: list[str]) -> None:
+    with open(f"{REPO}/PLANAUDIT.md") as f:
+        text = f.read()
+    m = re.search(r"Totals: (\d+) queries audited of (\d+) registered", text)
+    if not m:
+        problems.append("PLANAUDIT.md: totals line missing")
+        return
+    audited, registered = int(m.group(1)), int(m.group(2))
+    if not (audited == registered == n_registry):
+        problems.append(f"PLANAUDIT.md: audited {audited} / registered "
+                        f"{registered} != registry {n_registry}")
+    cm = re.search(r"cartesian products: (\d+)", text)
+    if not cm or cm.group(1) != "0":
+        problems.append("PLANAUDIT.md: cartesian products != 0")
+    if "## Build failures" in text:
+        problems.append("PLANAUDIT.md: has build failures")
+
+
+def verify_selfcheck(path: str, n_registry: int, problems: list[str]) -> None:
+    with open(path) as f:
+        rec = json.load(f)
+    for field, want in [("n_fail", 0), ("n_sf_pinned_skip", 0),
+                        ("n_registry", n_registry),
+                        ("covered_full_registry", True)]:
+        if rec.get(field) != want:
+            problems.append(f"{path}: {field}={rec.get(field)!r}, "
+                            f"want {want!r}")
+
+
+def verify_bench_isolated(path: str, problems: list[str]) -> None:
+    with open(path) as f:
+        rec = json.load(f)
+    bad = [n for n, r in rec["queries"].items() if r["median"] is None]
+    if bad:
+        problems.append(f"{path}: no median for {bad}")
+    if not rec["queries"]:
+        problems.append(f"{path}: empty query set")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--skip", action="append", default=[],
+                    choices=STEPS, help="skip a regeneration step "
+                    "(its artifact is still verified if present)")
+    args = ap.parse_args()
+    n = args.round
+    n_registry = registry_size()
+    print(f"registry at HEAD: {n_registry} queries")
+
+    sc1 = f"SELFCHECK_r{n}.json"
+    sc2 = f"SELFCHECK_r{n}_sf0001.json"
+    bi = f"BENCH_ISOLATED_r{n}.json"
+
+    problems: list[str] = []
+    if "planaudit" not in args.skip:
+        run([sys.executable, "tools/audit_plans.py"], problems)
+    if "selfcheck_sf001" not in args.skip:
+        run([sys.executable, "tools/check_correctness.py",
+             "--sf", "/root/testdata/sf0.01", "--json", sc1], problems)
+    if "selfcheck_sf0001" not in args.skip:
+        run([sys.executable, "tools/check_correctness.py",
+             "--sf", "/root/testdata/sf0.001", "--json", sc2], problems)
+    if "bench_isolated" not in args.skip:
+        run([sys.executable, "tools/bench_isolated.py", "--json", bi],
+            problems)
+    verify_planaudit(n_registry, problems)
+    verify_selfcheck(f"{REPO}/{sc1}", n_registry, problems)
+    verify_selfcheck(f"{REPO}/{sc2}", n_registry, problems)
+    verify_bench_isolated(f"{REPO}/{bi}", problems)
+
+    if problems:
+        print("\nROUNDCLOSE FAILED:")
+        for p in problems:
+            print(f"  - {p}")
+        return 1
+    print(f"\nROUNDCLOSE OK: all artifacts at registry={n_registry}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
