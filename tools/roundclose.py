@@ -119,10 +119,27 @@ def main() -> int:
     if "bench_isolated" not in args.skip:
         run([sys.executable, "tools/bench_isolated.py", "--json", bi],
             problems)
-    verify_planaudit(n_registry, problems)
-    verify_selfcheck(f"{REPO}/{sc1}", n_registry, problems)
-    verify_selfcheck(f"{REPO}/{sc2}", n_registry, problems)
-    verify_bench_isolated(f"{REPO}/{bi}", problems)
+    import os
+
+    def check(step: str, path: str, fn) -> None:
+        """Verify an artifact; missing is a problem unless its
+        regeneration step was explicitly --skip'd."""
+        if not os.path.exists(path):
+            if step in args.skip:
+                print(f"(skipped {step}; {path} absent — not verified)")
+            else:
+                problems.append(f"{path}: missing")
+            return
+        fn(path)
+
+    check("planaudit", f"{REPO}/PLANAUDIT.md",
+          lambda p: verify_planaudit(n_registry, problems))
+    check("selfcheck_sf001", f"{REPO}/{sc1}",
+          lambda p: verify_selfcheck(p, n_registry, problems))
+    check("selfcheck_sf0001", f"{REPO}/{sc2}",
+          lambda p: verify_selfcheck(p, n_registry, problems))
+    check("bench_isolated", f"{REPO}/{bi}",
+          lambda p: verify_bench_isolated(p, problems))
 
     if problems:
         print("\nROUNDCLOSE FAILED:")
