@@ -1731,6 +1731,18 @@ def _sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.sequential_rules(spark, sf_dir, k=20)
 
 
+def _sequential_patterns3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-3 A→B→C sequential patterns over 30-min-gap sessions
+    (operators/events.sequential_patterns3) — PrefixSpan's length-3
+    class WITHOUT a length-cubed stage: the subsequence-greedy identity
+    (a later C completes the pattern iff it follows the EARLIEST
+    A-then-B completion) keeps the heavy stage at the same O(len²)
+    pair join as sequential_rules. Oracle re-derives the greedy
+    min-position frontier in pure SQL."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import events as EV
+    return EV.sequential_patterns3(spark, sf_dir, k=20)
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (rank, pair, merged, freq) — the
     distributed-tokenizer-training artifact. Oracle: the unrolled CTE
@@ -3740,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rules; non-consecutive, unlike event_transitions)
         "copurchase_communities": _copurchase_communities,
         "sequential_rules": _sequential_rules,
+        "sequential_patterns3": _sequential_patterns3,
         "ngram_novelty": _ngram_novelty,
         "label_silhouette": _label_silhouette,
         "orders_merge_upsert": R.orders_merge_upsert,
@@ -8885,6 +8898,67 @@ SELECT antecedent, consequent, n_sessions, n_antecedent, confidence_micro,
                                consequent ASC) AS INTEGER) AS rank
 FROM rules
 ORDER BY n_sessions DESC, antecedent ASC, consequent ASC
+LIMIT 20
+"""
+    out["sequential_patterns3"] = """
+WITH lagd AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid
+  FROM lagd
+),
+ev AS MATERIALIZED (
+  SELECT user_id, sid, event_type, rn FROM (
+    SELECT user_id, sid, event_type,
+           row_number() OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id) AS rn
+    FROM sess) WHERE rn <= 50
+),
+pm AS MATERIALIZED (
+  SELECT a.user_id, a.sid, a.event_type AS first_type,
+         b.event_type AS second_type, min(b.rn) AS jmin
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.sid = b.sid AND a.rn < b.rn
+  GROUP BY 1, 2, 3, 4
+),
+tri AS (
+  SELECT DISTINCT p.user_id, p.sid, p.first_type, p.second_type,
+         c.event_type AS third_type
+  FROM pm p JOIN ev c
+    ON p.user_id = c.user_id AND p.sid = c.sid AND c.rn > p.jmin
+),
+nabc AS (
+  SELECT first_type, second_type, third_type,
+         CAST(count(*) AS BIGINT) AS n_sessions
+  FROM tri GROUP BY 1, 2, 3
+),
+nab AS (
+  SELECT first_type, second_type, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pm GROUP BY 1, 2
+),
+rules AS (
+  SELECT nabc.first_type, nabc.second_type, nabc.third_type,
+         nabc.n_sessions, nab.n_pair,
+         CAST((nabc.n_sessions * 1000000) // nab.n_pair AS BIGINT)
+           AS confidence_micro
+  FROM nabc JOIN nab ON nabc.first_type = nab.first_type
+                    AND nabc.second_type = nab.second_type
+)
+SELECT first_type, second_type, third_type, n_sessions, n_pair,
+       confidence_micro,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, first_type ASC,
+                               second_type ASC, third_type ASC)
+            AS INTEGER) AS rank
+FROM rules
+ORDER BY n_sessions DESC, first_type ASC, second_type ASC, third_type ASC
 LIMIT 20
 """
     return out

@@ -1782,3 +1782,50 @@ def test_sequential_rules_session_gap_and_cap(spark, monkeypatch):
                                          max_len=2).collect()}
     assert ("b", "c") not in got2 and ("a", "c") not in got2
     assert got2[("a", "b")] == 1
+
+
+def test_sequential_patterns3_matches_bruteforce_triple_join(
+        spark, monkeypatch):
+    """The greedy earliest-completion identity (A->B->C exists iff a C
+    follows the MIN position at which A-then-B completes) must agree
+    with the brute-force i<j<l triple enumeration on randomized
+    sessions — the identity is what keeps the operator at O(len^2)."""
+    import datetime as dt
+    import itertools
+    import random
+
+    import text_sentiment_classification_hadoop_spark_spark.operators.events as ev
+    rng = random.Random(42)
+    T0 = dt.datetime(2024, 1, 1)
+    rows, sessions = [], {}
+    eid = 0
+    for user in range(1, 13):
+        seq = [rng.choice("abcd") for _ in range(rng.randint(1, 9))]
+        sessions[user] = seq
+        for i, t in enumerate(seq):
+            eid += 1
+            rows.append((eid, T0 + dt.timedelta(minutes=i), user,
+                         t, 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    monkeypatch.setattr(ev, "load_table", lambda s, n, d: df)
+    got = {(r["first_type"], r["second_type"], r["third_type"]):
+           (r["n_sessions"], r["n_pair"], r["confidence_micro"])
+           for r in ev.sequential_patterns3(
+               spark, "ignored", k=10**6).collect()}
+    # brute force: all i<j<l triples / i<j pairs, once per session
+    n_abc, n_ab = {}, {}
+    for seq in sessions.values():
+        trips = {(seq[i], seq[j], seq[l])
+                 for i, j, l in itertools.combinations(range(len(seq)), 3)}
+        pairs = {(seq[i], seq[j])
+                 for i, j in itertools.combinations(range(len(seq)), 2)}
+        for t in trips:
+            n_abc[t] = n_abc.get(t, 0) + 1
+        for p in pairs:
+            n_ab[p] = n_ab.get(p, 0) + 1
+    want = {t: (n, n_ab[t[:2]], n * 1000000 // n_ab[t[:2]])
+            for t, n in n_abc.items()}
+    # k was set far above the rule count, so the maps must be EQUAL
+    assert got == want and len(want) > 0

@@ -1491,6 +1491,31 @@ def concurrent_sessions_timeline(spark: SparkSession, sf_dir: str,
             .orderBy("hour_idx"))
 
 
+def gap_session_events(spark: SparkSession, sf_dir: str,
+                       gap_min: int = 30, max_len: int = 50) -> DataFrame:
+    """Shared sequence-mining input: 30-min-gap sessionized events with
+    within-session row numbers → ``(user_id, _sid, event_type, _rn)``,
+    truncated at ``max_len`` events per session (the scale bound both
+    sequential-pattern queries inherit). Same session derivation as
+    ``top_session_paths``; order is the deterministic ``(ts,
+    event_id)``."""
+    e = load_table(spark, "events", sf_dir) \
+        .select("user_id", "event_id", "ts", "event_type")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (F.when(
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(w_user) > gap_min * 60,
+        1).otherwise(0))
+    sess = (e.withColumn("_new", F.coalesce(new_sess, F.lit(1)))
+            .withColumn("_sid", F.sum("_new").over(
+                w_user.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))))
+    w_sess = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    return (sess.withColumn("_rn", F.row_number().over(w_sess))
+            .filter(F.col("_rn") <= max_len)
+            .select("user_id", "_sid", "event_type", "_rn"))
+
+
 def sequential_rules(spark: SparkSession, sf_dir: str, k: int = 20,
                      gap_min: int = 30, max_len: int = 50) -> DataFrame:
     """Gap-allowed sequential association rules over gap sessions →
@@ -1521,22 +1546,8 @@ def sequential_rules(spark: SparkSession, sf_dir: str, k: int = 20,
     (session/pattern) keys. The rule table is |type-pairs|-sized, the
     top-k single-partition sort |rules|-sized — nothing corpus-sized
     leaves the session-keyed stages."""
-    from pyspark.sql import Window
-    e = load_table(spark, "events", sf_dir) \
-        .select("user_id", "event_id", "ts", "event_type")
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    new_sess = (F.when(
-        F.col("ts").cast("long")
-        - F.lag(F.col("ts").cast("long")).over(w_user) > gap_min * 60,
-        1).otherwise(0))
-    sess = (e.withColumn("_new", F.coalesce(new_sess, F.lit(1)))
-            .withColumn("_sid", F.sum("_new").over(
-                w_user.rowsBetween(Window.unboundedPreceding,
-                                   Window.currentRow))))
-    w_sess = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
-    ev = (sess.withColumn("_rn", F.row_number().over(w_sess))
-          .filter(F.col("_rn") <= max_len)
-          .select("user_id", "_sid", "event_type", "_rn"))
+    ev = gap_session_events(spark, sf_dir, gap_min=gap_min,
+                            max_len=max_len)
     a = ev.select("user_id", "_sid",
                   F.col("event_type").alias("antecedent"),
                   F.col("_rn").alias("_ra"))
@@ -1567,4 +1578,74 @@ def sequential_rules(spark: SparkSession, sf_dir: str, k: int = 20,
     return (top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
             .select("antecedent", "consequent", "n_sessions",
                     "n_antecedent", "confidence_micro", "rank")
+            .orderBy("rank"))
+
+
+def sequential_patterns3(spark: SparkSession, sf_dir: str, k: int = 20,
+                         gap_min: int = 30,
+                         max_len: int = 50) -> DataFrame:
+    """Length-3 sequential patterns A→B→C over gap sessions →
+    ``(first_type, second_type, third_type, n_sessions, n_pair,
+    confidence_micro, rank)`` — PrefixSpan's length-3 pattern class
+    (Pei et al. 2001), extending :func:`sequential_rules`' length-2
+    rules: a pattern matches positions i < j < l ANYWHERE in the
+    session, counted once per session; ``confidence_micro`` is the
+    rule AB→C, ``n_sessions(A then B then C) * 1e6 DIV
+    n_sessions(A then B)`` in exact integer floor micro-units.
+
+    Scale shape — NO length-cubed stage. A naive 3-way self-join emits
+    C(len,3) candidates per session; instead the subsequence-greedy
+    identity (A→B→C exists iff some C follows the EARLIEST position at
+    which A-then-B completes) reduces the work to the SAME O(len²)
+    pair join as the length-2 query, a (session, a, b)-keyed min
+    aggregation — at most |types|² rows per session, type cardinality
+    is small and fixed — and one session-keyed join of that bounded
+    table back against the events (fan-out |types|²·len, linear in
+    len). All keys are session-scoped (map-side partials, never
+    cross-session); the rule table is |type-triples|-sized and the
+    top-k sort |rules|-sized.
+
+    Determinism contract (what the oracle recomputes): sessions,
+    ordering, and ``max_len`` truncation exactly as
+    :func:`gap_session_events`; earliest-completion positions and all
+    counts are exact BIGINTs; rank by ``(n_sessions DESC, first ASC,
+    second ASC, third ASC)``. Types may repeat (A→A→A is valid when
+    the type occurs 3+ times)."""
+    ev = gap_session_events(spark, sf_dir, gap_min=gap_min,
+                            max_len=max_len)
+    a = ev.select("user_id", "_sid",
+                  F.col("event_type").alias("first_type"),
+                  F.col("_rn").alias("_ra"))
+    b = ev.select("user_id", "_sid",
+                  F.col("event_type").alias("second_type"),
+                  F.col("_rn").alias("_rb"))
+    # earliest completion of A-then-B per (session, a, b): min j over
+    # pairs i < j — the greedy frontier every later C must clear
+    pair_min = (a.join(b, ["user_id", "_sid"])
+                .filter(F.col("_ra") < F.col("_rb"))
+                .groupBy("user_id", "_sid", "first_type", "second_type")
+                .agg(F.min("_rb").alias("_jmin")))
+    c = ev.select("user_id", "_sid",
+                  F.col("event_type").alias("third_type"),
+                  F.col("_rn").alias("_rc"))
+    triples = (pair_min.join(c, ["user_id", "_sid"])
+               .filter(F.col("_rc") > F.col("_jmin"))
+               .select("user_id", "_sid", "first_type", "second_type",
+                       "third_type")
+               .distinct())
+    n_abc = triples.groupBy("first_type", "second_type", "third_type") \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    n_ab = (pair_min.groupBy("first_type", "second_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pair")))
+    rules = (n_abc.join(n_ab, ["first_type", "second_type"])
+             .withColumn("confidence_micro",
+                         F.expr("CAST(n_sessions * 1000000 DIV "
+                                "n_pair AS BIGINT)")))
+    order = [F.col("n_sessions").desc(), F.col("first_type").asc(),
+             F.col("second_type").asc(), F.col("third_type").asc()]
+    w_rank = Window.orderBy(*order)
+    return (rules.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+            .select("first_type", "second_type", "third_type",
+                    "n_sessions", "n_pair", "confidence_micro", "rank")
             .orderBy("rank"))
