@@ -266,3 +266,49 @@ def test_bpe_batch_k_rejects_nonpositive(spark):
     wf = BPE.word_freqs(_docs(spark, ["ab cd"]))
     with pytest.raises(ValueError):
         BPE.bpe_train(wf, n_merges=1, batch_k=0)
+
+
+def test_bpe_select_batch_properties():
+    """Hypothesis: for any ranked candidate list, select_batch yields
+    (1) at most k pairs, (2) pairwise disjoint over inputs AND merged
+    outputs, (3) a subsequence of the ranked order, (4) greedy-maximal:
+    every skipped candidate (up to the quota point) conflicts with an
+    earlier selection."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.text(alphabet="abct</w>", min_size=1, max_size=3)
+    cand = st.tuples(st.tuples(sym, sym), st.integers(1, 100))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(cand, max_size=12), st.integers(1, 5))
+    def run(raw, k):
+        ranked = [(f"{a} {b}", f) for (a, b), f in raw]
+        sel = BPE.select_batch(ranked, k)
+        assert len(sel) <= k
+        # symbol-disjoint over inputs + outputs
+        used = set()
+        for pair, _ in sel:
+            a, b = pair.split(" ")
+            assert not ({a, b, a + b} & used)
+            used |= {a, b, a + b}
+        # subsequence of ranked order
+        idxs = []
+        pos = 0
+        for item in sel:
+            pos = ranked.index(item, pos)
+            idxs.append(pos)
+            pos += 1
+        assert idxs == sorted(idxs)
+        # greedy-maximal: any candidate before the quota filled that
+        # was skipped must conflict with the used-set at that point
+        if len(sel) < k:
+            used2 = set()
+            for pair, f in ranked:
+                a, b = pair.split(" ")
+                if (pair, f) in sel:
+                    used2 |= {a, b, a + b}
+                else:
+                    assert {a, b, a + b} & used2
+
+    run()

@@ -1,0 +1,114 @@
+"""Unit tests for tools/roundclose.py's artifact verification — the
+guard that keeps per-round artifacts pinned to the registry (VERDICT
+r9 ask #2). The regeneration steps are exercised by the real round
+close; here we pin the CHECKS: a lagging count, a cartesian product,
+a failed/skipped selfcheck, or a missing isolated median must each be
+reported, and a conforming artifact set must pass clean."""
+
+import importlib.util
+import json
+
+spec = importlib.util.spec_from_file_location(
+    "roundclose", "/root/repo/tools/roundclose.py")
+rc = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(rc)
+
+
+def _planaudit_text(audited, registered, carts=0, failures=False):
+    txt = (f"# PLANAUDIT\n\n| q | ... |\n\n**Totals: {audited} queries "
+           f"audited of {registered} registered; 5 exchange-free; "
+           f"cartesian products: {carts}.**\n")
+    if failures:
+        txt += "\n## Build failures\n\n- broken_query: boom\n"
+    return txt
+
+
+def test_verify_planaudit_pass_and_failures(tmp_path, monkeypatch):
+    monkeypatch.setattr(rc, "REPO", str(tmp_path))
+    p = tmp_path / "PLANAUDIT.md"
+
+    p.write_text(_planaudit_text(281, 281))
+    probs = []
+    rc.verify_planaudit(281, probs)
+    assert probs == []
+
+    p.write_text(_planaudit_text(279, 281))        # lagging audit
+    probs = []
+    rc.verify_planaudit(281, probs)
+    assert any("279" in x for x in probs)
+
+    p.write_text(_planaudit_text(281, 281, carts=2))  # cartesian leak
+    probs = []
+    rc.verify_planaudit(281, probs)
+    assert any("cartesian" in x for x in probs)
+
+    p.write_text(_planaudit_text(281, 281, failures=True))
+    probs = []
+    rc.verify_planaudit(281, probs)
+    assert any("failures" in x for x in probs)
+
+
+def test_verify_selfcheck_fields(tmp_path):
+    good = {"n_fail": 0, "n_sf_pinned_skip": 0, "n_registry": 281,
+            "covered_full_registry": True}
+    f = tmp_path / "SELFCHECK.json"
+    f.write_text(json.dumps(good))
+    probs = []
+    rc.verify_selfcheck(str(f), 281, probs)
+    assert probs == []
+
+    for field, bad in [("n_fail", 3), ("n_sf_pinned_skip", 2),
+                       ("n_registry", 278),
+                       ("covered_full_registry", False)]:
+        rec = dict(good)
+        rec[field] = bad
+        f.write_text(json.dumps(rec))
+        probs = []
+        rc.verify_selfcheck(str(f), 281, probs)
+        assert probs and field in probs[0]
+
+
+def test_verify_bench_isolated_medians(tmp_path):
+    f = tmp_path / "BI.json"
+    f.write_text(json.dumps(
+        {"queries": {"a": {"median": 1.2}, "b": {"median": 3.4}}}))
+    probs = []
+    rc.verify_bench_isolated(str(f), probs)
+    assert probs == []
+
+    f.write_text(json.dumps(
+        {"queries": {"a": {"median": None}, "b": {"median": 3.4}}}))
+    probs = []
+    rc.verify_bench_isolated(str(f), probs)
+    assert probs and "a" in probs[0]
+
+    f.write_text(json.dumps({"queries": {}}))
+    probs = []
+    rc.verify_bench_isolated(str(f), probs)
+    assert probs and "empty" in probs[0]
+
+
+def test_latest_committed_artifact_set_is_internally_consistent():
+    """The LATEST committed artifact set must be internally green and
+    agree with itself on registry size — the r7/r9 failure mode was one
+    artifact lagging the others. (The vs-HEAD pin is enforced by
+    roundclose at close time, not here, so adding a query mid-round
+    doesn't red the suite before the closing regeneration.)"""
+    import glob
+    import re
+
+    rounds = sorted(
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob("/root/repo/SELFCHECK_r*.json")
+        if re.search(r"_r(\d+)\.json$", p))
+    n_round = rounds[-1]
+    sc1 = json.load(open(f"/root/repo/SELFCHECK_r{n_round}.json"))
+    n = sc1["n_registry"]
+    probs = []
+    rc.verify_planaudit(n, probs)
+    rc.verify_selfcheck(f"/root/repo/SELFCHECK_r{n_round}.json", n, probs)
+    sc2 = f"/root/repo/SELFCHECK_r{n_round}_sf0001.json"
+    rc.verify_selfcheck(sc2, n, probs)
+    bi = f"/root/repo/BENCH_ISOLATED_r{n_round}.json"
+    rc.verify_bench_isolated(bi, probs)
+    assert probs == [], probs
