@@ -134,6 +134,22 @@ SHOWCASE = [
      "corpus-wide digest agg (count + countDistinct(source) per md5) "
      "+ digest-keyed join back; shuffles carry 32-byte hashes, not "
      "documents"),
+    ("copurchase_communities",
+     "weighted LPA: lazy 3-round plan, two node-keyed shuffles per "
+     "round fused under AQE; the argmax is a max-struct aggregate, "
+     "never a rank window"),
+    ("sequential_patterns3",
+     "length-3 sequential patterns WITHOUT a len-cubed stage: the "
+     "session-keyed O(len^2) pair join + a min-position frontier "
+     "(types^2-bounded) joined back; all keys session-scoped"),
+    ("approx_quantile_bounds",
+     "GK sketch + rank census: two fact passes, the 1-row aggregate "
+     "broadcast as a BroadcastNestedLoopJoin of ONE row — no "
+     "cartesian, no sort"),
+    ("bpe_merges_batched",
+     "batched BPE returns the driver-built merge table: the per-round "
+     "pair counts aggregate over the vocabulary-sized dictionary, "
+     "batch_k merges per job instead of one"),
 ]
 
 
