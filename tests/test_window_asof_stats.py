@@ -1850,3 +1850,20 @@ def test_approx_quantile_bounds_contract_and_plan(spark, sf_dir):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_sequential_patterns3_pair_counts_tie_out_with_rules(
+        spark, sf_dir):
+    """Cross-operator invariant on real data: patterns3's n_pair
+    (sessions containing A-then-B, derived via the min-position
+    frontier) must equal sequential_rules' n_sessions for the same
+    (A, B) — two independent derivations of the same census."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import events as ev
+    rules = {(r["antecedent"], r["consequent"]): r["n_sessions"]
+             for r in ev.sequential_rules(spark, sf_dir, k=10**6).collect()}
+    pats = ev.sequential_patterns3(spark, sf_dir, k=10**6).collect()
+    assert len(pats) > 0
+    for r in pats:
+        key = (r["first_type"], r["second_type"])
+        assert rules[key] == r["n_pair"], (key, rules[key], r["n_pair"])
+        assert 0 < r["n_sessions"] <= r["n_pair"]
