@@ -3428,6 +3428,18 @@ def _mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_token_plan(load_table(spark, "documents", sf_dir))
 
 
+def _store_scratch_path(sf_dir: str, tag: str, pid: int | None = None) -> str:
+    """Pure path derivation for a store drive's scratch base (split out
+    so the hygiene pytest asserts against THIS function instead of a
+    hand-copied string format — ADVICE r10 #4)."""
+    import os
+    import tempfile
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_stores",
+        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid() if pid is None else pid}")
+
+
 def _store_scratch(sf_dir: str, tag: str) -> str:
     """Fresh deterministic scratch base for a persistent-store drive:
     wiped on entry so re-invocations (bench passes, correctness
@@ -3439,13 +3451,31 @@ def _store_scratch(sf_dir: str, tag: str) -> str:
     or two sf dirs sharing a basename, get disjoint directories instead
     of racing on the rmtree/rebuild mid-stream. Within one process the
     path stays deterministic, so consecutive invocations still exercise
-    the wipe-and-rebuild contract the hygiene pytest pins."""
+    the wipe-and-rebuild contract the hygiene pytest pins.
+
+    Entry also best-effort prunes sibling dirs left by driver processes
+    that are no longer alive (ADVICE r10 #3: pid-keying made the
+    rmtree-on-entry per-process, so dead processes' store dirs — which
+    hold real parquet data — accumulated across bench/correctness runs
+    as a slow disk leak). Only dirs whose trailing ``_<pid>`` names a
+    dead process are removed; live concurrent sessions are untouched."""
     import os
     import shutil
-    import tempfile
-    base = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stores",
-        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}")
+    base = _store_scratch_path(sf_dir, tag)
+    root, mine = os.path.dirname(base), os.path.basename(base)
+    try:
+        for name in os.listdir(root):
+            pid_s = name.rsplit("_", 1)[-1]
+            if name == mine or not pid_s.isdigit():
+                continue
+            try:
+                os.kill(int(pid_s), 0)  # signal 0: existence probe only
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            except OSError:
+                pass  # e.g. EPERM — process exists under another uid
+    except OSError:
+        pass
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     return base

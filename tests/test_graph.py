@@ -287,7 +287,12 @@ def test_lpa_two_communities_with_weak_bridge(spark):
 def test_lpa_matches_python_simulation(spark):
     """Synchronous-update parity against a literal python simulation of
     the documented rule (Σw argmax, ties → smallest label) on a
-    pseudo-random weighted graph, at two round counts."""
+    pseudo-random weighted graph, at three round counts — rounds=6
+    crosses the every-4-rounds lineage checkpoint (``r % 4 == 3``
+    fires at r=3 with more rounds remaining; VERDICT r10 ask #3: the
+    branch had never executed), so the post-checkpoint rounds are
+    verified to resume from the materialized label table with
+    identical results."""
     import random
     rng = random.Random(13)
     triples = {(min(a, b), max(a, b)): w for a, b, w in
@@ -312,7 +317,7 @@ def test_lpa_matches_python_simulation(spark):
         return label
 
     edges = _sym(spark, triples)
-    for rounds in (1, 3):
+    for rounds in (1, 3, 6):
         got = {r["node"]: r["community"]
                for r in G.lpa_communities(edges, rounds=rounds).collect()}
         assert got == simulate(rounds), f"rounds={rounds}"

@@ -14,7 +14,8 @@ silently corrupt every invocation after the first. Pin the contract:
 """
 
 import os
-import tempfile
+import subprocess
+import sys
 
 import pytest
 
@@ -30,11 +31,10 @@ STORE_DRIVES = {
 
 
 def _scratch_base(tag: str) -> str:
-    # mirror of __spark_entry__._store_scratch's path derivation (pid-
-    # keyed since ADVICE r9; pytest invokes in-process, same pid)
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_stores",
-        f"{tag}_{os.path.basename(SF.rstrip('/'))}_{os.getpid()}")
+    # the REAL path derivation (ADVICE r10 #4: a hand-copied mirror of
+    # the string format drifts silently; pytest runs in-process, so the
+    # default pid matches the drive's)
+    return entry._store_scratch_path(SF, tag)
 
 
 @pytest.mark.parametrize("name,tag", sorted(STORE_DRIVES.items()))
@@ -59,3 +59,30 @@ def test_store_drive_state_hygiene(spark, name, tag):
     assert first == second, (
         f"{name} re-invocation diverged: replayed onto stale state?")
     assert len(first) > 0
+
+
+def test_store_scratch_prunes_dead_pid_siblings():
+    """ADVICE r10 #3: dirs keyed to a driver pid that has exited must
+    be reaped on the next _store_scratch entry (any tag), while dirs
+    belonging to a LIVE process are left alone."""
+    # a pid guaranteed dead: a subprocess that has already been waited
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()
+    dead_pid = proc.pid  # reaped — os.kill(pid, 0) now raises
+    root = os.path.dirname(entry._store_scratch_path(SF, "counts"))
+    os.makedirs(root, exist_ok=True)
+    dead_dir = entry._store_scratch_path(SF, "counts", pid=dead_pid)
+    live_dir = entry._store_scratch_path(SF, "othertag")  # our own pid
+    os.makedirs(dead_dir, exist_ok=True)
+    os.makedirs(live_dir, exist_ok=True)
+    try:
+        base = entry._store_scratch(SF, "counts")
+        assert os.path.isdir(base)
+        assert not os.path.exists(dead_dir), (
+            "dead-pid sibling survived the prune")
+        assert os.path.isdir(live_dir), (
+            "live-pid sibling was wrongly reaped")
+    finally:
+        for d in (dead_dir, live_dir):
+            if os.path.isdir(d):
+                os.rmdir(d)

@@ -1852,6 +1852,27 @@ def test_approx_quantile_bounds_contract_and_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_approx_quantile_bounds_duplicate_heavy(spark, tmp_path):
+    """ADVICE r10 #1 regression: when the data is one repeated value,
+    the returned element's UPPER rank count(<= v) is n at EVERY
+    quantile — a single-rank check against q·n would flip false for
+    small q even though the sketch output is legal (its admissible
+    rank interval [1, n] contains every target). The interval check
+    must return TRUE for all quantiles."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.relational import (
+        approx_quantile_bounds,
+    )
+    sf = str(tmp_path / "dupsf")
+    (spark.range(5000)
+     .selectExpr("CAST(42.17 AS DOUBLE) AS l_extendedprice")
+     .write.parquet(f"{sf}/lineitem.parquet"))
+    rows = approx_quantile_bounds(spark, sf).collect()
+    assert len(rows) == 5
+    assert all(r["within_rank_eps"] for r in rows)
+    assert all(r["n_rows"] == 5000 for r in rows)
+    assert all(r["exact_p"] == 42.17 for r in rows)
+
+
 def test_sequential_patterns3_pair_counts_tie_out_with_rules(
         spark, sf_dir):
     """Cross-operator invariant on real data: patterns3's n_pair

@@ -2208,52 +2208,68 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str,
     the exact interpolated quantile (oracle-recomputable:
     ``quantile_cont`` matches Spark's ``percentile`` bit-for-bit at
     6 dp — the ``price_quantiles`` precedent) plus a Spark-computed
-    boolean asserting the GK guarantee: the approx value's TRUE rank is
-    within ``n/accuracy`` (+1 discretization slack) of ``q·n``,
-    verified with exact BIGINT arithmetic in micro-units.
+    boolean asserting the GK guarantee, verified with exact BIGINT
+    arithmetic in micro-units scaled by ``accuracy`` (no division).
+
+    Rank semantics (ADVICE r10 #1): with duplicate-heavy values a
+    returned element does not have ONE rank — any rank in the
+    admissible interval ``[count(< v) + 1, count(<= v)]`` is a valid
+    position for ``v`` in sorted order, and GK only promises SOME rank
+    in that interval is within ``n/accuracy`` of ``q·n``. Checking the
+    upper bound alone could flip false on a legal sketch output, so the
+    census counts BOTH strict and non-strict ranks and the boolean
+    asserts the interval intersects the tolerance band
+    ``[q·n − n/acc − 1, q·n + n/acc + 1]`` (+1 discretization slack:
+    ranks are integers, the target ``q·n`` generally isn't).
 
     Scale shape: exactly TWO fact passes, both one-shuffle aggregates —
-    (1) count + exact percentiles + the sketch in one agg (at 100 TB
-    drop the exact column and pass 1 is the sketch alone: mergeable,
-    no sort); (2) the rank census — the 1-row aggregate broadcast onto
-    the fact (BroadcastNestedLoopJoin of one row, NOT a cartesian) and
-    ``sum(price <= approx_q)`` per quantile as |qs| conditional sums in
-    one partial-aggregating pass. Nothing rank-sorted, nothing
-    corpus-sized shuffled."""
+    (1) count + exact percentiles + the sketch in one agg, COLLECTED to
+    the driver (1 row — ADVICE r10 #2: re-embedding this subtree via
+    crossJoin planned the fact scan + percentile sort a second time,
+    and the two sketch evaluations could in principle disagree; the
+    collected values are re-lit as literals so the sketch runs exactly
+    once). At 100 TB drop the exact column and pass 1 is the sketch
+    alone: mergeable, no sort. (2) the rank census — ``2·|qs|``
+    conditional sums against literal thresholds in one
+    partial-aggregating pass over the fact. No join at all, nothing
+    rank-sorted, nothing corpus-sized shuffled.
+
+    Overflow: the scaled comparison multiplies ranks by
+    ``1e6·accuracy`` and the target by ``n·accuracy`` — with
+    accuracy=1000 both stay under 2^63 up to n ≈ 6·10^9 rows
+    (≈ 100 TB of lineitem); larger corpora should drop the 1e6
+    micro-scaling (quantiles are already integral there)."""
     l = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
     qs_sql = ", ".join(repr(float(q)) for q in qs)
-    agg = l.agg(
+    head = l.agg(
         F.count(F.lit(1)).alias("_n"),
         F.expr(f"percentile(l_extendedprice, array({qs_sql}))").alias("_ex"),
         F.expr(f"percentile_approx(l_extendedprice, array({qs_sql}), "
                f"{int(accuracy)})").alias("_ap"),
-    )
-    ranks = (
-        l.crossJoin(F.broadcast(agg))
-        .agg(*[F.sum((F.col("l_extendedprice") <= F.col("_ap")[i])
-                     .cast("long")).alias(f"_r{i}")
-               for i in range(len(qs))])
-    )
-    per_q = (
-        agg.crossJoin(F.broadcast(ranks))
-        .select("_n", "_ex",
-                F.array(*[F.col(f"_r{i}") for i in range(len(qs))])
-                .alias("_rk"),
-                F.posexplode(F.array(*[F.lit(int(q * 1_000_000))
-                                       for q in qs]))
-                .alias("_i", "quantile_micro"))
-    )
-    # GK contract in exact BIGINTs: |rank*1e6 - q_micro*n| <= n*1e6/acc
-    # (+1e6 slack: rank is an integer, the target q*n generally isn't)
-    within = (
-        F.abs(F.element_at(F.col("_rk"), F.col("_i") + 1) * F.lit(1_000_000)
-              - F.col("quantile_micro") * F.col("_n"))
-        <= (F.col("_n") * F.lit(1_000_000)) / F.lit(int(accuracy))
-        + F.lit(1_000_000))
-    return (per_q.select(
-        F.col("quantile_micro").cast("long").alias("quantile_micro"),
-        F.col("_n").cast("long").alias("n_rows"),
-        pround(F.element_at(F.col("_ex"), F.col("_i") + 1), 6)
-        .alias("exact_p"),
-        within.alias("within_rank_eps"))
-        .orderBy("quantile_micro"))
+    ).collect()[0]  # fact pass 1 — sketch + exact, evaluated ONCE
+    n, ex, ap = int(head["_n"]), head["_ex"], head["_ap"]
+    ranks = l.agg(*(
+        [F.sum((F.col("l_extendedprice") < F.lit(float(ap[i])))
+               .cast("long")).alias(f"_lt{i}") for i in range(len(qs))]
+        + [F.sum((F.col("l_extendedprice") <= F.lit(float(ap[i])))
+                 .cast("long")).alias(f"_le{i}") for i in range(len(qs))]
+    ))  # fact pass 2 — the rank-interval census, one shuffle, no join
+    acc = int(accuracy)
+    scale = 1_000_000 * acc          # rank → micro-units × accuracy
+    band = n * 1_000_000 + 1_000_000 * acc   # acc·(n/acc + 1) in micro
+    out_rows = []
+    for i, q in enumerate(qs):
+        qm = int(q * 1_000_000)
+        target = qm * n * acc        # acc·(q·n) in micro-units, exact
+        # interval [lt+1, le] intersects [target−band, target+band]
+        lo_ok = (F.col(f"_lt{i}") + F.lit(1)) * F.lit(scale) \
+            <= F.lit(target + band)
+        up_ok = F.col(f"_le{i}") * F.lit(scale) >= F.lit(target - band)
+        out_rows.append(F.struct(
+            F.lit(qm).cast("long").alias("quantile_micro"),
+            F.lit(n).cast("long").alias("n_rows"),
+            pround(F.lit(float(ex[i])), 6).alias("exact_p"),
+            (lo_ok & up_ok).alias("within_rank_eps")))
+    return (ranks.select(F.explode(F.array(*out_rows)).alias("_s"))
+            .select("_s.*")
+            .orderBy("quantile_micro"))
