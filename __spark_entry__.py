@@ -2053,6 +2053,15 @@ _MLLIB_GOLDENS = {
         "svm": [(0.0, 0.0, 25), (0.0, 1.0, 35), (1.0, 0.0, 35),
                 (1.0, 1.0, 38)],
     },
+    # derived at the bench scale so the sf0.1 full-registry selfcheck
+    # (VERDICT r10 ask #1) runs with ZERO sf-pinned skips; reproduced
+    # twice back-to-back before pinning (the 8-partition doc_id-sorted
+    # pre-split layout makes the counts session-config-invariant)
+    "sf0.1": {
+        "nb": [(0.0, 0.0, 3), (1.0, 0.0, 635), (1.0, 1.0, 610)],
+        "svm": [(0.0, 0.0, 145), (0.0, 1.0, 161), (1.0, 0.0, 493),
+                (1.0, 1.0, 449)],
+    },
 }
 # back-compat alias (tests/docs reference the original sf0.01 table)
 _MLLIB_GOLDEN_SF001 = _MLLIB_GOLDENS["sf0.01"]

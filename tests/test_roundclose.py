@@ -69,23 +69,45 @@ def test_verify_selfcheck_fields(tmp_path):
 
 
 def test_verify_bench_isolated_medians(tmp_path):
+    """Since r11 the artifact must cover the FULL headline set with a
+    median for every query (VERDICT r10 ask #2)."""
+    import bench
+    full = {q: {"median": 1.2} for q in bench.HEADLINE_QUERIES}
     f = tmp_path / "BI.json"
-    f.write_text(json.dumps(
-        {"queries": {"a": {"median": 1.2}, "b": {"median": 3.4}}}))
+    f.write_text(json.dumps({"coverage": "headline", "queries": full}))
     probs = []
     rc.verify_bench_isolated(str(f), probs)
     assert probs == []
 
-    f.write_text(json.dumps(
-        {"queries": {"a": {"median": None}, "b": {"median": 3.4}}}))
+    nulled = dict(full)
+    nulled[bench.HEADLINE_QUERIES[0]] = {"median": None}
+    f.write_text(json.dumps({"coverage": "headline", "queries": nulled}))
     probs = []
     rc.verify_bench_isolated(str(f), probs)
-    assert probs and "a" in probs[0]
+    assert probs and bench.HEADLINE_QUERIES[0] in probs[0]
+
+    partial = {q: {"median": 1.2} for q in bench.HEADLINE_QUERIES[:20]}
+    f.write_text(json.dumps({"coverage": "headline", "queries": partial}))
+    probs = []
+    rc.verify_bench_isolated(str(f), probs)
+    assert probs and "headline coverage missing" in probs[0]
+
+    # wrong mode is rejected even if fully covered
+    f.write_text(json.dumps({"coverage": "top20", "queries": full}))
+    probs = []
+    rc.verify_bench_isolated(str(f), probs)
+    assert probs and "want 'headline'" in probs[0]
+
+    # legacy artifact (no stamp, r9/r10): only the median contract
+    f.write_text(json.dumps({"queries": partial}))
+    probs = []
+    rc.verify_bench_isolated(str(f), probs)
+    assert probs == []
 
     f.write_text(json.dumps({"queries": {}}))
     probs = []
     rc.verify_bench_isolated(str(f), probs)
-    assert probs and "empty" in probs[0]
+    assert probs and any("empty" in p for p in probs)
 
 
 def test_latest_committed_artifact_set_is_internally_consistent():
@@ -109,6 +131,10 @@ def test_latest_committed_artifact_set_is_internally_consistent():
     rc.verify_selfcheck(f"/root/repo/SELFCHECK_r{n_round}.json", n, probs)
     sc2 = f"/root/repo/SELFCHECK_r{n_round}_sf0001.json"
     rc.verify_selfcheck(sc2, n, probs)
+    import os
+    sc3 = f"/root/repo/SELFCHECK_r{n_round}_sf01.json"
+    if os.path.exists(sc3):  # the bench-scale check exists since r11
+        rc.verify_selfcheck(sc3, n, probs)
     bi = f"/root/repo/BENCH_ISOLATED_r{n_round}.json"
     rc.verify_bench_isolated(bi, probs)
     assert probs == [], probs

@@ -9,9 +9,17 @@ times, reported as the median (VERDICT r8 ask #3).
 
 Default query list: the top ``--top`` (20) most expensive registry
 entries by the committed ``bench_result.json`` per-query medians.
+``--headline`` instead covers EVERY ``bench.HEADLINE_QUERIES`` entry —
+since round 11 this full-coverage run is the committed
+``BENCH_ISOLATED_r{N}.json``, and round-over-round perf deltas are
+read from it; the in-bench ``BENCH_r{N}.json`` is the driver-contract
+number only (VERDICT r10 ask #2: the in-bench total moved ±20-25% on
+identical code twice, while these isolated medians moved the other
+way).
 
 Usage:
-    python tools/bench_isolated.py --json BENCH_ISOLATED_r9.json
+    python tools/bench_isolated.py --headline --json BENCH_ISOLATED_r11.json
+    python tools/bench_isolated.py --json BENCH_ISOLATED_r9.json   # top-20
     python tools/bench_isolated.py --names jaccard_prefix_pairs --repeat 3
     python tools/bench_isolated.py --worker jaccard_prefix_pairs   # internal
 
@@ -56,6 +64,16 @@ def run_worker(name: str, sf_dir: str) -> None:
     spark.stop()
 
 
+def _write(path: str, args, results: dict) -> None:
+    with open(path, "w") as f:
+        json.dump({"sf": args.sf, "repeat": args.repeat,
+                   "isolation": "fresh JVM per trial (subprocess)",
+                   "coverage": ("headline" if args.headline else
+                                "names" if args.names else
+                                f"top{args.top}"),
+                   "queries": results}, f, indent=1, sort_keys=True)
+
+
 def default_names(top: int) -> list[str]:
     with open(os.path.join(REPO, "bench_result.json")) as f:
         per_query = json.load(f)["queries"]
@@ -68,6 +86,9 @@ def main() -> int:
     ap.add_argument("--worker", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--names", default=None,
                     help="comma list; default = --top by bench_result.json")
+    ap.add_argument("--headline", action="store_true",
+                    help="cover every bench.HEADLINE_QUERIES entry "
+                         "(the committed per-round artifact)")
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get(
@@ -79,8 +100,13 @@ def main() -> int:
         run_worker(args.worker, args.sf)
         return 0
 
-    names = (args.names.split(",") if args.names
-             else default_names(args.top))
+    if args.names:
+        names = args.names.split(",")
+    elif args.headline:
+        import bench
+        names = list(bench.HEADLINE_QUERIES)
+    else:
+        names = default_names(args.top)
     results: dict[str, dict] = {}
     for name in names:
         samples, rows = [], None
@@ -108,14 +134,13 @@ def main() -> int:
             rows = rec["rows"]
         med = round(statistics.median(samples), 3) if samples else None
         results[name] = {"median": med, "samples": samples, "rows": rows}
-        print(f"{name}: median {med}s over {samples} ({rows} rows)")
+        print(f"{name}: median {med}s over {samples} ({rows} rows)",
+              flush=True)
+        if args.json:  # incremental: a multi-hour headline run that
+            _write(args.json, args, results)  # dies keeps its medians
 
-    artifact = {"sf": args.sf, "repeat": args.repeat,
-                "isolation": "fresh JVM per trial (subprocess)",
-                "queries": results}
     if args.json:
-        with open(args.json, "w") as f:
-            json.dump(artifact, f, indent=1, sort_keys=True)
+        _write(args.json, args, results)
         print(f"wrote {args.json}")
     return 0 if all(r["median"] is not None for r in results.values()) else 1
 

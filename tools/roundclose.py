@@ -8,14 +8,21 @@ Regenerates, in order:
 1. ``PLANAUDIT.md``            (tools/audit_plans.py, sf0.001)
 2. ``SELFCHECK_r{N}.json``     (tools/check_correctness.py, sf0.01)
 3. ``SELFCHECK_r{N}_sf0001.json`` (same, sf0.001)
-4. ``BENCH_ISOLATED_r{N}.json`` (tools/bench_isolated.py, top-20 x 3)
+4. ``SELFCHECK_r{N}_sf01.json``   (same, sf0.1 — the BENCH scale;
+   VERDICT r10 ask #1: correctness had never been proven above sf0.01)
+5. ``BENCH_ISOLATED_r{N}.json`` (tools/bench_isolated.py --headline:
+   every bench.HEADLINE_QUERIES entry, fresh-JVM median-of-3 — the
+   round-over-round perf artifact since r11, VERDICT r10 ask #2;
+   MULTI-HOUR — regenerate once when perf-relevant code settles and
+   pass --skip bench_isolated on the final roundclose; the artifact is
+   still coverage-verified)
 
 and then verifies, against ``len(__spark_entry__.queries())`` at HEAD:
 
 - PLANAUDIT audited-count == registry count, and cartesian products == 0
 - both selfchecks: covered_full_registry, n_fail == 0,
   n_sf_pinned_skip == 0, n_registry == registry count
-- isolated bench: every requested query has a non-null median
+- isolated bench: full headline coverage, every query a non-null median
 
 Exit 0 only when every check passes. Run as the LAST commit of every
 round:
@@ -35,7 +42,8 @@ import sys
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
 
-STEPS = ("planaudit", "selfcheck_sf001", "selfcheck_sf0001", "bench_isolated")
+STEPS = ("planaudit", "selfcheck_sf001", "selfcheck_sf0001",
+         "selfcheck_sf01", "bench_isolated")
 
 
 def registry_size() -> int:
@@ -90,6 +98,18 @@ def verify_bench_isolated(path: str, problems: list[str]) -> None:
         problems.append(f"{path}: no median for {bad}")
     if not rec["queries"]:
         problems.append(f"{path}: empty query set")
+    # r11+ artifacts carry a "coverage" stamp and must span the FULL
+    # headline set (VERDICT r10 ask #2); stamp-less artifacts are
+    # legacy top-20 runs (r9/r10) and keep their original contract.
+    if "coverage" in rec:
+        if rec["coverage"] != "headline":
+            problems.append(f"{path}: coverage={rec['coverage']!r}, "
+                            "want 'headline'")
+        import bench
+        missing = sorted(set(bench.HEADLINE_QUERIES) - set(rec["queries"]))
+        if missing:
+            problems.append(f"{path}: headline coverage missing "
+                            f"{len(missing)}: {missing[:5]}...")
 
 
 def main() -> int:
@@ -105,6 +125,7 @@ def main() -> int:
 
     sc1 = f"SELFCHECK_r{n}.json"
     sc2 = f"SELFCHECK_r{n}_sf0001.json"
+    sc3 = f"SELFCHECK_r{n}_sf01.json"
     bi = f"BENCH_ISOLATED_r{n}.json"
 
     problems: list[str] = []
@@ -116,9 +137,12 @@ def main() -> int:
     if "selfcheck_sf0001" not in args.skip:
         run([sys.executable, "tools/check_correctness.py",
              "--sf", "/root/testdata/sf0.001", "--json", sc2], problems)
+    if "selfcheck_sf01" not in args.skip:
+        run([sys.executable, "tools/check_correctness.py",
+             "--sf", "/root/testdata/sf0.1", "--json", sc3], problems)
     if "bench_isolated" not in args.skip:
-        run([sys.executable, "tools/bench_isolated.py", "--json", bi],
-            problems)
+        run([sys.executable, "tools/bench_isolated.py", "--headline",
+             "--json", bi], problems)
     import os
 
     def check(step: str, path: str, fn) -> None:
@@ -137,6 +161,8 @@ def main() -> int:
     check("selfcheck_sf001", f"{REPO}/{sc1}",
           lambda p: verify_selfcheck(p, n_registry, problems))
     check("selfcheck_sf0001", f"{REPO}/{sc2}",
+          lambda p: verify_selfcheck(p, n_registry, problems))
+    check("selfcheck_sf01", f"{REPO}/{sc3}",
           lambda p: verify_selfcheck(p, n_registry, problems))
     check("bench_isolated", f"{REPO}/{bi}",
           lambda p: verify_bench_isolated(p, problems))
