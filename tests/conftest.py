@@ -4,7 +4,26 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
+from hypothesis import HealthCheck, settings  # noqa: E402
+
 from text_sentiment_classification_hadoop_spark_spark.session import get_spark  # noqa: E402
+
+# Hypothesis example budget (VERDICT r10 ask #6: property tests are the
+# suite's top cost — every @given example that touches Spark pays a
+# createDataFrame+collect round-trip, so example counts ARE suite
+# seconds). Tests inherit max_examples from the active profile instead
+# of pinning it per-test; run `HYPOTHESIS_PROFILE=thorough pytest` for
+# deep sweeps. Pure-python property tests (no Spark in the loop) keep
+# their own larger explicit @settings — they're microseconds each.
+settings.register_profile(
+    "suite", max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow])
+settings.register_profile(
+    "thorough", max_examples=50, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow])
+import os  # noqa: E402
+
+settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "suite"))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

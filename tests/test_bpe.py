@@ -142,7 +142,7 @@ def test_bpe_matches_python_reference_random(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=8, deadline=None,
+    @settings(deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
                     min_size=1, max_size=12),

@@ -18,7 +18,9 @@ TEXTS = st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126),
     min_size=0, max_size=80)
 
-SETTINGS = dict(max_examples=15, deadline=None,
+# max_examples inherits the conftest hypothesis profile ("suite"=8;
+# HYPOTHESIS_PROFILE=thorough for deep sweeps) — VERDICT r10 ask #6
+SETTINGS = dict(deadline=None,
                 suppress_health_check=[HealthCheck.too_slow])
 
 
@@ -189,7 +191,7 @@ def test_zorder_key_is_injective_and_monotone(spark, pts):
     assert len({r["z"] for r in rows}) == len(rows)  # injective
 
 
-@settings(max_examples=20, deadline=None,
+@settings(deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.sets(
     st.tuples(st.integers(0, 11), st.integers(0, 11)).map(
@@ -212,7 +214,7 @@ def test_triangle_counts_match_bruteforce(spark, edge_set):
     assert got == expected
 
 
-@settings(max_examples=10, deadline=None,
+@settings(deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.sets(
     st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
@@ -247,7 +249,7 @@ def test_pagerank_matches_single_node_reference(spark, pair_set):
     assert got == ranks
 
 
-@settings(max_examples=15, deadline=None,
+@settings(deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.sets(
     st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
@@ -281,7 +283,7 @@ def test_kcore_peel_matches_python_simulation(spark, edge_set, k, rounds):
                           st.integers(min_value=1, max_value=4000)),
                 min_size=1, max_size=4, unique_by=lambda t: t[0]),
        st.integers(min_value=1, max_value=10_000_000))
-@settings(max_examples=10, deadline=None,
+@settings(deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_mixture_plan_largest_remainder_property(spark, weights, budget):
     """For ANY weights/budget: targets sum EXACTLY to the budget and

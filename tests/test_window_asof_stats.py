@@ -731,7 +731,7 @@ def test_multitouch_bucketized_join_matches_bruteforce(spark, monkeypatch):
     W_US = ev.INTERVAL_JOIN_WINDOW_US
     T0 = dt.datetime(2024, 1, 1)
 
-    @settings(max_examples=10, deadline=None,
+    @settings(deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     @given(st.lists(
         st.tuples(st.integers(0, 2),                      # user
