@@ -815,7 +815,8 @@ def _semdedup_sql(k: int = 32, iters: int = 0, threshold: float = 0.9) -> str:
         """walk(node, label) AS (
   SELECT src, src FROM edges
   UNION
-  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)""",
+  SELECT e.dst, min(w.label) FROM walk w JOIN edges e ON e.src = w.node
+  GROUP BY e.dst)""",
         "comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)",
         "ids AS (SELECT DISTINCT vec_id FROM au)",
     ]
@@ -4418,7 +4419,8 @@ edges AS (
 walk(node, label) AS (
   SELECT src, src FROM edges
   UNION
-  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+  SELECT e.dst, min(w.label) FROM walk w JOIN edges e ON e.src = w.node
+  GROUP BY e.dst
 ),
 comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
 SELECT d.doc_id,
@@ -4448,7 +4450,17 @@ ORDER BY d.doc_id
         # fixed-point PageRank: unrolled power iterations, pure BIGINT
         "copurchase_pagerank": _pagerank_sql(iters=3),
         "copurchase_pagerank_weighted": _pagerank_sql(iters=3, weighted=True),
-        # CC over the co-purchase graph: recursive min-label closure
+        # CC over the co-purchase graph: recursive min-label closure.
+        # All walk(node, label) oracles aggregate min(label) per dst in
+        # the RECURSIVE TERM (r11, found by the first sf0.1 selfcheck):
+        # the unaggregated walk accumulates every label a node ever
+        # sees, which on a near-single-component graph (this bipartite
+        # cust-supp graph at sf0.1) is all-pairs reachability — ~256M
+        # rows / 25 GB in DuckDB before the final min. min() per
+        # iteration keeps only improving labels: O(E * diameter) work,
+        # identical fixpoint (the kept subset always contains the true
+        # min). Doc near-dup walks have tiny components either way, but
+        # share the pattern for uniformity.
         "copurchase_bfs_depths": """
 WITH RECURSIVE rel AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
@@ -4477,7 +4489,8 @@ edges AS (
 walk(node, label) AS (
   SELECT src, src FROM edges
   UNION
-  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+  SELECT e.dst, min(w.label) FROM walk w JOIN edges e ON e.src = w.node
+  GROUP BY e.dst),
 comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
 SELECT node, component FROM comp ORDER BY node
 """,
@@ -5753,7 +5766,8 @@ edges AS (
 walk(node, label) AS (
   SELECT src, src FROM edges
   UNION
-  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+  SELECT e.dst, min(w.label) FROM walk w JOIN edges e ON e.src = w.node
+  GROUP BY e.dst),
 comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
 SELECT p.p_partkey AS key,
        coalesce(c.component, p.p_partkey) AS entity_id,
@@ -6181,7 +6195,8 @@ edges AS (
 walk(node, label) AS (
   SELECT src, src FROM edges
   UNION
-  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+  SELECT e.dst, min(w.label) FROM walk w JOIN edges e ON e.src = w.node
+  GROUP BY e.dst
 ),
 comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
 lang AS ({out["lang_id"]}),
