@@ -1723,6 +1723,22 @@ def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.orderBy("node")
 
 
+def _copurchase_communities_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted synchronous LPA at rounds=6 — same contract as
+    ``copurchase_communities`` but deep enough to cross the operator's
+    every-4-rounds lineage checkpoint (``graph.lpa_communities``,
+    ``r % 4 == 3`` with rounds remaining; VERDICT r10 ask #3): rounds
+    4-6 resume from the materialized round-3 label table, so the
+    checkpoint branch itself is driver-hash-verified against the
+    6-round unrolled-SQL oracle. Measured plan effect is in the
+    operator docstring (7 exchanges at rounds=6 vs 12 at rounds=4)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    labels = G.lpa_communities(
+        G.edges_from_rel_weighted(_copurchase_rel(spark, sf_dir)),
+        rounds=6)
+    return labels.orderBy("node")
+
+
 def _sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-allowed A-then-B sequential rules over 30-min-gap sessions
     (operators/events.sequential_rules) — PrefixSpan's length-2 pattern
@@ -3791,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (gap-allowed A-then-B rules — order-sensitive, unlike basket
         # rules; non-consecutive, unlike event_transitions)
         "copurchase_communities": _copurchase_communities,
+        "copurchase_communities_deep": _copurchase_communities_deep,
         "sequential_rules": _sequential_rules,
         "sequential_patterns3": _sequential_patterns3,
         "ngram_novelty": _ngram_novelty,
@@ -8910,7 +8927,8 @@ l{r} AS MATERIALIZED (
            row_number() OVER (PARTITION BY node
                               ORDER BY ws DESC, label ASC) AS rn
     FROM v{r}) WHERE rn = 1)"""
-    out["copurchase_communities"] = ("""
+    def _lpa_sql(rounds: int) -> str:
+        return ("""
 WITH rel AS MATERIALIZED (
   SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp,
          CAST(count(*) AS BIGINT) AS w
@@ -8920,10 +8938,18 @@ edges AS MATERIALIZED (
   UNION ALL
   SELECT supp AS src, cust AS dst, w FROM rel),
 l0 AS MATERIALIZED (SELECT DISTINCT dst AS node, dst AS label FROM edges),"""
-        + ",".join(_lpa_round.format(r=r, p=r - 1) for r in (1, 2, 3)) + """
+            + ",".join(_lpa_round.format(r=r, p=r - 1)
+                       for r in range(1, rounds + 1)) + f"""
 SELECT node, CAST(label AS BIGINT) AS community
-FROM l3 ORDER BY node
+FROM l{rounds} ORDER BY node
 """)
+
+    out["copurchase_communities"] = _lpa_sql(3)
+    # rounds=6 crosses lpa_communities' every-4-rounds lineage
+    # checkpoint (graph.py; VERDICT r10 ask #3) — the post-checkpoint
+    # rounds resume from a materialized label table, and THIS query
+    # puts that branch under the driver's hash gate, not just pytest
+    out["copurchase_communities_deep"] = _lpa_sql(6)
     # Sequential rules: the top_session_paths gap-session CTE, then a
     # session-keyed rn<rn self-join (gap-allowed A-then-B), DISTINCT
     # per session, exact integer floor confidence.

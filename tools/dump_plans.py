@@ -143,9 +143,12 @@ SHOWCASE = [
      "session-keyed O(len^2) pair join + a min-position frontier "
      "(types^2-bounded) joined back; all keys session-scoped"),
     ("approx_quantile_bounds",
-     "GK sketch + rank census: two fact passes, the 1-row aggregate "
-     "broadcast as a BroadcastNestedLoopJoin of ONE row — no "
-     "cartesian, no sort"),
+     "GK sketch + rank census: the sketch+exact agg (fact pass 1) is "
+     "collected to the driver and re-lit, so the shown plan is pass 2 "
+     "alone — one partial-aggregating scan against literal "
+     "thresholds, NO join of any kind (r11; the r10 shape carried a "
+     "one-row BroadcastNestedLoopJoin and re-embedded the sketch "
+     "subtree)"),
     ("bpe_merges_batched",
      "batched BPE returns the driver-built merge table: the per-round "
      "pair counts aggregate over the vocabulary-sized dictionary, "
