@@ -92,6 +92,13 @@ def test_verify_bench_isolated_medians(tmp_path):
     rc.verify_bench_isolated(str(f), probs)
     assert probs and "headline coverage missing" in probs[0]
 
+    # a tagged superset passes
+    f.write_text(json.dumps({"coverage": "headline+tail_top",
+                             "queries": full}))
+    probs = []
+    rc.verify_bench_isolated(str(f), probs)
+    assert probs == []
+
     # wrong mode is rejected even if fully covered
     f.write_text(json.dumps({"coverage": "top20", "queries": full}))
     probs = []
