@@ -3820,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof_enrich": _stream_asof_enrich,
         "revenue_trend_ols": E.revenue_trend_ols,
         "holdout_ab_lift": E.holdout_ab_lift,
+        "cuped_ab_lift": E.cuped_ab_lift,
         "weekly_active_users": E.weekly_active_users,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
@@ -8020,6 +8021,54 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
             THEN CAST((CAST(conv_b AS HUGEINT) * n_a * 1000000)
                       // (CAST(conv_a AS HUGEINT) * n_b) AS BIGINT)
        END AS lift_micro
+FROM a
+"""
+    # CUPED (events.cuped_ab_lift): the twelve sufficient statistics
+    # are re-derived in plain SQL; the output arithmetic is the SAME
+    # shared-dialect text cuped_output_exprs() returns — the engines
+    # share one definition of theta/delta/rho2 by construction.
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import cuped_output_exprs
+    _cu = cuped_output_exprs()
+    out["cuped_ab_lift"] = f"""
+WITH bounds AS (
+  SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+          + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase'
+                   AND epoch_us(ts) < (SELECT mid FROM bounds)
+                  THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase'
+                   AND epoch_us(ts) >= (SELECT mid FROM bounds)
+                  THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+arm AS (
+  SELECT x, y,
+         CASE WHEN ({PORTABLE_HASH.format(col="'ab:v1:' || CAST(user_id AS VARCHAR)")} % 100) < 50
+              THEN 1 ELSE 0 END AS b
+  FROM pu
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(1 - b) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN b = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(sum(CASE WHEN b = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(sum(CASE WHEN b = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(sum(CASE WHEN b = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM arm
+)
+SELECT n_a, n_b,
+       {_cu["theta"]} AS theta,
+       {_cu["delta_raw"]} AS delta_raw,
+       {_cu["delta_cuped"]} AS delta_cuped,
+       {_cu["rho2"]} AS rho2
 FROM a
 """
     out["stream_asof_enrich"] = """

@@ -1888,3 +1888,69 @@ def test_sequential_patterns3_pair_counts_tie_out_with_rules(
         key = (r["first_type"], r["second_type"])
         assert rules[key] == r["n_pair"], (key, rules[key], r["n_pair"])
         assert 0 < r["n_sessions"] <= r["n_pair"]
+
+
+def test_cuped_matches_python_reference(spark, sf_dir):
+    """delta_cuped/theta/rho2 agree with an independent float
+    recomputation from the raw events (numpy-free integer sums), and
+    the CUPED identity delta_cuped = delta_raw - theta*dx holds."""
+    from text_sentiment_classification_hadoop_spark_spark.functions.hashing import portable_hash64
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import cuped_ab_lift
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    r = cuped_ab_lift(spark, sf_dir).head()
+    e = load_table(spark, "events", sf_dir)
+    rows = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "purchase").cast("long").alias("p"),
+        F.pmod(portable_hash64(
+            F.concat(F.lit("ab:v1:"), F.col("user_id").cast("string"))),
+            F.lit(100)).alias("h")).collect()
+    mid = (min(x["us"] for x in rows) + max(x["us"] for x in rows)) // 2
+    per = {}
+    for x in rows:
+        u = per.setdefault(x["user_id"], [0, 0, x["h"] < 50])
+        u[0 if x["us"] < mid else 1] += x["p"]
+    n = len(per)
+    sx = sum(v[0] for v in per.values())
+    sy = sum(v[1] for v in per.values())
+    sxy = sum(v[0] * v[1] for v in per.values())
+    sxx = sum(v[0] ** 2 for v in per.values())
+    syy = sum(v[1] ** 2 for v in per.values())
+    bs = [v for v in per.values() if v[2]]
+    as_ = [v for v in per.values() if not v[2]]
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    cxy = n * sxy - sx * sy
+    assert r["n_a"] == len(as_) and r["n_b"] == len(bs)
+    theta = cxy / vx
+    d_raw = (sum(v[1] for v in bs) / len(bs)
+             - sum(v[1] for v in as_) / len(as_))
+    d_x = (sum(v[0] for v in bs) / len(bs)
+           - sum(v[0] for v in as_) / len(as_))
+    assert r["theta"] == pytest.approx(theta, abs=2e-6)
+    assert r["delta_raw"] == pytest.approx(d_raw, abs=2e-6)
+    assert r["delta_cuped"] == pytest.approx(d_raw - theta * d_x, abs=2e-6)
+    assert r["rho2"] == pytest.approx(cxy * cxy / (vx * vy), abs=2e-6)
+    assert 0.0 <= r["rho2"] <= 1.0
+
+
+def test_ir38_negative_ratio_cross_engine(spark):
+    """The _ir38 remainder protocol is sign-safe across engines: both
+    truncate DECIMAL(38,0) %, so the SAME text yields the SAME half-up
+    quotient for negative numerators (CUPED's deltas go negative)."""
+    import duckdb
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import _ir38
+    # every |ratio| inside the documented < 1e9 envelope
+    cases = [(-7, 3), (7, 3), (-1, 2), (1, 2), (-123456789, 1000),
+             (-5, 10), (5, 10), (0, 7), (-10**14, 10**6),
+             (999999999, 2), (-999999999, 2)]
+    sql = ("SELECT " + ", ".join(
+        f'{_ir38(str(nu), str(de))} AS c{i}'
+        for i, (nu, de) in enumerate(cases)))
+    got_spark = spark.sql(sql).head()
+    got_duck = duckdb.sql(sql).fetchone()
+    for i, (nu, de) in enumerate(cases):
+        assert got_spark[f"c{i}"] == got_duck[i], (nu, de)
+        # half-away-from-zero: within half a 1e-6 step of the ratio
+        assert abs(got_spark[f"c{i}"] - nu / de) <= 5e-7 + 1e-12, (nu, de)

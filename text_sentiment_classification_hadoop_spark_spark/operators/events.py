@@ -1189,6 +1189,151 @@ def holdout_ab_lift(spark: SparkSession, sf_dir: str,
         .cast("long").alias("lift_micro"))
 
 
+def _ir38(num: str, den: str, n: int = 6) -> str:
+    """Shared-dialect remainder-exact half-up quotient of two exact
+    DECIMAL(38,0)-valued SQL expressions (``sql_pround_iratio`` at the
+    wide precision CUPED's cross-moment products need). Every operand
+    stays DECIMAL(38,0): both engines compute width-38 decimals in
+    int128 exactly (DuckDB widens only on actual 38-digit overflow;
+    Spark's capped p=38/s=0 products are exact while values fit), and
+    both truncate decimal ``%`` toward zero, so A, B, A % B and the
+    final exact-multiple quotient match bit-for-bit. Sign handling:
+    the half-step offset carries the NUMERATOR's sign (a flat ``+D``
+    plus truncated division would bias negative quotients one 1e-6
+    step toward zero), so the result is round-half-AWAY-FROM-ZERO at
+    ``n`` digits — symmetric, and |result − true ratio| ≤ 0.5 ulp for
+    either sign (pinned cross-engine by
+    ``test_ir38_negative_ratio_cross_engine``). The closing
+    ``floor(q + 0.5)`` absorbs DuckDB's double-lowered division
+    (exact for |ratio| < 1e9, far above any lift/theta/rho2)."""
+    m = 10 ** n
+    sd = (f"(CASE WHEN ({num}) < 0 THEN -({den}) ELSE ({den}) END)")
+    a = f"(CAST(({num}) AS DECIMAL(38,0)) * {2 * m} + {sd})"
+    b = f"(CAST(({den}) AS DECIMAL(38,0)) * 2)"
+    return f"(floor(({a} - {a} % {b}) / {b} + 0.5) / 1e{n})"
+
+
+def cuped_output_exprs() -> dict[str, str]:
+    """The CUPED output columns as shared-dialect SQL text over the
+    twelve BIGINT sufficient statistics ``n, sx, sy, sxy, sxx, syy,
+    n_a, n_b, sx_a, sx_b, sy_a, sy_b`` (x = pre-period purchases per
+    user, y = experiment-period purchases, arms a/b). ONE definition
+    on purpose: :func:`cuped_ab_lift` evaluates this text via
+    ``F.expr`` and the DuckDB oracle appends the identical text to its
+    own aggregate — the engines can only diverge if the shared
+    integer arithmetic itself diverges (pinned by
+    ``test_ir38_negative_ratio_cross_engine``).
+
+    Exact rational forms (CUPED, Deng et al. 2013, "Improving the
+    sensitivity of online controlled experiments by utilizing
+    pre-experiment data" — theta = cov(x,y)/var(x), pooled over all
+    users; y_adj = y − theta·(x − mean x)):
+
+    - ``vx  = n·sxx − sx²``, ``vy = n·syy − sy²`` (n²·variance)
+    - ``cxy = n·sxy − sx·sy``                    (n²·covariance)
+    - ``theta       = cxy / vx``
+    - ``delta_raw   = (sy_b·n_a − sy_a·n_b) / (n_a·n_b)``
+    - ``delta_cuped = delta_raw − theta·(sx_b·n_a − sx_a·n_b)/(n_a·n_b)``
+      as ONE rational ``(dy·vx − cxy·dx) / (n_a·n_b·vx)`` — no nested
+      rounding, so the variance adjustment is exact before the single
+      half-up 6-dp quantization
+    - ``rho2 = cxy² / (vx·vy)`` — the CUPED variance-reduction factor
+      (var(y_adj) = (1 − rho2)·var(y))
+
+    Overflow envelope (every product must fit 38 digits): with
+    per-user counts ≤ c and u users, the widest term is
+    ``2e6·cxy²  ≈ 2e6·(u²c²)²`` — safe for ``u·c ≲ 3e15``, i.e. far
+    past 1e9 users × 1e4 events; the DECIMAL(18,2)-style money path
+    is not needed because purchases are exact integers."""
+    vx = ("(CAST(n AS DECIMAL(38,0)) * sxx "
+          "- CAST(sx AS DECIMAL(38,0)) * sx)")
+    vy = ("(CAST(n AS DECIMAL(38,0)) * syy "
+          "- CAST(sy AS DECIMAL(38,0)) * sy)")
+    cxy = ("(CAST(n AS DECIMAL(38,0)) * sxy "
+           "- CAST(sx AS DECIMAL(38,0)) * sy)")
+    dy = ("(CAST(sy_b AS DECIMAL(38,0)) * n_a "
+          "- CAST(sy_a AS DECIMAL(38,0)) * n_b)")
+    dx = ("(CAST(sx_b AS DECIMAL(38,0)) * n_a "
+          "- CAST(sx_a AS DECIMAL(38,0)) * n_b)")
+    nab = "(CAST(n_a AS DECIMAL(38,0)) * n_b)"
+    return {
+        "theta": f"CASE WHEN {vx} > 0 THEN {_ir38(cxy, vx)} END",
+        "delta_raw": f"CASE WHEN {nab} > 0 THEN {_ir38(dy, nab)} END",
+        "delta_cuped": (
+            f"CASE WHEN {vx} > 0 AND {nab} > 0 THEN "
+            + _ir38(f"({dy} * {vx} - {cxy} * {dx})", f"({nab} * {vx})")
+            + " END"),
+        "rho2": (f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+                 + _ir38(f"({cxy} * {cxy})", f"({vx} * {vy})") + " END"),
+    }
+
+
+def cuped_ab_lift(spark: SparkSession, sf_dir: str,
+                  holdout_pct: int = 50) -> DataFrame:
+    """CUPED variance-reduced experiment readout → one row ``(n_a,
+    n_b, theta, delta_raw, delta_cuped, rho2)``: the arm-B minus arm-A
+    difference in per-user experiment-period purchase counts, raw and
+    after subtracting the part predicted by each user's PRE-period
+    purchase count (theta·(x − mean x)) — the standard large-scale
+    experimentation trick for tightening confidence intervals without
+    touching the estimand (pre-period covariates are arm-independent
+    in expectation, so E[delta_cuped] = E[delta_raw] while
+    var(y_adj) = (1 − rho2)·var(y)).
+
+    Windows: the observed event-time range is split at its midpoint
+    (one 2-scalar aggregate, collected — the J4 scalar-broadcast
+    pattern); x counts a user's purchases strictly before the split,
+    y from the split on. Arms reuse ``holdout_ab_lift``'s persisted
+    ``ab:v1`` hash assignment — CUPED must read the SAME arms as every
+    other metric of the experiment or the adjustment mixes cohorts.
+
+    Shape: one user-keyed rollup (map-side partials over events), one
+    12-counter global aggregate, then pure scalar arithmetic — exact
+    BIGINT/DECIMAL(38,0) throughout via :func:`cuped_output_exprs`
+    (shared text with the oracle). At 100 TB nothing here is
+    corpus-sized after the first aggregate; the user rollup is the
+    only shuffle."""
+    from ..functions.hashing import portable_hash64
+    e = load_table(spark, "events", sf_dir)
+    lo, hi = e.agg(F.min(F.unix_micros("ts")),
+                   F.max(F.unix_micros("ts"))).collect()[0]
+    mid = (int(lo) + int(hi)) // 2  # nonneg epochs: div == floor
+    purch = (F.col("event_type") == "purchase").cast("long")
+    per_user = (e.groupBy("user_id")
+                .agg(F.sum(F.when(F.unix_micros("ts") < mid, purch)
+                           .otherwise(0)).alias("x"),
+                     F.sum(F.when(F.unix_micros("ts") >= mid, purch)
+                           .otherwise(0)).alias("y")))
+    b = (F.pmod(portable_hash64(
+        F.concat(F.lit("ab:v1:"), F.col("user_id").cast("string"))),
+        F.lit(100)) < holdout_pct).cast("long")
+    u = per_user.select("x", "y", b.alias("_b"))
+    agg = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.lit(1) - F.col("_b")).alias("n_a"),
+        F.sum("_b").alias("n_b"),
+        F.sum(F.when(F.col("_b") == 0, F.col("x")).otherwise(0))
+        .alias("sx_a"),
+        F.sum(F.when(F.col("_b") == 1, F.col("x")).otherwise(0))
+        .alias("sx_b"),
+        F.sum(F.when(F.col("_b") == 0, F.col("y")).otherwise(0))
+        .alias("sy_a"),
+        F.sum(F.when(F.col("_b") == 1, F.col("y")).otherwise(0))
+        .alias("sy_b"))
+    ex = cuped_output_exprs()
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr(ex["theta"]).alias("theta"),
+        F.expr(ex["delta_raw"]).alias("delta_raw"),
+        F.expr(ex["delta_cuped"]).alias("delta_cuped"),
+        F.expr(ex["rho2"]).alias("rho2"))
+
+
 def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct active users, sliding daily (the WAU
     curve) → ``(window_start, n_users, n_events)`` per epoch-aligned
