@@ -513,12 +513,16 @@ def _bpe_dict_ctes(n_merges: int = BPE_MERGES) -> str:
     return ",\n".join(parts)
 
 
-def _pagerank_sql(iters: int = 3, weighted: bool = False) -> str:
+def _pagerank_sql(iters: int = 3, weighted: bool = False,
+                  seed_limit: int | None = None) -> str:
     """Unrolled fixed-point PageRank oracle (mirror of
     operators/graph.py): pure BIGINT arithmetic — rank div outdeg
     contributions (weight-proportional ``(rank·w) div sum_w`` on the
     weighted path), (mass * 17) div 20 damping — bit-identical across
-    engines by construction."""
+    engines by construction. With ``seed_limit`` set, the PERSONALIZED
+    variant (graph.pagerank_personalized): the ``seed_limit`` smallest
+    node ids are the teleport set — r0 = SCALE on seeds else 0, and
+    the per-round reset lands on seeds only."""
     from text_sentiment_classification_hadoop_spark_spark.operators.graph import (
         DAMP_DEN,
         DAMP_NUM,
@@ -550,11 +554,25 @@ def _pagerank_sql(iters: int = 3, weighted: bool = False) -> str:
             "FROM ed GROUP BY src)",
         ]
         contrib = "sum(r.rank_micro // d.outdeg)"
-    parts += [
-        "nodes AS MATERIALIZED (SELECT src AS node FROM deg)",
-        f"r0 AS MATERIALIZED (SELECT node, CAST({SCALE} AS BIGINT) AS rank_micro "
-        "FROM nodes)",
-    ]
+    parts += ["nodes AS MATERIALIZED (SELECT src AS node FROM deg)"]
+    if seed_limit is None:
+        parts += [
+            f"r0 AS MATERIALIZED (SELECT node, CAST({SCALE} AS BIGINT) "
+            "AS rank_micro FROM nodes)",
+        ]
+        reset = f"{RESET_MICRO}"
+        seed_join = ""
+    else:
+        parts += [
+            "sd AS MATERIALIZED (SELECT node FROM nodes "
+            f"ORDER BY node LIMIT {int(seed_limit)})",
+            f"""r0 AS MATERIALIZED (
+  SELECT n.node, CAST(CASE WHEN s.node IS NOT NULL THEN {SCALE} ELSE 0 END
+                      AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN sd s ON n.node = s.node)""",
+        ]
+        reset = f"CASE WHEN s.node IS NOT NULL THEN {RESET_MICRO} ELSE 0 END"
+        seed_join = " LEFT JOIN sd s ON n.node = s.node"
     for k in range(1, iters + 1):
         parts += [
             f"""c{k} AS MATERIALIZED (
@@ -563,9 +581,9 @@ def _pagerank_sql(iters: int = 3, weighted: bool = False) -> str:
   GROUP BY e.dst)""",
             f"""r{k} AS MATERIALIZED (
   SELECT n.node,
-         CAST({RESET_MICRO} + (coalesce(c.mass, 0) * {DAMP_NUM}) // {DAMP_DEN}
+         CAST({reset} + (coalesce(c.mass, 0) * {DAMP_NUM}) // {DAMP_DEN}
               AS BIGINT) AS rank_micro
-  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""",
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node{seed_join})""",
         ]
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, rank_micro FROM r{iters} ORDER BY node")
@@ -1657,6 +1675,27 @@ def _copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         ranks = G.pagerank_fixed_point(
             G.edges_from_rel_weighted(_copurchase_rel(spark, sf_dir)),
             iters=3, weight_col="w")
+    return ranks.orderBy("node")
+
+
+def _copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration personalized PageRank (random walk with restart)
+    from the 3 smallest node ids of the co-purchase graph — graph
+    proximity to a seed set, the seed-expansion curation scorer
+    (operators/graph.pagerank_personalized); bit-exact BIGINT ranks,
+    unrolled-CTE oracle shares the global-PageRank generator."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
+    edges = G.edges_from_rel(_copurchase_rel(spark, sf_dir))
+    # 3-row collect = the J4 scalar-broadcast pattern; smallest ids are
+    # deterministic at every sf (the oracle derives the same set in SQL)
+    seeds = [r["node"] for r in
+             edges.select(F.col("src").alias("node"))
+             .distinct().orderBy("node").limit(3).collect()]
+    with scoped_shuffle_partitions(spark, 8):
+        ranks = G.pagerank_personalized(edges, seeds, iters=3)
     return ranks.orderBy("node")
 
 
@@ -3954,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round: fixed-point PageRank (graph analytics) ---
         "copurchase_bfs_depths": _copurchase_bfs_depths,
         "copurchase_pagerank": _copurchase_pagerank,
+        "copurchase_ppr": _copurchase_ppr,
         "copurchase_pagerank_weighted": _copurchase_pagerank_weighted,
         "copurchase_components": _copurchase_components,
         # --- green in r02 ---
@@ -4468,6 +4508,7 @@ ORDER BY d.doc_id
         # fixed-point PageRank: unrolled power iterations, pure BIGINT
         "copurchase_pagerank": _pagerank_sql(iters=3),
         "copurchase_pagerank_weighted": _pagerank_sql(iters=3, weighted=True),
+        "copurchase_ppr": _pagerank_sql(iters=3, seed_limit=3),
         # CC over the co-purchase graph: recursive min-label closure.
         # All walk(node, label) oracles aggregate min(label) per dst in
         # the RECURSIVE TERM (r11, found by the first sf0.1 selfcheck):

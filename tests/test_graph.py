@@ -330,3 +330,48 @@ def test_lpa_tie_takes_smallest_label(spark):
     got = {r["node"]: r["community"]
            for r in G.lpa_communities(edges, rounds=1).collect()}
     assert got[5] == 1
+
+
+def test_ppr_matches_python_simulation(spark):
+    """pagerank_personalized agrees with a pure-python integer
+    simulation of the documented recurrence on a small random graph,
+    for both a single seed and a multi-seed teleport set."""
+    pairs = [(i, (i * 7 + 3) % 23) for i in range(23) if i != (i * 7 + 3) % 23]
+    edges = _edges(spark, pairs)
+    sym = pairs + [(b, a) for a, b in pairs]
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    for seeds in ([5], [0, 1, 2]):
+        nodes = sorted(adj)
+        rank = {v: (G.SCALE if v in seeds else 0) for v in nodes}
+        for _ in range(3):
+            mass = dict.fromkeys(nodes, 0)
+            for u in nodes:
+                share = rank[u] // len(adj[u])
+                for v in adj[u]:
+                    mass[v] = mass.get(v, 0) + share
+            rank = {v: (G.RESET_MICRO if v in seeds else 0)
+                    + (mass[v] * G.DAMP_NUM) // G.DAMP_DEN
+                    for v in nodes}
+        got = {r["node"]: r["rank_micro"] for r in
+               G.pagerank_personalized(edges, seeds, iters=3).collect()}
+        assert got == rank, seeds
+
+
+def test_ppr_seed_locality_and_determinism(spark):
+    """Mass concentrates near the seed (a far node on a chain gets
+    strictly less than a near one), and results are partition-stable."""
+    chain = [(i, i + 1) for i in range(8)]
+    edges = _edges(spark, chain)
+    r = {x["node"]: x["rank_micro"] for x in
+         G.pagerank_personalized(edges, [0], iters=3).collect()}
+    # reach = iters hops: nodes within 3 hops of the seed hold mass,
+    # anything farther is exactly zero (no monotonicity assert — the
+    # bipartite chain OSCILLATES: r[3] > r[2] after odd/even rounds)
+    assert r[1] > 0 and r[2] > 0 and r[3] > 0
+    assert r[4] == r[5] == r[6] == r[7] == r[8] == 0
+    r2 = {x["node"]: x["rank_micro"] for x in
+          G.pagerank_personalized(edges.repartition(7), [0], iters=3)
+          .collect()}
+    assert r == r2
