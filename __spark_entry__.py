@@ -2569,6 +2569,19 @@ def _decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate(docs.filter(~is_test), docs.filter(is_test))
 
 
+def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination on the documents table, same
+    %8 train/test split as decontaminate_train but 8-gram fingerprints
+    (operators/dedup.bloom_decontaminate) — the bitmap, the probe AND
+    the false-positive set are oracle-recomputed in DuckDB (portable
+    md5 hash + double hashing), not just the exact-confirm stage."""
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "documents", sf_dir)
+    is_test = (F.col("doc_id") % 8).isin(0, 5)
+    return D.bloom_decontaminate(docs.filter(~is_test),
+                                 docs.filter(is_test))
+
+
 def _hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash sample of documents — reproducible
     engine-independent sampling (unlike seeded df.sample)."""
@@ -4112,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup (north star)
         "dedup_exact": _dedup_exact,
         "decontaminate_train": _decontaminate_train,
+        "bloom_decontaminate": _bloom_decontaminate,
         "hash_sample_docs": _hash_sample_docs,
         "minhash_signatures": _minhash_long,
         "simhash_fingerprints": _simhash,
@@ -6032,6 +6046,65 @@ train_sh AS (SELECT * FROM shd WHERE doc_id % 8 NOT IN (0, 5))
 SELECT t.doc_id, CAST(count(DISTINCT t.shash) AS BIGINT) AS n_shared
 FROM train_sh t JOIN test_sh s ON s.shash = t.shash
 GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+    # Bloom-prefiltered decontamination: the oracle rebuilds the SAME
+    # bitmap (portable md5 fingerprints, Kirsch–Mitzenmacher double
+    # hashing, 63-bit words) and replays probe + exact-confirm — the
+    # false_pos column is therefore hash-checked too, not asserted.
+    _bm = 1 << 18     # m_bits   (operators/dedup.bloom_decontaminate)
+    _b8 = " || ' ' || ".join(
+        ["w"] + [f"lead(w, {j}) OVER win" for j in range(1, 8)])
+    _bpos = (f"((shash % {_bm}) + j.j * "
+             f"(1 + ((shash // {_bm}) % {_bm - 1}))) % {_bm}")
+    out["bloom_decontaminate"] = f"""
+WITH docs_all AS (SELECT doc_id, text FROM documents),
+toks_i AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM docs_all
+),
+shingles AS (
+  SELECT doc_id, {_b8} AS sh
+  FROM toks_i WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+shd AS (
+  SELECT DISTINCT doc_id, {PORTABLE_HASH.format(col='sh')} AS shash
+  FROM shingles WHERE sh IS NOT NULL
+),
+test_fp AS MATERIALIZED (
+  SELECT DISTINCT shash FROM shd WHERE doc_id % 8 IN (0, 5)),
+train_sh AS MATERIALIZED (
+  SELECT doc_id, shash FROM shd WHERE doc_id % 8 NOT IN (0, 5)),
+words AS MATERIALIZED (
+  SELECT pos // 63 AS wd,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+  FROM (SELECT {_bpos} AS pos
+        FROM test_fp, (VALUES (0), (1), (2), (3)) j(j))
+  GROUP BY pos // 63
+),
+hits AS (
+  SELECT p.doc_id, p.shash,
+         min(CASE WHEN (coalesce(w.word, 0)
+                        & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT)))
+                      = (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT))
+                  THEN 1 ELSE 0 END) AS all_set
+  FROM (SELECT doc_id, shash, {_bpos} AS pos
+        FROM train_sh, (VALUES (0), (1), (2), (3)) j(j)) p
+  LEFT JOIN words w ON w.wd = p.pos // 63
+  GROUP BY p.doc_id, p.shash
+),
+flagged AS MATERIALIZED (SELECT DISTINCT doc_id FROM hits WHERE all_set = 1),
+exact AS (
+  SELECT t.doc_id, CAST(count(DISTINCT t.shash) AS BIGINT) AS n_shared
+  FROM train_sh t JOIN test_fp s USING (shash) JOIN flagged f USING (doc_id)
+  GROUP BY t.doc_id
+)
+SELECT f.doc_id,
+       CAST(coalesce(e.n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(e.n_shared, 0) = 0 AS false_pos
+FROM flagged f LEFT JOIN exact e USING (doc_id)
+ORDER BY f.doc_id
 """
     out["top_orders_per_customer"] = """
 SELECT o_custkey, o_orderkey,

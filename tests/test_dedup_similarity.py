@@ -1123,3 +1123,57 @@ def test_neardup_cluster_sizes_consistent_with_assignment(spark, sf_dir):
     for r in census:
         assert r["cluster_size"] >= 2
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+# ---------------------------------------------- bloom decontamination
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Every doc the exact k=8 decontaminate finds must be flagged by
+    the bloom path with the SAME exact n_shared and false_pos=False —
+    the Bloom no-false-negative guarantee, checked on real documents."""
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    is_test = (F.col("doc_id") % 8).isin(0, 5)
+    train, test = docs.filter(~is_test), docs.filter(is_test)
+    exact = {r["doc_id"]: r["n_shared"]
+             for r in D.decontaminate(train, test, k=8).collect()}
+    got = {r["doc_id"]: (r["n_shared"], r["false_pos"])
+           for r in D.bloom_decontaminate(train, test).collect()}
+    assert exact, "fixture data must contain 8-gram contamination"
+    for doc, n in exact.items():
+        assert doc in got, f"false negative: {doc}"
+        assert got[doc] == (n, False)
+    # any extra flagged doc is a bona-fide false positive: zero shared
+    for doc, (n, fp) in got.items():
+        if doc not in exact:
+            assert n == 0 and fp is True
+
+
+def test_bloom_decontaminate_tiny_filter_fp_accounting(spark):
+    """A deliberately saturated 2^7-bit bloom must still never drop a
+    true hit; everything else it flags must carry false_pos=True."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i"),        # shares the 8-gram a..h
+         (2, "q r s t u v w x y z"),      # clean
+         (3, "j k l m n o p q r")],       # clean
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "a b c d e f g h zz")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_shared"], r["false_pos"]) for r in
+           D.bloom_decontaminate(train, test, m_bits=1 << 7).collect()}
+    assert out[1] == (1, False)
+    for doc in (2, 3):
+        if doc in out:  # saturation may or may not flag the clean docs
+            assert out[doc] == (0, True)
+
+
+def test_bloom_decontaminate_probe_is_broadcast(spark, sf_dir):
+    """The corpus-side probe joins a BROADCAST word table — no
+    shuffle of train shingles before the bitmap cut."""
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    is_test = (F.col("doc_id") % 8).isin(0, 5)
+    out = D.bloom_decontaminate(docs.filter(~is_test),
+                                docs.filter(is_test))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -564,6 +564,97 @@ def decontaminate(train: DataFrame, test: DataFrame,
     )
 
 
+#: Bloom filters pack 63 bits per BIGINT word (positions 0..62):
+#: ``1 << 63`` is the sign bit — Spark's shiftleft wraps it silently
+#: while DuckDB raises Out of Range, so the portable layout simply
+#: never shifts that far.
+BLOOM_BITS_PER_WORD = 63
+
+
+def bloom_decontaminate(train: DataFrame, test: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 8, m_bits: int = 1 << 18,
+                        n_hashes: int = 4) -> DataFrame:
+    """Bloom-prefiltered train/test decontamination (the GPT-3
+    appendix-C pattern: long word ``k``-grams of the BENCHMARK set
+    packed into a Bloom bitmap, the CORPUS probed against it, exact
+    confirmation only for flagged docs) → one row per flagged train
+    doc ``(doc_id, n_shared, false_pos)`` — ``n_shared`` the exact
+    distinct shared-fingerprint count, ``false_pos`` true when the
+    bitmap flagged a doc that shares nothing (Bloom guarantees NO
+    false negatives, so exact-side hits are always a subset).
+
+    Why this beats :func:`decontaminate` at 100 TB: the exact form
+    shuffles EVERY train shingle into a fingerprint equi-join; here
+    the corpus-sized pass is a NARROW probe against a broadcast word
+    table (``m_bits/63`` BIGINT rows — 32 KiB at the 2^18 default,
+    still broadcastable at 2^30 for billion-fingerprint benchmarks),
+    and only the flagged sliver (true contamination + the designed
+    false-positive rate) reaches the exact join.
+
+    Portability (the whole filter is ORACLE-RECOMPUTABLE, unlike the
+    ``xxhash64``-seeded :func:`~..skew.bloom_semi_join` whose bitmap
+    is engine-private): fingerprints are the md5-based
+    :func:`portable_hash64`; positions are Kirsch–Mitzenmacher double
+    hashing ``pos_j = (h1 + j·h2) mod m`` with ``h1 = fp mod m``,
+    ``h2 = 1 + (fp div m) mod (m−1)`` (all nonneg BIGINT, identical
+    in DuckDB); words pack :data:`BLOOM_BITS_PER_WORD` = 63 bits so
+    no shift touches the sign bit (DuckDB raises on ``1 << 63``).
+
+    Sizing arithmetic (document in the caller when changing): with n
+    fingerprints, shingle-level FPR ≈ (1 − e^{−n_hashes·n/m})^n_hashes
+    — the 2^18/4-hash default holds ≈ 6e-5 at n ≈ 6k; doc-level FP
+    compounds per distinct shingle (≈ 50 probes/doc → ~0.3%), which
+    is exactly why the exact-confirm stage exists."""
+    def _sh(df: DataFrame) -> DataFrame:
+        return (df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_expr(F.col(text_col), k=k)))
+            .alias("_sh"))
+            .select(F.col(id_col), portable_hash64(F.col("_sh"))
+                    .alias("shash")))
+
+    w = BLOOM_BITS_PER_WORD
+    pos = [f"pmod(pmod(shash, {m_bits}) "
+           f"+ {j} * (1 + pmod(shash div {m_bits}, {m_bits - 1})), "
+           f"{m_bits})" for j in range(n_hashes)]
+    pos_arr = F.array(*[F.expr(p) for p in pos])
+
+    test_fp = _sh(test).select("shash").distinct()
+    words = (test_fp.select(F.explode(pos_arr).alias("_pos"))
+             .select(F.expr(f"_pos div {w}").alias("_w"),
+                     F.expr(f"shiftleft(1L, CAST(pmod(_pos, {w}) AS INT))")
+                     .alias("_m"))
+             .groupBy("_w").agg(F.bit_or("_m").alias("_word")))
+
+    train_sh = _sh(train)
+    probe = (train_sh
+             .select(F.col(id_col), "shash", F.explode(pos_arr).alias("_pos"))
+             .select(F.col(id_col), "shash",
+                     F.expr(f"_pos div {w}").alias("_w"),
+                     F.expr(f"shiftleft(1L, CAST(pmod(_pos, {w}) AS INT))")
+                     .alias("_m")))
+    flagged = (probe.join(F.broadcast(words), "_w", "left")
+               .select(F.col(id_col), "shash",
+                       (F.coalesce(F.col("_word"), F.lit(0))
+                        .bitwiseAND(F.col("_m")) == F.col("_m"))
+                       .cast("int").alias("_ok"))
+               .groupBy(id_col, "shash").agg(F.min("_ok").alias("_all"))
+               .filter(F.col("_all") == 1)
+               .select(id_col).distinct())
+    exact = (train_sh.join(flagged, id_col, "left_semi")
+             .join(test_fp, "shash")
+             .groupBy(id_col).agg(F.countDistinct("shash")
+                                  .alias("n_shared")))
+    return (flagged.join(exact, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_shared", F.lit(0)).cast("long")
+                    .alias("n_shared"),
+                    (F.coalesce("n_shared", F.lit(0)) == 0)
+                    .alias("false_pos"))
+            .orderBy(id_col))
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
