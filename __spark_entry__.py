@@ -1699,6 +1699,25 @@ def _copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy("node")
 
 
+def _copurchase_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted personalized PageRank: restart on the 3 smallest
+    nodes, contributions split by co-purchase multiplicity
+    ``(rank·w) div sum_w`` — seed proximity that favors REPEATED
+    relationships (the trust-propagation weighting)."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
+    from text_sentiment_classification_hadoop_spark_spark.session import scoped_shuffle_partitions
+    edges = G.edges_from_rel_weighted(_copurchase_rel(spark, sf_dir))
+    seeds = [r["node"] for r in
+             edges.select(F.col("src").alias("node"))
+             .distinct().orderBy("node").limit(3).collect()]
+    with scoped_shuffle_partitions(spark, 8):
+        ranks = G.pagerank_personalized(edges, seeds, iters=3,
+                                        weight_col="w")
+    return ranks.orderBy("node")
+
+
 def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the customer<->supplier graph via the
     alternating large/small-star operator — the dedup CC machinery is
@@ -4007,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_bfs_depths": _copurchase_bfs_depths,
         "copurchase_pagerank": _copurchase_pagerank,
         "copurchase_ppr": _copurchase_ppr,
+        "copurchase_ppr_weighted": _copurchase_ppr_weighted,
         "copurchase_pagerank_weighted": _copurchase_pagerank_weighted,
         "copurchase_components": _copurchase_components,
         # --- green in r02 ---
@@ -4523,6 +4543,8 @@ ORDER BY d.doc_id
         "copurchase_pagerank": _pagerank_sql(iters=3),
         "copurchase_pagerank_weighted": _pagerank_sql(iters=3, weighted=True),
         "copurchase_ppr": _pagerank_sql(iters=3, seed_limit=3),
+        "copurchase_ppr_weighted": _pagerank_sql(iters=3, weighted=True,
+                                                 seed_limit=3),
         # CC over the co-purchase graph: recursive min-label closure.
         # All walk(node, label) oracles aggregate min(label) per dst in
         # the RECURSIVE TERM (r11, found by the first sf0.1 selfcheck):

@@ -375,3 +375,23 @@ def test_ppr_seed_locality_and_determinism(spark):
           G.pagerank_personalized(edges.repartition(7), [0], iters=3)
           .collect()}
     assert r == r2
+
+
+def test_ppr_weighted_shifts_mass_toward_heavy_edge(spark):
+    """With the teleport pinned on a hub, a heavier edge carries
+    proportionally more of the hub's rank; unit weights reduce to the
+    unweighted variant exactly."""
+    sym = [(0, 1, 9), (1, 0, 9), (0, 2, 1), (2, 0, 1)]
+    edges = spark.createDataFrame(sym, "src long, dst long, w long")
+    r = {x["node"]: x["rank_micro"] for x in
+         G.pagerank_personalized(edges, [0], iters=1, weight_col="w")
+         .collect()}
+    # hub splits SCALE 9:1 → 900000 vs 100000, then damped 17//20
+    assert r[1] == (900_000 * 17) // 20
+    assert r[2] == (100_000 * 17) // 20
+    unit = edges.withColumn("w", F.lit(1).cast("long"))
+    a = sorted(map(tuple, G.pagerank_personalized(
+        unit, [0], iters=3, weight_col="w").collect()))
+    b = sorted(map(tuple, G.pagerank_personalized(
+        unit.drop("w"), [0], iters=3).collect()))
+    assert a == b
