@@ -2588,6 +2588,14 @@ def _decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate(docs.filter(~is_test), docs.filter(is_test))
 
 
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 5-gram containment pairs over documents
+    (operators/dedup.containment_pairs) — quote/sub-document dup
+    detection; exact integer micro containments, df-guarded join."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.containment_pairs(docs)
+
+
 def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination on the documents table, same
     %8 train/test split as decontaminate_train but 8-gram fingerprints
@@ -4146,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "decontaminate_train": _decontaminate_train,
         "bloom_decontaminate": _bloom_decontaminate,
+        "containment_pairs": _containment_pairs,
         "hash_sample_docs": _hash_sample_docs,
         "minhash_signatures": _minhash_long,
         "simhash_fingerprints": _simhash,
@@ -6127,6 +6136,46 @@ SELECT f.doc_id,
        coalesce(e.n_shared, 0) = 0 AS false_pos
 FROM flagged f LEFT JOIN exact e USING (doc_id)
 ORDER BY f.doc_id
+"""
+    # Asymmetric containment (dedup.containment_pairs): 5-gram
+    # fingerprint universe df-guarded at 64, sizes + shared counts both
+    # over the FILTERED universe, exact integer micro containments.
+    _c5 = " || ' ' || ".join(
+        ["w"] + [f"lead(w, {j}) OVER win" for j in range(1, 5)])
+    out["containment_pairs"] = f"""
+WITH docs_all AS (SELECT doc_id, text FROM documents),
+toks_i AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM docs_all
+),
+shingles AS (
+  SELECT doc_id, {_c5} AS sh
+  FROM toks_i WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+shd AS (
+  SELECT DISTINCT doc_id, {PORTABLE_HASH.format(col='sh')} AS shash
+  FROM shingles WHERE sh IS NOT NULL
+),
+keep AS (SELECT shash FROM shd GROUP BY shash HAVING count(*) <= 64),
+f AS MATERIALIZED (SELECT shd.* FROM shd JOIN keep USING (shash)),
+sizes AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                       FROM f GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM f a JOIN f b ON a.shash = b.shash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT id_a, id_b, n_shared,
+       sa.sz AS size_a, sb.sz AS size_b,
+       (n_shared * 1000000) // sa.sz AS cont_a_micro,
+       (n_shared * 1000000) // sb.sz AS cont_b_micro
+FROM pr JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest((n_shared * 1000000) // sa.sz,
+               (n_shared * 1000000) // sb.sz) >= 500000
+ORDER BY id_a, id_b
 """
     out["top_orders_per_customer"] = """
 SELECT o_custkey, o_orderkey,

@@ -1177,3 +1177,42 @@ def test_bloom_decontaminate_probe_is_broadcast(spark, sf_dir):
                                 docs.filter(is_test))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_containment_pairs_detects_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    from the short side is exactly 1.0 while Jaccard is diluted below
+    any sane near-dup threshold — the asymmetric detector's reason to
+    exist. Sizes/ratios are exact integers over the k=5 universe."""
+    quote = "alpha beta gamma delta epsilon zeta eta"          # 3 5-grams
+    filler = " ".join(f"w{i}" for i in range(60))
+    train = spark.createDataFrame(
+        [(1, quote),
+         (2, f"{filler} {quote}"),
+         (3, "completely unrelated text " + " ".join(
+             f"x{i}" for i in range(30)))],
+        "doc_id long, text string")
+    rows = D.containment_pairs(train, threshold_micro=900_000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["n_shared"] == r["size_a"] == 3      # all of doc 1's 5-grams
+    assert r["cont_a_micro"] == 1_000_000         # fully contained
+    # Jaccard would be 3 / size_b — far below 0.5
+    assert r["cont_b_micro"] < 100_000
+
+
+def test_containment_pairs_df_guard_drops_boilerplate(spark):
+    """A 5-gram shared by more than max_df docs is excluded from BOTH
+    the shared counts and the sizes (self-consistent universe): with
+    max_df=2 a 3-way boilerplate shingle cannot create pairs."""
+    boiler = "one two three four five"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail{i} only{i} here{i}")
+         for i in range(1, 4)],
+        "doc_id long, text string")
+    assert D.containment_pairs(docs, max_df=2, min_shared=1).count() == 0
+    # raising the guard re-admits the shingle: 3 pairs, each sharing it
+    got = D.containment_pairs(docs, max_df=3, min_shared=1,
+                              threshold_micro=100_000).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2), (1, 3), (2, 3)}

@@ -564,6 +564,69 @@ def decontaminate(train: DataFrame, test: DataFrame,
     )
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5,
+                      threshold_micro: int = 500_000,
+                      max_df: int = 64,
+                      min_shared: int = 2) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT join — the quote / sub-document
+    duplication detector Jaccard misses: C(a→b) = |S(a)∩S(b)| / |S(a)|
+    over distinct word ``k``-shingles, so a short document fully
+    embedded in a long one scores 1.0 where Jaccard is diluted to
+    |short|/|long| (Broder 1997 separates "resemblance" from
+    "containment" for exactly this). → ``(id_a, id_b, n_shared,
+    size_a, size_b, cont_a_micro, cont_b_micro)``, pairs oriented
+    ``id_a < id_b``, kept when EITHER direction ≥ ``threshold_micro``;
+    containments are exact integer micro-units
+    ``(n_shared·10^6) div size``.
+
+    Shingle universe: fingerprints occurring in more than ``max_df``
+    documents (boilerplate) are dropped FIRST, and both the shared
+    counts and the per-doc sizes are computed over this filtered
+    universe — self-consistent (a fully-contained doc still scores
+    exactly 1.0), and the guard bounds the pair fan-out per
+    fingerprint at ``max_df²`` (the winnow skew-guard pattern,
+    :func:`winnow_near_dups`).
+
+    Shape: one fingerprint-keyed equi-join (8-byte md5-derived keys,
+    never text), pair aggregate with ``min_shared`` pre-filter, two
+    node-sized size joins. At 100 TB the df-guard is what keeps the
+    candidate join O(collisions); thresholded output is
+    contamination-sized, not corpus-sized."""
+    sh = (df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(F.col(text_col), k=k)))
+        .alias("_sh"))
+        .select(F.col(id_col), portable_hash64(F.col("_sh")).alias("shash")))
+    keep = (sh.groupBy("shash").agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") <= max_df).select("shash"))
+    f = sh.join(keep, "shash")
+    sizes = f.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = f.select(F.col(id_col).alias("id_a"), "shash")
+    b = f.select(F.col(id_col).alias("id_b"), "shash")
+    pairs = (a.join(b, "shash")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"),
+                        F.col("_sz").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"),
+                        F.col("_sz").alias("size_b"))
+    out = (pairs.join(sz_a, "id_a").join(sz_b, "id_b")
+           .select("id_a", "id_b",
+                   F.col("n_shared").cast("long").alias("n_shared"),
+                   F.col("size_a").cast("long").alias("size_a"),
+                   F.col("size_b").cast("long").alias("size_b"),
+                   F.expr("(n_shared * 1000000) div size_a")
+                   .alias("cont_a_micro"),
+                   F.expr("(n_shared * 1000000) div size_b")
+                   .alias("cont_b_micro")))
+    return (out.filter(F.greatest("cont_a_micro", "cont_b_micro")
+                       >= F.lit(int(threshold_micro)))
+            .orderBy("id_a", "id_b"))
+
+
 #: Bloom filters pack 63 bits per BIGINT word (positions 0..62):
 #: ``1 << 63`` is the sign bit — Spark's shiftleft wraps it silently
 #: while DuckDB raises Out of Range, so the portable layout simply

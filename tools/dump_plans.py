@@ -153,6 +153,19 @@ SHOWCASE = [
      "batched BPE returns the driver-built merge table: the per-round "
      "pair counts aggregate over the vocabulary-sized dictionary, "
      "batch_k merges per job instead of one"),
+    ("cuped_ab_lift",
+     "CUPED: one user-keyed rollup + one 12-counter global aggregate "
+     "(both map-side-combining); every theta/delta/rho2 term is "
+     "scalar DECIMAL(38,0) projection on the 1-row result — nothing "
+     "corpus-sized after the first exchange"),
+    ("copurchase_ppr",
+     "personalized PageRank: the 3-row seed list broadcast onto the "
+     "node table ONCE before the loop; per-iteration plan identical "
+     "to global fixed-point PR (checkpointed rounds)"),
+    ("bloom_decontaminate",
+     "bitmap probe as a 4096-word BROADCAST hash join feeding a "
+     "narrow bit test — corpus shingles never shuffle; the exact "
+     "confirm equi-join sees only the flagged sliver"),
 ]
 
 
