@@ -166,6 +166,11 @@ SHOWCASE = [
      "bitmap probe as a 4096-word BROADCAST hash join feeding a "
      "narrow bit test — corpus shingles never shuffle; the exact "
      "confirm equi-join sees only the flagged sliver"),
+    ("containment_pairs",
+     "asymmetric containment: ONE fingerprint-keyed equi-join behind "
+     "the max_df skew guard, pair aggregate with min_shared "
+     "pre-filter, node-sized size joins — 8-byte keys, never text, "
+     "never all-pairs"),
 ]
 
 
