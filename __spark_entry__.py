@@ -3900,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_trend_ols": E.revenue_trend_ols,
         "holdout_ab_lift": E.holdout_ab_lift,
         "cuped_ab_lift": E.cuped_ab_lift,
+        "theilsen_trend": E.theilsen_trend,
         "weekly_active_users": E.weekly_active_users,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
@@ -8255,6 +8256,38 @@ SELECT n_a, n_b,
        {_cu["delta_cuped"]} AS delta_cuped,
        {_cu["rho2"]} AS rho2
 FROM a
+"""
+    # Theil–Sen (events.theilsen_trend): pairwise slopes re-derived with
+    # the SAME sql_ir38 quantization text, lower medians as the same
+    # ⌈n/2⌉-th order statistic.
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import sql_ir38
+    _ts_slope = sql_ir38("b.yc - a.yc", "100 * (b.d - a.d)")
+    out["theilsen_trend"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+  FROM events GROUP BY 1
+),
+pairs AS MATERIALIZED (
+  SELECT {_ts_slope} AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+med AS MATERIALIZED (
+  SELECT s AS slope, (SELECT count(*) FROM pairs) AS n_pairs
+  FROM (SELECT s, row_number() OVER (ORDER BY s) AS rk FROM pairs)
+  WHERE rk = ((SELECT count(*) FROM pairs) + 1) // 2
+),
+resid AS (
+  SELECT m.slope, m.n_pairs, (d.yc / 100.0 - m.slope * d.d) AS r
+  FROM daily d CROSS JOIN med m
+)
+SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope,
+       floor(r * 1000000.0 + 0.5) / 1000000.0 AS intercept
+FROM (SELECT slope, n_pairs, r,
+             row_number() OVER (ORDER BY r) AS rk FROM resid)
+WHERE rk = ((SELECT count(*) FROM daily) + 1) // 2
 """
     out["stream_asof_enrich"] = """
 WITH v AS (

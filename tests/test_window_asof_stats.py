@@ -1954,3 +1954,48 @@ def test_ir38_negative_ratio_cross_engine(spark):
         assert got_spark[f"c{i}"] == got_duck[i], (nu, de)
         # half-away-from-zero: within half a 1e-6 step of the ratio
         assert abs(got_spark[f"c{i}"] - nu / de) <= 5e-7 + 1e-12, (nu, de)
+
+
+def test_theilsen_matches_python_and_resists_outlier(spark, sf_dir, tmp_path):
+    """Theil–Sen agrees with an independent python recompute on the
+    fixture events; on a hand-built series with one corrupted day the
+    median slope stays on the true line while OLS is dragged off it."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.events import (
+        revenue_trend_ols, theilsen_trend)
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+
+    r = theilsen_trend(spark, sf_dir).head()
+    e = load_table(spark, "events", sf_dir)
+    daily = {int(x["_d"]): int(x["_yc"]) for x in
+             e.groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                       .cast("long").alias("_d"))
+             .agg((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+                  .cast("long").alias("_yc")).collect()}
+    ds = sorted(daily)
+    slopes = sorted(
+        round((daily[b] - daily[a]) / (100 * (b - a)), 6)
+        for i, a in enumerate(ds) for b in ds[i + 1:])
+    n_pairs = len(slopes)
+    lower_med = slopes[(n_pairs + 1) // 2 - 1]
+    assert r["n_days"] == len(ds) and r["n_pairs"] == n_pairs
+    # python round() is banker's at .5 exactly; compare within 1 ulp
+    assert r["slope"] == pytest.approx(lower_med, abs=1.1e-6)
+    resid = sorted(daily[d] / 100.0 - r["slope"] * d for d in ds)
+    assert r["intercept"] == pytest.approx(
+        resid[(len(ds) + 1) // 2 - 1], abs=1.1e-6)
+
+    # outlier robustness: y = 10 + 2x with day 12 corrupted 1000x
+    import datetime
+    rows = []
+    for d in range(15):
+        v = 10.0 + 2.0 * d if d != 12 else 50_000.0
+        rows.append((1, f"e{d}", "purchase",
+                     datetime.datetime(2024, 1, 1 + d), float(v)))
+    spark.createDataFrame(
+        rows, "user_id long, event_id string, event_type string, "
+              "ts timestamp, value double") \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    ts = theilsen_trend(spark, str(tmp_path)).head()
+    ols = revenue_trend_ols(spark, str(tmp_path)).head()
+    assert ts["slope"] == pytest.approx(2.0, abs=1e-3)
+    assert abs(ols["slope"] - 2.0) > 10  # OLS dragged by the outlier

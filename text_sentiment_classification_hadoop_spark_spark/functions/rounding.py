@@ -147,6 +147,30 @@ def sql_pround_iratio(num: str, den: str, n: int = 6) -> str:
     return f"(floor(({a} - {a} % {b}) / {b} + 0.5) / 1e{n})"
 
 
+def sql_ir38(num: str, den: str, n: int = 6) -> str:
+    """Shared-dialect remainder-exact half-away-from-zero quotient of
+    two exact DECIMAL(38,0)-valued SQL expressions — the wide-precision,
+    SIGN-SAFE sibling of :func:`sql_pround_iratio` (den > 0 required).
+
+    Every operand stays DECIMAL(38,0): both engines compute width-38
+    decimals in int128 exactly (DuckDB widens only on actual 38-digit
+    overflow; Spark's capped p=38/s=0 products are exact while values
+    fit), and both truncate decimal ``%`` toward zero, so A, B, A % B
+    and the exact-multiple quotient match bit-for-bit. The half-step
+    offset carries the NUMERATOR's sign (a flat ``+D`` with truncated
+    division would bias negative quotients one 1e-n step toward zero),
+    giving round-half-AWAY-FROM-ZERO — |result − true ratio| ≤ 0.5 ulp
+    either sign, pinned cross-engine by
+    ``test_ir38_negative_ratio_cross_engine``. The closing
+    ``floor(q + 0.5)`` absorbs DuckDB's double-lowered division (exact
+    for |ratio| < 1e9)."""
+    m = 10 ** n
+    sd = f"(CASE WHEN ({num}) < 0 THEN -({den}) ELSE ({den}) END)"
+    a = f"(CAST(({num}) AS DECIMAL(38,0)) * {2 * m} + {sd})"
+    b = f"(CAST(({den}) AS DECIMAL(38,0)) * 2)"
+    return f"(floor(({a} - {a} % {b}) / {b} + 0.5) / 1e{n})"
+
+
 def sql_pround(expr: str, n: int) -> str:
     m = float(10 ** n)
     return f"floor(({expr}) * {m!r} + 0.5) / {m!r}"

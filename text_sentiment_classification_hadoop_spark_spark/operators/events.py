@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dsum, pround
+from ..functions.rounding import sql_ir38 as _ir38
 from ..sources.tables import load_table
 
 
@@ -1140,6 +1141,65 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(intercept, 6).alias("intercept"))
 
 
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend over DAILY event revenue → one row
+    ``(n_days, n_pairs, slope, intercept)``: the MEDIAN of all pairwise
+    slopes (Theil 1950 / Sen 1968) through ``(epoch_day,
+    daily_value_total)`` — the outlier-robust twin of
+    :func:`revenue_trend_ols` (one corrupted day moves OLS arbitrarily;
+    Theil–Sen tolerates ~29% contamination).
+
+    Exactness: y is the exact 2-dp daily total in integer CENTS, x the
+    integer epoch day, so each pairwise slope is the exact rational
+    ``(y_j−y_i)/(100·(d_j−d_i))`` quantized once at 6 dp by the
+    sign-safe shared-dialect ``sql_ir38`` (pair order i<j keeps the
+    denominator positive; numerators go negative on down days). The
+    median is the LOWER median — the ⌈n/2⌉-th order statistic, a
+    well-defined VALUE regardless of how ties order. Intercept =
+    lower median of per-day residuals ``y_i/100 − slope·d_i``
+    (identical per-row IEEE ops on identical inputs in both engines).
+
+    Scale shape: ONE corpus-sized day-keyed aggregate, then all work
+    is calendar-bounded — the pair self-join is |days|² rows (a
+    70-day fixture → 2.4k pairs; even a decade of days is ~6.7M
+    pairs), so the partition-less rank windows operate on a provably
+    tiny frame (§12 inventory). At 100 TB the daily rollup remains
+    the only exchange that sees data volume."""
+    e = load_table(spark, "events", sf_dir)
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    daily = (e.groupBy(day.alias("_d"))
+             .agg((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+                  .cast("long").alias("_yc"))
+             .localCheckpoint(eager=True))  # reused by pairs + residuals
+    a = daily.select(F.col("_d").alias("_di"), F.col("_yc").alias("_yi"))
+    b = daily.select(F.col("_d").alias("_dj"), F.col("_yc").alias("_yj"))
+    slopes = (a.join(b, F.col("_di") < F.col("_dj"))
+              .select(F.expr(_ir38(
+                  "_yj - _yi", "100 * (_dj - _di)")).alias("_s")))
+    w = Window.orderBy("_s")
+    med = (slopes.select("_s", F.row_number().over(w).alias("_rk"),
+                         F.count(F.lit(1)).over(
+                             Window.partitionBy()).alias("_np"))
+           .filter(F.col("_rk") == F.expr("(_np + 1) div 2"))
+           .select(F.col("_s").alias("slope"),
+                   F.col("_np").alias("n_pairs")))
+    resid = (daily.crossJoin(F.broadcast(med))
+             .select("slope", "n_pairs",
+                     (F.col("_yc") / F.lit(100.0)
+                      - F.col("slope") * F.col("_d")).alias("_r")))
+    wr = Window.orderBy("_r")
+    out = (resid.select(
+        "slope", "n_pairs", "_r",
+        F.row_number().over(wr).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_nd"))
+        .filter(F.col("_rk") == F.expr("(_nd + 1) div 2")))
+    return out.select(
+        F.col("_nd").cast("long").alias("n_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope"),
+        pround(F.col("_r"), 6).alias("intercept"))
+
+
 def holdout_ab_lift(spark: SparkSession, sf_dir: str,
                     holdout_pct: int = 50) -> DataFrame:
     """Deterministic experiment split + conversion lift → one row
@@ -1189,28 +1249,9 @@ def holdout_ab_lift(spark: SparkSession, sf_dir: str,
         .cast("long").alias("lift_micro"))
 
 
-def _ir38(num: str, den: str, n: int = 6) -> str:
-    """Shared-dialect remainder-exact half-up quotient of two exact
-    DECIMAL(38,0)-valued SQL expressions (``sql_pround_iratio`` at the
-    wide precision CUPED's cross-moment products need). Every operand
-    stays DECIMAL(38,0): both engines compute width-38 decimals in
-    int128 exactly (DuckDB widens only on actual 38-digit overflow;
-    Spark's capped p=38/s=0 products are exact while values fit), and
-    both truncate decimal ``%`` toward zero, so A, B, A % B and the
-    final exact-multiple quotient match bit-for-bit. Sign handling:
-    the half-step offset carries the NUMERATOR's sign (a flat ``+D``
-    plus truncated division would bias negative quotients one 1e-6
-    step toward zero), so the result is round-half-AWAY-FROM-ZERO at
-    ``n`` digits — symmetric, and |result − true ratio| ≤ 0.5 ulp for
-    either sign (pinned cross-engine by
-    ``test_ir38_negative_ratio_cross_engine``). The closing
-    ``floor(q + 0.5)`` absorbs DuckDB's double-lowered division
-    (exact for |ratio| < 1e9, far above any lift/theta/rho2)."""
-    m = 10 ** n
-    sd = (f"(CASE WHEN ({num}) < 0 THEN -({den}) ELSE ({den}) END)")
-    a = f"(CAST(({num}) AS DECIMAL(38,0)) * {2 * m} + {sd})"
-    b = f"(CAST(({den}) AS DECIMAL(38,0)) * 2)"
-    return f"(floor(({a} - {a} % {b}) / {b} + 0.5) / 1e{n})"
+# _ir38 (imported above from functions.rounding.sql_ir38): the
+# sign-safe wide-precision quotient CUPED's cross-moment products need;
+# one shared definition — docstring + cross-engine pin live there.
 
 
 def cuped_output_exprs() -> dict[str, str]:
