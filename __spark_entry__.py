@@ -3901,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_ab_lift": E.holdout_ab_lift,
         "cuped_ab_lift": E.cuped_ab_lift,
         "theilsen_trend": E.theilsen_trend,
+        "ks_price_shift": R.ks_price_shift,
         "weekly_active_users": E.weekly_active_users,
         "purchase_attribution": E.purchase_attribution,
         "interval_pair_counts": E.interval_pair_counts,
@@ -8288,6 +8289,36 @@ SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
 FROM (SELECT slope, n_pairs, r,
              row_number() OVER (ORDER BY r) AS rk FROM resid)
 WHERE rk = ((SELECT count(*) FROM daily) + 1) // 2
+"""
+    # Exact two-sample KS (relational.ks_price_shift): the oracle's
+    # plain window prefix sums replay the engine's two-phase form; the
+    # gap stays cross-multiplied DECIMAL(38,0) until the one sql_ir38
+    # quantization, and the argmax tie-break is the same min-cents.
+    _ks_gap = ("abs(CAST(ca AS DECIMAL(38,0)) * (SELECT nb FROM tot) "
+               "- CAST(cb AS DECIMAL(38,0)) * (SELECT na FROM tot))")
+    out["ks_price_shift"] = f"""
+WITH t AS MATERIALIZED (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM lineitem GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT sum(a) AS na, sum(b) AS nb FROM t),
+cums AS (
+  SELECT c, sum(a) OVER (ORDER BY c) AS ca, sum(b) OVER (ORDER BY c) AS cb
+  FROM t
+),
+d AS MATERIALIZED (SELECT c, {_ks_gap} AS dv FROM cums),
+m AS (SELECT max(dv) AS mx FROM d)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST((SELECT count(*) FROM t) AS BIGINT) AS n_tiers,
+       {sql_ir38("(SELECT mx FROM m)", "CAST(na AS DECIMAL(38,0)) * nb")}
+         AS ks,
+       (SELECT min(c) FROM d WHERE dv = (SELECT mx FROM m)) / 100.0
+         AS at_price
+FROM tot
 """
     out["stream_asof_enrich"] = """
 WITH v AS (

@@ -1999,3 +1999,54 @@ def test_theilsen_matches_python_and_resists_outlier(spark, sf_dir, tmp_path):
     ols = revenue_trend_ols(spark, str(tmp_path)).head()
     assert ts["slope"] == pytest.approx(2.0, abs=1e-3)
     assert abs(ols["slope"] - 2.0) > 10  # OLS dragged by the outlier
+
+
+def test_ks_price_shift_hand_case_and_identity(spark, tmp_path):
+    """Hand-computable KS: A=[1,1,2,2] vs B=[2,2,3,3] has max CDF gap
+    0.5 first reached at the 1.00 tier; identical distributions give
+    exactly 0. Column names follow lineitem conventions."""
+    rows = ([("R", 1.0)] * 2 + [("R", 2.0)] * 2
+            + [("N", 2.0)] * 2 + [("N", 3.0)] * 2)
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double") \
+        .write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = R.ks_price_shift(spark, str(tmp_path)).head()
+    assert (r["n_a"], r["n_b"], r["n_tiers"]) == (4, 4, 3)
+    assert r["ks"] == pytest.approx(0.5, abs=1e-9)
+    assert r["at_price"] == pytest.approx(1.0, abs=1e-9)
+
+    same = [("R", v) for v in (1.0, 2.0, 3.0)] \
+        + [("N", v) for v in (1.0, 2.0, 3.0)]
+    spark.createDataFrame(
+        same, "l_returnflag string, l_extendedprice double") \
+        .write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r2 = R.ks_price_shift(spark, str(tmp_path)).head()
+    assert r2["ks"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ks_price_shift_matches_python_on_fixture(spark, sf_dir):
+    """KS on the real fixture equals a python recompute from the raw
+    per-tier counts (exact cross-multiplied gap, lower-tier argmax)."""
+    from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+    r = R.ks_price_shift(spark, sf_dir).head()
+    li = load_table(spark, "lineitem", sf_dir) \
+        .select("l_returnflag", "l_extendedprice").collect()
+    from collections import defaultdict
+    t = defaultdict(lambda: [0, 0])
+    for x in li:
+        c = int(round(x["l_extendedprice"] * 100))
+        t[c][0 if x["l_returnflag"] == "R" else 1] += 1
+    na = sum(v[0] for v in t.values())
+    nb = sum(v[1] for v in t.values())
+    ca = cb = 0
+    best, at = -1, None
+    for c in sorted(t):
+        ca += t[c][0]
+        cb += t[c][1]
+        gap = abs(ca * nb - cb * na)
+        if gap > best:
+            best, at = gap, c
+    assert (r["n_a"], r["n_b"], r["n_tiers"]) == (na, nb, len(t))
+    assert r["ks"] == pytest.approx(best / (na * nb), abs=1e-6)
+    assert r["at_price"] == pytest.approx(at / 100.0, abs=1e-9)
+    assert 0.0 <= r["ks"] <= 1.0

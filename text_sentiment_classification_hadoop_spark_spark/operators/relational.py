@@ -2273,3 +2273,80 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str,
     return (ranks.select(F.explode(F.array(*out_rows)).alias("_s"))
             .select("_s.*")
             .orderBy("quantile_micro"))
+
+
+def ks_price_shift(spark: SparkSession, sf_dir: str,
+                   n_parts: int = 8) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the
+    price distributions of returned (``l_returnflag = 'R'``) and
+    kept lineitems → one row ``(n_a, n_b, n_tiers, ks, at_price)``
+    — the order-statistic drift test (max CDF gap) that complements
+    the binned χ²-style :func:`~.events.value_drift`: KS needs no
+    bucketing choice and detects shape shifts χ² bins can smear.
+
+    Exactness: prices collapse to exact integer CENTS tiers
+    (``CAST(price AS DECIMAL(18,2)) · 100``), per-tier group counts
+    are BIGINT, and the CDF gap is compared CROSS-MULTIPLIED —
+    ``|cum_a·n_b − cum_b·n_a|`` in DECIMAL(38,0) — so no division
+    happens until the single final ``sql_ir38`` quantization of the
+    maximum. The argmax price is the MIN cents among maximal-gap tiers
+    (a max-struct aggregate with negated tie-break, deterministic).
+
+    Scale shape: one corpus pass collapses rows to distinct price
+    tiers; the CDF prefix sums are the genuinely distributed TWO-PHASE
+    form (:func:`~.text_analysis.pps_systematic_sample`): range
+    exchange on cents, in-partition window, per-partition offsets
+    collected once (2·``n_parts`` longs — the J4 scalar pattern) and
+    re-lit. The corpus never serializes through a global window; the
+    only full-width stage is the tier aggregate."""
+    li = load_table(spark, "lineitem", sf_dir) \
+        .select("l_returnflag", "l_extendedprice")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("long")
+    tiers = (li.groupBy(cents.alias("_c"))
+             .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                        .otherwise(0)).alias("_a"),
+                  F.sum(F.when(F.col("l_returnflag") != "R", 1)
+                        .otherwise(0)).alias("_b")))
+    ranged = (tiers.repartitionByRange(n_parts, F.col("_c"))
+              .sortWithinPartitions("_c")
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))  # pin partitioning
+    parts = (ranged.groupBy("_pid")
+             .agg(F.sum("_a").alias("ta"), F.sum("_b").alias("tb"),
+                  F.count(F.lit(1)).alias("tn")).collect())
+    totals = {r["_pid"]: (int(r["ta"]), int(r["tb"])) for r in parts}
+    n_a = sum(t[0] for t in totals.values())
+    n_b = sum(t[1] for t in totals.values())
+    n_tiers = sum(int(r["tn"]) for r in parts)
+    off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
+    for pid in sorted(totals):
+        off_a[pid], off_b[pid] = acc_a, acc_b
+        acc_a += totals[pid][0]
+        acc_b += totals[pid][1]
+    map_a = "map(" + ", ".join(f"{p}, {off_a[p]}L" for p in sorted(off_a)) \
+        + ")"
+    map_b = "map(" + ", ".join(f"{p}, {off_b[p]}L" for p in sorted(off_b)) \
+        + ")"
+    w = Window.partitionBy("_pid").orderBy("_c") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranged.select(
+        "_c",
+        (F.sum("_a").over(w)
+         + F.expr(f"try_element_at({map_a}, _pid)")).alias("_ca"),
+        (F.sum("_b").over(w)
+         + F.expr(f"try_element_at({map_b}, _pid)")).alias("_cb"))
+    dv = F.expr(f"abs(CAST(_ca AS DECIMAL(38,0)) * {n_b} "
+                f"- CAST(_cb AS DECIMAL(38,0)) * {n_a})")
+    best = cum.select(dv.alias("_dv"), F.col("_c")).agg(
+        F.max(F.struct(F.col("_dv"), (-F.col("_c")).alias("_negc")))
+        .alias("_m"))
+    from ..functions.rounding import sql_ir38
+    ks = sql_ir38("_m._dv",
+                  f"CAST({n_a} AS DECIMAL(38,0)) * {n_b}")
+    return best.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.lit(n_tiers).cast("long").alias("n_tiers"),
+        F.expr(ks).alias("ks"),
+        (-F.col("_m._negc") / F.lit(100.0)).alias("at_price"))

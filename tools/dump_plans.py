@@ -171,6 +171,15 @@ SHOWCASE = [
      "the max_df skew guard, pair aggregate with min_shared "
      "pre-filter, node-sized size joins — 8-byte keys, never text, "
      "never all-pairs"),
+    ("theilsen_trend",
+     "Theil-Sen: one corpus-sized daily rollup (checkpointed), then "
+     "calendar-bounded pairwise slopes — the partition-less rank "
+     "windows act on a |days|^2 frame, never on data volume"),
+    ("ks_price_shift",
+     "exact two-sample KS: tier aggregate + the distributed two-phase "
+     "prefix sum (range exchange, in-partition window, re-lit "
+     "offsets) — the corpus never crosses a global window; gap stays "
+     "cross-multiplied DECIMAL(38,0) until one final quantization"),
 ]
 
 
