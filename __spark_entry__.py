@@ -2792,6 +2792,52 @@ def _nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("thr_idx"))
 
 
+def _nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of the NB margin on the test split
+    → one row ``(n_pos, n_neg, n_tiers, auc)`` — the threshold-free
+    ranking-quality companion to ``nb_pr_curve``'s operating points,
+    via the rank-sum (Mann–Whitney U) identity: AUC = P(margin_pos >
+    margin_neg) + ½·P(tie), computed WITHOUT enumerating the
+    n_pos·n_neg pairs.
+
+    Exactness: margins quantize at 6 dp (same ``pround`` as
+    nb_pr_curve), docs collapse to distinct margin TIERS ``(m, p, q)``,
+    and ascending-cumulative ``U2 = Σ_s p_s·(2·cum_q(<s) + q_s)``
+    is pure BIGINT (the ·2 absorbs the midrank ½ — exact to
+    2·n_pos·n_neg ≈ 9e18, i.e. ~2e9 test rows per class); the single
+    division is the final ``sql_ir38``. The tier window is
+    test-set-sized — at corpus scale swap in the two-phase distributed
+    prefix sum (``ks_price_shift``'s form), plan shape otherwise
+    unchanged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import pround, sql_ir38
+    from text_sentiment_classification_hadoop_spark_spark.operators import nb as NB
+    _, test = S.train_test(S.labeled_documents(spark, sf_dir))
+    model, stats = S._nb_trained(spark, sf_dir)
+    scored = NB.nb_score(test, model, stats)
+    marg = scored.select(
+        (F.col("label") == 1.0).cast("long").alias("_p"),
+        pround(F.col("score_pos") - F.col("score_neg"), 6).alias("m"))
+    t = (marg.groupBy("m")
+         .agg(F.sum("_p").alias("p"),
+              F.sum(F.lit(1) - F.col("_p")).alias("q")))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    c = t.select("p", "q",
+                 F.coalesce(F.sum("q").over(w), F.lit(0)).alias("qb"))
+    agg = c.agg(
+        F.sum(F.col("p") * (2 * F.col("qb") + F.col("q"))).alias("u2"),
+        F.sum("p").alias("np"), F.sum("q").alias("nq"),
+        F.count(F.lit(1)).alias("nt"))
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nq").cast("long").alias("n_neg"),
+        F.col("nt").cast("long").alias("n_tiers"),
+        F.expr(sql_ir38(
+            "u2", "2 * CAST(np AS DECIMAL(38,0)) * nq")).alias("auc"))
+
+
 def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-cell approximate kNN graph over the embeddings (16 coarse
     cells — candidates ≈ n/16 per vector, never all-pairs)."""
@@ -3971,6 +4017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_interp": _events_gap_interp,
         "events_anomalies": _events_anomalies,
         "nb_pr_curve": _nb_pr_curve,
+        "nb_auc": _nb_auc,
         "lang_id_confusion": _lang_id_confusion,
         "knn_graph": _knn_graph,
         "pareto_orders": R.pareto_orders,
@@ -4225,6 +4272,7 @@ SELECT * FROM ranked WHERE rank <= 10 ORDER BY rank
 
 
 def oracle_sql() -> dict[str, str]:
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import sql_ir38
     from text_sentiment_classification_hadoop_spark_spark.functions.rounding import (
         sql_pround_iratio as IR)
     en = ", ".join(f"'{w}'" for w in TA.LANG_PROFILES["en"])
@@ -7256,6 +7304,48 @@ SELECT CAST(i AS INTEGER) AS thr_idx, threshold,
        CASE WHEN tp + fn > 0 THEN {IR("tp", "tp + fn")} END AS recall
 FROM pr ORDER BY thr_idx
 """
+    # Exact tie-corrected ROC-AUC (_nb_auc): same scoring + margin
+    # CTEs as nb_pr_curve, then the rank-sum identity over margin
+    # tiers — U2 = Σ p·(2·cum_q_before + q) in pure BIGINT.
+    out["nb_auc"] = f"""
+WITH {DOCS_CTE},
+sums AS (
+  SELECT t.doc_id,
+         sum(ln((m.pos_count + 1) / (s.pos_w + vb.v))) AS s_pos,
+         sum(ln((m.neg_count + 1) / (s.neg_w + vb.v))) AS s_neg
+  FROM tok_test t JOIN model m USING (word), stats s, vocab vb
+  GROUP BY t.doc_id
+),
+marg AS (
+  SELECT d.label,
+         floor(((ln(s.pos_t / s.tweets) + coalesce(su.s_pos, 0.0))
+                - (ln(s.neg_t / s.tweets) + coalesce(su.s_neg, 0.0)))
+               * 1000000.0 + 0.5) / 1000000.0 AS m
+  FROM test d LEFT JOIN sums su USING (doc_id), stats s
+),
+t AS MATERIALIZED (
+  SELECT m,
+         CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum(CASE WHEN label <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS q
+  FROM marg GROUP BY m
+),
+c AS (
+  SELECT p, q,
+         coalesce(sum(q) OVER (ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS qb
+  FROM t
+),
+a AS (
+  SELECT CAST(sum(p * (2 * qb + q)) AS BIGINT) AS u2,
+         CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nq,
+         CAST(count(*) AS BIGINT) AS nt
+  FROM c
+)
+SELECT np AS n_pos, nq AS n_neg, nt AS n_tiers,
+       {sql_ir38("u2", "2 * CAST(np AS DECIMAL(38,0)) * nq")} AS auc
+FROM a
+"""
     out["lang_id_confusion"] = f"""
 WITH pred AS ({out["lang_id"]})
 SELECT d.lang AS actual, p.pred_lang AS predicted,
@@ -8261,7 +8351,6 @@ FROM a
     # Theil–Sen (events.theilsen_trend): pairwise slopes re-derived with
     # the SAME sql_ir38 quantization text, lower medians as the same
     # ⌈n/2⌉-th order statistic.
-    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import sql_ir38
     _ts_slope = sql_ir38("b.yc - a.yc", "100 * (b.d - a.d)")
     out["theilsen_trend"] = f"""
 WITH daily AS MATERIALIZED (

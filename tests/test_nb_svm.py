@@ -273,3 +273,32 @@ def test_nb_calibration_partitions_and_monotone(spark, sf_dir):
             or abs(r["pos_rate_micro"] - r["n_pos"] / r["n"]) < 1e-6
     for a, b in zip(rows, rows[1:]):
         assert a["max_m"] <= b["min_m"]
+
+
+def test_nb_auc_matches_bruteforce_pairs(spark, sf_dir):
+    """The rank-sum AUC equals the brute-force pair definition
+    P(m_pos > m_neg) + 0.5·P(tie) recomputed from the same scored
+    margins — the O(n_pos·n_neg) enumeration the operator avoids."""
+    import __spark_entry__ as entry
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import py_pround
+    from text_sentiment_classification_hadoop_spark_spark.operators.sentiment import (
+        _nb_trained, labeled_documents, train_test)
+
+    r = entry.queries()["nb_auc"](spark, sf_dir).head()
+    _, test = train_test(labeled_documents(spark, sf_dir))
+    model, stats = _nb_trained(spark, sf_dir)
+    scored = NB.nb_score(test, model, stats).select(
+        "label", (F.col("score_pos") - F.col("score_neg")).alias("m")
+    ).collect()
+    pos = [py_pround(x["m"], 6) for x in scored if x["label"] == 1.0]
+    neg = [py_pround(x["m"], 6) for x in scored if x["label"] != 1.0]
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    wins = sum(1 for a in pos for b in neg if a > b)
+    ties = sum(1 for a in pos for b in neg if a == b)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert r["auc"] == pytest.approx(auc, abs=1e-6)
+    # the sf0.001 test split is tiny (~tens of docs): the model may
+    # land either side of chance — only the [0,1] range is invariant;
+    # the exact pair-definition parity above is the real check
+    assert 0.0 <= r["auc"] <= 1.0
+    assert r["n_tiers"] == len(set(pos) | set(neg))

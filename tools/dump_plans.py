@@ -180,6 +180,9 @@ SHOWCASE = [
      "prefix sum (range exchange, in-partition window, re-lit "
      "offsets) — the corpus never crosses a global window; gap stays "
      "cross-multiplied DECIMAL(38,0) until one final quantization"),
+    ("nb_auc",
+     "exact ROC-AUC by rank-sum identity: margin-tier collapse + one "
+     "BIGINT cumulative pass — never the n_pos x n_neg pair join"),
 ]
 
 
