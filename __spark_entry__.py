@@ -2805,13 +2805,15 @@ def _nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ascending-cumulative ``U2 = Σ_s p_s·(2·cum_q(<s) + q_s)``
     is pure BIGINT (the ·2 absorbs the midrank ½ — exact to
     2·n_pos·n_neg ≈ 9e18, i.e. ~2e9 test rows per class); the single
-    division is the final ``sql_ir38``. The tier window is
-    test-set-sized — at corpus scale swap in the two-phase distributed
-    prefix sum (``ks_price_shift``'s form), plan shape otherwise
-    unchanged."""
-    from pyspark.sql import Window
+    division is the final ``sql_ir38``. The ascending tier cumulative
+    runs the two-phase distributed prefix sum (``ranged_cumsum``, the
+    ``ks_price_shift`` form — VERDICT r11 ask #5): range exchange on
+    the margin, in-partition window, per-partition offsets re-lit, so
+    the tier frame never crosses a SinglePartition window even when
+    margins barely tie and tiers ≈ test rows."""
     from pyspark.sql import functions as F
 
+    from text_sentiment_classification_hadoop_spark_spark.functions.prefix import ranged_cumsum
     from text_sentiment_classification_hadoop_spark_spark.functions.rounding import pround, sql_ir38
     from text_sentiment_classification_hadoop_spark_spark.operators import nb as NB
     _, test = S.train_test(S.labeled_documents(spark, sf_dir))
@@ -2823,9 +2825,9 @@ def _nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (marg.groupBy("m")
          .agg(F.sum("_p").alias("p"),
               F.sum(F.lit(1) - F.col("_p")).alias("q")))
-    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
-    c = t.select("p", "q",
-                 F.coalesce(F.sum("q").over(w), F.lit(0)).alias("qb"))
+    t_cum, _ = ranged_cumsum(t, ["m"], ["q"])
+    c = t_cum.select("p", "q",
+                     (F.col("_cum_q") - F.col("q")).alias("qb"))
     agg = c.agg(
         F.sum(F.col("p") * (2 * F.col("qb") + F.col("q"))).alias("u2"),
         F.sum("p").alias("np"), F.sum("q").alias("nq"),

@@ -87,6 +87,12 @@ HEADLINE_QUERIES = [
         "copurchase_pagerank_weighted", "copurchase_components",
         "neardup_triangles",
         "neardup_kcore",
+        # round-11 additions (VERDICT r11 ask #1: every new registry
+        # query joins the headline set the round it lands, so the
+        # isolated fresh-JVM bench covers it from its first round)
+        "cuped_ab_lift", "copurchase_ppr", "copurchase_ppr_weighted",
+        "bloom_decontaminate", "containment_pairs", "theilsen_trend",
+        "ks_price_shift", "nb_auc", "copurchase_communities_deep",
         # structured streaming
         "events_tumbling_stream", "events_sliding_stream",
         "events_sessionize_stream", "stream_dedup_docs", "stream_dedup_native",
@@ -96,6 +102,14 @@ HEADLINE_QUERIES = [
         "stream_doc_repetition", "stream_curation_gates",
         "stream_neardup_candidates", "stream_hourly_profile",
 ]
+
+#: Registry queries deliberately absent from the headline set — must
+#: stay empty unless an entry genuinely cannot run under the isolated
+#: bench (document why per entry). ``tools/roundclose.py`` fails when
+#: a query added since the previous round appears in NEITHER list
+#: (VERDICT r11 ask #1: the 9 r11 queries silently skipped the
+#: fresh-JVM bench because nothing enforced headline membership).
+HEADLINE_EXCLUDED: list[str] = []
 
 
 def main() -> None:

@@ -361,3 +361,26 @@ def test_referential_integrity_single_fact_scan(spark, sf_dir):
     plan = plan_string(R.referential_integrity_report(spark, sf_dir))
     assert plan.count("lineitem.parquet") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_rank_stat_queries_have_no_partition_less_window(spark, sf_dir):
+    """VERDICT r11 ask #5: nb_auc's tier cumulative and
+    theilsen_trend's two rank selections must run the two-phase
+    distributed prefix sum — a partition-less Window would serialize
+    the frame through one task. (A bare ``SinglePartition`` check is
+    too strict here: both queries END in a legitimate global scalar
+    aggregate whose final stage exchanges only map-side partials.)
+    A global window prints ``windowspecdefinition(<order> ASC ...``
+    — ordering first — where a partitioned one leads with the
+    partition columns."""
+    import re
+
+    import __spark_entry__ as entry
+    from text_sentiment_classification_hadoop_spark_spark.operators import events as E
+    global_window = re.compile(
+        r"windowspecdefinition\([^,()]*(ASC|DESC)")
+    for df in (entry.queries()["nb_auc"](spark, sf_dir),
+               E.theilsen_trend(spark, sf_dir)):
+        plan = plan_string(df)
+        assert "Window" in plan  # the cumulative pass is still a window
+        assert not global_window.search(plan), plan

@@ -593,11 +593,18 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     node-sized size joins. At 100 TB the df-guard is what keeps the
     candidate join O(collisions); thresholded output is
     contamination-sized, not corpus-sized."""
+    # distinct AFTER hashing (not just array_distinct pre-hash): a
+    # 60-bit fingerprint collision between two distinct shingles in one
+    # doc must collapse to ONE (doc_id, shash) row, matching the
+    # oracle's SELECT DISTINCT and the countDistinct discipline of
+    # decontaminate/bloom_decontaminate (ADVICE r11) — collision odds
+    # approach the birthday bound near ~1e9 corpus shingles.
     sh = (df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_expr(F.col(text_col), k=k)))
         .alias("_sh"))
-        .select(F.col(id_col), portable_hash64(F.col("_sh")).alias("shash")))
+        .select(F.col(id_col), portable_hash64(F.col("_sh")).alias("shash"))
+        .distinct())
     keep = (sh.groupBy("shash").agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") <= max_df).select("shash"))
     f = sh.join(keep, "shash")

@@ -228,7 +228,9 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
 
 def pagerank_personalized(edges: DataFrame, seeds: list[int],
                           iters: int = 3,
-                          weight_col: str | None = None) -> DataFrame:
+                          weight_col: str | None = None,
+                          frontier: bool = False,
+                          validate_seeds: bool = True) -> DataFrame:
     """``iters`` power iterations of PERSONALIZED PageRank (random walk
     with restart: the teleport lands on the ``seeds`` set instead of
     uniformly — Page et al. 1999 §6 "personalized" vector; the
@@ -248,12 +250,24 @@ def pagerank_personalized(edges: DataFrame, seeds: list[int],
     edge×rank join, one dst aggregate, one node-sized left join.
 
     Scale note: early iterations have rank 0 on most nodes — the
-    contribution join still touches every edge but contributes
-    nothing. A frontier-restricted variant (join only rank > 0, as
-    :func:`bfs_depths` does) wins when ``iters`` ≪ graph diameter;
-    with small fixed ``iters`` on small-diameter graphs the uniform
-    plan's co-partitioned joins are simpler and AQE-fusable, so we
-    keep them (same trade the LPA loop documents)."""
+    uniform plan's contribution join still touches every edge but
+    contributes nothing. ``frontier=True`` restricts each iteration's
+    share table to ``rank_micro > 0`` nodes (the :func:`bfs_depths`
+    frontier discipline): zero-rank sources contribute exactly 0 mass
+    (``(0·w) div sum_w = 0``), so the two plans are BIT-IDENTICAL in
+    output (pytest-pinned) while the frontier join is frontier×degree-
+    sized instead of edge-sized — it wins when seeds are sparse and
+    ``iters`` ≪ diameter (mass hasn't reached most of the graph); on
+    small-diameter graphs saturated by iteration 2 the extra filter
+    buys nothing, so the uniform plan stays the default (measured
+    crossover: SCALE.md §21).
+
+    Seeds MUST be source nodes: the node table derives from out-degree
+    (``deg``), so a seed with no out-edges is not a row of ``nodes``
+    and its restart mass would silently vanish. ``validate_seeds``
+    (default on) raises on such seeds — one broadcast anti-join
+    against the node-sized ``deg`` table, resolved once before the
+    loop (ADVICE r11)."""
     sess = edges.sparkSession
     if weight_col is None:
         edges = edges.select("src", "dst", F.lit(1).cast("long").alias("_w"))
@@ -265,6 +279,15 @@ def pagerank_personalized(edges: DataFrame, seeds: list[int],
         F.sum("_w").alias("sum_w")).localCheckpoint(eager=True)
     seed_df = sess.createDataFrame([(int(s),) for s in sorted(set(seeds))],
                                    "node long")
+    if validate_seeds:
+        missing = (seed_df.join(deg.select(F.col("src").alias("node")),
+                                "node", "left_anti")
+                   .orderBy("node").limit(5).collect())
+        if missing:
+            raise ValueError(
+                "pagerank_personalized: seeds with no out-edges (their "
+                "teleport mass would vanish — seeds must appear as edge "
+                f"sources): {[r['node'] for r in missing]}")
     nodes = (deg.select(F.col("src").alias("node"))
              .join(F.broadcast(seed_df.withColumn("_is", F.lit(1))),
                    "node", "left")
@@ -274,8 +297,10 @@ def pagerank_personalized(edges: DataFrame, seeds: list[int],
         "node",
         (F.col("_seed") * SCALE).cast("long").alias("rank_micro"))
     for _ in range(iters):
+        active = ranks.filter(F.col("rank_micro") > 0) if frontier \
+            else ranks
         share = (
-            ranks.join(deg, ranks["node"] == deg["src"])
+            active.join(deg, active["node"] == deg["src"])
             .select(deg["src"], "rank_micro", "sum_w")
         )
         contrib = (

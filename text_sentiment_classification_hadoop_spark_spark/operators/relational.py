@@ -2294,11 +2294,17 @@ def ks_price_shift(spark: SparkSession, sf_dir: str,
 
     Scale shape: one corpus pass collapses rows to distinct price
     tiers; the CDF prefix sums are the genuinely distributed TWO-PHASE
-    form (:func:`~.text_analysis.pps_systematic_sample`): range
-    exchange on cents, in-partition window, per-partition offsets
-    collected once (2·``n_parts`` longs — the J4 scalar pattern) and
-    re-lit. The corpus never serializes through a global window; the
-    only full-width stage is the tier aggregate."""
+    form (:func:`~..functions.prefix.ranged_cumsum`): range exchange
+    on cents, in-partition window, per-partition offsets collected
+    once (2·``n_parts`` longs — the J4 scalar pattern) and re-lit.
+    The corpus never serializes through a global window; the only
+    full-width stage is the tier aggregate.
+
+    Degenerate inputs fail FAST (ADVICE r11): an empty lineitem or an
+    all-one-class returnflag has no two-sample statistic — previously
+    the empty offset-map literal was an analysis error and a zero
+    ``n_a·n_b`` denominator a silent NULL ``ks``."""
+    from ..functions.prefix import ranged_cumsum
     li = load_table(spark, "lineitem", sf_dir) \
         .select("l_returnflag", "l_extendedprice")
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
@@ -2308,34 +2314,15 @@ def ks_price_shift(spark: SparkSession, sf_dir: str,
                         .otherwise(0)).alias("_a"),
                   F.sum(F.when(F.col("l_returnflag") != "R", 1)
                         .otherwise(0)).alias("_b")))
-    ranged = (tiers.repartitionByRange(n_parts, F.col("_c"))
-              .sortWithinPartitions("_c")
-              .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint(eager=True))  # pin partitioning
-    parts = (ranged.groupBy("_pid")
-             .agg(F.sum("_a").alias("ta"), F.sum("_b").alias("tb"),
-                  F.count(F.lit(1)).alias("tn")).collect())
-    totals = {r["_pid"]: (int(r["ta"]), int(r["tb"])) for r in parts}
-    n_a = sum(t[0] for t in totals.values())
-    n_b = sum(t[1] for t in totals.values())
-    n_tiers = sum(int(r["tn"]) for r in parts)
-    off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
-    for pid in sorted(totals):
-        off_a[pid], off_b[pid] = acc_a, acc_b
-        acc_a += totals[pid][0]
-        acc_b += totals[pid][1]
-    map_a = "map(" + ", ".join(f"{p}, {off_a[p]}L" for p in sorted(off_a)) \
-        + ")"
-    map_b = "map(" + ", ".join(f"{p}, {off_b[p]}L" for p in sorted(off_b)) \
-        + ")"
-    w = Window.partitionBy("_pid").orderBy("_c") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    cum = ranged.select(
-        "_c",
-        (F.sum("_a").over(w)
-         + F.expr(f"try_element_at({map_a}, _pid)")).alias("_ca"),
-        (F.sum("_b").over(w)
-         + F.expr(f"try_element_at({map_b}, _pid)")).alias("_cb"))
+    cummed, totals = ranged_cumsum(tiers, ["_c"], ["_a", "_b"],
+                                   n_parts=n_parts)
+    n_a, n_b, n_tiers = totals["_a"], totals["_b"], totals["rows"]
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            "ks_price_shift: degenerate input — need both classes "
+            f"non-empty, got n_a={n_a} (returned) n_b={n_b} (kept)")
+    cum = cummed.select("_c", F.col("_cum__a").alias("_ca"),
+                        F.col("_cum__b").alias("_cb"))
     dv = F.expr(f"abs(CAST(_ca AS DECIMAL(38,0)) * {n_b} "
                 f"- CAST(_cb AS DECIMAL(38,0)) * {n_a})")
     best = cum.select(dv.alias("_dv"), F.col("_c")).agg(

@@ -90,6 +90,35 @@ def verify_selfcheck(path: str, n_registry: int, problems: list[str]) -> None:
                             f"want {want!r}")
 
 
+def verify_headline_drift(n_round: int, problems: list[str]) -> None:
+    """Every registry query added since the PREVIOUS round must be in
+    ``bench.HEADLINE_QUERIES`` (or the documented
+    ``bench.HEADLINE_EXCLUDED``) — VERDICT r11 ask #1: the r11
+    additions skipped the isolated bench because nothing checked this.
+    The previous round's registry is read from its committed selfcheck
+    artifact (its ``queries`` dict keys)."""
+    import os
+
+    import bench
+    import __spark_entry__ as entry
+    prev = f"{REPO}/SELFCHECK_r{n_round - 1}.json"
+    if not os.path.exists(prev):
+        print(f"(no {prev}; headline-drift check skipped)")
+        return
+    with open(prev) as f:
+        prev_names = set(json.load(f)["queries"])
+    new = set(entry.queries()) - prev_names
+    covered = set(bench.HEADLINE_QUERIES) | set(bench.HEADLINE_EXCLUDED)
+    missing = sorted(new - covered)
+    if missing:
+        problems.append(
+            f"headline drift: queries added since r{n_round - 1} missing "
+            f"from bench.HEADLINE_QUERIES/HEADLINE_EXCLUDED: {missing}")
+    stale = sorted(set(bench.HEADLINE_QUERIES) - set(entry.queries()))
+    if stale:
+        problems.append(f"HEADLINE_QUERIES names not in registry: {stale}")
+
+
 def verify_bench_isolated(path: str, problems: list[str]) -> None:
     with open(path) as f:
         rec = json.load(f)
@@ -168,6 +197,7 @@ def main() -> int:
           lambda p: verify_selfcheck(p, n_registry, problems))
     check("bench_isolated", f"{REPO}/{bi}",
           lambda p: verify_bench_isolated(p, problems))
+    verify_headline_drift(n, problems)
 
     if problems:
         print("\nROUNDCLOSE FAILED:")
