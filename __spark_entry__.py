@@ -680,6 +680,101 @@ def _bpe_merges_batched_sql(n_merges: int = BPE_MERGES,
               " CAST(f AS BIGINT) AS freq\nFROM allm ORDER BY merge_rank")
 
 
+def _unigram_lm_sql() -> str:
+    """Unrolled hard-EM unigram-LM trainer oracle (mirror of
+    operators/unigram.py): word dictionary -> substring lattice ->
+    seed vocab -> per-EM-iteration forward/backward min-cost DP
+    (unrolled per character position, the bpe_merges CTE precedent)
+    -> optimal-subpath piece counts -> prune + micro-nat requantize.
+    All DP arithmetic BIGINT; the only float op is the per-vocab-row
+    ``floor(1e6·ln(total/cnt))``, identical in both engines."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.unigram import (
+        EM_ITERS,
+        MAX_PIECE_LEN,
+        MAX_WORD_LEN,
+        SEED_MULTI,
+        VOCAB_MULTI,
+    )
+    W = MAX_WORD_LEN
+
+    def vocab_ctes(idx: int, cnt_cte: str, n_multi: int) -> list[str]:
+        # ALL single chars (+1 Laplace) + top n_multi multi-char pieces
+        return [
+            f"""v{idx}sel AS MATERIALIZED (
+  SELECT c.piece, coalesce(s.cnt, 0) + 1 AS cnt_eff
+  FROM ch c LEFT JOIN {cnt_cte} s ON c.piece = s.piece
+  UNION ALL
+  SELECT piece, cnt AS cnt_eff FROM (
+    SELECT piece, cnt FROM {cnt_cte} WHERE len(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {n_multi}) tt)""",
+            f"""v{idx} AS MATERIALIZED (
+  SELECT piece, CAST(cnt_eff AS BIGINT) AS exp_count,
+         CAST(floor(ln(CAST((SELECT sum(cnt_eff) FROM v{idx}sel) AS DOUBLE)
+                        / CAST(cnt_eff AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS cost_micro
+  FROM v{idx}sel)""",
+        ]
+
+    parts = [
+        f"""wfl AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq, len(w) AS len
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents) u
+  GROUP BY w HAVING len(w) <= {W})""",
+        f"""eg AS MATERIALIZED (
+  SELECT word, freq, len, i, i + l AS j, substr(word, i + 1, l) AS piece
+  FROM (SELECT word, freq, len, i,
+               unnest(range(1, 1 + least({MAX_PIECE_LEN}, len - i))) AS l
+        FROM (SELECT word, freq, len, unnest(range(0, len)) AS i
+              FROM wfl) t1) t2)""",
+        "ch AS MATERIALIZED (SELECT DISTINCT piece FROM eg "
+        "WHERE len(piece) = 1)",
+        "sc AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt "
+        "FROM eg GROUP BY piece)",
+    ]
+    parts += vocab_ctes(0, "sc", SEED_MULTI)
+    for k in range(1, EM_ITERS + 1):
+        parts.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT e.word, e.freq, e.len, e.i, e.j, e.piece, v.cost_micro AS cost
+  FROM eg e JOIN v{k - 1} v ON e.piece = v.piece)""")
+        parts.append(
+            f"f{k}_0 AS MATERIALIZED (SELECT DISTINCT word, 0 AS pos, "
+            f"CAST(0 AS BIGINT) AS c FROM l{k})")
+        for p in range(1, W + 1):
+            parts.append(
+                f"""f{k}_{p} AS MATERIALIZED (
+  SELECT * FROM f{k}_{p - 1}
+  UNION ALL
+  SELECT l.word, {p} AS pos, min(f.c + l.cost) AS c
+  FROM l{k} l JOIN f{k}_{p - 1} f ON f.word = l.word AND f.pos = l.i
+  WHERE l.j = {p} GROUP BY l.word)""")
+        parts.append(
+            f"b{k}_0 AS MATERIALIZED (SELECT DISTINCT word, len AS pos, "
+            f"CAST(0 AS BIGINT) AS c FROM l{k})")
+        for s in range(1, W + 1):
+            parts.append(
+                f"""b{k}_{s} AS MATERIALIZED (
+  SELECT * FROM b{k}_{s - 1}
+  UNION ALL
+  SELECT l.word, l.i AS pos, min(l.cost + b.c) AS c
+  FROM l{k} l JOIN b{k}_{s - 1} b ON b.word = l.word AND b.pos = l.j
+  WHERE l.i = l.len - {s} GROUP BY l.word, l.i)""")
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT l.piece, CAST(sum(l.freq) AS BIGINT) AS cnt
+  FROM l{k} l
+  JOIN f{k}_{W} fi ON fi.word = l.word AND fi.pos = l.i
+  JOIN b{k}_{W} bj ON bj.word = l.word AND bj.pos = l.j
+  JOIN f{k}_{W} ft ON ft.word = l.word AND ft.pos = l.len
+  WHERE fi.c + l.cost + bj.c = ft.c
+  GROUP BY l.piece)""")
+        parts += vocab_ctes(k, f"c{k}", VOCAB_MULTI)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT piece, exp_count, cost_micro FROM v{EM_ITERS} "
+            "ORDER BY exp_count DESC, piece")
+
+
 def _bpe_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
     return (f"WITH {_bpe_dict_ctes(n_merges)}\n"
             "SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM ("
@@ -1816,6 +1911,18 @@ def _sequential_patterns3(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-position frontier in pure SQL."""
     from text_sentiment_classification_hadoop_spark_spark.operators import events as EV
     return EV.sequential_patterns3(spark, sf_dir, k=20)
+
+
+def _unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer vocab learned over
+    the documents corpus — hard-EM over a substring candidate lattice
+    with integer micro-nat costs (operators/unigram.py; the BPE
+    sibling, Kudo 2018). Oracle: ``_unigram_lm_sql`` unrolls the
+    forward/backward segmentation DP per character position and both
+    EM iterations in pure SQL."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import unigram as UG
+    docs = load_table(spark, "documents", sf_dir)
+    return UG.unigram_train_df(docs)
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4076,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic dedup via embedding clusters (Abbas et al. 2023)
         "semdedup": _semdedup,
         # --- new this round: distributed BPE tokenizer training ---
+        "unigram_lm_vocab": _unigram_lm_vocab,
         "bpe_merges": _bpe_merges,
         "bpe_merges_batched": _bpe_merges_batched,
         "bpe_token_counts": _bpe_token_counts,
@@ -4595,6 +4703,8 @@ ORDER BY d.doc_id
         "svm_declared_weights": _svm_declared_sql(),
         # distributed BPE training: unrolled merge loop (pure BIGINT +
         # identical replace semantics — see operators/bpe.py docstring)
+        # and its unigram-LM sibling: unrolled hard-EM lattice DP
+        "unigram_lm_vocab": _unigram_lm_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_merges_batched": _bpe_merges_batched_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),

@@ -18,6 +18,10 @@ from text_sentiment_classification_hadoop_spark_spark.session import get_spark  
 SF = "/root/testdata/sf0.01"
 
 SHOWCASE = [
+    ("unigram_lm_vocab",
+     "unigram-LM hard-EM: broadcast vocab join onto the lattice, the "
+     "whole forward/backward DP one JVM projection (aggregate HOF) — "
+     "no per-row Python, corpus appears once in word_freqs"),
     ("nb_predictions", "broadcast model join + per-doc log-sum; no corpus shuffle"),
     ("filtered_projection", "predicate pushdown + column pruning into the parquet scan"),
     ("minhash_signatures", "explode -> partial_min map-side aggregation"),
