@@ -93,6 +93,11 @@ HEADLINE_QUERIES = [
         "cuped_ab_lift", "copurchase_ppr", "copurchase_ppr_weighted",
         "bloom_decontaminate", "containment_pairs", "theilsen_trend",
         "ks_price_shift", "nb_auc", "copurchase_communities_deep",
+        # registry-tail heavies promoted in r12 — they rode the r11/r10
+        # isolated artifacts as ad-hoc extras; making them headline
+        # keeps their round-over-round medians first-class
+        "basket_rules_topk", "jaccard_prefix_pairs",
+        "mllib_svm_confusion", "part_entity_resolution",
         # structured streaming
         "events_tumbling_stream", "events_sliding_stream",
         "events_sessionize_stream", "stream_dedup_docs", "stream_dedup_native",

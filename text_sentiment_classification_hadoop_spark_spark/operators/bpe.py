@@ -118,7 +118,8 @@ def select_batch(ranked: list[tuple[str, int]], k: int) -> list[tuple[str, int]]
 
 
 def bpe_train(words: DataFrame, n_merges: int = 8,
-              batch_k: int = 1) -> list[tuple[str, int]]:
+              batch_k: int = 1,
+              round_sizes: list[int] | None = None) -> list[tuple[str, int]]:
     """Learn ``n_merges`` BPE merges from a ``(word, freq)`` dictionary.
 
     Returns ``[(pair, pair_freq), ...]`` in merge order (driver-side —
@@ -146,6 +147,11 @@ def bpe_train(words: DataFrame, n_merges: int = 8,
     BPE would count ``th e`` — batched BPE never saw ``th`` this
     round). ``batch_k=1`` never defers and reads one row, exactly the
     sequential semantics (pytest-pinned bit-equal).
+
+    ``round_sizes`` (optional, caller-owned list): appended with the
+    number of merges selected each round — the batch-FILL trace, i.e.
+    whether symbol-disjoint selection starves as the vocab saturates
+    (the failure mode probed by ``tools/bpe_scale_probe.py``).
     """
     if batch_k < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
@@ -164,6 +170,8 @@ def bpe_train(words: DataFrame, n_merges: int = 8,
         selected = select_batch([(r["pair"], int(r["f"])) for r in top], k)
         if not selected:  # unreachable (first ranked pair never conflicts)
             selected = [(top[0]["pair"], int(top[0]["f"]))]
+        if round_sizes is not None:
+            round_sizes.append(len(selected))
         seq = F.col("seq")
         for pair, f in selected:
             merges.append((pair, f))

@@ -103,8 +103,21 @@ def main() -> int:
     if args.names:
         names = args.names.split(",")
     elif args.headline:
+        import glob
+        import re
+
         import bench
         names = list(bench.HEADLINE_QUERIES)
+        # queries with no median in the most recent committed artifact
+        # run FIRST: a run truncated by the round boundary still covers
+        # the entries that have never had an isolated median (the same
+        # failure the r12 headline-drift check exists to prevent)
+        arts = sorted(glob.glob(os.path.join(REPO, "BENCH_ISOLATED_r*.json")),
+                      key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+        if arts:
+            with open(arts[-1]) as f:
+                prev = set(json.load(f)["queries"])
+            names.sort(key=lambda n: (n in prev))  # stable: new first
     else:
         names = default_names(args.top)
     results: dict[str, dict] = {}
