@@ -1174,7 +1174,8 @@ def source_overlap(docs: DataFrame, prefix_len: int = 80) -> DataFrame:
 
 def jaccard_prefix_pairs(docs: DataFrame, tau_micro: int = 800_000,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         k: int = 2) -> DataFrame:
     """EXACT set-similarity self-join via PREFIX FILTERING → every
     document pair whose word-BIGRAM-set Jaccard ≥ τ, as ``(doc_a,
     doc_b, n_a, n_b, n_common, jac_frac)`` — the lossless complement
@@ -1209,7 +1210,7 @@ def jaccard_prefix_pairs(docs: DataFrame, tau_micro: int = 800_000,
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(
-            shingles_expr(F.col(text_col), k=2))).alias("tok"))
+            shingles_expr(F.col(text_col), k=k))).alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     # The ordered-set frame feeds THREE consumers (prefix explode +
     # both sides of the verify join); Spark shares no subplans across
@@ -1225,12 +1226,30 @@ def jaccard_prefix_pairs(docs: DataFrame, tau_micro: int = 800_000,
     plen = (F.col("_n")
             - F.expr(f"CAST(({tau_micro} * _n + 999999) DIV 1000000 "
                      f"AS BIGINT)") + F.lit(1))
-    prefix = sets.select(F.col(id_col), F.col("_n"), F.explode(
-        F.slice("_toks", F.lit(1), plen.cast("int"))).alias("tok"))
+    prefix = sets.select(
+        F.col(id_col), F.col("_n"),
+        F.posexplode(F.slice("_toks", F.lit(1), plen.cast("int")))
+        .alias("_p0", "tok"))
     # Candidate join carries the set sizes so the LENGTH FILTER
     # (Jaccard ≥ τ ⇒ τ·max(n_a,n_b) ≤ min(n_a,n_b)) prunes pairs
     # BEFORE the dedup shuffle and the array verify — the standard
-    # AllPairs companion filter, also lossless.
+    # AllPairs companion filter, also lossless. The POSITIONAL filter
+    # (PPJoin, Xiao et al. 2008) prunes further: a match at 1-based
+    # prefix positions (i, j) bounds the overlap by
+    # ``1 + min(n_a − i, n_b − j)``, which must reach the Jaccard-
+    # implied requirement ``O ≥ τ/(1+τ)·(n_a+n_b)`` — compared
+    # cross-multiplied in exact integers. Lossless: a qualifying
+    # pair's FIRST common prefix element has zero common elements
+    # before it, so its bound is valid and ≥ the requirement — the
+    # pair always survives through that match (later matches may be
+    # pruned; ``distinct`` only needs one survivor). Found at the sf1
+    # decade (SCALE.md §20): with a fixed tiny vocabulary the prefix
+    # postings grow linearly with the corpus, and the match-level
+    # prune is what keeps the pair stream from going quadratic.
+    overlap_req = F.lit(int(tau_micro)) * (F.col("pa._n") + F.col("pb._n"))
+    overlap_ub = F.lit(1_000_000 + int(tau_micro)) * (
+        F.lit(1) + F.least(F.col("pa._n") - (F.col("pa._p0") + 1),
+                           F.col("pb._n") - (F.col("pb._p0") + 1)))
     cand = (prefix.alias("pa")
             .join(prefix.alias("pb"),
                   (F.col("pa.tok") == F.col("pb.tok"))
@@ -1238,7 +1257,8 @@ def jaccard_prefix_pairs(docs: DataFrame, tau_micro: int = 800_000,
                   & (F.lit(int(tau_micro))
                      * F.greatest(F.col("pa._n"), F.col("pb._n"))
                      <= F.lit(1_000_000)
-                     * F.least(F.col("pa._n"), F.col("pb._n"))))
+                     * F.least(F.col("pa._n"), F.col("pb._n")))
+                  & (overlap_ub >= overlap_req))
             .select(F.col(f"pa.{id_col}").alias("doc_a"),
                     F.col(f"pb.{id_col}").alias("doc_b"))
             .distinct())
