@@ -18,6 +18,11 @@ from text_sentiment_classification_hadoop_spark_spark.session import get_spark  
 SF = "/root/testdata/sf0.01"
 
 SHOWCASE = [
+    ("jaccard_prefix_pairs",
+     "exact set-similarity join: prefix-posting equi-join with the "
+     "lossless length AND positional (PPJoin) filters inline in the "
+     "join condition — candidate stream pruned before the distinct "
+     "shuffle and the array verify (the sf1 scale-killer fix)"),
     ("unigram_lm_vocab",
      "unigram-LM hard-EM: broadcast vocab join onto the lattice, the "
      "whole forward/backward DP one JVM projection (aggregate HOF) — "
