@@ -119,3 +119,31 @@ def test_unigram_plan_has_no_python_udf(spark, sf_dir):
     df = U.unigram_train_df(docs, em_iters=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_unigram_token_counts_matches_python_viterbi(spark):
+    """Apply-side parity: per-word (n_pieces, cost) equal a Python
+    Viterbi with the same fewest-pieces-on-cost-ties rule."""
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                                 "doc_id long, text string")
+    vocab = U.unigram_train_df(docs, seed_multi=10, vocab_multi=6,
+                               em_iters=2)
+    got = {r["word"]: (r["n_pieces"], r["cost_micro"]) for r in
+           U.unigram_token_counts(docs, vocab).collect()}
+    costs = {r["piece"]: r["cost_micro"] for r in vocab.collect()}
+    wf = Counter(w for t in TEXTS for w in re.findall(r"[a-z]+", t.lower()))
+    want = {}
+    for w in wf:
+        n = len(w)
+        best = [(0, 0)] + [None] * n
+        for j in range(1, n + 1):
+            cands = []
+            for i in range(max(0, j - U.MAX_PIECE_LEN), j):
+                p = w[i:j]
+                if p in costs:
+                    cands.append((best[i][0] + costs[p], best[i][1] + 1))
+            best[j] = min(cands)
+        want[w] = (best[n][1], best[n][0])
+    assert got == want
+    # invariant: every word segmentable, 1 <= n_pieces <= len(word)
+    assert all(1 <= got[w][0] <= len(w) for w in wf)

@@ -182,3 +182,61 @@ def unigram_train_df(docs: DataFrame, text_col: str = "text",
             .localCheckpoint(eager=True)
 
     return vocab.orderBy(F.col("exp_count").desc(), F.col("piece"))
+
+
+#: apply-side DP: same forward recurrence as :data:`_FWD` but the
+#: accumulator carries ``struct(c, n)`` = (total cost, piece count),
+#: so ``array_min``'s lexicographic struct ordering yields the
+#: minimum-cost segmentation with the FEWEST pieces among cost ties —
+#: a total, engine-stable tie rule (no backtrace walk needed when the
+#: consumer only wants per-word token budgets).
+_FWD_COUNT = """aggregate(
+  sequence(1, len),
+  array(struct(0L AS c, 0L AS n)),
+  (acc, j) -> array_append(acc,
+    array_min(transform(
+      filter(ed, e -> e.j = j),
+      e -> struct(element_at(acc, e.i + 1).c + e.cost AS c,
+                  element_at(acc, e.i + 1).n + 1L AS n)))))"""
+
+
+def unigram_token_counts(docs: DataFrame, vocab: DataFrame,
+                         text_col: str = "text",
+                         max_piece_len: int = MAX_PIECE_LEN,
+                         max_word_len: int = MAX_WORD_LEN) -> DataFrame:
+    """APPLY a trained unigram vocab (:func:`unigram_train_df` output:
+    ``(piece, exp_count, cost_micro)``) to a corpus → per-word token
+    budgets ``(word, freq, n_pieces, cost_micro)`` ordered by word —
+    the BPE sibling's ``bpe_doc_token_counts`` analogue (the number a
+    training-data pipeline needs for sequence packing and token
+    accounting).
+
+    ``n_pieces`` is the piece count of the minimum-cost Viterbi
+    segmentation, ties broken toward FEWER pieces (lexicographic
+    ``struct(cost, n)`` min — total and engine-stable, so no
+    backtrace pass). Same corpus/dictionary split as training: the
+    corpus appears once in ``word_freqs``; the lattice join and the
+    one-projection DP run on the dictionary. Words longer than
+    ``max_word_len`` (excluded from training statistics) are reported
+    with NULL ``n_pieces`` rather than silently dropped."""
+    wf = word_freqs(docs, text_col=text_col)
+    edges = substring_edges(wf, max_piece_len=max_piece_len,
+                            max_word_len=max_word_len)
+    lat = (edges.join(F.broadcast(vocab.select("piece", "cost_micro")),
+                      "piece")
+           .groupBy("word", "freq", "len")
+           .agg(F.collect_list(
+               F.struct(F.col("i"), F.col("j"),
+                        F.col("cost_micro").alias("cost"))).alias("ed")))
+    dp = lat.select(
+        "word", "freq",
+        F.expr(f"element_at({_FWD_COUNT}, len + 1)").alias("_best"))
+    scored = dp.select(
+        "word", F.col("freq").cast("long").alias("freq"),
+        F.col("_best.n").alias("n_pieces"),
+        F.col("_best.c").alias("cost_micro"))
+    long_words = (wf.filter(F.length("word") > max_word_len)
+                  .select("word", F.col("freq").cast("long").alias("freq"),
+                          F.lit(None).cast("long").alias("n_pieces"),
+                          F.lit(None).cast("long").alias("cost_micro")))
+    return scored.unionByName(long_words).orderBy("word")
