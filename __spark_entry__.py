@@ -680,14 +680,18 @@ def _bpe_merges_batched_sql(n_merges: int = BPE_MERGES,
               " CAST(f AS BIGINT) AS freq\nFROM allm ORDER BY merge_rank")
 
 
-def _unigram_lm_sql() -> str:
-    """Unrolled hard-EM unigram-LM trainer oracle (mirror of
-    operators/unigram.py): word dictionary -> substring lattice ->
-    seed vocab -> per-EM-iteration forward/backward min-cost DP
-    (unrolled per character position, the bpe_merges CTE precedent)
-    -> optimal-subpath piece counts -> prune + micro-nat requantize.
-    All DP arithmetic BIGINT; the only float op is the per-vocab-row
-    ``floor(1e6·ln(total/cnt))``, identical in both engines."""
+def _unigram_parts() -> tuple[list[str], int, int]:
+    """The shared unrolled hard-EM unigram-LM trainer CTE chain
+    (mirror of operators/unigram.py): word dictionary -> substring
+    lattice -> seed vocab -> per-EM-iteration forward/backward
+    min-cost DP (unrolled per character position, the bpe_merges CTE
+    precedent) -> optimal-subpath piece counts -> prune + micro-nat
+    requantize. All DP arithmetic BIGINT; the only float op is the
+    per-vocab-row ``floor(1e6·ln(total/cnt))``, identical in both
+    engines. Returns ``(parts, EM_ITERS, MAX_WORD_LEN)`` — the final
+    vocab lands in CTE ``v{EM_ITERS}``; consumed by both the trainer
+    oracle (``_unigram_lm_sql``) and the apply-side oracle
+    (``_unigram_token_counts_sql``)."""
     from text_sentiment_classification_hadoop_spark_spark.operators.unigram import (
         EM_ITERS,
         MAX_PIECE_LEN,
@@ -716,11 +720,13 @@ def _unigram_lm_sql() -> str:
         ]
 
     parts = [
-        f"""wfl AS MATERIALIZED (
+        f"""wall AS MATERIALIZED (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS freq, len(w) AS len
   FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
         FROM documents) u
-  GROUP BY w HAVING len(w) <= {W})""",
+  GROUP BY w)""",
+        f"""wfl AS MATERIALIZED (
+  SELECT word, freq, len FROM wall WHERE len <= {W})""",
         f"""eg AS MATERIALIZED (
   SELECT word, freq, len, i, i + l AS j, substr(word, i + 1, l) AS piece
   FROM (SELECT word, freq, len, i,
@@ -770,9 +776,51 @@ def _unigram_lm_sql() -> str:
   WHERE fi.c + l.cost + bj.c = ft.c
   GROUP BY l.piece)""")
         parts += vocab_ctes(k, f"c{k}", VOCAB_MULTI)
+    return parts, EM_ITERS, W
+
+
+def _unigram_lm_sql() -> str:
+    """Trainer oracle: the shared CTE chain's final vocab."""
+    parts, em, _ = _unigram_parts()
     return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT piece, exp_count, cost_micro FROM v{EM_ITERS} "
+            + f"\nSELECT piece, exp_count, cost_micro FROM v{em} "
             "ORDER BY exp_count DESC, piece")
+
+
+def _unigram_token_counts_sql() -> str:
+    """Apply-side oracle (mirror of unigram.unigram_token_counts):
+    re-train the vocab via the shared CTE chain, then run the
+    apply-side Viterbi — a forward DP carrying ``(cost, n_pieces)``
+    with lexicographic min (fewest pieces among cost ties), unrolled
+    per character position; at each position the argmin survives via
+    ``row_number() OVER (... ORDER BY cost, n)``, the exact mirror of
+    the Spark side's ``array_min`` over ``struct(c, n)``. The final
+    LEFT JOIN of the FULL word table against (word, pos=len) yields
+    NULL ``n_pieces``/``cost_micro`` for exactly the words the Spark
+    side reports as unsegmentable (longer than max_word_len — no
+    lattice row at all — or unreachable at pos=len), never dropping a
+    word (ADVICE r12 NULL contract)."""
+    parts, em, W = _unigram_parts()
+    parts.append(f"""lA AS MATERIALIZED (
+  SELECT e.word, e.len, e.i, e.j, v.cost_micro AS cost
+  FROM eg e JOIN v{em} v ON e.piece = v.piece)""")
+    parts.append(
+        "a0 AS MATERIALIZED (SELECT DISTINCT word, 0 AS pos, "
+        "CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS n FROM lA)")
+    for p in range(1, W + 1):
+        parts.append(f"""a{p} AS MATERIALIZED (
+  SELECT * FROM a{p - 1}
+  UNION ALL
+  SELECT word, pos, c, n FROM (
+    SELECT l.word, {p} AS pos, f.c + l.cost AS c, f.n + 1 AS n,
+           row_number() OVER (PARTITION BY l.word
+                              ORDER BY f.c + l.cost, f.n + 1) AS rk
+    FROM lA l JOIN a{p - 1} f ON f.word = l.word AND f.pos = l.i
+    WHERE l.j = {p}) t WHERE rk = 1)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT w.word, w.freq, a.n AS n_pieces, a.c AS cost_micro
+FROM wall w LEFT JOIN a{W} a ON a.word = w.word AND a.pos = w.len
+ORDER BY w.word""")
 
 
 def _bpe_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
@@ -1790,7 +1838,11 @@ def _copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
              edges.select(F.col("src").alias("node"))
              .distinct().orderBy("node").limit(3).collect()]
     with scoped_shuffle_partitions(spark, 8):
-        ranks = G.pagerank_personalized(edges, seeds, iters=3)
+        # seeds come from the graph's own node set two lines up —
+        # pre-validated by construction, so skip the anti-join
+        # validation job (ADVICE r12)
+        ranks = G.pagerank_personalized(edges, seeds, iters=3,
+                                        validate_seeds=False)
     return ranks.orderBy("node")
 
 
@@ -1808,8 +1860,10 @@ def _copurchase_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
              edges.select(F.col("src").alias("node"))
              .distinct().orderBy("node").limit(3).collect()]
     with scoped_shuffle_partitions(spark, 8):
+        # seeds derived from the node set above — pre-validated (ADVICE r12)
         ranks = G.pagerank_personalized(edges, seeds, iters=3,
-                                        weight_col="w")
+                                        weight_col="w",
+                                        validate_seeds=False)
     return ranks.orderBy("node")
 
 
@@ -1923,6 +1977,21 @@ def _unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators import unigram as UG
     docs = load_table(spark, "documents", sf_dir)
     return UG.unigram_train_df(docs)
+
+
+def _unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of the unigram-LM tokenizer (VERDICT r12 ask #1):
+    train the vocab over documents, then Viterbi-segment every corpus
+    word → per-word ``(freq, n_pieces, cost_micro)`` token budgets —
+    the sequence-packing/token-accounting number, the
+    ``bpe_doc_token_counts`` sibling (operators/unigram.py
+    ``unigram_token_counts``; fewest-pieces-on-cost-ties rule). NULL
+    budgets exactly for unsegmentable words (> max_word_len here).
+    Oracle: ``_unigram_token_counts_sql`` unrolls the same
+    struct-lexicographic forward DP per character position."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import unigram as UG
+    docs = load_table(spark, "documents", sf_dir)
+    return UG.unigram_token_counts(docs, UG.unigram_train_df(docs))
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4184,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _semdedup,
         # --- new this round: distributed BPE tokenizer training ---
         "unigram_lm_vocab": _unigram_lm_vocab,
+        "unigram_token_counts": _unigram_token_counts,
         "bpe_merges": _bpe_merges,
         "bpe_merges_batched": _bpe_merges_batched,
         "bpe_token_counts": _bpe_token_counts,
@@ -4705,6 +4775,7 @@ ORDER BY d.doc_id
         # identical replace semantics — see operators/bpe.py docstring)
         # and its unigram-LM sibling: unrolled hard-EM lattice DP
         "unigram_lm_vocab": _unigram_lm_sql(),
+        "unigram_token_counts": _unigram_token_counts_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_merges_batched": _bpe_merges_batched_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),

@@ -61,6 +61,7 @@ HEADLINE_QUERIES = [
         "token_freq_histogram", "top_tokens", "zipf_fit", "bigram_lm", "heaps_fit", "pack_sequences",
         "chunk_documents", "bpe_merges", "bpe_token_counts",
         "bpe_doc_token_counts", "bpe_vocab_curve", "unigram_lm_vocab",
+        "unigram_token_counts",
         # search
         "bm25_search", "inverted_index", "cms_token_counts",
         "hybrid_rrf_search", "phrase_search", "pmi_collocations", "textrank_keywords",

@@ -147,3 +147,52 @@ def test_unigram_token_counts_matches_python_viterbi(spark):
     assert got == want
     # invariant: every word segmentable, 1 <= n_pieces <= len(word)
     assert all(1 <= got[w][0] <= len(w) for w in wf)
+
+def test_unigram_token_counts_null_contract_foreign_corpus(spark):
+    """ADVICE r12: applying a vocab to a corpus it does not char-cover
+    must yield NULL n_pieces/cost_micro rows (never wrong numbers,
+    never silent drops) — for (a) words with NO vocab-known piece at
+    all (lattice emptied by the join), (b) words PARTIALLY covered
+    (an unreachable DP position must not poison later minima), and
+    (c) words longer than max_word_len. Covered words still match
+    the same-corpus result exactly."""
+    train = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                                  "doc_id long, text string")
+    vocab = U.unigram_train_df(train, seed_multi=10, vocab_multi=6,
+                               em_iters=1)
+    # 'z'/'b' are not in the training char inventory; the last word
+    # is 13 chars (> MAX_WORD_LEN=12)
+    apply_docs = spark.createDataFrame(
+        [(0, "zzz zebra cat on thecatsatonmat")],
+        "doc_id long, text string")
+    got = {r["word"]: (r["n_pieces"], r["cost_micro"]) for r in
+           U.unigram_token_counts(apply_docs, vocab).collect()}
+    assert set(got) == {"zzz", "zebra", "cat", "on", "thecatsatonmat"}
+    assert got["zzz"] == (None, None)            # no edge survives
+    assert got["zebra"] == (None, None)          # partial char coverage
+    assert got["thecatsatonmat"] == (None, None)  # > max_word_len
+    for w in ("cat", "on"):                      # covered: real numbers
+        assert got[w][0] is not None and 1 <= got[w][0] <= len(w)
+
+
+def test_ranged_cumsum_null_sum_values(spark):
+    """ADVICE r12: NULLs in a sum column contribute 0 in BOTH phases —
+    an all-NULL partition must not raise int(None), and row-level
+    NULLs must leave the cumulative sums consistent with the grand
+    totals."""
+    from text_sentiment_classification_hadoop_spark_spark.functions.prefix import ROWS, ranged_cumsum
+    rows = [(i, None if i % 3 == 0 else i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out, totals = ranged_cumsum(df, ["k"], ["v"], n_parts=4)
+    got = {r["k"]: (r["_cum_v"], r[ROWS]) for r in out.collect()}
+    run = 0
+    for i in range(30):
+        run += 0 if i % 3 == 0 else i * 10
+        assert got[i] == (run, i + 1)
+    assert totals["v"] == run and totals["rows"] == 30
+    # degenerate: EVERY value NULL in every partition
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(8)], "k long, v long")
+    out2, totals2 = ranged_cumsum(all_null, ["k"], ["v"], n_parts=3)
+    assert totals2["v"] == 0 and totals2["rows"] == 8
+    assert all(r["_cum_v"] == 0 for r in out2.collect())

@@ -52,12 +52,20 @@ def ranged_cumsum(df: DataFrame, order_cols: list[str],
     ill-typed (``map<null,null>`` vs bigint keys — an analysis error,
     the ADVICE r11 ks_price_shift degenerate), so the empty frame gets
     correctly-typed zero columns instead and totals are all 0.
+
+    NULL contract (ADVICE r12): a NULL in a ``sum_cols`` value
+    contributes 0 — consistently in BOTH phases (the window ``sum``
+    skips NULLs; the per-partition subtotal is coalesced to 0, so an
+    all-NULL partition no longer raises ``int(None)``). ``order_cols``
+    values must be non-null (range partitioning on NULL keys is
+    engine-defined).
     """
     ranged = (df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
               .sortWithinPartitions(*order_cols)
               .withColumn("_pid", F.spark_partition_id())
               .localCheckpoint(eager=True))  # pin partitioning for phase 2
-    aggs = [F.sum(c).cast("long").alias(c) for c in sum_cols]
+    aggs = [F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c)
+            for c in sum_cols]
     aggs.append(F.count(F.lit(1)).alias(ROWS))
     parts = ranged.groupBy("_pid").agg(*aggs).collect()
     names = sum_cols + [ROWS]
@@ -89,7 +97,8 @@ def ranged_cumsum(df: DataFrame, order_cols: list[str],
     for c in sum_cols:
         out = out.withColumn(
             f"_cum_{c}",
-            (F.sum(c).over(w) + F.expr(_lit_map(c))).cast("long"))
+            (F.coalesce(F.sum(c).over(w), F.lit(0))
+             + F.expr(_lit_map(c))).cast("long"))
     out = out.withColumn(
         ROWS, (F.sum(F.lit(1)).over(w) + F.expr(_lit_map(ROWS)))
         .cast("long"))

@@ -189,15 +189,29 @@ def unigram_train_df(docs: DataFrame, text_col: str = "text",
 #: so ``array_min``'s lexicographic struct ordering yields the
 #: minimum-cost segmentation with the FEWEST pieces among cost ties —
 #: a total, engine-stable tie rule (no backtrace walk needed when the
-#: consumer only wants per-word token budgets).
-_FWD_COUNT = """aggregate(
+#: consumer only wants per-word token budgets). Unlike the training
+#: DP (where full char coverage is guaranteed by construction), an
+#: APPLIED vocab may not char-cover the word: an UNREACHABLE position
+#: gets the :data:`_UNREACHABLE` sentinel cost (``coalesce`` over the
+#: empty ``array_min``) rather than a NULL element — a NULL struct in
+#: the accumulator would sort below every real cost AND trips a
+#: codegen NPE on field access — and the sentinel propagates
+#: monotonically (INF + cost ≥ INF, no overflow: ≤ max_word_len
+#: additions of 1e15 ≪ 2^63), so an unsegmentable word ends ≥ INF
+#: and is reported as NULL by the caller, never as a wrong number
+#: (ADVICE r12).
+_UNREACHABLE = 10 ** 15
+
+_FWD_COUNT = f"""aggregate(
   sequence(1, len),
   array(struct(0L AS c, 0L AS n)),
   (acc, j) -> array_append(acc,
-    array_min(transform(
-      filter(ed, e -> e.j = j),
-      e -> struct(element_at(acc, e.i + 1).c + e.cost AS c,
-                  element_at(acc, e.i + 1).n + 1L AS n)))))"""
+    coalesce(
+      array_min(transform(
+        filter(ed, e -> e.j = j),
+        e -> struct(element_at(acc, e.i + 1).c + e.cost AS c,
+                    element_at(acc, e.i + 1).n + 1L AS n))),
+      struct(CAST({_UNREACHABLE} AS BIGINT) AS c, 0L AS n))))"""
 
 
 def unigram_token_counts(docs: DataFrame, vocab: DataFrame,
@@ -216,9 +230,18 @@ def unigram_token_counts(docs: DataFrame, vocab: DataFrame,
     ``struct(cost, n)`` min — total and engine-stable, so no
     backtrace pass). Same corpus/dictionary split as training: the
     corpus appears once in ``word_freqs``; the lattice join and the
-    one-projection DP run on the dictionary. Words longer than
-    ``max_word_len`` (excluded from training statistics) are reported
-    with NULL ``n_pieces`` rather than silently dropped."""
+    one-projection DP run on the dictionary.
+
+    NULL contract (ADVICE r12): ``n_pieces``/``cost_micro`` are NULL
+    exactly when the word is NOT segmentable under this vocab — it is
+    longer than ``max_word_len`` (excluded from training statistics),
+    or the vocab does not char-cover it (possible when applying a
+    vocab trained on a DIFFERENT corpus; a vocab from
+    :func:`unigram_train_df` over the same corpus always covers — all
+    single chars are retained). No word is ever silently dropped: words
+    whose lattice loses every edge to the vocab join are re-attached
+    as NULL rows, and partially-covered words get a NULL (not a
+    wrong) DP result via the NULL-safe :data:`_FWD_COUNT` filter."""
     wf = word_freqs(docs, text_col=text_col)
     edges = substring_edges(wf, max_piece_len=max_piece_len,
                             max_word_len=max_word_len)
@@ -231,12 +254,16 @@ def unigram_token_counts(docs: DataFrame, vocab: DataFrame,
     dp = lat.select(
         "word", "freq",
         F.expr(f"element_at({_FWD_COUNT}, len + 1)").alias("_best"))
+    reachable = F.col("_best.c") < F.lit(_UNREACHABLE)
     scored = dp.select(
         "word", F.col("freq").cast("long").alias("freq"),
-        F.col("_best.n").alias("n_pieces"),
-        F.col("_best.c").alias("cost_micro"))
-    long_words = (wf.filter(F.length("word") > max_word_len)
-                  .select("word", F.col("freq").cast("long").alias("freq"),
-                          F.lit(None).cast("long").alias("n_pieces"),
-                          F.lit(None).cast("long").alias("cost_micro")))
-    return scored.unionByName(long_words).orderBy("word")
+        F.when(reachable, F.col("_best.n")).alias("n_pieces"),
+        F.when(reachable, F.col("_best.c")).alias("cost_micro"))
+    # long words AND short words whose every lattice edge was dropped
+    # by the vocab join (no char coverage at all) — both re-attached
+    # as NULL rows so no word is silently lost (ADVICE r12)
+    unsegmented = (wf.join(lat.select("word"), "word", "left_anti")
+                   .select("word", F.col("freq").cast("long").alias("freq"),
+                           F.lit(None).cast("long").alias("n_pieces"),
+                           F.lit(None).cast("long").alias("cost_micro")))
+    return scored.unionByName(unsegmented).orderBy("word")

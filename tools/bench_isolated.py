@@ -112,8 +112,12 @@ def main() -> int:
         # run FIRST: a run truncated by the round boundary still covers
         # the entries that have never had an isolated median (the same
         # failure the r12 headline-drift check exists to prevent)
-        arts = sorted(glob.glob(os.path.join(REPO, "BENCH_ISOLATED_r*.json")),
-                      key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+        # only digit-suffixed artifacts (a stray BENCH_ISOLATED_rerun.json
+        # must be skipped, not crash the --headline path — ADVICE r12)
+        arts = sorted(
+            (p for p in glob.glob(os.path.join(REPO, "BENCH_ISOLATED_r*.json"))
+             if re.search(r"_r(\d+)\.json$", p)),
+            key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
         if arts:
             with open(arts[-1]) as f:
                 prev = set(json.load(f)["queries"])

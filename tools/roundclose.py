@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import subprocess
 import sys
@@ -137,7 +138,20 @@ def verify_bench_isolated(path: str, problems: list[str]) -> None:
             problems.append(f"{path}: coverage={rec['coverage']!r}, "
                             "want 'headline'")
         import bench
-        missing = sorted(set(bench.HEADLINE_QUERIES) - set(rec["queries"]))
+        missing = set(bench.HEADLINE_QUERIES) - set(rec["queries"])
+        # a headline query that did not yet EXIST when this artifact's
+        # round closed cannot be expected in it (mid-round headline
+        # growth would otherwise red the suite before the closing
+        # regeneration): scope the expectation to the same round's
+        # committed registry (its SELFCHECK's query set). At close
+        # time the fresh selfcheck contains every registry query, so
+        # the closing artifact still must cover the FULL headline set.
+        m = re.search(r"_r(\d+)\.json$", path)
+        sc = f"{REPO}/SELFCHECK_r{m.group(1)}.json" if m else None
+        if sc and os.path.exists(sc):
+            with open(sc) as f:
+                missing &= set(json.load(f)["queries"])
+        missing = sorted(missing)
         if missing:
             problems.append(f"{path}: headline coverage missing "
                             f"{len(missing)}: {missing[:5]}...")
