@@ -1748,6 +1748,28 @@ def _word_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(toks, "word", n_salts=8).orderBy("word")
 
 
+def _salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment order counts and exact-decimal revenue
+    computed through the generic skew-safe JOIN operator
+    (operators/skew.salted_join: big side salted per row, small side
+    exploded ``n_salts`` ways, equi-join on ``(key, salt)`` so a hot
+    key spreads over ``n_salts`` reducers). Hash-checked against the
+    plain-join oracle — salting must be result-invariant."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import dsum
+    from text_sentiment_classification_hadoop_spark_spark.operators.skew import salted_join
+    orders = load_table(spark, "orders", sf_dir) \
+        .select("o_custkey", "o_totalprice")
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    j = salted_join(orders, cust, "o_custkey", n_salts=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum(F.col("o_totalprice")).alias("revenue"))
+            .orderBy("c_mktsegment"))
+
+
 _COPURCHASE_REL_CACHE: dict = {}
 
 
@@ -2968,6 +2990,51 @@ def _nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("thr_idx"))
 
 
+def _active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example mining for the sentiment task (VERDICT r12 ask #7)
+    — the standard active-learning batch-selection loop, composing
+    three registry families in ONE driver-checkable plan:
+
+    1. **uncertainty** — the NB margin ``m_micro = floor(1e6·(score_pos
+       − score_neg) + 0.5)`` (the nb_pr_curve quantization: integer
+       micro-nats, cross-engine exact) on the test split, smallest
+       ``|m|`` = most uncertain;
+    2. **near-dup exclusion** — a doc that is the LARGER id of any
+       MinHash-LSH near-dup pair (threshold 0.5, over the full corpus,
+       train side included — a test doc near-duplicating a train doc is
+       leakage, not signal) is excluded, so the labeling budget never
+       buys a near-copy;
+    3. **per-predicted-label quota** — ``cap`` most-uncertain docs per
+       predicted class via the skew-safe salted quota selector
+       (operators/curation.quota_select_salted: rank within
+       (group, salt) then re-rank cap-bounded survivors — no
+       single-reducer window), balancing the batch across classes.
+
+    Output ``(doc_id, grp, score, rk)``: grp = predicted class, score =
+    −|m_micro| (so rank 1 = most uncertain), rk = within-class rank.
+    Oracle: the NB_PRED_SQL model/margin chain + the near_dup_pairs
+    banding CTEs + a plain per-group row_number — quota_select_salted
+    is result-identical to the unsalted window by construction."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import dedup as D
+    from text_sentiment_classification_hadoop_spark_spark.operators.curation import quota_select_salted
+    docs = S.labeled_documents(spark, sf_dir)
+    scored = S.nb_scored(spark, sf_dir)
+    m = F.floor((F.col("score_pos") - F.col("score_neg"))
+                * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    pairs = D.minhash_near_dups(docs.select("doc_id", "text"),
+                                threshold=0.5)
+    excl = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    pool = (scored.join(excl, "doc_id", "left_anti")
+            .select("doc_id",
+                    F.when(m > 0, F.lit("POS")).otherwise(F.lit("NEG"))
+                    .alias("pred_grp"),
+                    (-F.abs(m)).alias("uncertainty")))
+    return quota_select_salted(pool, cap=25, group_col="pred_grp",
+                               score_col="uncertainty", id_col="doc_id")
+
+
 def _nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-corrected ROC-AUC of the NB margin on the test split
     → one row ``(n_pos, n_neg, n_tiers, auc)`` — the threshold-free
@@ -3880,6 +3947,67 @@ def _dedup_store_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("text_hash").orderBy("text_hash"))
 
 
+def _bpe_merges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-artifact persistence loop closed end-to-end:
+    train (operators/bpe.bpe_train) → persist the merge table
+    (save_merges, the ``tokenize-train`` CLI artifact) → load it back
+    (load_merges) → re-emit as the merge-table frame. Hash-checked
+    against the SAME unrolled-CTE oracle as ``bpe_merges`` — the
+    parquet roundtrip must be lossless, the model_store roundtrip
+    discipline applied to the BPE artifact."""
+    import os
+
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    docs = load_table(spark, "documents", sf_dir)
+    path = os.path.join(_store_scratch(sf_dir, "bpemerges"), "merges")
+    merges = BPE.bpe_train(BPE.word_freqs(docs), BPE_MERGES)
+    BPE.save_merges(spark, merges, path)
+    loaded = BPE.load_merges(spark, path)
+    rows = [(i + 1, p, p.replace(" ", ""), f)
+            for i, (p, f) in enumerate(loaded)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, pair string, merged string, freq bigint"
+    ).orderBy("merge_rank")
+
+
+def _band_index_store_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained persistent LSH band index
+    (streaming/pipeline.incremental_band_index_to_store) driven
+    end-to-end: the documents table arrives as two micro-batches
+    (doc_id parity files + maxFilesPerTrigger=1), each batch's band
+    rows APPEND to the parquet store with the batch_id replay guard
+    (band rows are immutable per-doc facts — no merge). The query
+    reads the whole store back; final contents are batch-order-
+    invariant, so the oracle is the plain batch banding over the full
+    table (the stream_neardup_candidates bands CTE)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.session import ensure_engine_confs
+    from text_sentiment_classification_hadoop_spark_spark.streaming.pipeline import (
+        incremental_band_index_to_store,
+        stream_shuffle_partitions,
+    )
+    ensure_engine_confs(spark)
+    base = _store_scratch(sf_dir, "bandidx")
+    in_dir, store = os.path.join(base, "in"), os.path.join(base, "store")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    raw = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    with stream_shuffle_partitions(spark):
+        incremental_band_index_to_store(raw, store,
+                                        query_name="band_index_drive")
+    return (spark.read.parquet(store)
+            .select("doc_id", F.col("band").cast("int").alias("band"),
+                    "bucket")
+            .orderBy("doc_id", "band"))
+
+
 def _training_shards_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard writer (sources/layout.write_training_shards)
     driven end-to-end: the shuffle_split manifest joined back to its
@@ -4182,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_manifest": _training_manifest,
         "count_store_contents": _count_store_contents,
         "dedup_store_contents": _dedup_store_contents,
+        "band_index_store_contents": _band_index_store_contents,
         "training_shards_readback": _training_shards_readback,
         "mmr_rerank": _mmr_rerank,
         "ctfidf_keywords": _ctfidf_keywords,
@@ -4196,6 +4325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": _events_anomalies,
         "nb_pr_curve": _nb_pr_curve,
         "nb_auc": _nb_auc,
+        "active_learning_batch": _active_learning_batch,
         "lang_id_confusion": _lang_id_confusion,
         "knn_graph": _knn_graph,
         "pareto_orders": R.pareto_orders,
@@ -4255,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_vocab": _unigram_lm_vocab,
         "unigram_token_counts": _unigram_token_counts,
         "bpe_merges": _bpe_merges,
+        "bpe_merges_roundtrip": _bpe_merges_roundtrip,
         "bpe_merges_batched": _bpe_merges_batched,
         "bpe_token_counts": _bpe_token_counts,
         "bpe_doc_token_counts": _bpe_doc_token_counts,
@@ -4379,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew demonstration (result-identical oracle); the SQL-layer
         # twin sql_pricing_summary is registered once, near the top
         "word_counts_salted": _word_counts_salted,
+        "salted_segment_revenue": _salted_segment_revenue,
         # dedup (north star)
         "dedup_exact": _dedup_exact,
         "decontaminate_train": _decontaminate_train,
@@ -4777,6 +4909,7 @@ ORDER BY d.doc_id
         "unigram_lm_vocab": _unigram_lm_sql(),
         "unigram_token_counts": _unigram_token_counts_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_merges_roundtrip": _bpe_merges_sql(),
         "bpe_merges_batched": _bpe_merges_batched_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "bpe_doc_token_counts": _bpe_doc_token_counts_sql(),
@@ -5978,6 +6111,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
     # the salted two-phase aggregation must equal the naive group-by,
     # and the spark.sql entry point runs the literal oracle text.
     out["word_counts_salted"] = out["word_counts"]
+    # the salted JOIN must be result-invariant vs the plain join
+    from text_sentiment_classification_hadoop_spark_spark.functions.rounding import sql_dsum
+    out["salted_segment_revenue"] = f"""
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o.o_totalprice')} AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
     out["sql_pricing_summary"] = out["pricing_summary"]
     # identical semantics, different distributed algorithm — same oracle
     out["dedup_canonical_alternating"] = out["dedup_canonical"]
@@ -7126,6 +7267,14 @@ GROUP BY word ORDER BY word
     out["dedup_store_contents"] = """
 SELECT DISTINCT md5(text) AS text_hash FROM documents ORDER BY text_hash
 """
+    out["band_index_store_contents"] = f"""
+WITH docs_all AS (SELECT doc_id, text FROM documents),
+{_minhash_long_cte()}
+SELECT doc_id, CAST(p // 4 AS INTEGER) AS band,
+       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+FROM sig_long GROUP BY doc_id, p // 4
+ORDER BY doc_id, band
+"""
     out["training_shards_readback"] = f"""
 WITH sp AS ({out["shuffle_split_docs"]}),
 m AS (SELECT sp.split, sp.shard, sp.shuffle_key, d.n_chars
@@ -7486,6 +7635,62 @@ SELECT CAST(i AS INTEGER) AS thr_idx, threshold,
        CASE WHEN tp + fp > 0 THEN {IR("tp", "tp + fp")} END AS "precision",
        CASE WHEN tp + fn > 0 THEN {IR("tp", "tp + fn")} END AS recall
 FROM pr ORDER BY thr_idx
+"""
+    # Active-learning batch (_active_learning_batch): NB margin in
+    # integer micro-nats on the test split, minus docs that are the
+    # larger id of any MinHash-LSH near-dup pair over the full corpus,
+    # then a per-predicted-class uncertainty quota. The plain
+    # row_number here is what quota_select_salted equals by its
+    # result-invariance contract (pytest-pinned equality).
+    out["active_learning_batch"] = f"""
+WITH {DOCS_CTE},
+sums AS (
+  SELECT t.doc_id,
+         sum(ln((m.pos_count + 1) / (s.pos_w + vb.v))) AS s_pos,
+         sum(ln((m.neg_count + 1) / (s.neg_w + vb.v))) AS s_neg
+  FROM tok_test t JOIN model m USING (word), stats s, vocab vb
+  GROUP BY t.doc_id
+),
+marg AS (
+  SELECT d.doc_id,
+         CAST(floor(((ln(s.pos_t / s.tweets) + coalesce(su.s_pos, 0.0))
+                     - (ln(s.neg_t / s.tweets) + coalesce(su.s_neg, 0.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS m_micro
+  FROM test d LEFT JOIN sums su USING (doc_id), stats s
+),
+docs_all AS (SELECT doc_id, text FROM docs),
+{_minhash_long_cte()},
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+  FROM sig_long GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig_long sa ON sa.doc_id = c.id_a
+  JOIN sig_long sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+  GROUP BY c.id_a, c.id_b
+),
+excl AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE est_jaccard >= 0.5),
+pool AS (
+  SELECT m.doc_id,
+         CASE WHEN m.m_micro > 0 THEN 'POS' ELSE 'NEG' END AS grp,
+         -abs(m.m_micro) AS score
+  FROM marg m WHERE m.doc_id NOT IN (SELECT doc_id FROM excl)
+),
+r AS (
+  SELECT doc_id, grp, score,
+         CAST(row_number() OVER (PARTITION BY grp
+               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rk
+  FROM pool)
+SELECT doc_id, grp, score, rk FROM r WHERE rk <= 25 ORDER BY grp, rk
 """
     # Exact tie-corrected ROC-AUC (_nb_auc): same scoring + margin
     # CTEs as nb_pr_curve, then the rank-sum identity over margin

@@ -143,5 +143,31 @@ def test_latest_committed_artifact_set_is_internally_consistent():
     if os.path.exists(sc3):  # the bench-scale check exists since r11
         rc.verify_selfcheck(sc3, n, probs)
     bi = f"/root/repo/BENCH_ISOLATED_r{n_round}.json"
-    rc.verify_bench_isolated(bi, probs)
+    # full_coverage=False: the committed artifact covered the headline
+    # set AS OF its round (verified at that close); mid-round headline
+    # promotions must not retroactively red it (r13: the one-time
+    # sweep promoted 25 pre-existing queries)
+    rc.verify_bench_isolated(bi, probs, full_coverage=False)
     assert probs == [], probs
+
+
+def test_operator_registry_audit_is_clean_and_detects_orphans(tmp_path):
+    """The public-operator audit (VERDICT r12 ask #1): HEAD must carry
+    zero unwaived uncovered public functions, and a synthetic orphan
+    module must be flagged."""
+    spec2 = importlib.util.spec_from_file_location(
+        "operator_registry_audit",
+        "/root/repo/tools/operator_registry_audit.py")
+    ora = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(ora)
+    assert ora.audit() == []
+    # a module whose public function nothing references must be caught
+    mod = (tmp_path / "orphan_op.py")
+    mod.write_text("def shiny_new_operator(df):\n    return df\n")
+    orig = ora._package_sources
+    ora._package_sources = lambda: orig() + [str(mod)]
+    try:
+        findings = ora.audit()
+    finally:
+        ora._package_sources = orig
+    assert any("shiny_new_operator" in f for f in findings)

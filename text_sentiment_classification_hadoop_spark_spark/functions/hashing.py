@@ -87,21 +87,6 @@ def _affine_map(a: int, b: int):
     return apply
 
 
-def minhash_sql_exprs(base_hash_sql: str, num_perm: int = 16) -> list[str]:
-    """The DuckDB-side mirror of :func:`minhash_expr`: one SQL expression
-    per permutation over a column of base hashes (for use under a
-    group-by of the shingle explode). ``base_hash_sql`` is the SQL string
-    producing the 60-bit base hash."""
-    p = MINHASH_PRIME
-    out = []
-    for i in range(num_perm):
-        a, b = _coeffs(i)
-        out.append(
-            f"coalesce(min(({a} * (({base_hash_sql}) % {p}) + {b}) % {p}), {p})"
-        )
-    return out
-
-
 def simhash_expr(tokens: Column, bits: int = 32) -> Column:
     """SimHash over a token array: for each bit position, sum +-1 over
     token hashes' bit values, then take the sign bit. Returns bigint.

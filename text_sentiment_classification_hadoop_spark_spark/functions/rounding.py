@@ -63,10 +63,6 @@ def davg(col: Column) -> Column:
     return dsum(col) / F.count(F.lit(1))
 
 
-def sql_davg(expr: str) -> str:
-    return f"({sql_dsum(expr)} / count(*))"
-
-
 def pround_avg2(col: Column, n: int = 6) -> Column:
     """Half-up-rounded (``n`` digits) mean of an exact-2-dp-valued
     column, computed so the output double is uniquely IEEE-determined.
@@ -169,11 +165,6 @@ def sql_ir38(num: str, den: str, n: int = 6) -> str:
     a = f"(CAST(({num}) AS DECIMAL(38,0)) * {2 * m} + {sd})"
     b = f"(CAST(({den}) AS DECIMAL(38,0)) * 2)"
     return f"(floor(({a} - {a} % {b}) / {b} + 0.5) / 1e{n})"
-
-
-def sql_pround(expr: str, n: int) -> str:
-    m = float(10 ** n)
-    return f"floor(({expr}) * {m!r} + 0.5) / {m!r}"
 
 
 def py_pround(x: float, n: int) -> float:

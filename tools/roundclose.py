@@ -92,35 +92,41 @@ def verify_selfcheck(path: str, n_registry: int, problems: list[str]) -> None:
 
 
 def verify_headline_drift(n_round: int, problems: list[str]) -> None:
-    """Every registry query added since the PREVIOUS round must be in
-    ``bench.HEADLINE_QUERIES`` (or the documented
-    ``bench.HEADLINE_EXCLUDED``) — VERDICT r11 ask #1: the r11
-    additions skipped the isolated bench because nothing checked this.
-    The previous round's registry is read from its committed selfcheck
-    artifact (its ``queries`` dict keys)."""
-    import os
-
+    """The FULL registry must be partitioned between
+    ``bench.HEADLINE_QUERIES`` (isolated fresh-JVM medians) and the
+    per-entry-documented ``bench.HEADLINE_EXCLUDED`` — VERDICT r12
+    ask #2 widened the r11 new-queries-only check to every registry
+    query, so a pre-existing hole (mllib_nb_confusion, the M7 query
+    with no isolated median through r12) can never hide again.
+    Overlap, stale names, and uncovered queries are all failures."""
     import bench
     import __spark_entry__ as entry
-    prev = f"{REPO}/SELFCHECK_r{n_round - 1}.json"
-    if not os.path.exists(prev):
-        print(f"(no {prev}; headline-drift check skipped)")
-        return
-    with open(prev) as f:
-        prev_names = set(json.load(f)["queries"])
-    new = set(entry.queries()) - prev_names
-    covered = set(bench.HEADLINE_QUERIES) | set(bench.HEADLINE_EXCLUDED)
-    missing = sorted(new - covered)
+    registry = set(entry.queries())
+    head = set(bench.HEADLINE_QUERIES)
+    excl = set(bench.HEADLINE_EXCLUDED)
+    missing = sorted(registry - head - excl)
     if missing:
         problems.append(
-            f"headline drift: queries added since r{n_round - 1} missing "
-            f"from bench.HEADLINE_QUERIES/HEADLINE_EXCLUDED: {missing}")
-    stale = sorted(set(bench.HEADLINE_QUERIES) - set(entry.queries()))
+            "headline sweep: registry queries in neither "
+            f"bench.HEADLINE_QUERIES nor HEADLINE_EXCLUDED: {missing}")
+    overlap = sorted(head & excl)
+    if overlap:
+        problems.append(
+            f"headline sweep: queries in BOTH lists: {overlap}")
+    stale = sorted((head | excl) - registry)
     if stale:
-        problems.append(f"HEADLINE_QUERIES names not in registry: {stale}")
+        problems.append(
+            f"headline sweep: names not in the registry: {stale}")
 
 
-def verify_bench_isolated(path: str, problems: list[str]) -> None:
+def verify_bench_isolated(path: str, problems: list[str],
+                          full_coverage: bool = True) -> None:
+    """``full_coverage=True`` (round close) demands every CURRENT
+    ``bench.HEADLINE_QUERIES`` entry; ``False`` (re-verifying a
+    committed artifact from an earlier round, whose headline set was
+    smaller) checks only the artifact's internal contract — stamp,
+    non-empty, every median present. Full coverage of the THEN-current
+    headline was verified when that round closed."""
     with open(path) as f:
         rec = json.load(f)
     bad = [n for n, r in rec["queries"].items() if r["median"] is None]
@@ -137,24 +143,13 @@ def verify_bench_isolated(path: str, problems: list[str]) -> None:
         if not str(rec["coverage"]).startswith("headline"):
             problems.append(f"{path}: coverage={rec['coverage']!r}, "
                             "want 'headline'")
-        import bench
-        missing = set(bench.HEADLINE_QUERIES) - set(rec["queries"])
-        # a headline query that did not yet EXIST when this artifact's
-        # round closed cannot be expected in it (mid-round headline
-        # growth would otherwise red the suite before the closing
-        # regeneration): scope the expectation to the same round's
-        # committed registry (its SELFCHECK's query set). At close
-        # time the fresh selfcheck contains every registry query, so
-        # the closing artifact still must cover the FULL headline set.
-        m = re.search(r"_r(\d+)\.json$", path)
-        sc = f"{REPO}/SELFCHECK_r{m.group(1)}.json" if m else None
-        if sc and os.path.exists(sc):
-            with open(sc) as f:
-                missing &= set(json.load(f)["queries"])
-        missing = sorted(missing)
-        if missing:
-            problems.append(f"{path}: headline coverage missing "
-                            f"{len(missing)}: {missing[:5]}...")
+        if full_coverage:
+            import bench
+            missing = sorted(
+                set(bench.HEADLINE_QUERIES) - set(rec["queries"]))
+            if missing:
+                problems.append(f"{path}: headline coverage missing "
+                                f"{len(missing)}: {missing[:5]}...")
 
 
 def main() -> int:
@@ -212,6 +207,13 @@ def main() -> int:
     check("bench_isolated", f"{REPO}/{bi}",
           lambda p: verify_bench_isolated(p, problems))
     verify_headline_drift(n, problems)
+    # every public operator function must be registry-exercised or
+    # carry a documented waiver (VERDICT r12 ask #1: capability must
+    # never ship driver-unverifiable again)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import operator_registry_audit
+    for finding in operator_registry_audit.audit():
+        problems.append(f"operator-registry audit: {finding}")
 
     if problems:
         print("\nROUNDCLOSE FAILED:")
