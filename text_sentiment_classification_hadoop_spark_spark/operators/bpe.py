@@ -119,7 +119,8 @@ def select_batch(ranked: list[tuple[str, int]], k: int) -> list[tuple[str, int]]
 
 def bpe_train(words: DataFrame, n_merges: int = 8,
               batch_k: int = 1,
-              round_sizes: list[int] | None = None) -> list[tuple[str, int]]:
+              round_sizes: list[int] | None = None,
+              headroom: int = 4) -> list[tuple[str, int]]:
     """Learn ``n_merges`` BPE merges from a ``(word, freq)`` dictionary.
 
     Returns ``[(pair, pair_freq), ...]`` in merge order (driver-side —
@@ -152,6 +153,17 @@ def bpe_train(words: DataFrame, n_merges: int = 8,
     number of merges selected each round — the batch-FILL trace, i.e.
     whether symbol-disjoint selection starves as the vocab saturates
     (the failure mode probed by ``tools/bpe_scale_probe.py``).
+
+    ``headroom``: the per-round driver read is ``headroom·k`` ranked
+    candidate rows (``k=1`` always reads exactly 1); greedy
+    symbol-disjoint selection then fills at most ``k`` from them. A
+    starved round (SCALE.md §22 measured fill 0.17 at 512/64 on the
+    real tweet corpus) can be candidate-LIMITED rather than
+    conflict-limited — more headroom trades driver-read rows for
+    fill. The default 4 is what every registry oracle pins; the knob
+    exists for the off-registry scale probe (VERDICT r12 ask #6) and
+    changes WHICH pairs are visible to selection, so promoting a
+    non-default value into a registry query requires a new oracle.
     """
     if batch_k < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
@@ -164,7 +176,7 @@ def bpe_train(words: DataFrame, n_merges: int = 8,
         # driver read bounded by the batch: k + deferral headroom rows
         top = (_pair_counts(dic)
                .orderBy(F.desc("f"), F.asc("pair"))
-               .limit(k if k == 1 else 4 * k).collect())
+               .limit(k if k == 1 else int(headroom) * k).collect())
         if not top:
             break
         selected = select_batch([(r["pair"], int(r["f"])) for r in top], k)

@@ -48,7 +48,7 @@ REAL_TWEETS = "/root/reference/input/test1/tweets.csv"
 
 
 def run_worker(batch_k: int, n_merges: int = N_MERGES,
-               corpus: str = "documents") -> None:
+               corpus: str = "documents", headroom: int = 4) -> None:
     from pyspark.sql import functions as F
 
     from text_sentiment_classification_hadoop_spark_spark.operators import bpe
@@ -72,13 +72,14 @@ def run_worker(batch_k: int, n_merges: int = N_MERGES,
     t0 = time.perf_counter()
     round_sizes: list[int] = []
     merges = bpe.bpe_train(words, n_merges=n_merges, batch_k=batch_k,
-                           round_sizes=round_sizes)
+                           round_sizes=round_sizes, headroom=headroom)
     dt = time.perf_counter() - t0
     jobs_after = len(tracker.getJobIdsForGroup(None))
     fill = (len(merges) / (len(round_sizes) * batch_k)
             if round_sizes else 0.0)
     print("BPE_PROBE " + json.dumps({
         "batch_k": batch_k, "n_merges": len(merges), "corpus": corpus,
+        "headroom": headroom,
         "sec": round(dt, 2), "jobs": jobs_after - jobs_before,
         "rounds": len(round_sizes), "fill_rate": round(fill, 4),
         "min_round_fill": min(round_sizes) if round_sizes else 0,
@@ -95,15 +96,20 @@ def main() -> int:
     ap.add_argument("--n-merges", type=int, default=N_MERGES)
     ap.add_argument("--corpus", default="documents",
                     choices=("documents", "tweets"))
+    ap.add_argument("--headroom", type=int, default=4,
+                    help="candidate rows read per round = headroom*k "
+                         "(VERDICT r12 ask #6 probe lever)")
     args = ap.parse_args()
     if args.worker is not None:
-        run_worker(args.worker, n_merges=args.n_merges, corpus=args.corpus)
+        run_worker(args.worker, n_merges=args.n_merges, corpus=args.corpus,
+                   headroom=args.headroom)
         return 0
 
     for k in (int(x) for x in args.ks.split(",")):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(k),
-             "--n-merges", str(args.n_merges), "--corpus", args.corpus],
+             "--n-merges", str(args.n_merges), "--corpus", args.corpus,
+             "--headroom", str(args.headroom)],
             capture_output=True, text=True, cwd=REPO, timeout=3600)
         line = next((ln for ln in proc.stdout.splitlines()
                      if ln.startswith("BPE_PROBE ")), None)

@@ -27,6 +27,11 @@ SHOWCASE = [
      "unigram-LM hard-EM: broadcast vocab join onto the lattice, the "
      "whole forward/backward DP one JVM projection (aggregate HOF) — "
      "no per-row Python, corpus appears once in word_freqs"),
+    ("active_learning_batch",
+     "three families in one plan: broadcast NB model join -> micro-nat "
+     "margin, left-anti near-dup exclusion fed by the banded LSH "
+     "equi-join, salted per-class quota windows (no single-reducer "
+     "rank) — no cartesian, no corpus re-shuffle between stages"),
     ("nb_predictions", "broadcast model join + per-doc log-sum; no corpus shuffle"),
     ("filtered_projection", "predicate pushdown + column pruning into the parquet scan"),
     ("minhash_signatures", "explode -> partial_min map-side aggregation"),

@@ -15,10 +15,18 @@ that govern plan cost at scale —
   (10x rows, 10x distinct keys, identical per-key behavior);
 - documents: 10 replicas, doc_id offset; replicas > 0 get a
   DETERMINISTIC per-doc word permutation (seeded by replica, doc_id),
-  which preserves unigram statistics, document lengths, and language
-  labels while destroying cross-replica k-gram overlap — so shingle
-  dedup / containment / Jaccard candidate counts scale the way fresh
-  text would, instead of exploding on exact replicas;
+  which preserves document lengths and language labels while
+  destroying cross-replica k-gram overlap, PLUS (round 13, VERDICT
+  r12 ask #3) Heaps'-law vocabulary growth: each token independently
+  (prob. ``MUT_PROB``) becomes a suffixed variant ``word + 'x' +
+  base26(z)`` with ``z ~ Zipf(2.0)`` — a Zipf token-type draw gives
+  the classic Heaps exponent ``V(N) ∝ N^(1/s) = N^0.5`` without any
+  hand-tuned vocabulary list, landing sf1 at ~38k types (the real
+  25k-tweet reference corpus has 36.6k). The driver's own 31-word
+  fixture vocabulary SATURATES every shingle/posting universe
+  (jaccard_prefix_pairs measured α=+1.56 at sf1 from that alone,
+  §20), so without this the similarity-family curves measure fixture
+  pathology, not the algorithms;
 - embeddings: 4 replicas (matching the driver's 0.01 -> 0.1 ratio),
   vec_id offset, replicas > 0 perturbed with seeded N(0, 0.05) noise
   so near-dup candidate structure scales instead of degenerating into
@@ -44,6 +52,18 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 SEED = 42
+MUT_PROB = 0.3  # per-token chance of becoming a suffixed variant
+
+_ABC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _base26(z: int) -> str:
+    out = ""
+    while True:
+        out = _ABC[z % 26] + out
+        z //= 26
+        if z == 0:
+            return out
 
 
 def _read(name: str) -> pa.Table:
@@ -91,7 +111,17 @@ def gen_documents(out: str, n_rep: int) -> None:
                 words = txt.split(" ")
                 rng = np.random.RandomState(
                     (SEED * 1_000_003 + r * 997 + doc_ids[i]) % (2**31))
-                new = " ".join(np.array(words)[rng.permutation(len(words))])
+                arr = np.array(words)[rng.permutation(len(words))]
+                # Heaps'-law vocabulary growth: Zipf(2.0) variant draw
+                # per mutated token → distinct types grow ~ sqrt(N)
+                mask = rng.random_sample(len(arr)) < MUT_PROB
+                n_mut = int(mask.sum())
+                if n_mut:
+                    zs = rng.zipf(2.0, size=n_mut)
+                    arr = arr.astype(object)
+                    arr[mask] = [w + "x" + _base26(int(z)) for w, z in
+                                 zip(arr[mask], zs)]
+                new = " ".join(arr)
             rows_id.append(doc_ids[i] + r * did)
             rows_tx.append(new)
             rows_lg.append(langs[i])
