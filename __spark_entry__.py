@@ -1670,23 +1670,51 @@ def _part_entity_resolution(spark: SparkSession, sf_dir: str,
     surface form) → ``(key, entity_id, canonical_name)`` for EVERY
     part, singletons canonical to themselves.
 
-    Scale: candidates are block-bounded (brand × first word × length
-    band — never all-pairs), the CC loop runs on the match graph only
-    (|fuzzy pairs|, orders below |parts|), and the final name join is
-    entity-table-sized. The recursive-CTE oracle resolves the same
-    reachability exactly."""
+    Scale (round 13): pair generation runs on DISTINCT ``(brand,
+    name)`` surface forms, not parts — the standard ER exact-duplicate
+    collapse, and it is LOSSLESS here: equal-name parts share brand,
+    first word, and band, so in the uncollapsed graph they form a
+    dist-0 clique and always land in one entity; collapsing them to
+    their min-key representative before the banded join and expanding
+    by ``(brand, name)`` after CC yields the identical ``(key,
+    entity_id, canonical_name)`` table (``component`` = min reachable
+    key either way, since each group's rep IS its min key). Without
+    the collapse the candidate join is quadratic in duplicate-group
+    size — measured α=+1.73 (4.1 s → 220.4 s) on the 10×-replicated
+    sf1 fixture, where every name appears 10× (SCALE.md §27); real
+    corpora duplicate surface forms too (that is what ER is FOR).
+    Candidates stay block-bounded (brand × first word × length band),
+    the CC loop runs on the distinct-form match graph, and the final
+    joins are part-table-sized and narrow. The recursive-CTE oracle
+    resolves the same reachability exactly, uncollapsed."""
     from pyspark.sql import functions as F
 
     from text_sentiment_classification_hadoop_spark_spark.operators.dedup import connected_components
-    pairs = _fuzzy_part_names(spark, sf_dir, max_dist) \
-        .select(F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b"))
-    comp = connected_components(pairs)
     p = load_table(spark, "part", sf_dir).select(
-        F.col("p_partkey").alias("key"), F.col("p_name").alias("name"))
-    withc = (p.join(comp, p.key == comp.node, "left")
-             .select("key", "name",
-                     F.coalesce(F.col("component"), F.col("key"))
-                     .alias("entity_id")))
+        F.col("p_partkey").alias("key"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name"))
+    groups = p.groupBy("brand", "name").agg(F.min("key").alias("rep"))
+    first = F.split(F.col("name"), " ")[0]
+    band = (F.length("name") / 8).cast("int")
+    left = groups.select("rep", "name", "brand", first.alias("w0"),
+                         F.explode(F.array(band - 1, band, band + 1))
+                         .alias("bk"))
+    right = groups.select(F.col("rep").alias("rep_b"),
+                          F.col("name").alias("name_b"), "brand",
+                          first.alias("w0"), band.alias("bk"))
+    pairs = (left.join(right, ["brand", "w0", "bk"])
+             .filter(F.col("rep") < F.col("rep_b"))
+             .filter(F.levenshtein(F.col("name"), F.col("name_b"))
+                     <= max_dist)
+             .select(F.col("rep").alias("id_a"),
+                     F.col("rep_b").alias("id_b"))
+             .distinct())
+    comp = connected_components(pairs)
+    gent = (groups.join(comp, groups.rep == comp.node, "left")
+            .select("brand", "name",
+                    F.coalesce(F.col("component"), F.col("rep"))
+                    .alias("entity_id")))
+    withc = p.join(gent, ["brand", "name"]).select("key", "entity_id")
     names = p.select(F.col("key").alias("entity_id"),
                      F.col("name").alias("canonical_name"))
     return (withc.join(names, "entity_id")
