@@ -599,15 +599,23 @@ def _bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
 
 BPE_BATCH_K = 4
 
+# the headroom-16 registry configuration (VERDICT r13 ask #1): batch
+# and merge count sized so the widened candidate window is actually
+# consulted at oracle scales — see _bpe_merges_headroom16's docstring
+BPE_H16_MERGES = 32
+BPE_H16_BATCH_K = 16
+BPE_H16_HEADROOM = 16
+
 
 def _bpe_merges_batched_sql(n_merges: int = BPE_MERGES,
-                            batch_k: int = BPE_BATCH_K) -> str:
+                            batch_k: int = BPE_BATCH_K,
+                            headroom: int = 4) -> str:
     """Unrolled BATCHED BPE oracle (mirror of ``bpe.bpe_train`` with
     ``batch_k>1``). Per round: the same pair-count aggregation as the
     sequential oracle, then the greedy symbol-disjoint selection
     (quota = min(batch_k, merges remaining); candidate list = top
-    ``4*quota`` by (f DESC, pair ASC), or top-1 when quota is 1; a
-    candidate defers when its left/right symbol or merged OUTPUT
+    ``headroom*quota`` by (f DESC, pair ASC), or top-1 when quota is
+    1; a candidate defers when its left/right symbol or merged OUTPUT
     collides with a selected pair's inputs/output) expressed as a
     single-row recursive CTE carrying the used-symbol set, then the
     round's rewrites chained in selection order via NULL-sentinel
@@ -615,7 +623,11 @@ def _bpe_merges_batched_sql(n_merges: int = BPE_MERGES,
     coalesce to chr(1), which never occurs). Rounds are unrolled to
     the worst case (one merge per round, ``n_merges`` rounds);
     exhausted-quota rounds degrade to no-ops exactly like the Spark
-    loop's exit."""
+    loop's exit. ``headroom`` parameterizes the candidate-window
+    width exactly as ``bpe_train(headroom=...)`` does (VERDICT r13
+    ask #1: the headroom-16 configuration the §26 probe recommends
+    is driver-checked by ``bpe_merges_headroom16`` through this same
+    oracle text)."""
     from text_sentiment_classification_hadoop_spark_spark.operators.bpe import REPLACE_PASSES
     parts = [
         """wf AS MATERIALIZED (
@@ -652,8 +664,8 @@ def _bpe_merges_batched_sql(n_merges: int = BPE_MERGES,
             f"cand{r} AS MATERIALIZED (SELECT pair, CAST(f AS BIGINT) AS f, "
             f"CAST(row_number() OVER (ORDER BY f DESC, pair ASC) AS BIGINT) "
             f"AS rn FROM p{r} ORDER BY f DESC, pair ASC LIMIT "
-            f"(SELECT CASE WHEN quota = 1 THEN 1 ELSE 4 * quota END "
-            f"FROM q{r}))",
+            f"(SELECT CASE WHEN quota = 1 THEN 1 ELSE {int(headroom)} * "
+            f"quota END FROM q{r}))",
             f"""sel{r} AS (
   SELECT CAST(0 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS used,
          CAST([] AS VARCHAR[]) AS pp, CAST([] AS BIGINT[]) AS pf
@@ -2064,6 +2076,31 @@ def _bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
     docs = load_table(spark, "documents", sf_dir)
     return BPE.bpe_merges_df(docs, n_merges=BPE_MERGES, batch_k=BPE_BATCH_K)
+
+
+def _bpe_merges_headroom16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training at the PRODUCTION candidate-window
+    configuration (VERDICT r13 ask #1): ``headroom=16``, the setting
+    the §26 scale probe measured at fill 0.17→0.47, rounds 46→17,
+    wall −27% on the real tweet corpus — SCALE.md §17's production
+    arithmetic assumes it, so the driver contract must check it.
+
+    Parameters (``n_merges=32, batch_k=16``) are chosen so the widened
+    window is actually CONSULTED at oracle scales: at
+    ``batch_k=16`` the synthetic corpus's saturated symbol inventory
+    starves greedy symbol-disjoint selection inside the headroom-4
+    window (measured fills [8, 8, 15, 1] at sf0.01) while headroom 16
+    fills from deeper candidates ([9, 9, 14]) — the selected merge
+    LIST differs from headroom 4 at sf0.001, sf0.01 and sf0.1, so a
+    Spark-side regression in the window arithmetic cannot hash-match
+    the oracle by accident. Oracle: ``_bpe_merges_batched_sql(32, 16,
+    headroom=16)`` — the same recursive-CTE greedy selection with the
+    candidate LIMIT parameterized identically."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    docs = load_table(spark, "documents", sf_dir)
+    return BPE.bpe_merges_df(docs, n_merges=BPE_H16_MERGES,
+                             batch_k=BPE_H16_BATCH_K,
+                             headroom=BPE_H16_HEADROOM)
 
 
 def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4415,6 +4452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "bpe_merges_roundtrip": _bpe_merges_roundtrip,
         "bpe_merges_batched": _bpe_merges_batched,
+        "bpe_merges_headroom16": _bpe_merges_headroom16,
         "bpe_token_counts": _bpe_token_counts,
         "bpe_doc_token_counts": _bpe_doc_token_counts,
         "bpe_vocab_curve": _bpe_vocab_curve,
@@ -4939,6 +4977,8 @@ ORDER BY d.doc_id
         "bpe_merges": _bpe_merges_sql(),
         "bpe_merges_roundtrip": _bpe_merges_sql(),
         "bpe_merges_batched": _bpe_merges_batched_sql(),
+        "bpe_merges_headroom16": _bpe_merges_batched_sql(
+            BPE_H16_MERGES, BPE_H16_BATCH_K, headroom=BPE_H16_HEADROOM),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "bpe_doc_token_counts": _bpe_doc_token_counts_sql(),
         "bpe_vocab_curve": _bpe_vocab_curve_sql(),

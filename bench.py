@@ -128,6 +128,8 @@ HEADLINE_QUERIES = [
         "stream_winnow_fingerprints",
         "stream_doc_repetition", "stream_curation_gates",
         "stream_neardup_candidates", "stream_hourly_profile",
+    # round-14 additions (VERDICT r13 asks #1 and #5)
+    "bpe_merges_headroom16", "pack_sequences_ffd",
 ]
 
 #: Registry queries deliberately absent from the headline set, each
@@ -175,15 +177,48 @@ HEADLINE_EXCLUDED: dict[str, str] = dict.fromkeys([
     # similarity / embeddings (small fixed-k probes)
     "ann_ndcg_at10", "bitext_mined_pairs", "embedding_drift_report",
     "embedding_outliers", "label_silhouette",
-    # graph / tokenizer / storage seams whose heavy siblings ARE
-    # headline (copurchase_communities_deep, bpe_merges,
-    # band_index_store_contents, training-shard + CDC pipelines)
-    "bpe_merges_batched", "compaction_identity", "copurchase_communities",
-    "count_store_contents", "dedup_store_contents", "evolved_union_read",
-    "orders_cdc_apply", "orders_merge_upsert", "training_shards_readback",
-    # streaming micro-topologies (per-query session setup dominates)
-    "stream_range_join", "stream_trending_topk",
 ], _SUB2S)
+# graph / tokenizer / storage seams whose heavy siblings ARE headline:
+# the sibling's isolated median carries the plan signal, and these
+# variants are ALSO sub-2s in-bench, so an isolated trial would be
+# startup-dominated on top of redundant
+_HEAVY_SIBLING = {
+    "bpe_merges_batched": "headline siblings bpe_merges (sequential) + "
+                          "bpe_merges_headroom16 (widened batch) bracket "
+                          "it; also " + _SUB2S,
+    "copurchase_communities": "headline sibling copurchase_communities_"
+                              "deep runs the same LPA plan for more "
+                              "rounds; also " + _SUB2S,
+    "compaction_identity": "storage-maintenance identity check; the "
+                           "write-path cost is carried by the headline "
+                           "training-shard/CDC pipelines; also " + _SUB2S,
+    "count_store_contents": "foreachBatch store drive; headline sibling "
+                            "band_index_store_contents exercises the "
+                            "same store machinery; also " + _SUB2S,
+    "dedup_store_contents": "foreachBatch store drive; headline sibling "
+                            "band_index_store_contents exercises the "
+                            "same store machinery; also " + _SUB2S,
+    "evolved_union_read": "schema-evolution read seam (two tiny "
+                          "parquet snapshots); also " + _SUB2S,
+    "orders_cdc_apply": "CDC merge twin of orders_merge_upsert; both "
+                        "are one broadcast-window pass; also " + _SUB2S,
+    "orders_merge_upsert": "upsert twin of orders_cdc_apply; also "
+                           + _SUB2S,
+    "training_shards_readback": "shard-writer readback identity; the "
+                                "heavy packing/manifest stages are "
+                                "headline (pack_sequences_ffd, "
+                                "training_manifest); also " + _SUB2S,
+    # streaming micro-topologies: wall time is dominated by per-query
+    # stream session setup + trigger latency, not the plan under test,
+    # so an isolated median measures harness overhead
+    "stream_range_join": "stream-session setup + trigger latency "
+                         "dominate the micro-topology; plan signal "
+                         "lives in the batch twin events_range_join",
+    "stream_trending_topk": "stream-session setup + trigger latency "
+                            "dominate the micro-topology; no batch-side "
+                            "cost to isolate",
+}
+HEADLINE_EXCLUDED.update(_HEAVY_SIBLING)
 
 
 def main() -> None:

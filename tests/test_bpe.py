@@ -262,6 +262,30 @@ def test_bpe_batch_selection_defers_output_input_collisions():
         ("e s", 9), ("t w", 8)]
 
 
+def test_bpe_headroom_lifts_starved_fill(spark):
+    """VERDICT r13 ask #1: the candidate window (``headroom·k`` driver
+    rows) is what a starved round is limited by. Corpus built so the
+    top of the ranking is symbol-entangled ('a b'/'b </w>'/'a c' all
+    collide) while disjoint candidates sit just below the narrow
+    window: headroom=1 fills 1/3 in round 1, headroom=8 fills 3/3 —
+    and the selected pairs under the wide window are exactly the
+    greedy symbol-disjoint picks over the TRUE pre-round counts (the
+    semantics the bpe_merges_headroom16 oracle re-derives)."""
+    text = " ".join(["ab"] * 100 + ["ac"] * 99 + ["xy"] * 10)
+    wf = BPE.word_freqs(_docs(spark, [text])).cache()
+    narrow_fills, wide_fills = [], []
+    narrow = BPE.bpe_train(wf, n_merges=3, batch_k=3,
+                           round_sizes=narrow_fills, headroom=1)
+    wide = BPE.bpe_train(wf, n_merges=3, batch_k=3,
+                         round_sizes=wide_fills, headroom=8)
+    assert narrow_fills[0] == 1 and wide_fills[0] == 3
+    # wide window, round 1: 'a b'(100) wins; 'b </w>'(100) and
+    # 'a c'(99) defer (shared symbols); 'c </w>'(99) and 'x y'(10)
+    # are the deeper disjoint picks the narrow window never saw
+    assert wide == [("a b", 100), ("c </w>", 99), ("x y", 10)]
+    assert narrow[0] == ("a b", 100) and narrow != wide
+
+
 def test_bpe_batch_k_rejects_nonpositive(spark):
     wf = BPE.word_freqs(_docs(spark, ["ab cd"]))
     with pytest.raises(ValueError):

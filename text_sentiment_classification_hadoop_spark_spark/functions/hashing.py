@@ -87,25 +87,8 @@ def _affine_map(a: int, b: int):
     return apply
 
 
-def simhash_expr(tokens: Column, bits: int = 32) -> Column:
-    """SimHash over a token array: for each bit position, sum +-1 over
-    token hashes' bit values, then take the sign bit. Returns bigint.
-
-    Implemented as a fold over bit positions with native expressions;
-    32 bits keeps the per-row expression tree reasonable for codegen.
-    """
-    hashes = F.transform(tokens, lambda t: portable_hash64(t))
-    total = F.size(tokens).cast("long")
-    acc = F.lit(0).cast("long")
-    for bit in range(bits):
-        # majority vote per bit: set iff tokens-with-bit-set ≥ half
-        ones = F.aggregate(hashes, F.lit(0).cast("long"), _bit_sum(bit))
-        acc = acc + F.when((2 * ones) >= total,
-                           F.lit(2 ** bit).cast("long")).otherwise(F.lit(0).cast("long"))
-    return acc
-
-
-def _bit_sum(bit: int):
-    def apply(s: Column, h: Column) -> Column:
-        return s + F.shiftright(h, bit) % 2
-    return apply
+# (A per-row fold-based ``simhash_expr`` used to live here; the
+# registry path is the aggregation form ``dedup.simhash_fingerprints``
+# — one hash per token, map-side partial agg — which dominates it at
+# every scale, so the per-row variant was deleted as dead code when the
+# registry-audit AST rule surfaced it as consumer-less.)

@@ -11,7 +11,9 @@ value-hashes match. Only fp-order-dependent aggregates need it at all;
 per-row arithmetic on identical inputs is already bit-identical and
 should NOT be rounded.
 
-Use :func:`sql_pround` to emit the mirroring SQL expression.
+The SQL-text twins (:func:`sql_pround_avg2`, :func:`sql_pround_iratio`,
+:func:`sql_ir38`, :func:`sql_dsum`) emit the mirroring shared-dialect
+expressions both engines consume.
 """
 
 from __future__ import annotations

@@ -195,11 +195,17 @@ def bpe_train(words: DataFrame, n_merges: int = 8,
 
 
 def bpe_merges_df(df: DataFrame, n_merges: int = 8,
-                  text_col: str = "text", batch_k: int = 1) -> DataFrame:
+                  text_col: str = "text", batch_k: int = 1,
+                  headroom: int = 4) -> DataFrame:
     """End-to-end train -> merge table ``(merge_rank, pair, merged,
-    freq)`` — the driver-checkable learned-tokenizer artifact."""
+    freq)`` — the driver-checkable learned-tokenizer artifact.
+    ``headroom`` passes through to :func:`bpe_train` (only meaningful
+    with ``batch_k > 1``); the headroom-16 configuration the scale
+    probe recommends (SCALE.md §26) is registry-checked by
+    ``bpe_merges_headroom16`` against its own parameterized oracle."""
     spark = df.sparkSession
-    merges = bpe_train(word_freqs(df, text_col), n_merges, batch_k=batch_k)
+    merges = bpe_train(word_freqs(df, text_col), n_merges,
+                       batch_k=batch_k, headroom=headroom)
     rows = [(i + 1, p, p.replace(" ", ""), f)
             for i, (p, f) in enumerate(merges)]
     return spark.createDataFrame(

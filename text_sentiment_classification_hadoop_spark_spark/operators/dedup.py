@@ -26,7 +26,6 @@ from ..functions.hashing import (
     _coeffs,
     portable_hash64,
     shingles_expr,
-    simhash_expr,
 )
 from ..functions.rounding import pround
 from ..session import widen
@@ -243,9 +242,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     :func:`minhash_signatures` and for the same reason: one md5 per
     token guaranteed (the expression form re-evaluates the hash array
     per bit when CSE doesn't collapse it) and map-side partial
-    aggregation keeps the shuffle fingerprint-sized.
-    (:func:`functions.hashing.simhash_expr` remains for single-pass
-    per-row use on already-hashed arrays.)"""
+    aggregation keeps the shuffle fingerprint-sized."""
     base = widen(df.select(F.col(id_col), F.col(text_col)))
     toks = base.select(F.col(id_col),
                        F.explode(F.split(F.col(text_col), " ")).alias("_t"))
