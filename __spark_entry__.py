@@ -868,6 +868,90 @@ def _bpe_doc_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
             "GROUP BY d.doc_id ORDER BY d.doc_id")
 
 
+def _ffd_recursion_ctes(budget: int, n_buckets: int) -> str:
+    """The per-bucket first-fit-decreasing recursion (mirror of
+    ``text_analysis.pack_sequences_ffd``'s fold) over a prior
+    ``dtc(doc_id, nt)`` budget CTE: one recursion step per doc in
+    (nt DESC, doc_id ASC) order within each bucket, the open-bin
+    capacity list carried as a BIGINT[] (``list_position(
+    list_transform(bins, ...), true)`` is 0-when-absent, exactly
+    Spark's ``array_position``; all arithmetic BIGINT). Emits
+    ``st(bucket, i, bins, doc_id, seq_id, offset_in_seq, nt)``;
+    consumers select ``WHERE i >= 1`` (the anchor rows are seeds).
+    Callers must open with ``WITH RECURSIVE``."""
+    fit = "list_position(list_transform(s.bins, x -> x >= d.nt), true)"
+    hash_expr = PORTABLE_HASH.format(col="'packffd:' || doc_id")
+    b = f"CAST({int(budget)} AS BIGINT)"
+    return f"""bk AS MATERIALIZED (
+  SELECT doc_id, nt,
+         CAST({hash_expr} % {int(n_buckets)} AS INTEGER) AS bucket
+  FROM dtc),
+rk AS MATERIALIZED (
+  SELECT doc_id, nt, bucket,
+         CAST(row_number() OVER (PARTITION BY bucket
+                                 ORDER BY nt DESC, doc_id) AS BIGINT) AS rn
+  FROM bk),
+st AS (
+  SELECT bucket, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS bins,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS seq_id,
+         CAST(NULL AS BIGINT) AS offset_in_seq, CAST(NULL AS BIGINT) AS nt
+  FROM (SELECT DISTINCT bucket FROM rk)
+  UNION ALL
+  SELECT s.bucket, d.rn,
+         CASE WHEN {fit} = 0
+              THEN s.bins || [{b} - d.nt]
+              ELSE list_slice(s.bins, 1, {fit} - 1)
+                   || [s.bins[{fit}] - d.nt]
+                   || list_slice(s.bins, {fit} + 1, len(s.bins)) END,
+         d.doc_id,
+         CASE WHEN {fit} = 0 THEN CAST(len(s.bins) AS BIGINT)
+              ELSE {fit} - 1 END,
+         CASE WHEN {fit} = 0 THEN CAST(0 AS BIGINT)
+              ELSE {b} - s.bins[{fit}] END,
+         d.nt
+  FROM st s JOIN rk d ON d.bucket = s.bucket AND d.rn = s.i + 1)"""
+
+
+def _pack_ffd_sql(budget: int, n_buckets: int,
+                  n_merges: int = BPE_MERGES) -> str:
+    """First-fit-decreasing packing oracle over
+    ``bpe.bpe_doc_token_counts`` budgets: the BPE dictionary chain
+    derives the per-doc budget table, then :func:`_ffd_recursion_ctes`
+    replays the identical first-fit fold."""
+    return f"""
+WITH RECURSIVE {_bpe_dict_ctes(n_merges)},
+seg AS MATERIALIZED (SELECT word,
+  CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub FROM s{n_merges}),
+dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       AS word FROM documents),
+dtc AS MATERIALIZED (
+  SELECT d.doc_id, CAST(sum(s.n_sub) AS BIGINT) AS nt
+  FROM dw d JOIN seg s ON d.word = s.word GROUP BY d.doc_id),
+{_ffd_recursion_ctes(budget, n_buckets)}
+SELECT doc_id, bucket, seq_id, offset_in_seq, nt AS n_tok
+FROM st WHERE i >= 1 ORDER BY doc_id
+"""
+
+
+def _packed_shards_census_sql(budget: int, n_buckets: int) -> str:
+    """Oracle for ``packed_shards_readback``: whitespace token budgets
+    (the cheap packer input the readback drive uses), the same FFD
+    recursion, then the per-bucket census — a row routed to the wrong
+    bucket dir, dropped, or duplicated by the dynamic-partition write
+    breaks n_docs/sum_tok; a packing error breaks n_seqs/max_end."""
+    return f"""
+WITH RECURSIVE dtc AS MATERIALIZED (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents),
+{_ffd_recursion_ctes(budget, n_buckets)}
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(seq_id) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(nt) AS BIGINT) AS sum_tok,
+       CAST(max(offset_in_seq + nt) AS BIGINT) AS max_end
+FROM st WHERE i >= 1 GROUP BY bucket ORDER BY bucket
+"""
+
+
 # sign-LSH bucket assignment over long-form embeddings `au(vec_id, d, x)`
 # — mirror of similarity.sign_lsh_bucket (8 deterministic hyperplanes).
 LSH_BUCKET_CTE = f"""
@@ -1420,6 +1504,33 @@ def _rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.pack_sequences(load_table(spark, "documents", sf_dir)) \
         .orderBy("doc_id")
+
+
+# first-fit-decreasing packing registry parameters: budget ~4x the mean
+# BPE doc budget (multi-doc bins + real first-fit backtracking at every
+# oracle scale), buckets = the shard write parallelism
+PACK_FFD_BUDGET = 1024
+PACK_FFD_BUCKETS = 8
+
+
+def _pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-doc first-fit-decreasing sequence packing (VERDICT r13
+    ask #5 — the last standard LLM-data-prep step): budgets are the
+    LEARNED-tokenizer per-doc counts (``bpe_doc_token_counts`` under
+    the standard 8 registry merges), salted into PACK_FFD_BUCKETS
+    independent packing groups, greedily first-fit into
+    PACK_FFD_BUDGET-token sequences. Integer-deterministic end to end,
+    so the oracle (BPE CTE chain → budget table → per-bucket
+    recursive-CTE first-fit fold) is hash-exact. The consumer is
+    ``sources.layout.write_packed_shards`` (one file per bucket,
+    (seq_id, offset) order — pytest-pinned)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [p for p, _ in BPE.bpe_train(BPE.word_freqs(docs), BPE_MERGES)]
+    budgets = BPE.bpe_doc_token_counts(docs, merges)
+    return TA.pack_sequences_ffd(
+        budgets, budget=PACK_FFD_BUDGET, n_buckets=PACK_FFD_BUCKETS,
+        tok_col="n_subwords").orderBy("doc_id")
 
 
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4101,6 +4212,38 @@ def _training_shards_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split", "shard"))
 
 
+def _packed_shards_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-shard writer (sources/layout.write_packed_shards) driven
+    end-to-end: whitespace token budgets → pack_sequences_ffd plan →
+    payload join materialized as bucket= parquet (one file per bucket,
+    (seq_id, offset) order — the order itself is pytest-pinned) →
+    read back and audited per bucket. Oracle recomputes the census
+    from the same FFD recursion, so mis-routing, drops, duplicates,
+    or a packing divergence all break the hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import write_packed_shards
+    base = _store_scratch(sf_dir, "packedshards")
+    path = os.path.join(base, "packed")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    budgets = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+    packing = TA.pack_sequences_ffd(
+        budgets, budget=PACK_FFD_BUDGET, n_buckets=PACK_FFD_BUCKETS)
+    write_packed_shards(docs, packing, path, n_buckets=PACK_FFD_BUCKETS)
+    back = spark.read.parquet(path)
+    return (back.groupBy(F.col("bucket").cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+                 F.sum("n_tok").cast("long").alias("sum_tok"),
+                 F.max(F.col("offset_in_seq") + F.col("n_tok"))
+                 .cast("long").alias("max_end"))
+            .orderBy("bucket"))
+
+
 def _training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import training_manifest
     return training_manifest(load_table(spark, "documents", sf_dir))
@@ -4377,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_store_contents": _dedup_store_contents,
         "band_index_store_contents": _band_index_store_contents,
         "training_shards_readback": _training_shards_readback,
+        "packed_shards_readback": _packed_shards_readback,
         "mmr_rerank": _mmr_rerank,
         "ctfidf_keywords": _ctfidf_keywords,
         "ann_rbo_at10": _ann_rbo_at10,
@@ -4519,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _pq_adc_topk,
         "pq_trained_codes": _pq_trained_codes,
         "pack_sequences": _pack_sequences,
+        "pack_sequences_ffd": _pack_sequences_ffd,
         "chunk_documents": _chunk_documents,
         "token_freq_histogram": _token_freq_histogram,
         "top_tokens": _top_tokens,
@@ -5703,6 +5848,10 @@ SELECT doc_id, bucket,
        n_tok
 FROM c ORDER BY doc_id
 """
+    out["pack_sequences_ffd"] = _pack_ffd_sql(
+        PACK_FFD_BUDGET, PACK_FFD_BUCKETS)
+    out["packed_shards_readback"] = _packed_shards_census_sql(
+        PACK_FFD_BUDGET, PACK_FFD_BUCKETS)
     # chunk j covers tokens [j*24+1, j*24+32] (1-based, clamped slice);
     # chunk count = 1 + ceil(max(0, n-32)/24) via nonnegative int div
     out["chunk_documents"] = """

@@ -130,6 +130,7 @@ HEADLINE_QUERIES = [
         "stream_neardup_candidates", "stream_hourly_profile",
     # round-14 additions (VERDICT r13 asks #1 and #5)
     "bpe_merges_headroom16", "pack_sequences_ffd",
+    "packed_shards_readback",
 ]
 
 #: Registry queries deliberately absent from the headline set, each

@@ -27,6 +27,7 @@ STORE_DRIVES = {
     "count_store_contents": "counts",
     "dedup_store_contents": "dedup",
     "training_shards_readback": "shards",
+    "packed_shards_readback": "packedshards",
 }
 
 

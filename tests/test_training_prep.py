@@ -712,3 +712,108 @@ def test_source_diversity_index_golden(spark):
     assert got["duo"]["top_lang_share_frac"] == 0.5
     assert got["trio"]["simpson_frac"] == 0.666667  # 1 - 3*(1/9), 6dp half-up
     assert got["trio"]["n_docs"] == 3
+
+
+# ------------------------------------------- FFD sequence packing
+
+def _py_ffd_reference(items, budget):
+    """Single-node reference of the exact first-fit-decreasing
+    semantics: (n_tok desc, doc_id asc) order, first open bin with
+    remaining >= n_tok, else a new bin (remaining may go negative for
+    oversize docs — they own their bin)."""
+    out, bins = {}, []
+    for nt, did in sorted(items, key=lambda x: (-x[0], x[1])):
+        for i, rem in enumerate(bins):
+            if rem >= nt:
+                out[did] = (i, budget - rem, nt)
+                bins[i] = rem - nt
+                break
+        else:
+            out[did] = (len(bins), 0, nt)
+            bins.append(budget - nt)
+    return out
+
+
+def test_pack_ffd_hand_case_and_null_contract(spark):
+    """Pinned hand case (budget 128): oversize doc owns seq 0, the
+    130/100/90/60 docs open their own bins, 50 first-fits into the
+    60-doc's bin (offset 60), 10 backtracks into the 100-doc's bin
+    (offset 100) — real first-fit, not next-fit. NULL budgets (the
+    unigram foreign-vocab contract) are excluded; callers re-attach
+    left-anti like unigram_token_counts."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.text_analysis import pack_sequences_ffd
+    rows = [(1, 100), (2, 90), (3, 60), (4, 50), (5, 40), (6, 200),
+            (7, 10), (8, 130), (9, None)]
+    b = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {r["doc_id"]: (r["seq_id"], r["offset_in_seq"], r["n_tok"])
+           for r in pack_sequences_ffd(b, budget=128, n_buckets=1).collect()}
+    assert got == {6: (0, 0, 200), 8: (1, 0, 130), 1: (2, 0, 100),
+                   7: (2, 100, 10), 2: (3, 0, 90), 3: (4, 0, 60),
+                   4: (4, 60, 50), 5: (5, 0, 40)}
+    assert 9 not in got  # NULL budget -> excluded by contract
+
+
+def test_pack_ffd_matches_python_reference(spark, sf_dir):
+    """Full-corpus replay: per bucket, the distributed fold must equal
+    the single-node FFD byte-for-byte, and packing is a permutation of
+    the input (every doc exactly once, no drops, no duplicates)."""
+    from text_sentiment_classification_hadoop_spark_spark.operators.text_analysis import pack_sequences_ffd
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+    budget = 512
+    rows = pack_sequences_ffd(budgets, budget=budget, n_buckets=4).collect()
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) > 1
+    for recs in by_bucket.values():
+        want = _py_ffd_reference([(r["n_tok"], r["doc_id"]) for r in recs],
+                                 budget)
+        got = {r["doc_id"]: (r["seq_id"], r["offset_in_seq"], r["n_tok"])
+               for r in recs}
+        assert got == want
+        # packing validity: per sequence, spans are disjoint, in-budget
+        # (oversize docs own their sequence), padding is implicit
+        seqs = {}
+        for did, (sq, off, nt) in got.items():
+            seqs.setdefault(sq, []).append((off, nt))
+        for spans in seqs.values():
+            spans.sort()
+            end = 0
+            for off, nt in spans:
+                assert off >= end
+                end = off + nt
+            assert end <= budget or len(spans) == 1
+
+
+def test_write_packed_shards_layout(spark, tmp_path):
+    """Writer contract: one parquet file per bucket dir, rows inside a
+    bucket file in (seq_id, offset_in_seq) order — the zero-shuffle
+    trainer stream order."""
+    import glob
+
+    from text_sentiment_classification_hadoop_spark_spark.operators.text_analysis import pack_sequences_ffd
+    from text_sentiment_classification_hadoop_spark_spark.sources.layout import write_packed_shards
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "tok " * (i % 7)) for i in range(40)],
+        "doc_id long, text string")
+    budgets = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+    packing = pack_sequences_ffd(budgets, budget=16, n_buckets=3)
+    path = str(tmp_path / "packed")
+    write_packed_shards(docs, packing, path, n_buckets=3)
+    bucket_dirs = sorted(glob.glob(f"{path}/bucket=*"))
+    assert len(bucket_dirs) == len(
+        {r["bucket"] for r in packing.collect()})
+    for d in bucket_dirs:
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, f"{d}: expected one file per bucket"
+        back = spark.read.parquet(d).collect()
+        order = [(r["seq_id"], r["offset_in_seq"]) for r in back]
+        assert order == sorted(order)
+        assert all(r["text"] is not None for r in back)  # payload joined

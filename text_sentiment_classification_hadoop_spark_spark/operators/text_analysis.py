@@ -613,6 +613,88 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
         "n_tok")
 
 
+def pack_sequences_ffd(budgets: DataFrame, budget: int = 2048,
+                       n_buckets: int = 8, id_col: str = "doc_id",
+                       tok_col: str = "n_tok") -> DataFrame:
+    """First-fit-decreasing sequence packing over per-doc TOKENIZER
+    budgets → ``(doc_id, bucket, seq_id, offset_in_seq, n_tok)`` — the
+    bin-packing twin of :func:`pack_sequences` (that op splits docs at
+    sequence boundaries; this one keeps every doc WHOLE and minimizes
+    padding waste, the standard LLM pretraining packer).
+
+    Input is a per-doc token-budget table — ``bpe.bpe_doc_token_counts``
+    or ``unigram.unigram_token_counts`` output (VERDICT r13 ask #5),
+    i.e. doc METADATA (two integers per doc), never the corpus text.
+
+    Semantics (deterministic, integer-exact in both engines): docs are
+    hash-salted into ``n_buckets`` independent packing groups; within a
+    group they are processed in (n_tok DESC, doc_id ASC) order and each
+    goes to the FIRST open sequence with enough remaining capacity,
+    else opens a new sequence (``seq_id`` = opening order, 0-based;
+    ``offset_in_seq`` = tokens already packed into that sequence). A
+    doc longer than ``budget`` opens its own sequence (remaining goes
+    negative so nothing else ever joins it) — the writer's
+    truncate/split policy is downstream, the packer never drops it.
+    NULL budgets (the unigram foreign-vocab contract) are EXCLUDED
+    from packing — callers surface them with the same left-anti
+    re-attach as ``unigram_token_counts``; the registry path uses BPE
+    budgets, which are total.
+
+    Shape: one hash exchange of the metadata table, ONE JVM aggregate
+    HOF per bucket (first-fit is inherently sequential state — the
+    open-bin capacity vector — so it runs as a fold over the bucket's
+    sorted doc list, same discipline as the unigram Viterbi DP; no
+    Python stage, no driver loop). The accumulator's per-step array
+    append costs O(docs²) copies within a bucket, so ``n_buckets``
+    must scale with the corpus — which it does anyway: it is the shard
+    WRITE parallelism (``sources.layout.write_packed_shards``), and a
+    bucket is the unit one trainer stream consumes. At 10^9 docs and
+    ~10^4 buckets a group is ~10^5 metadata rows — well inside one
+    task. Oracle: per-bucket recursive CTE replaying the identical
+    first-fit fold."""
+    b = int(budget)
+    fit = "array_position(transform(acc.bins, x -> x >= d.nt), true)"
+    step = f"""aggregate(
+      ds,
+      named_struct(
+        'bins', cast(array() as array<bigint>),
+        'outs', cast(array() as
+          array<struct<id: bigint, seq: bigint, off: bigint, nt: bigint>>)),
+      (acc, d) -> named_struct(
+        'bins',
+        CASE WHEN {fit} = 0L
+             THEN concat(acc.bins, array(CAST({b} AS BIGINT) - d.nt))
+             ELSE transform(acc.bins,
+                            (x, i) -> IF(CAST(i AS BIGINT) = {fit} - 1L,
+                                         x - d.nt, x)) END,
+        'outs',
+        concat(acc.outs, array(named_struct(
+          'id', d.id,
+          'seq', CASE WHEN {fit} = 0L THEN CAST(size(acc.bins) AS BIGINT)
+                      ELSE {fit} - 1L END,
+          'off', CASE WHEN {fit} = 0L THEN 0L
+                      ELSE CAST({b} AS BIGINT)
+                           - element_at(acc.bins, CAST({fit} AS INT)) END,
+          'nt', d.nt)))),
+      acc -> acc.outs)"""
+    bucketed = budgets.filter(F.col(tok_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(tok_col).cast("long").alias("nt"),
+        (portable_hash64(F.concat(F.lit("packffd:"),
+                                  F.col(id_col).cast("string")))
+         % n_buckets).cast("int").alias("bucket"))
+    # sort key (-nt, id): struct array_sort = (n_tok desc, doc_id asc)
+    grouped = bucketed.groupBy("bucket").agg(
+        F.array_sort(F.collect_list(F.struct(
+            (-F.col("nt")).alias("m"), F.col("id"), F.col("nt")))).alias("ds"))
+    return (grouped
+            .select("bucket", F.explode(F.expr(step)).alias("o"))
+            .select(F.col("o.id").alias(id_col), F.col("bucket"),
+                    F.col("o.seq").alias("seq_id"),
+                    F.col("o.off").alias("offset_in_seq"),
+                    F.col("o.nt").alias("n_tok")))
+
+
 def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Zipf-law fit over the token frequency distribution → one row
     ``(n_types, slope, intercept)``: the least-squares line through

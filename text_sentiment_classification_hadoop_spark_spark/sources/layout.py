@@ -130,6 +130,28 @@ def write_training_shards(manifest_docs: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("split", "shard").parquet(path))
 
 
+def write_packed_shards(docs: DataFrame, packing: DataFrame,
+                        path: str, id_col: str = "doc_id",
+                        n_buckets: int = 8) -> None:
+    """Materialize a first-fit-decreasing packing plan
+    (``text_analysis.pack_sequences_ffd`` output: doc_id, bucket,
+    seq_id, offset_in_seq, n_tok) joined back to its payload columns —
+    parquet partitioned by ``bucket`` with ONE file per bucket, rows
+    sorted by ``(seq_id, offset_in_seq)``: a trainer maps workers to
+    bucket dirs and streams each in order, concatenating rows into
+    fixed-token-budget sequences with zero runtime shuffling (the
+    packed-sequence twin of :func:`write_training_shards`; same
+    single-exchange discipline — ``repartition(bucket)`` routes every
+    row to its bucket's task, the sort is within-partition and LEADS
+    with the partition column so the dynamic-partition write keeps it
+    rather than inserting its own)."""
+    from pyspark.sql import functions as F
+    (docs.join(packing, id_col)
+     .repartition(max(int(n_buckets), 1), F.col("bucket"))
+     .sortWithinPartitions("bucket", "seq_id", "offset_in_seq")
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
 def read_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     """Schema-evolution read: union parquet generations whose schemas
     DIFFER (columns added over time) into one frame —
