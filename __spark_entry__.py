@@ -868,7 +868,7 @@ def _bpe_doc_token_counts_sql(n_merges: int = BPE_MERGES) -> str:
             "GROUP BY d.doc_id ORDER BY d.doc_id")
 
 
-def _ffd_recursion_ctes(budget: int, n_buckets: int) -> str:
+def _ffd_recursion_ctes(budget: int, docs_per_bucket: int) -> str:
     """The per-bucket first-fit-decreasing recursion (mirror of
     ``text_analysis.pack_sequences_ffd``'s fold) over a prior
     ``dtc(doc_id, nt)`` budget CTE: one recursion step per doc in
@@ -878,13 +878,20 @@ def _ffd_recursion_ctes(budget: int, n_buckets: int) -> str:
     Spark's ``array_position``; all arithmetic BIGINT). Emits
     ``st(bucket, i, bins, doc_id, seq_id, offset_in_seq, nt)``;
     consumers select ``WHERE i >= 1`` (the anchor rows are seeds).
-    Callers must open with ``WITH RECURSIVE``."""
+    Callers must open with ``WITH RECURSIVE``. The bucket count is
+    COUNT-DERIVED — ``greatest(1, ceil(|dtc| / docs_per_bucket))`` —
+    mirroring the operator's adaptive default exactly (SCALE.md §31:
+    a fixed bucket count makes the per-bucket fold quadratic in the
+    corpus; buckets ∝ docs keeps it linear)."""
     fit = "list_position(list_transform(s.bins, x -> x >= d.nt), true)"
     hash_expr = PORTABLE_HASH.format(col="'packffd:' || doc_id")
     b = f"CAST({int(budget)} AS BIGINT)"
+    d = int(docs_per_bucket)
+    n_buckets = (f"(SELECT greatest(1, (count(*) + {d - 1}) // {d}) "
+                 f"FROM dtc)")
     return f"""bk AS MATERIALIZED (
   SELECT doc_id, nt,
-         CAST({hash_expr} % {int(n_buckets)} AS INTEGER) AS bucket
+         CAST({hash_expr} % {n_buckets} AS INTEGER) AS bucket
   FROM dtc),
 rk AS MATERIALIZED (
   SELECT doc_id, nt, bucket,
@@ -912,7 +919,7 @@ st AS (
   FROM st s JOIN rk d ON d.bucket = s.bucket AND d.rn = s.i + 1)"""
 
 
-def _pack_ffd_sql(budget: int, n_buckets: int,
+def _pack_ffd_sql(budget: int, docs_per_bucket: int,
                   n_merges: int = BPE_MERGES) -> str:
     """First-fit-decreasing packing oracle over
     ``bpe.bpe_doc_token_counts`` budgets: the BPE dictionary chain
@@ -927,13 +934,14 @@ dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
 dtc AS MATERIALIZED (
   SELECT d.doc_id, CAST(sum(s.n_sub) AS BIGINT) AS nt
   FROM dw d JOIN seg s ON d.word = s.word GROUP BY d.doc_id),
-{_ffd_recursion_ctes(budget, n_buckets)}
+{_ffd_recursion_ctes(budget, docs_per_bucket)}
 SELECT doc_id, bucket, seq_id, offset_in_seq, nt AS n_tok
 FROM st WHERE i >= 1 ORDER BY doc_id
 """
 
 
-def _packed_shards_census_sql(budget: int, n_buckets: int) -> str:
+def _packed_shards_census_sql(budget: int,
+                              docs_per_bucket: int) -> str:
     """Oracle for ``packed_shards_readback``: whitespace token budgets
     (the cheap packer input the readback drive uses), the same FFD
     recursion, then the per-bucket census — a row routed to the wrong
@@ -943,7 +951,7 @@ def _packed_shards_census_sql(budget: int, n_buckets: int) -> str:
 WITH RECURSIVE dtc AS MATERIALIZED (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
   FROM documents),
-{_ffd_recursion_ctes(budget, n_buckets)}
+{_ffd_recursion_ctes(budget, docs_per_bucket)}
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(max(seq_id) + 1 AS BIGINT) AS n_seqs,
        CAST(sum(nt) AS BIGINT) AS sum_tok,
@@ -1508,28 +1516,32 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # first-fit-decreasing packing registry parameters: budget ~4x the mean
 # BPE doc budget (multi-doc bins + real first-fit backtracking at every
-# oracle scale), buckets = the shard write parallelism
+# oracle scale); bucket count is COUNT-DERIVED (buckets ∝ docs at 500
+# docs/bucket — SCALE.md §31: a fixed count makes the per-bucket fold
+# quadratic in the corpus), identically on both engines
 PACK_FFD_BUDGET = 1024
-PACK_FFD_BUCKETS = 8
+PACK_FFD_DOCS_PER_BUCKET = 500
 
 
 def _pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-doc first-fit-decreasing sequence packing (VERDICT r13
     ask #5 — the last standard LLM-data-prep step): budgets are the
     LEARNED-tokenizer per-doc counts (``bpe_doc_token_counts`` under
-    the standard 8 registry merges), salted into PACK_FFD_BUCKETS
-    independent packing groups, greedily first-fit into
-    PACK_FFD_BUDGET-token sequences. Integer-deterministic end to end,
-    so the oracle (BPE CTE chain → budget table → per-bucket
-    recursive-CTE first-fit fold) is hash-exact. The consumer is
-    ``sources.layout.write_packed_shards`` (one file per bucket,
+    the standard 8 registry merges), salted into
+    ``ceil(n_docs / PACK_FFD_DOCS_PER_BUCKET)`` independent packing
+    groups, greedily first-fit into PACK_FFD_BUDGET-token sequences.
+    Integer-deterministic end to end, so the oracle (BPE CTE chain →
+    budget table → per-bucket recursive-CTE first-fit fold with the
+    same count-derived bucket expression) is hash-exact. The consumer
+    is ``sources.layout.write_packed_shards`` (one file per bucket,
     (seq_id, offset) order — pytest-pinned)."""
     from text_sentiment_classification_hadoop_spark_spark.operators import bpe as BPE
     docs = load_table(spark, "documents", sf_dir)
     merges = [p for p, _ in BPE.bpe_train(BPE.word_freqs(docs), BPE_MERGES)]
     budgets = BPE.bpe_doc_token_counts(docs, merges)
     return TA.pack_sequences_ffd(
-        budgets, budget=PACK_FFD_BUDGET, n_buckets=PACK_FFD_BUCKETS,
+        budgets, budget=PACK_FFD_BUDGET,
+        docs_per_bucket=PACK_FFD_DOCS_PER_BUCKET,
         tok_col="n_subwords").orderBy("doc_id")
 
 
@@ -4231,9 +4243,11 @@ def _packed_shards_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets = docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+    dpb = PACK_FFD_DOCS_PER_BUCKET
+    n_buckets = max(1, (docs.count() + dpb - 1) // dpb)
     packing = TA.pack_sequences_ffd(
-        budgets, budget=PACK_FFD_BUDGET, n_buckets=PACK_FFD_BUCKETS)
-    write_packed_shards(docs, packing, path, n_buckets=PACK_FFD_BUCKETS)
+        budgets, budget=PACK_FFD_BUDGET, n_buckets=n_buckets)
+    write_packed_shards(docs, packing, path, n_buckets=n_buckets)
     back = spark.read.parquet(path)
     return (back.groupBy(F.col("bucket").cast("int").alias("bucket"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -5849,9 +5863,9 @@ SELECT doc_id, bucket,
 FROM c ORDER BY doc_id
 """
     out["pack_sequences_ffd"] = _pack_ffd_sql(
-        PACK_FFD_BUDGET, PACK_FFD_BUCKETS)
+        PACK_FFD_BUDGET, PACK_FFD_DOCS_PER_BUCKET)
     out["packed_shards_readback"] = _packed_shards_census_sql(
-        PACK_FFD_BUDGET, PACK_FFD_BUCKETS)
+        PACK_FFD_BUDGET, PACK_FFD_DOCS_PER_BUCKET)
     # chunk j covers tokens [j*24+1, j*24+32] (1-based, clamped slice);
     # chunk count = 1 + ceil(max(0, n-32)/24) via nonnegative int div
     out["chunk_documents"] = """

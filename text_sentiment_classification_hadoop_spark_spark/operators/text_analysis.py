@@ -614,7 +614,9 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
 
 
 def pack_sequences_ffd(budgets: DataFrame, budget: int = 2048,
-                       n_buckets: int = 8, id_col: str = "doc_id",
+                       n_buckets: int | None = None,
+                       docs_per_bucket: int = 500,
+                       id_col: str = "doc_id",
                        tok_col: str = "n_tok") -> DataFrame:
     """First-fit-decreasing sequence packing over per-doc TOKENIZER
     budgets → ``(doc_id, bucket, seq_id, offset_in_seq, n_tok)`` — the
@@ -644,14 +646,23 @@ def pack_sequences_ffd(budgets: DataFrame, budget: int = 2048,
     HOF per bucket (first-fit is inherently sequential state — the
     open-bin capacity vector — so it runs as a fold over the bucket's
     sorted doc list, same discipline as the unigram Viterbi DP; no
-    Python stage, no driver loop). The accumulator's per-step array
-    append costs O(docs²) copies within a bucket, so ``n_buckets``
-    must scale with the corpus — which it does anyway: it is the shard
-    WRITE parallelism (``sources.layout.write_packed_shards``), and a
-    bucket is the unit one trainer stream consumes. At 10^9 docs and
-    ~10^4 buckets a group is ~10^5 metadata rows — well inside one
-    task. Oracle: per-bucket recursive CTE replaying the identical
-    first-fit fold."""
+    Python stage, no scalar-free driver loop). Per-bucket work is
+    O(docs_in_bucket · open_bins): quadratic in bucket size, so the
+    bucket count MUST grow with the corpus — which production wants
+    anyway: buckets are the shard WRITE parallelism
+    (``sources.layout.write_packed_shards``) and the unit one trainer
+    stream consumes. The default ``n_buckets=None`` therefore derives
+    ``B = ceil(n_docs / docs_per_bucket)`` from one metadata COUNT (a
+    scalar driver read, the J4 pattern), keeping per-bucket work
+    constant and total work linear — the sf1 probe measured the fixed
+    ``B=8`` variant super-linear (>9 min at 50k docs) and this
+    adaptive form at seconds (SCALE.md §31). Pass an explicit
+    ``n_buckets`` to pin the layout instead (tests; callers matching
+    an existing shard fan-out). First-fit's bin SEARCH is the
+    let-binding ``transform(array(fit), f -> ...)[0]`` so the
+    O(open_bins) scan runs once per doc, not once per accumulator
+    field. Oracle: per-bucket recursive CTE replaying the identical
+    first-fit fold, with the same count-derived bucket expression."""
     b = int(budget)
     fit = "array_position(transform(acc.bins, x -> x >= d.nt), true)"
     step = f"""aggregate(
@@ -660,29 +671,34 @@ def pack_sequences_ffd(budgets: DataFrame, budget: int = 2048,
         'bins', cast(array() as array<bigint>),
         'outs', cast(array() as
           array<struct<id: bigint, seq: bigint, off: bigint, nt: bigint>>)),
-      (acc, d) -> named_struct(
+      (acc, d) -> transform(array({fit}), f -> named_struct(
         'bins',
-        CASE WHEN {fit} = 0L
+        CASE WHEN f = 0L
              THEN concat(acc.bins, array(CAST({b} AS BIGINT) - d.nt))
              ELSE transform(acc.bins,
-                            (x, i) -> IF(CAST(i AS BIGINT) = {fit} - 1L,
+                            (x, i) -> IF(CAST(i AS BIGINT) = f - 1L,
                                          x - d.nt, x)) END,
         'outs',
         concat(acc.outs, array(named_struct(
           'id', d.id,
-          'seq', CASE WHEN {fit} = 0L THEN CAST(size(acc.bins) AS BIGINT)
-                      ELSE {fit} - 1L END,
-          'off', CASE WHEN {fit} = 0L THEN 0L
+          'seq', CASE WHEN f = 0L THEN CAST(size(acc.bins) AS BIGINT)
+                      ELSE f - 1L END,
+          'off', CASE WHEN f = 0L THEN 0L
                       ELSE CAST({b} AS BIGINT)
-                           - element_at(acc.bins, CAST({fit} AS INT)) END,
-          'nt', d.nt)))),
+                           - element_at(acc.bins, CAST(f AS INT)) END,
+          'nt', d.nt)))))[0],
       acc -> acc.outs)"""
-    bucketed = budgets.filter(F.col(tok_col).isNotNull()).select(
+    nn = budgets.filter(F.col(tok_col).isNotNull())
+    if n_buckets is None:
+        n_docs = nn.count()
+        n_buckets = max(1, (n_docs + int(docs_per_bucket) - 1)
+                        // int(docs_per_bucket))
+    bucketed = nn.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(tok_col).cast("long").alias("nt"),
         (portable_hash64(F.concat(F.lit("packffd:"),
                                   F.col(id_col).cast("string")))
-         % n_buckets).cast("int").alias("bucket"))
+         % int(n_buckets)).cast("int").alias("bucket"))
     # sort key (-nt, id): struct array_sort = (n_tok desc, doc_id asc)
     grouped = bucketed.groupBy("bucket").agg(
         F.array_sort(F.collect_list(F.struct(
