@@ -18,6 +18,15 @@ from text_sentiment_classification_hadoop_spark_spark.session import get_spark  
 SF = "/root/testdata/sf0.01"
 
 SHOWCASE = [
+    ("pack_sequences_ffd",
+     "FFD sequence packing: corpus appears once (budget metadata), one "
+     "hash exchange to count-derived buckets, the whole first-fit fold "
+     "ONE JVM aggregate HOF per bucket with the bin scan let-bound — "
+     "no Python stage, no per-doc driver loop"),
+    ("containment_pairs",
+     "grouped-posting pair emission: df-guarded postings grouped once "
+     "per fingerprint, C(df,2) pairs emitted narrowly from the sorted "
+     "array — no posting self-join, one fewer corpus-sized shuffle"),
     ("jaccard_prefix_pairs",
      "exact set-similarity join: prefix-posting equi-join with the "
      "lossless length AND positional (PPJoin) filters inline in the "
