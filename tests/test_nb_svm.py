@@ -185,7 +185,12 @@ def test_mllib_confusion_goldens_sf001(spark):
     the two can never drift apart."""
     import __spark_entry__ as em
 
-    for sf_tag, goldens in em._MLLIB_GOLDENS.items():
+    # sf0.001 only (VERDICT r13 ask #6): the sf0.01 fits used to run
+    # here too (~13 s of suite), but their pins are enforced every
+    # round by the sf0.01 selfcheck/driver hash against the same
+    # _MLLIB_GOLDENS literals — the replacement gate. This pytest
+    # keeps the fast-scale fit + the majority-class backstop.
+    for sf_tag, goldens in [("sf0.001", em._MLLIB_GOLDENS["sf0.001"])]:
       for alg, expected in goldens.items():
         df = em.queries()[f"mllib_{alg}_confusion"](
             spark, f"/root/testdata/{sf_tag}")
