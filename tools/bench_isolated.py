@@ -94,6 +94,14 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--json", default=None, metavar="PATH")
+    ap.add_argument("--resume", action="store_true",
+                    help="seed results from an existing --json artifact "
+                         "and skip queries already carrying a median — "
+                         "lets a multi-hour headline run be restarted "
+                         "(or chunked) without clobbering completed "
+                         "medians (the incremental _write otherwise "
+                         "rewrites the file with only the current "
+                         "process's results)")
     args = ap.parse_args()
 
     if args.worker:
@@ -125,6 +133,15 @@ def main() -> int:
     else:
         names = default_names(args.top)
     results: dict[str, dict] = {}
+    if args.resume and args.json and os.path.exists(args.json):
+        with open(args.json) as f:
+            prior = json.load(f)["queries"]
+        results.update({k: v for k, v in prior.items()
+                        if v.get("median") is not None})
+        done = [n for n in names if n in results]
+        names = [n for n in names if n not in results]
+        print(f"resume: {len(done)} medians carried over, "
+              f"{len(names)} to run", flush=True)
     for name in names:
         samples, rows = [], None
         for trial in range(args.repeat):
