@@ -26,6 +26,29 @@ Usage:
 The artifact maps name -> {median, samples, rows}; compare the medians
 across rounds — they carry the isolation guarantees the headline total
 cannot.
+
+Round 15 additions (VERDICT r14 asks #2/#3 + ADVICE):
+
+* ``--roundrobin`` collects trials in PASSES over the whole query list
+  (one fresh-JVM sample per query per pass) instead of back-to-back
+  repeats per query.  Two properties the back-to-back order lacks:
+  a run truncated at the round boundary has ONE sample for every query
+  (full coverage) rather than three samples for a prefix; and a
+  transient ambient burst (another process, GC storm) contaminates at
+  most one of each query's samples — which the median then rejects —
+  instead of landing all three trials of the queries unlucky enough to
+  run inside it.
+* ``--resume`` now seeds SAMPLES (not just medians) and intersects the
+  carried-over keys with the current run's name selection, so a
+  narrower ``--names``/``--top`` rerun cannot silently mix medians from
+  a different query set into the rewritten artifact (ADVICE r14).
+  Queries resume until they hold ``--repeat`` samples.
+* The §34 re-measure rule is now a POST-PASS in this tool, not a
+  hand-applied convention: after the main loop, any query whose median
+  exceeds ``REMEASURE_RATIO``× its median in the previous committed
+  round artifact and holds fewer than ``--repeat`` samples is
+  automatically topped up to ``--repeat`` samples (VERDICT r14 found 7
+  qualifying rows hand-skipped in r14's artifact).
 """
 
 from __future__ import annotations
@@ -40,6 +63,33 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+#: §34 rule: a median landing above this ratio of its previous-round
+#: median is re-measured to full ``--repeat`` depth before the artifact
+#: is considered final (single ambient draws are not trustworthy 2×
+#: "regressions" — VERDICT r13/r14).
+REMEASURE_RATIO = 2.0
+
+
+def _prev_round_medians(current_json: str | None) -> dict[str, float]:
+    """Medians from the most recent committed round artifact that is not
+    the file this run is writing (the §34 comparison baseline)."""
+    import glob
+    import re
+
+    arts = sorted(
+        (p for p in glob.glob(os.path.join(REPO, "BENCH_ISOLATED_r*.json"))
+         if re.search(r"_r(\d+)\.json$", p)),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
+    cur = os.path.abspath(current_json) if current_json else None
+    for p in reversed(arts):
+        if cur and os.path.abspath(p) == cur:
+            continue
+        with open(p) as f:
+            q = json.load(f)["queries"]
+        return {k: v["median"] for k, v in q.items()
+                if v.get("median") is not None}
+    return {}
 
 
 def run_worker(name: str, sf_dir: str) -> None:
@@ -95,13 +145,21 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--json", default=None, metavar="PATH")
     ap.add_argument("--resume", action="store_true",
-                    help="seed results from an existing --json artifact "
-                         "and skip queries already carrying a median — "
-                         "lets a multi-hour headline run be restarted "
-                         "(or chunked) without clobbering completed "
-                         "medians (the incremental _write otherwise "
-                         "rewrites the file with only the current "
-                         "process's results)")
+                    help="seed samples from an existing --json artifact "
+                         "(keys intersected with the current name "
+                         "selection) and top queries up to --repeat "
+                         "samples — lets a multi-hour headline run be "
+                         "restarted (or chunked) without clobbering "
+                         "completed samples")
+    ap.add_argument("--roundrobin", action="store_true",
+                    help="collect trials in full passes over the query "
+                         "list (1 sample/query/pass) instead of "
+                         "back-to-back repeats per query — truncation "
+                         "leaves full 1-sample coverage and ambient "
+                         "bursts touch at most one sample per query")
+    ap.add_argument("--no-remeasure", action="store_true",
+                    help="skip the §34 >2x-vs-previous-round automatic "
+                         "re-measure post-pass")
     args = ap.parse_args()
 
     if args.worker:
@@ -136,42 +194,105 @@ def main() -> int:
     if args.resume and args.json and os.path.exists(args.json):
         with open(args.json) as f:
             prior = json.load(f)["queries"]
-        results.update({k: v for k, v in prior.items()
-                        if v.get("median") is not None})
-        done = [n for n in names if n in results]
-        names = [n for n in names if n not in results]
-        print(f"resume: {len(done)} medians carried over, "
-              f"{len(names)} to run", flush=True)
-    for name in names:
-        samples, rows = [], None
-        for trial in range(args.repeat):
-            # a hung worker must cost one trial, not the whole run —
-            # catch TimeoutExpired so every already-collected median
-            # still reaches the artifact (ADVICE r9)
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--worker", name, "--sf", args.sf],
-                    capture_output=True, text=True, cwd=REPO, timeout=900)
-            except subprocess.TimeoutExpired:
-                sys.stderr.write(f"[{name} trial {trial}] worker timed out"
-                                 " after 900s; recording failed trial\n")
-                continue
-            line = next((ln for ln in proc.stdout.splitlines()
-                         if ln.startswith("BENCH_ISOLATED ")), None)
-            if proc.returncode != 0 or line is None:
-                sys.stderr.write(f"[{name} trial {trial}] worker failed:\n"
-                                 + proc.stderr[-2000:] + "\n")
-                continue
-            rec = json.loads(line[len("BENCH_ISOLATED "):])
-            samples.append(rec["sec"])
-            rows = rec["rows"]
-        med = round(statistics.median(samples), 3) if samples else None
-        results[name] = {"median": med, "samples": samples, "rows": rows}
-        print(f"{name}: median {med}s over {samples} ({rows} rows)",
-              flush=True)
+        # ADVICE r14: intersect with the CURRENT selection — a narrower
+        # --names/--top rerun must not carry medians from a different
+        # query set into the rewritten artifact
+        carried = {k: v for k, v in prior.items()
+                   if k in names and v.get("samples")}
+        dropped = sorted(set(prior) - set(names))
+        if dropped:
+            print(f"resume: NOT carrying {len(dropped)} prior entries "
+                  f"outside the current selection: {dropped[:8]}"
+                  f"{'...' if len(dropped) > 8 else ''}", flush=True)
+        results.update(carried)
+        names = [n for n in names
+                 if len(results.get(n, {}).get("samples", [])) < args.repeat]
+        full = sum(1 for v in carried.values()
+                   if len(v["samples"]) >= args.repeat)
+        print(f"resume: {len(carried)} entries carried "
+              f"({full} already at {args.repeat} samples), "
+              f"{len(names)} to run/top-up", flush=True)
+
+    def one_trial(name: str, trial: int) -> tuple[float, int] | None:
+        # a hung worker must cost one trial, not the whole run —
+        # catch TimeoutExpired so every already-collected median
+        # still reaches the artifact (ADVICE r9)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker", name, "--sf", args.sf],
+                capture_output=True, text=True, cwd=REPO, timeout=900)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[{name} trial {trial}] worker timed out"
+                             " after 900s; recording failed trial\n")
+            return None
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("BENCH_ISOLATED ")), None)
+        if proc.returncode != 0 or line is None:
+            sys.stderr.write(f"[{name} trial {trial}] worker failed:\n"
+                             + proc.stderr[-2000:] + "\n")
+            return None
+        rec = json.loads(line[len("BENCH_ISOLATED "):])
+        return rec["sec"], rec["rows"]
+
+    def record(name: str, out: tuple[float, int] | None) -> None:
+        ent = results.setdefault(name, {"median": None, "samples": [],
+                                        "rows": None})
+        if out is not None:
+            ent["samples"].append(out[0])
+            ent["rows"] = out[1]
+        if ent["samples"]:
+            ent["median"] = round(statistics.median(ent["samples"]), 3)
         if args.json:  # incremental: a multi-hour headline run that
             _write(args.json, args, results)  # dies keeps its medians
+
+    if args.roundrobin:
+        for pass_no in range(args.repeat):
+            for name in names:
+                have = len(results.get(name, {}).get("samples", []))
+                if have > pass_no:  # resumed partial pass
+                    continue
+                record(name, one_trial(name, pass_no))
+                ent = results[name]
+                print(f"[pass {pass_no + 1}/{args.repeat}] {name}: "
+                      f"median {ent['median']}s over {ent['samples']} "
+                      f"({ent['rows']} rows)", flush=True)
+    else:
+        for name in names:
+            have = len(results.get(name, {}).get("samples", []))
+            for trial in range(have, args.repeat):
+                record(name, one_trial(name, trial))
+            ent = results.get(name, {"median": None, "samples": [],
+                                     "rows": None})
+            results.setdefault(name, ent)
+            print(f"{name}: median {ent['median']}s over {ent['samples']} "
+                  f"({ent['rows']} rows)", flush=True)
+
+    # §34 post-pass (VERDICT r14 ask #2): any median landing above
+    # REMEASURE_RATIO x its previous-round median with fewer than
+    # --repeat samples is topped up automatically — the rule lives in
+    # the instrument so it cannot be hand-skipped again.
+    if not args.no_remeasure:
+        prev = _prev_round_medians(args.json)
+        flagged = [n for n, ent in sorted(results.items())
+                   if ent.get("median") is not None
+                   and prev.get(n)
+                   and ent["median"] > REMEASURE_RATIO * prev[n]
+                   and len(ent["samples"]) < args.repeat]
+        if flagged:
+            print(f"§34 re-measure: {len(flagged)} rows >"
+                  f"{REMEASURE_RATIO}x previous-round median with "
+                  f"<{args.repeat} samples: {flagged}", flush=True)
+        for name in flagged:
+            while len(results[name]["samples"]) < args.repeat:
+                trial = len(results[name]["samples"])
+                out = one_trial(name, trial)
+                record(name, out)
+                if out is None:
+                    break
+            ent = results[name]
+            print(f"§34 {name}: median {ent['median']}s over "
+                  f"{ent['samples']}", flush=True)
 
     if args.json:
         _write(args.json, args, results)
