@@ -585,10 +585,15 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     fingerprint at ``max_df²`` (the winnow skew-guard pattern,
     :func:`winnow_near_dups`).
 
-    Shape (round 14 — VERDICT r13 ask #4): GROUPED-POSTING pair
-    emission instead of a fingerprint self-join. One groupBy collects
-    each kept fingerprint's (df-guard-bounded, ≤ ``max_df``-element)
-    sorted posting array; the C(df,2) co-occurrence pairs are emitted
+    Shape (round 14 — VERDICT r13 ask #4; pre-guard hardened round
+    15 per ADVICE): GROUPED-POSTING pair emission instead of a
+    fingerprint self-join. A map-side-combinable COUNT aggregate drops
+    hot fingerprints (df > ``max_df``) via a semi-join BEFORE any
+    posting array is materialized — no aggregation buffer ever holds
+    more than ``max_df`` ids, even for a boilerplate shingle present in
+    millions of docs. One groupBy (reusing the semi-join's shash
+    partitioning) then collects each kept fingerprint's sorted posting
+    array; the C(df,2) co-occurrence pairs are emitted
     NARROWLY from that array by a JVM nested-transform (already
     ``id_a < id_b`` by the sort), then one pair-keyed count. vs the
     old a×b equi-join this removes a full posting-table shuffle (the
@@ -613,9 +618,23 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         .alias("_sh"))
         .select(F.col(id_col), portable_hash64(F.col("_sh")).alias("shash"))
         .distinct())
-    kept = (sh.groupBy("shash")
-            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-            .filter(F.size("_ids") <= max_df))
+    # COUNT-BASED PRE-GUARD before any posting materialization (ADVICE
+    # r14): a degenerate hot fingerprint (boilerplate shingle present in
+    # millions of docs) must be dropped from a map-side-combinable COUNT
+    # — never accumulated into a collect_list buffer, where one
+    # aggregation buffer would hold an unbounded array. Small inputs:
+    # AQE broadcasts the kept-shash set, so postings are not shuffled
+    # for the guard at all. At scale: the semi-join shuffles both sides
+    # on shash and the following collect_list groupBy reuses that
+    # partitioning — the added cost is one
+    # combinable count aggregate (what the pre-r14 guard paid), and the
+    # posting arrays are now genuinely ≤ max_df elements DURING
+    # aggregation, not only after a post-filter.
+    dfc = (sh.groupBy("shash").agg(F.count(F.lit(1)).alias("_df"))
+           .filter(F.col("_df") <= max_df).select("shash"))
+    kept = (sh.join(dfc, "shash", "left_semi")
+            .groupBy("shash")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")))
     # sizes over the SAME filtered universe (df-1 singletons included)
     sizes = (kept.select(F.explode("_ids").alias(id_col))
              .groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz")))
