@@ -28,6 +28,14 @@ settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "suite"))
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "nightly: opt-in coverage trimmed from the default suite for "
+        "wall budget (run with SPARK_GRAFT_NIGHTLY=1; each such test "
+        "names the out-of-band gate that replaces it in default runs)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     # core count env-overridable for suite-time experiments (SCALE.md

@@ -2,6 +2,7 @@
 4-document corpus, including the reference's quirks: Laplace smoothing,
 prior-only scoring, multinomial repetition, and both tie rules."""
 
+import os
 import math
 
 import pytest
@@ -189,7 +190,9 @@ def test_mllib_confusion_goldens_sf001(spark):
     # here too (~13 s of suite), but their pins are enforced every
     # round by the sf0.01 selfcheck/driver hash against the same
     # _MLLIB_GOLDENS literals — the replacement gate. This pytest
-    # keeps the fast-scale fit + the majority-class backstop.
+    # keeps the fast-scale fit + the majority-class backstop; the
+    # sf0.01 loop is back as the opt-in nightly test below (ADVICE
+    # r14), so full-suite runs can still cover it in-process.
     for sf_tag, goldens in [("sf0.001", em._MLLIB_GOLDENS["sf0.001"])]:
       for alg, expected in goldens.items():
         df = em.queries()[f"mllib_{alg}_confusion"](
@@ -208,6 +211,26 @@ def test_mllib_confusion_goldens_sf001(spark):
         for _p, l, c in rows:
             per_label[l] = per_label.get(l, 0) + c
         assert correct / total >= max(per_label.values()) / total * 0.8, alg
+
+
+@pytest.mark.nightly
+def test_mllib_confusion_goldens_sf001_nightly(spark):
+    """Opt-in (ADVICE r14): the sf0.01 MLlib confusion pins, trimmed
+    from the default suite for wall budget in r14 (replacement gate:
+    the sf0.01 selfcheck/driver hash checks the same ``_MLLIB_GOLDENS``
+    literals every round). ``SPARK_GRAFT_NIGHTLY=1 pytest -m nightly``
+    runs the fits in-process so a local edit breaking the sf0.01 fit is
+    catchable without waiting for the next selfcheck round."""
+    if not os.environ.get("SPARK_GRAFT_NIGHTLY"):
+        pytest.skip("opt-in: SPARK_GRAFT_NIGHTLY=1 (sf0.01 fits ~13 s; "
+                    "default-suite gate is the sf0.01 selfcheck/driver "
+                    "hash of the same literals)")
+    import __spark_entry__ as em
+
+    for alg, expected in em._MLLIB_GOLDENS["sf0.01"].items():
+        df = em.queries()[f"mllib_{alg}_confusion"](
+            spark, "/root/testdata/sf0.01")
+        assert [tuple(r) for r in df.collect()] == expected, alg
 
 
 def test_nb_compat_raw_underflow_quirk(spark, model_stats):
