@@ -1037,25 +1037,102 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
               f" FROM cent{iters} ORDER BY cell_id, d")
 
 
-def _semdedup_sql(k: int = 32, iters: int = 0, threshold: float = 0.9) -> str:
-    """Unrolled-SQL mirror of the SemDeDup driver query: centroids over
-    the AUGMENTED corpus (``iters=0`` = the first-k stand-in, >0 = that
-    many Lloyd iterations), final rounded-cosine cell assignment,
-    within-cell pairwise cosine >= threshold, recursive min-label
-    component walk, min-id canonicals."""
-    parts = _kmeans_cte_parts(k, iters)
-    cos = "sum(au.x * c.m) / (sqrt(sum(au.x * au.x)) * sqrt(sum(c.m * c.m)))"
-    parts += [
-        f"""scF AS (
-  SELECT au.vec_id, c.cell, {_r6(cos)} AS cos
-  FROM au JOIN cent{iters} c USING (d)
+def _two_level_asg_parts(k: int, cent: str = "cent0") -> list[str]:
+    """Unrolled-SQL mirror of ``similarity.ivf_assign_cells_two_level``
+    over a flat long-form codebook CTE ``cent`` (cell, d, m) and the
+    ``au`` corpus: G = ceil(sqrt(k)) seed groups (first G codewords by
+    cell id, grp = 0-based position), codeword→group argmax (6-dp
+    cosine, ties → lowest grp), per-NON-EMPTY-group 6-dp element-wise
+    mean centroids, corpus routing over those group centroids, then the
+    final argmax restricted to the routed group's member codewords.
+    Final assignment lands in ``asgF`` (vec_id, cell); routing in
+    ``routeF`` (vec_id, grp)."""
+    G = (_math.isqrt(k - 1) + 1) if k > 1 else 1
+    cos_cw = "sum(c.m * s.m) / (sqrt(sum(c.m * c.m)) * sqrt(sum(s.m * s.m)))"
+    cos_rt = "sum(au.x * g.m) / (sqrt(sum(au.x * au.x)) * sqrt(sum(g.m * g.m)))"
+    cos_fin = "sum(au.x * c.m) / (sqrt(sum(au.x * au.x)) * sqrt(sum(c.m * c.m)))"
+    return [
+        f"""gseed AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY cell) - 1 AS BIGINT) AS grp, d, m
+  FROM {cent}
+  WHERE cell IN (SELECT cell FROM (
+    SELECT DISTINCT cell FROM {cent} ORDER BY cell LIMIT {G})))""",
+        f"""cwcos AS (
+  SELECT c.cell, s.grp, {_r6(cos_cw)} AS cos
+  FROM {cent} c JOIN gseed s USING (d)
+  GROUP BY c.cell, s.grp)""",
+        """cw2g AS (
+  SELECT cell, grp FROM (
+    SELECT cell, grp,
+           row_number() OVER (PARTITION BY cell
+                              ORDER BY cos DESC, grp ASC) AS rk
+    FROM cwcos) WHERE rk = 1)""",
+        f"""gvec AS (
+  SELECT w.grp, c.d, {_r6('avg(c.m)')} AS m
+  FROM cw2g w JOIN {cent} c USING (cell)
+  GROUP BY w.grp, c.d)""",
+        f"""rtcos AS (
+  SELECT au.vec_id, g.grp, {_r6(cos_rt)} AS cos
+  FROM au JOIN gvec g USING (d)
+  GROUP BY au.vec_id, g.grp)""",
+        """routeF AS (
+  SELECT vec_id, grp FROM (
+    SELECT vec_id, grp,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, grp ASC) AS rk
+    FROM rtcos) WHERE rk = 1)""",
+        f"""fincos AS (
+  SELECT au.vec_id, c.cell, {_r6(cos_fin)} AS cos
+  FROM au
+  JOIN routeF r ON r.vec_id = au.vec_id
+  JOIN cw2g w ON w.grp = r.grp
+  JOIN {cent} c ON c.cell = w.cell AND c.d = au.d
   GROUP BY au.vec_id, c.cell)""",
         """asgF AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY cos DESC, cell ASC) AS rk
+    FROM fincos) WHERE rk = 1)""",
+    ]
+
+
+def _ivf_cells_two_level_sql(k: int = 32) -> str:
+    """Oracle for the two-level assignment itself (original corpus,
+    first-k stand-in codebook): (vec_id, grp, cell)."""
+    parts = _kmeans_cte_parts(k, 0) + _two_level_asg_parts(k)
+    return (f"WITH {AU_ORIG}, " + ",\n".join(parts) + """
+SELECT a.vec_id, r.grp, a.cell
+FROM asgF a JOIN routeF r USING (vec_id)
+ORDER BY a.vec_id""")
+
+
+def _semdedup_sql(k: int = 32, iters: int = 0, threshold: float = 0.9,
+                  two_level: bool = False) -> str:
+    """Unrolled-SQL mirror of the SemDeDup driver query: centroids over
+    the AUGMENTED corpus (``iters=0`` = the first-k stand-in, >0 = that
+    many Lloyd iterations), final rounded-cosine cell assignment
+    (``two_level=True`` → the hierarchical G=ceil(sqrt(k)) route+argmax
+    instead of the flat argmax), within-cell pairwise cosine >=
+    threshold, recursive min-label component walk, min-id canonicals."""
+    parts = _kmeans_cte_parts(k, iters)
+    cos = "sum(au.x * c.m) / (sqrt(sum(au.x * au.x)) * sqrt(sum(c.m * c.m)))"
+    if two_level:
+        parts += _two_level_asg_parts(k, cent=f"cent{iters}")
+    else:
+        parts += [
+            f"""scF AS (
+  SELECT au.vec_id, c.cell, {_r6(cos)} AS cos
+  FROM au JOIN cent{iters} c USING (d)
+  GROUP BY au.vec_id, c.cell)""",
+            """asgF AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell ASC) AS rk
     FROM scF) WHERE rk = 1)""",
+        ]
+    parts += [
         "norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM au GROUP BY vec_id)",
         """cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2309,6 +2386,32 @@ def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     here for vectors)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.kmeans_fit(emb, k=8, iters=2).orderBy("cell_id", "d")
+
+
+def _ivf_cells_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (two-level IVF) cell assignment over the original
+    corpus, k=32 first-k stand-in codebook → (vec_id, grp, cell): the
+    §30-named O(n·2√k·d) replacement for the flat O(n·k·d) argmax.
+    Routing (grp) is part of the output so the oracle checks BOTH
+    levels of the argmax, and the result provably diverges from the
+    flat assignment (230 of 500 cells differ at sf0.001)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cell_vec"))
+    return (SIM.ivf_assign_cells_two_level(emb, cents)
+            .select("vec_id", "grp", "cell").orderBy("vec_id"))
+
+
+def _semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the hierarchical two-level assignment (VERDICT r14
+    ask #1): same augmented corpus, k=32 cells, threshold 0.9 as
+    ``semdedup`` — only the assignment stage differs (G=6 group probe
+    then the routed group's members instead of all 32 cells)."""
+    emb = _augmented_embeddings(spark, sf_dir)
+    return D.semdedup(emb, n_cells=32, threshold=0.9, two_level=True)
 
 
 def _kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4604,6 +4707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": _dedup_span_removal,
         # semantic dedup via embedding clusters (Abbas et al. 2023)
         "semdedup": _semdedup,
+        # --- round 15: hierarchical two-level codebook (§30 lever) ---
+        "ivf_cells_two_level": _ivf_cells_two_level,
+        "semdedup_hier": _semdedup_hier,
         # --- new this round: distributed BPE tokenizer training ---
         "unigram_lm_vocab": _unigram_lm_vocab,
         "unigram_token_counts": _unigram_token_counts,
@@ -5125,6 +5231,11 @@ ORDER BY d.doc_id
         # -> cent0 only) + within-cell pairwise cosine +
         # dedup_canonical's recursive component walk
         "semdedup": _semdedup_sql(k=32, iters=0, threshold=0.9),
+        # round 15 (§30 lever): the two-level argmax unrolled — seed
+        # grouping, group-mean centroids, route, in-group argmax
+        "ivf_cells_two_level": _ivf_cells_two_level_sql(k=32),
+        "semdedup_hier": _semdedup_sql(k=32, iters=0, threshold=0.9,
+                                       two_level=True),
         "cosine_topk": _cosine_sql("vec_id = 0", k=10, partition=False),
         "knn_batch": _cosine_sql("vec_id < 3", k=5, partition=True),
         "svm_declared_weights": _svm_declared_sql(),

@@ -42,6 +42,7 @@ HEADLINE_QUERIES = [
         "dedup_canonical",
         "dedup_canonical_alternating", "dedup_canonical_best",
         "dup_kgram_stats", "dedup_span_removal", "semdedup",
+        "semdedup_hier", "ivf_cells_two_level",
         "winnow_fingerprints", "winnow_near_dups", "tfidf_doc_pairs",
         "cdc_chunks", "cdc_shared_chunks", "dedup_threshold_sweep",
         "curation_pipeline", "corpus_report", "corpus_diff", "corpus_datacard", "mixture_sample",

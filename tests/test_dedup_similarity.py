@@ -215,6 +215,67 @@ def test_large_codebook_broadcast_path_identical(spark, sf_dir):
     assert b_lit == b_bc
 
 
+def test_two_level_assignment_structure_and_paths(spark, sf_dir):
+    """Hierarchical (two-level IVF) assignment — the §30 lever:
+
+    - ``two_level_books`` partitions the flat codebook into
+      G = ceil(sqrt(k)) groups whose member lists cover every codeword
+      exactly once, each seed landing in its own group;
+    - the literal and broadcast riding paths are bit-identical;
+    - the assignment provably DIVERGES from the flat argmax (it is the
+      approximate route; identical output would mean the hierarchy is
+      dead code) while every assigned cell is a member of the routed
+      group — the structural invariant of two-level routing."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 32
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec"))
+    groups = SIM.two_level_books(cents)
+    assert len(groups) == math.isqrt(k - 1) + 1  # ceil(sqrt(32)) = 6
+    allmem = sorted(cid for _g, _v, sub in groups for cid, _ in sub)
+    assert allmem == list(range(k))              # exact cover
+    # each seed codeword (cell_id < G) sits in its own group
+    for g in range(len(groups)):
+        assert g in [cid for cid, _ in groups[g][2]]
+
+    lit = SIM.ivf_assign_cells_two_level(emb, cents) \
+        .select("vec_id", "grp", "cell").collect()
+    bc = SIM.ivf_assign_cells_two_level(emb, cents, literal_codebook_max=0) \
+        .select("vec_id", "grp", "cell").collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, bc))
+
+    member_of = {g: {cid for cid, _ in sub} for g, _v, sub in groups}
+    for r in lit:
+        assert r["cell"] in member_of[r["grp"]]
+    flat = {r["vec_id"]: r["cell"]
+            for r in SIM.ivf_assign_cells(emb, cents, n_centroids=k)
+            .select("vec_id", "cell").collect()}
+    assert any(flat[r["vec_id"]] != r["cell"] for r in lit)
+
+
+def test_two_level_duplicate_seed_empty_group_excluded(spark):
+    """A duplicated seed collapses its group into the earlier one
+    (tie → lowest grp), leaving an EMPTY group: it must be excluded
+    from routing (no vector may land in it) on both riding paths, and
+    the placeholder sub-book slot must never surface."""
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(4)]
+    rows[1] = (1, list(rows[0][1]))  # seed 1 duplicates seed 0
+    cents = spark.createDataFrame(
+        rows, "cell_id long, cell_vec array<double>")
+    groups = SIM.two_level_books(cents)  # G = 2; group 1 empty
+    assert [len(sub) for _g, _v, sub in groups] == [4, 0]
+    emb = spark.createDataFrame(
+        [(100 + i, [float((i + j) % 3) for j in range(8)])
+         for i in range(12)] + [(200, list(rows[0][1]))],
+        "vec_id long, embedding array<double>")
+    for lim in (10**6, 0):
+        out = SIM.ivf_assign_cells_two_level(
+            emb, cents, literal_codebook_max=lim).collect()
+        assert len(out) == 13
+        assert all(r["grp"] == 0 for r in out)
+        assert all(r["cell"] in {0, 1, 2, 3} for r in out)
+
+
 def test_simhash_near_dups_exact_recall(spark, sf_dir):
     """Banding 32 bits into 4 slices is pigeonhole-EXACT for hamming ≤ 3:
     the banded pair set must equal the brute-force pair set, and the

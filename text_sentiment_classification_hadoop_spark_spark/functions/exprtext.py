@@ -93,6 +93,20 @@ def nearest_cell_txt(vec: str, cents) -> str:
     return nearest_cell_over_txt(vec, books_lit(cents))
 
 
+def subbooks_lit(groups) -> str:
+    """``array(<books_lit>, ...)`` literal — per-GROUP sub-codebooks of
+    a two-level (hierarchical IVF) codebook, indexed by group id
+    (``element_at`` is 1-based: group ``g``'s sub-book is element
+    ``g + 1``). ``groups`` is ``[(gid, gvec, [(cell_id, cvec), ...])]``
+    sorted by contiguous gid 0..G-1. An EMPTY group (duplicate seed —
+    excluded from routing, so its slot is never selected) carries a
+    one-codeword placeholder rather than ``array()``, keeping every
+    element identically typed."""
+    return "array(" + ", ".join(
+        books_lit(sub if sub else [(0, gv)])
+        for _g, gv, sub in groups) + ")"
+
+
 def pq_seg_cell_over_txt(vec: str, books_expr: str, s: int,
                          seg_len: int) -> str:
     """Nearest codeword for PQ segment ``s`` by 6-dp-rounded squared

@@ -1010,7 +1010,8 @@ def decontaminate_embeddings(train: DataFrame, test: DataFrame,
 def semdedup(emb: DataFrame, centroids: DataFrame | None = None,
              n_cells: int = 8, threshold: float = 0.95,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             two_level: bool = False) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): semantic dedup via
     embedding CLUSTERS — candidate pairs are generated within coarse
@@ -1035,9 +1036,21 @@ def semdedup(emb: DataFrame, centroids: DataFrame | None = None,
     cell can hold most of the corpus and its |cell|² pair block then
     dominates the join (observed 22% of rows in one cell on the test
     corpus). A trained codebook (``kmeans_fit`` + :func:`kmeans_books`)
-    balances cells and is the production configuration."""
+    balances cells and is the production configuration.
+
+    ``two_level=True`` routes the assignment through
+    :func:`~.similarity.ivf_assign_cells_two_level` — the §30-named
+    hierarchical codebook (G = ceil(sqrt(k)) coarse groups, then only
+    the routed group's member cells): the corpus-sized argmax drops
+    from O(n·k·d) to O(n·2√k·d), which is the lever past the flat-k
+    crossover the sweep measured at k=128. Cell IDS and every
+    downstream stage (within-cell pair join, CC, canonicals) are
+    identical; only which cell a boundary vector lands in may differ
+    (IVF-approximate routing), so the two modes are distinct operators
+    with distinct oracles."""
     from ..session import widen
-    from .similarity import dot_expr, ivf_assign_cells, norm_expr
+    from .similarity import (dot_expr, ivf_assign_cells,
+                             ivf_assign_cells_two_level, norm_expr)
 
     emb = widen(emb)
     cents, n_cents = centroids, None
@@ -1054,8 +1067,12 @@ def semdedup(emb: DataFrame, centroids: DataFrame | None = None,
     # "write the assigned table partitioned by cell". The checkpoint
     # also sidesteps Spark 4's self-join attribute dedup bug on local
     # relations (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    assigned = (
+        ivf_assign_cells_two_level(emb, cents, id_col, vec_col)
+        if two_level else
+        ivf_assign_cells(emb, cents, id_col, vec_col, n_centroids=n_cents))
     base = (
-        ivf_assign_cells(emb, cents, id_col, vec_col, n_centroids=n_cents)
+        assigned
         .select(F.col(id_col), F.col("cell"), F.col(vec_col),
                 norm_expr(F.col(vec_col)).alias("_n"))
         .localCheckpoint(eager=True))

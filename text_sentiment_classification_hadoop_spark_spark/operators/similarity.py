@@ -309,6 +309,156 @@ def ivf_assign_cells(emb: DataFrame, centroids: DataFrame,
 # Column builds, but one py4j call and a constant lambda count.
 
 
+def _py_pround6(x: float) -> float:
+    """Driver-side mirror of ``pround_txt(·, 6)`` — identical IEEE ops."""
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _py_cos6(a: list, b: list) -> float:
+    """Driver-side mirror of the Spark cosine fold (``dot_expr`` /
+    ``norm_expr`` evaluate as SEQUENTIAL folds over dims, which is
+    exactly this loop order), 6-dp floor-rounded."""
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    return _py_pround6(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+
+def two_level_books(centroids: DataFrame,
+                    n_groups: int | None = None) -> list:
+    """Group a FLAT ``(cell_id, cell_vec)`` codebook into a TWO-LEVEL
+    (hierarchical IVF) codebook → ``[(grp, group_vec, [(cell_id,
+    cell_vec), ...])]``, one entry per group 0..G-1 (possibly with
+    empty member lists when duplicate seeds collapse).
+
+    The §30 sweep (SCALE.md) measured flat nearest-cell assignment
+    O(n·k·d) already past its crossover at k=128 — the fix is this
+    standard IVF shape: ``G = ceil(sqrt(k))`` coarse groups, so
+    assignment probes G group centroids then only the routed group's
+    members, O(n·(G + k/G)·d) ≈ O(n·2√k·d).
+
+    Deterministic, oracle-unrollable construction:
+
+    - group seeds = the first G codewords by ``cell_id``; ``grp`` =
+      position 0..G-1 in that order;
+    - every codeword joins the seed with the highest 6-dp-rounded
+      cosine (ties → lowest grp) — seeds always join their own group,
+      so group 0 is never empty and a group is empty only when its
+      seed duplicates an earlier one;
+    - a non-empty group's centroid = the 6-dp-rounded element-wise
+      mean of its member codewords; empty groups get no centroid and
+      are EXCLUDED from routing (they attract no cells, so probing
+      them is pure waste).
+
+    The grouping itself runs driver-side over the collected codebook —
+    bounded at k·dims floats, the same J4 scalar round-trip
+    ``kmeans_fit`` already makes every iteration (k ≈ 10³, dims=64 →
+    ~0.5 MB); the arithmetic mirrors the Spark fold order exactly
+    (``_py_cos6``), so the grouping is bit-identical to what a
+    Spark-side pass would compute. At codebook sizes past driver
+    comfort (k ≫ 10⁵) the same construction distributes as one
+    k-row×G-seed argmax + one groupBy — the corpus-sized stages below
+    never see the difference."""
+    rows = sorted((int(r["cell_id"]), [float(x) for x in r["cell_vec"]])
+                  for r in centroids.select("cell_id", "cell_vec").collect())
+    k = len(rows)
+    if k == 0:
+        raise ValueError("two_level_books: empty codebook")
+    G = n_groups if n_groups is not None else (math.isqrt(k - 1) + 1
+                                               if k > 1 else 1)
+    G = min(G, k)
+    seeds = [vec for _cid, vec in rows[:G]]
+    members: list[list] = [[] for _ in range(G)]
+    for cid, vec in rows:
+        bg, bc = 0, None
+        for g, svec in enumerate(seeds):
+            c = _py_cos6(vec, svec)
+            if bc is None or c > bc:   # strict: ties keep the lowest g
+                bg, bc = g, c
+        members[bg].append((cid, vec))
+    dims = len(rows[0][1])
+    groups = []
+    for g in range(G):
+        mem = members[g]
+        if mem:
+            gvec = []
+            for d in range(dims):
+                s = 0.0
+                for _cid, v in mem:    # cell_id order, sequential fold
+                    s += v[d]
+                gvec.append(_py_pround6(s / len(mem)))
+        else:
+            gvec = list(seeds[g])      # placeholder; excluded from routing
+        groups.append((g, gvec, mem))
+    return groups
+
+
+def ivf_assign_cells_two_level(emb: DataFrame, centroids: DataFrame,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               n_groups: int | None = None,
+                               literal_codebook_max: int | None = None
+                               ) -> DataFrame:
+    """Two-level (hierarchical IVF) cell assignment — the §30-named
+    lever replacing the flat O(n·k·d) argmax of
+    :func:`ivf_assign_cells` with O(n·2√k·d): route each vector to the
+    nearest GROUP centroid (G = ceil(sqrt(k)) candidates), then argmax
+    only over that group's member codewords →
+    ``(vec_id, embedding, grp, cell)``.
+
+    ``cell`` ids are the flat codebook's own ids, so downstream
+    consumers (``semdedup``'s within-cell join, the IVF probe path,
+    cell-partitioned layout) are unchanged. The assignment is
+    APPROXIMATE versus the flat argmax — a vector near a group
+    boundary may land in a neighboring group's cell (classic IVF
+    recall behavior; probe more groups for recall, pay G per extra
+    probe) — and exactly deterministic: every comparison is the
+    6-dp-rounded cosine with ties → lowest id, so the whole two-level
+    argmax unrolls into the DuckDB oracle CTE chain.
+
+    Same two riding paths as the flat assignment: ≤
+    ``literal_codebook_max`` total codewords → plan-time literals
+    (group book + per-group sub-books indexed by ``element_at``);
+    above → one broadcast one-row frame carrying both arrays —
+    identical expressions, bit-identical results, one oracle. The
+    routing argmax is projected in its OWN select before the sub-book
+    argmax, so each evaluates once per row."""
+    lim = LITERAL_CODEBOOK_MAX if literal_codebook_max is None \
+        else literal_codebook_max
+    groups = two_level_books(centroids, n_groups)
+    k = sum(len(sub) for _g, _v, sub in groups)
+    gbook = [(g, gvec) for g, gvec, sub in groups if sub]
+    if k <= lim:
+        routed = widen(emb).select(
+            F.col(id_col), F.col(vec_col),
+            F.expr(X.nearest_cell_txt(vec_col, gbook)).alias("grp"))
+        sub_expr = (f"element_at({X.subbooks_lit(groups)}, "
+                    "CAST(grp AS INT) + 1)")
+        return routed.select(
+            F.col(id_col), F.col(vec_col), F.col("grp"),
+            F.expr(X.nearest_cell_over_txt(vec_col, sub_expr)).alias("cell"))
+    spark = emb.sparkSession
+    book_row = spark.createDataFrame(
+        [([(int(g), [float(x) for x in v]) for g, v, sub in groups if sub],
+          [[(int(i), [float(x) for x in vv]) for i, vv in sub] or
+           [(int(groups[g][0]), [float(x) for x in groups[g][1]])]
+           for g, (_gid, _gv, sub) in enumerate(groups)])],
+        "_gb array<struct<i: bigint, v: array<double>>>, "
+        "_sb array<array<struct<i: bigint, v: array<double>>>>")
+    routed = (widen(emb).crossJoin(F.broadcast(book_row))
+              .select(F.col(id_col), F.col(vec_col), F.col("_sb"),
+                      F.expr(X.nearest_cell_over_txt(vec_col, "_gb"))
+                      .alias("grp")))
+    return routed.select(
+        F.col(id_col), F.col(vec_col), F.col("grp"),
+        F.expr(X.nearest_cell_over_txt(
+            vec_col, "element_at(_sb, CAST(grp AS INT) + 1)")).alias("cell"))
+
+
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
                literal_codebook_max: int | None = None) -> DataFrame:
