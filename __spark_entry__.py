@@ -60,6 +60,7 @@ from text_sentiment_classification_hadoop_spark_spark.operators.svm import (
     epoch_lr,
 )
 from text_sentiment_classification_hadoop_spark_spark.sources.tables import load_table
+from text_sentiment_classification_hadoop_spark_spark.session import local_frame
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments
@@ -1967,8 +1968,8 @@ def _classifier_metrics(kind: str):
         c = M.confusion_counts(scored)
         b = M.binary_metrics(c)
         wf = M.weighted_f_measure(scored)
-        return spark.createDataFrame(
-            [(c["tp"], c["fp"], c["tn"], c["fn"],
+        return local_frame(
+            spark, [(c["tp"], c["fp"], c["tn"], c["fn"],
               py_pround(b["accuracy"], 6), py_pround(b["precision"], 6),
               py_pround(b["recall"], 6), py_pround(b["f1"], 6),
               py_pround(wf, 6))],
@@ -3256,8 +3257,8 @@ def _nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("m")
     thr_rows = (marg.select("m").withColumn("r", F.row_number().over(w))
                 .filter(F.col("r").isin(list(ranks))).collect())
-    tdf = spark.createDataFrame(
-        sorted((ranks[r["r"]], r["m"]) for r in thr_rows),
+    tdf = local_frame(
+        spark, sorted((ranks[r["r"]], r["m"]) for r in thr_rows),
         "thr_idx int, threshold double")
     hit = F.col("m") >= F.col("threshold")
     pos = F.col("label") == 1.0
@@ -4001,7 +4002,13 @@ def _curation_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from text_sentiment_classification_hadoop_spark_spark.operators.curation import narrow_verdict
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from text_sentiment_classification_hadoop_spark_spark.session import widen
+    # widen: the gate chain is the CPU-heavy narrow stage and the
+    # single-row-group scan would run it on ONE task (profiled 4.3 s
+    # serial at sf0.1, r15); counts are commutative so the metrics are
+    # partitioning-independent
+    docs = widen(load_table(spark, "documents", sf_dir)
+                 .select("doc_id", "text"))
     v = narrow_verdict(docs)
     reasons = ["lang", "quality", "repetitive"]
     # named observe (NOT the Observation helper object: it registers
@@ -4014,14 +4021,21 @@ def _curation_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept_narrow").alias("n_kept"),
         *[F.sum(F.when(F.col("reject_reason") == r, 1).otherwise(0))
           .alias(f"n_{r}") for r in reasons])
-    observed.collect()  # the one pass; accumulators ride along
-    jrow = (observed._jdf.queryExecution().observedMetrics()
+    # one pass. The metrics only populate on the queryExecution that
+    # actually RAN (count()/write wrap a new one — verified: the named
+    # metric comes back empty), so collect — but collect a one-column
+    # constant projection: the CollectMetrics node below it still
+    # evaluates every gate, while the driver transfer drops from the
+    # full 20k-row verdict table to 20k constants
+    probe = observed.select(F.lit(1).alias("_probe"))
+    probe.collect()
+    jrow = (probe._jdf.queryExecution().observedMetrics()
             .get("curation_gates").get())
     row = tuple(int(jrow.getAs(c)) for c in
                 ["n_docs", "n_kept", "n_lang", "n_quality", "n_repetitive"])
-    return spark.createDataFrame(
-        [row], "n_docs long, n_kept long, n_lang long, "
-               "n_quality long, n_repetitive long")
+    return local_frame(
+        spark, [row], "n_docs long, n_kept long, n_lang long, "
+                      "n_quality long, n_repetitive long")
 
 
 def _cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4256,8 +4270,9 @@ def _bpe_merges_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded = BPE.load_merges(spark, path)
     rows = [(i + 1, p, p.replace(" ", ""), f)
             for i, (p, f) in enumerate(loaded)]
-    return spark.createDataFrame(
-        rows, "merge_rank int, pair string, merged string, freq bigint"
+    return local_frame(
+        spark, rows,
+        "merge_rank int, pair string, merged string, freq bigint"
     ).orderBy("merge_rank")
 
 

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 # End-of-word marker (multi-char, cannot collide with single-char symbols).
 EOW = "</w>"
 
@@ -208,7 +210,8 @@ def bpe_merges_df(df: DataFrame, n_merges: int = 8,
                        batch_k=batch_k, headroom=headroom)
     rows = [(i + 1, p, p.replace(" ", ""), f)
             for i, (p, f) in enumerate(merges)]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows, "merge_rank int, pair string, merged string, freq bigint"
     ).orderBy("merge_rank")
 
@@ -217,7 +220,8 @@ def save_merges(spark, merges: list[tuple[str, int]], path: str) -> None:
     """Persist a learned merge list as the parquet artifact the
     ``tokenize-train`` CLI writes: ``(merge_rank, pair, merged, freq)``,
     single file (merge tables are tokenizer-sized)."""
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(i + 1, p, p.replace(" ", ""), f)
          for i, (p, f) in enumerate(merges)],
         "merge_rank int, pair string, merged string, freq bigint"

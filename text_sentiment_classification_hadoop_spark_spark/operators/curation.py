@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 from . import dedup as D
 from . import text_analysis as TA
 
@@ -162,8 +164,8 @@ def mixture_sample(docs: DataFrame, weights=None, id_col: str = "doc_id",
     from ..functions.hashing import portable_hash64
     if weights is None:
         weights = MIXTURE_WEIGHTS
-    w_df = docs.sparkSession.createDataFrame(
-        weights, f"{lang_col} string, w double")
+    w_df = local_frame(docs.sparkSession,
+                       weights, f"{lang_col} string, w double")
     h = portable_hash64(
         F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     frac_gate = ((h % 1000000) / F.lit(1000000.0)) \
@@ -394,8 +396,8 @@ def mixture_token_plan(docs: DataFrame, weights=None,
     if weights is None:
         weights = MIXTURE_WEIGHTS
     w_int = [(lang, int(round(w * 1000))) for lang, w in weights]
-    w_df = docs.sparkSession.createDataFrame(
-        w_int, f"{lang_col} string, w_mill long")
+    w_df = local_frame(docs.sparkSession,
+                       w_int, f"{lang_col} string, w_mill long")
 
     stats = (docs.select(F.col(lang_col),
                          F.size(F.filter(F.split(F.col(text_col), " "),

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 # 1.0 rank unit == 1_000_000 micro-units.
 SCALE = 1_000_000
 # damping 0.85 as the exact rational 17/20.
@@ -198,31 +200,44 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
         F.sum("_w").alias("sum_w")).localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.select(
-        "node", F.lit(SCALE).cast("long").alias("rank_micro")
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
+        "node", F.lit(SCALE).cast("long").alias("rank_micro"))
+    for it in range(iters):
         # per-node (rank, sum_w) first (node-sized join), THEN the one
         # edge-sized join — the per-edge division needs the edge's own
-        # weight, so it evaluates edge-side.
+        # weight, so it evaluates edge-side. String-key (USING) joins
+        # throughout: the lazy multi-round lineage re-joins frames
+        # derived from `deg`/`nodes` against themselves, and
+        # dataset-qualified column refs (`deg["src"]`) trip Spark's
+        # ambiguous-self-join check the old per-round checkpoints were
+        # masking.
         share = (
-            ranks.join(deg, ranks["node"] == deg["src"])
-            .select(deg["src"], "rank_micro", "sum_w")
+            ranks.join(deg.withColumnRenamed("src", "node"), "node")
+            .select(F.col("node").alias("src"), "rank_micro", "sum_w")
         )
         contrib = (
             edges.join(share, "src")
             .select("dst", F.expr("(rank_micro * _w) div sum_w").alias("c"))
             .groupBy("dst").agg(F.sum("c").alias("mass"))
+            .withColumnRenamed("dst", "node")
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (F.lit(RESET_MICRO)
                  + F.expr(f"(coalesce(mass, 0) * {DAMP_NUM}) div {DAMP_DEN}")
                  ).cast("long").alias("rank_micro"),
             )
-            .localCheckpoint(eager=True)
         )
+        # lineage checkpoint every 4th round only (the lpa_communities
+        # lesson, measured ~2x at sf0.1: a lazy AQE-fused multi-round
+        # plan beats per-round eager materialization — each eager
+        # localCheckpoint pays row materialization + read-back and a
+        # driver job the fused plan never does). Results are
+        # partitioning/lineage-independent (exact BIGINT arithmetic),
+        # and the common iters=3 case runs fully fused.
+        if it % 4 == 3 and it != iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -277,8 +292,8 @@ def pagerank_personalized(edges: DataFrame, seeds: list[int],
     edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(
         F.sum("_w").alias("sum_w")).localCheckpoint(eager=True)
-    seed_df = sess.createDataFrame([(int(s),) for s in sorted(set(seeds))],
-                                   "node long")
+    seed_df = local_frame(sess, [(int(s),) for s in sorted(set(seeds))],
+                          "node long")
     if validate_seeds:
         missing = (seed_df.join(deg.select(F.col("src").alias("node")),
                                 "node", "left_anti")
@@ -296,28 +311,35 @@ def pagerank_personalized(edges: DataFrame, seeds: list[int],
     ranks = nodes.select(
         "node",
         (F.col("_seed") * SCALE).cast("long").alias("rank_micro"))
-    for _ in range(iters):
+    for it in range(iters):
         active = ranks.filter(F.col("rank_micro") > 0) if frontier \
             else ranks
+        # string-key (USING) joins for the same ambiguous-self-join
+        # reason as pagerank_fixed_point: the lazy multi-round lineage
+        # re-joins deg/nodes-derived frames against themselves
         share = (
-            active.join(deg, active["node"] == deg["src"])
-            .select(deg["src"], "rank_micro", "sum_w")
+            active.join(deg.withColumnRenamed("src", "node"), "node")
+            .select(F.col("node").alias("src"), "rank_micro", "sum_w")
         )
         contrib = (
             edges.join(share, "src")
             .select("dst", F.expr("(rank_micro * _w) div sum_w").alias("c"))
             .groupBy("dst").agg(F.sum("c").alias("mass"))
+            .withColumnRenamed("dst", "node")
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (F.col("_seed") * RESET_MICRO
                  + F.expr(f"(coalesce(mass, 0) * {DAMP_NUM}) div {DAMP_DEN}")
                  ).cast("long").alias("rank_micro"),
             )
-            .localCheckpoint(eager=True)
         )
+        # every-4th-round lineage checkpoint, as in pagerank_fixed_point
+        # (the lpa_communities lazy-vs-eager measurement)
+        if it % 4 == 3 and it != iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank_micro")
 
 
@@ -339,7 +361,7 @@ def bfs_depths(edges: DataFrame, source: int,
     on small-diameter graphs (social/co-purchase) the whole walk is a
     handful of rounds. The depth cap bounds adversarial chains."""
     sess = edges.sparkSession
-    visited = (sess.createDataFrame([(int(source), 0)], "node long, depth int")
+    visited = (local_frame(sess, [(int(source), 0)], "node long, depth int")
                .localCheckpoint(eager=True))
     frontier = visited.select("node")
     e = edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
@@ -416,7 +438,7 @@ def bellman_ford_costs(edges: DataFrame, source: int,
     distance-table × average-degree — frontier-scaled, never
     graph²."""
     sess = edges.sparkSession
-    dist = (sess.createDataFrame([(int(source), 0)], "node long, cost long")
+    dist = (local_frame(sess, [(int(source), 0)], "node long, cost long")
             .localCheckpoint(eager=True))
     e = edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"),
                      F.col(cost_col).alias("_c"))

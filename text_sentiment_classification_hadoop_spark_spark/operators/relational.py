@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 from ..functions.rounding import davg, dec2, dsum, pround, pround_avg2
 from ..sources.tables import load_table
 
@@ -262,7 +264,7 @@ def quantity_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against a tiny interval dim; the fact side streams through
     narrow. Never shuffle the fact for a banding join."""
     l = load_table(spark, "lineitem", sf_dir)
-    bands = spark.createDataFrame(QUANTITY_BANDS, "band STRING, lo INT, hi INT")
+    bands = local_frame(spark, QUANTITY_BANDS, "band STRING, lo INT, hi INT")
     return (
         l.join(F.broadcast(bands),
                (F.col("l_quantity") >= F.col("lo"))
@@ -948,8 +950,8 @@ def exact_median_price(spark: SparkSession, sf_dir: str,
             .localCheckpoint(eager=True))
     n = hist.agg(F.sum("_c")).collect()[0][0]
     if not n:  # empty table: no median row, like the oracle's join
-        return spark.createDataFrame(
-            [], "n_rows long, k long, median double")
+        return local_frame(
+            spark, [], "n_rows long, k long, median double")
     k = (n + 1) // 2
     w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("_cum", F.sum("_c").over(w))
@@ -1839,10 +1841,10 @@ def winsorized_revenue_stats(spark: SparkSession, sf_dir: str,
     l = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
     n = l.count()
     if n == 0:
-        return spark.createDataFrame(
-            [], "n_rows long, lo_cut double, hi_cut double, "
-                "n_clamped_lo long, n_clamped_hi long, "
-                "winsorized_mean double")
+        return local_frame(
+            spark, [], "n_rows long, lo_cut double, hi_cut double, "
+                       "n_clamped_lo long, n_clamped_hi long, "
+                       "winsorized_mean double")
     k_lo = (n * lo_pct + 99) // 100
     k_hi = (n * hi_pct + 99) // 100
     lo_cut = _kth_price(l, max(1, k_lo))
@@ -2077,8 +2079,8 @@ def revenue_mad_outliers(spark: SparkSession, sf_dir: str,
         # one (0, NULL, NULL, 0) row — the oracle's scalar subqueries
         # produce exactly this on an empty table, and the bootstrap-CI
         # twin uses the same in-plan convention (r8 ADVICE)
-        return spark.createDataFrame(
-            [(0, None, None, 0)],
+        return local_frame(
+            spark, [(0, None, None, 0)],
             "n_rows long, median_price double, mad double, "
             "n_outliers long")
     k_med = max(1, (n + 1) // 2)

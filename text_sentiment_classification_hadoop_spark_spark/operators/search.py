@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 from ..functions.rounding import pround
 
 BM25_K1 = 1.2
@@ -142,7 +144,7 @@ def cms_estimate(df: DataFrame, terms: list[str], text_col: str = "text",
         for j in range(depth):
             h = int(hashlib.md5(f"cms{j}:{t}".encode()).hexdigest()[:15], 16)
             probes.append((t, j, h % width))
-    probe_df = spark.createDataFrame(probes, "w string, j int, col int")
+    probe_df = local_frame(spark, probes, "w string, j int, col int")
     sketch = cms_build(df, text_col, depth, width)
     est = (sketch.join(F.broadcast(probe_df), ["j", "col"])
            .groupBy("w").agg(F.min("cnt").alias("est_count")))

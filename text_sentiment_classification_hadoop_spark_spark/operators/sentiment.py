@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import clean_chain_a
 from ..functions.rounding import pround
-from ..session import widen
+from ..session import local_frame, widen
 from . import metrics as M
 from . import nb as NB
 from . import svm as SVM
@@ -129,8 +129,8 @@ def nb_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5/J4: the six scalar training stats as one row (the
     reference's Configuration scalars, ``NB.java:305-316``)."""
     _model, s = _nb_trained(spark, sf_dir)
-    return spark.createDataFrame(
-        [(s.tweets_size, s.pos_tweets_size, s.neg_tweets_size,
+    return local_frame(
+        spark, [(s.tweets_size, s.pos_tweets_size, s.neg_tweets_size,
           s.pos_words_size, s.neg_words_size, s.features_size)],
         "tweets_size bigint, pos_tweets_size bigint, neg_tweets_size bigint, "
         "pos_words_size bigint, neg_words_size bigint, features_size bigint",

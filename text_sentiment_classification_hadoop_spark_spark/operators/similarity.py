@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions import exprtext as X
 from ..functions.hashing import portable_hash64
 from ..functions.rounding import pround
-from ..session import widen
+from ..session import local_frame, widen
 
 
 def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -247,16 +247,16 @@ LITERAL_CODEBOOK_MAX = 64
 
 def _one_row_book(spark, book):
     """The broadcast-codebook relation: one row, one array column."""
-    return spark.createDataFrame(
-        [([(int(i), [float(x) for x in v]) for i, v in book],)],
+    return local_frame(
+        spark, [([(int(i), [float(x) for x in v]) for i, v in book],)],
         "_cb array<struct<i: bigint, v: array<double>>>")
 
 
 def _one_row_books(spark, books):
     """Per-segment codebooks (PQ) as one nested-array row."""
-    return spark.createDataFrame(
-        [([[(int(i), [float(x) for x in v]) for i, v in b]
-           for b in books],)],
+    return local_frame(
+        spark, [([[(int(i), [float(x) for x in v]) for i, v in b]
+                  for b in books],)],
         "_cbs array<array<struct<i: bigint, v: array<double>>>>")
 
 
@@ -442,8 +442,8 @@ def ivf_assign_cells_two_level(emb: DataFrame, centroids: DataFrame,
             F.col(id_col), F.col(vec_col), F.col("grp"),
             F.expr(X.nearest_cell_over_txt(vec_col, sub_expr)).alias("cell"))
     spark = emb.sparkSession
-    book_row = spark.createDataFrame(
-        [([(int(g), [float(x) for x in v]) for g, v, sub in groups if sub],
+    book_row = local_frame(
+        spark, [([(int(g), [float(x) for x in v]) for g, v, sub in groups if sub],
           [[(int(i), [float(x) for x in vv]) for i, vv in sub] or
            [(int(groups[g][0]), [float(x) for x in groups[g][1]])]
            for g, (_gid, _gv, sub) in enumerate(groups)])],
@@ -522,8 +522,8 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
         cents = [(cid, [got.get((cid, d), prev[d]) for d in range(dims)])
                  for cid, prev in cents]
     rows = [(cid, d, cvec[d]) for cid, cvec in cents for d in range(dims)]
-    return emb.sparkSession.createDataFrame(
-        rows, "cell_id long, d int, centroid double")
+    return local_frame(
+        emb.sparkSession, rows, "cell_id long, d int, centroid double")
 
 
 def kmeans_books(fitted: DataFrame) -> DataFrame:
@@ -1084,8 +1084,8 @@ def mmr_rerank(emb: DataFrame, query_vec: list[float],
 
     spark = emb.sparkSession
     from pyspark.sql import types as T
-    return spark.createDataFrame(
-        selected,
+    return local_frame(
+        spark, selected,
         T.StructType([T.StructField("rank", T.IntegerType()),
                       T.StructField("vec_id", T.LongType()),
                       T.StructField("mmr_score_nano", T.LongType())]))
@@ -1522,6 +1522,6 @@ def pca_power_top_component(emb: DataFrame, vec_col: str = "embedding",
             break
         v = [(-1 if x < 0 else 1) * ((abs(x) * 1_000_000) // m) for x in w]
     sess = emb.sparkSession
-    return sess.createDataFrame(
-        [(d, int(v[d])) for d in range(dims)],
+    return local_frame(
+        sess, [(d, int(v[d])) for d in range(dims)],
         "d int, loading_micro long")

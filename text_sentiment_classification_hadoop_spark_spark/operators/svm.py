@@ -134,6 +134,8 @@ def svm_train_declared(docs: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import types as T
 
+    from ..session import local_frame
+
     spark = docs.sparkSession
     y_expr = F.when(F.col(label_col) == 1.0, F.lit(1.0)).otherwise(F.lit(-1.0))
     # doc-level token arrays, cached once: both the partition-local
@@ -196,8 +198,8 @@ def svm_train_declared(docs: DataFrame, id_col: str = "doc_id",
                 new_weights[word] = new_weights.get(word, 0.0) + d
             weights = new_weights
         base.unpersist()
-        return spark.createDataFrame(
-            sorted(weights.items()),
+        return local_frame(
+            spark, sorted(weights.items()),
             T.StructType([T.StructField("word", T.StringType()),
                           T.StructField("weight", T.DoubleType())]))
 

