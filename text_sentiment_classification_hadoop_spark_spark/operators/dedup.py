@@ -618,21 +618,25 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         .alias("_sh"))
         .select(F.col(id_col), portable_hash64(F.col("_sh")).alias("shash"))
         .distinct())
-    # COUNT-BASED PRE-GUARD before any posting materialization (ADVICE
-    # r14): a degenerate hot fingerprint (boilerplate shingle present in
-    # millions of docs) must be dropped from a map-side-combinable COUNT
-    # — never accumulated into a collect_list buffer, where one
-    # aggregation buffer would hold an unbounded array. Small inputs:
-    # AQE broadcasts the kept-shash set, so postings are not shuffled
-    # for the guard at all. At scale: the semi-join shuffles both sides
-    # on shash and the following collect_list groupBy reuses that
-    # partitioning — the added cost is one
-    # combinable count aggregate (what the pre-r14 guard paid), and the
-    # posting arrays are now genuinely ≤ max_df elements DURING
-    # aggregation, not only after a post-filter.
-    dfc = (sh.groupBy("shash").agg(F.count(F.lit(1)).alias("_df"))
-           .filter(F.col("_df") <= max_df).select("shash"))
-    kept = (sh.join(dfc, "shash", "left_semi")
+    # DF PRE-GUARD before any posting materialization (ADVICE r14,
+    # re-planned r15): a degenerate hot fingerprint (boilerplate
+    # shingle present in millions of docs) must never accumulate into a
+    # collect_list buffer, where ONE aggregation buffer would hold an
+    # unbounded array. The r14 form (count-agg → semi-join → groupBy)
+    # achieved that but evaluated the corpus-sized shingle+hash+distinct
+    # pipeline TWICE (once per side of the semi-join) — measured +53%
+    # on the isolated query. One windowed count over the same shash
+    # partitioning gives the identical kept set in a SINGLE pass:
+    # WindowExec buffers a hot fingerprint's group in a SPILLABLE
+    # row buffer (ExternalAppendOnlyUnsafeRowBuffer — bounded memory,
+    # disk-backed), unlike an aggregation's in-memory array buffer, and
+    # the following collect_list groupBy reuses the window's hash
+    # partitioning, so no exchange is added. Only fingerprints that
+    # survive the ≤ max_df filter ever reach a posting array.
+    from pyspark.sql import Window
+    kept = (sh.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shash")))
+            .filter(F.col("_df") <= max_df)
             .groupBy("shash")
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")))
     # sizes over the SAME filtered universe (df-1 singletons included)
