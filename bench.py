@@ -257,6 +257,11 @@ def main() -> None:
     from pyspark.sql import functions as F
     (spark.read.parquet(f"{sf_dir}/region.parquet")
      .groupBy(F.lower(F.col("r_name")).alias("k")).count().count())
+    # ... and the Arrow local-relation path (session.local_frame):
+    # its JVM conversion machinery class-loads ~3 s on first use
+    # (r15 §4), one-time like the codegen warmup above
+    from text_sentiment_classification_hadoop_spark_spark.session import local_frame
+    local_frame(spark, [(0, "w")], "i int, s string").count()
 
     # --repeat N samples per query, interleaved by PASS (pass 1 of all
     # queries, then pass 2, ...) rather than back-to-back, so a

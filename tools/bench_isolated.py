@@ -101,9 +101,12 @@ def run_worker(name: str, sf_dir: str) -> None:
 
     from pyspark.sql import functions as F
     # same one-time warmup as bench.py: touch parquet reader, shuffle,
-    # codegen — so the measurement is the query, not JVM startup
+    # codegen, and the Arrow local-relation path — so the measurement
+    # is the query, not JVM startup
     (spark.read.parquet(f"{sf_dir}/region.parquet")
      .groupBy(F.lower(F.col("r_name")).alias("k")).count().count())
+    from text_sentiment_classification_hadoop_spark_spark.session import local_frame
+    local_frame(spark, [(0, "w")], "i int, s string").count()
 
     fn = entry.queries()[name]
     t0 = time.perf_counter()

@@ -52,6 +52,8 @@ def main() -> int:
     # same warmup as bench.py so stage times are the query's
     (spark.read.parquet(f"{args.sf}/region.parquet")
      .groupBy(F.lower(F.col("r_name")).alias("k")).count().count())
+    from text_sentiment_classification_hadoop_spark_spark.session import local_frame
+    local_frame(spark, [(0, "w")], "i int, s string").count()
 
     fn = entry.queries()[args.query]
     walls = []
