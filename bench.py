@@ -223,6 +223,58 @@ _HEAVY_SIBLING = {
 HEADLINE_EXCLUDED.update(_HEAVY_SIBLING)
 
 
+def previous_inline_names(repo_dir: str) -> list[str]:
+    """Names shown by the most recent committed ``BENCH_r{N}.json``'s
+    one-line ``queries`` dict (the driver's PERF comparison surface) —
+    the pin set for :func:`build_inline_line`. Empty when no previous
+    artifact exists (first round / fresh checkout)."""
+    import glob
+    import re
+    try:
+        arts = sorted(
+            (p for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+             if re.search(r"BENCH_r(\d+)\.json$", p)),
+            key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
+        if not arts:
+            return []
+        with open(arts[-1]) as fh:
+            prev = json.load(fh)
+        return list((prev.get("parsed") or prev).get("queries") or {})
+    except Exception:
+        return []
+
+
+def build_inline_line(base: dict, timings: dict, core: list[str],
+                      pinned: list[str], budget: int = 1900) -> str:
+    """The ONE stdout JSON line, sized to the driver's 2000-char capture
+    buffer. Inclusion is deterministic (VERDICT r15 ask #6): ``core``
+    (the reference-workload set), then ``pinned`` (every name the
+    previous round's line showed — so the round-over-round comparable
+    set only ever GROWS while names stay in the registry), then
+    slowest-first for whatever budget remains. If core+pinned alone
+    would overflow, the display precision drops 3 → 2 decimals (a
+    reporting fallback only; bench_result.json always carries the full
+    3-decimal medians)."""
+    core = [n for n in core if n in timings]
+    pinned = [n for n in pinned if n in timings and n not in core]
+    by_cost = sorted((n for n in timings
+                      if n not in core and n not in pinned),
+                     key=lambda n: -timings[n])
+    must_show = core + pinned
+    for prec in (3, 2):
+        shown: dict[str, float] = {}
+        for name in must_show + by_cost:
+            trial = dict(base, queries=dict(
+                shown, **{name: round(timings[name], prec)}))
+            if len(json.dumps(trial, separators=(",", ":"))) > budget:
+                break
+            shown[name] = round(timings[name], prec)
+        if all(n in shown for n in must_show) or prec == 2:
+            return json.dumps(dict(base, queries=shown),
+                              separators=(",", ":"))
+    raise AssertionError("unreachable")  # prec==2 branch always returns
+
+
 def main() -> None:
     import argparse
 
@@ -355,21 +407,14 @@ def main() -> None:
     core = [n for n in ("nb_predictions", "nb_confusion", "nb_metrics", "nb_pr_curve",
                         "svm_predictions", "svm_declared_weights",
                         "svm_metrics", "pricing_summary") if n in timings]
-    by_cost = sorted((n for n in timings if n not in core),
-                     key=lambda n: -timings[n])
-    budget = 1900
-    shown: dict[str, float] = {}
     base = {"metric": "headline_queries_total", "value": round(total, 3),
             "unit": "sec", "sf": sf_val, "n_queries": len(timings),
             "repeat": repeat,
             "registry_total": round(total + tail_total, 3),
             "queries_full": "bench_result.json"}
-    for name in core + by_cost:
-        trial = dict(base, queries=dict(shown, **{name: timings[name]}))
-        if len(json.dumps(trial, separators=(",", ":"))) > budget:
-            break
-        shown[name] = timings[name]
-    line = json.dumps(dict(base, queries=shown), separators=(",", ":"))
+    line = build_inline_line(
+        base, timings, core,
+        previous_inline_names(os.path.dirname(os.path.abspath(__file__))))
     # stop Spark FIRST (JVM shutdown logs would otherwise land after
     # the line and can push its head out of the capture buffer), and
     # make the JSON line the very last output.

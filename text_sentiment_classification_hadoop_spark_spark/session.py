@@ -88,6 +88,11 @@ def local_frame(spark: SparkSession, rows, schema):
     express falls back to plain ``createDataFrame``.
     """
     from pyspark.sql import types as T
+    # materialize ONCE up front (ADVICE r15): the Arrow attempt below
+    # iterates `rows`, and its blanket-except fallback iterates again —
+    # a generator argument would silently yield an empty/partial frame
+    # on the second pass
+    rows = list(rows)
     if isinstance(schema, str):
         try:
             st = T.StructType.fromDDL(schema)
@@ -134,7 +139,11 @@ def local_frame(spark: SparkSession, rows, schema):
             if isinstance(dt, T.ArrayType):
                 return [conv(x, dt.elementType) for x in v]
             if isinstance(dt, T.MapType):
-                return {k: conv(x, dt.valueType) for k, x in dict(v).items()}
+                # keys need conversion too (ADVICE r15): a struct/array
+                # key left unconverted would silently fall back to the
+                # pickled path
+                return {conv(k, dt.keyType): conv(x, dt.valueType)
+                        for k, x in dict(v).items()}
             return v
 
         pyl = [{f.name: conv(x, f.dataType)
@@ -176,6 +185,15 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
+    # scale/deployment-dependent conf overrides WITHOUT code edits
+    # (guide §9 experiments stay parameterized: local defaults above
+    # are the measured-best for the driver's local[N] bench; cluster
+    # values are justified per-experiment in OPTIMIZATION_r16.md):
+    #   SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2"
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, env_conf.split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -43,6 +43,18 @@ Round 15 additions (VERDICT r14 asks #2/#3 + ADVICE):
   narrower ``--names``/``--top`` rerun cannot silently mix medians from
   a different query set into the rewritten artifact (ADVICE r14).
   Queries resume until they hold ``--repeat`` samples.
+Known measurement asymmetry (ADVICE r15, documented rather than
+"fixed"): the worker warms the Arrow local-relation class-load out of
+the timed region, but NOT the Python-worker-daemon startup that the
+pre-r15 pickled ``createDataFrame`` path paid inside its timed query —
+so interleaved A/B runs against a pre-r15 pinned worktree can overstate
+per-query speedups by that one-time daemon cost. Deliberately left
+asymmetric: adding a pickled-path warmup NOW would shift daemon startup
+out of the timed region for the queries that still carry designed
+Python stages (multimodal ``mm_*``, the refmodel readback) and
+manufacture a phantom round-over-round win against every committed
+artifact measured without it.
+
 * The §34 re-measure rule is now a POST-PASS in this tool, not a
   hand-applied convention: after the main loop, any query whose median
   exceeds ``REMEASURE_RATIO``× its median in the previous committed

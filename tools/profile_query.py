@@ -75,9 +75,19 @@ def main() -> int:
     try:
         cm = spark.sparkContext._jvm.org.apache.spark.metrics.source.CodegenMetrics
         comp = cm.METRIC_COMPILATION_TIME()
-        codegen = (f"codegen: {comp.getCount()} compiles, "
-                   f"{comp.getSnapshot().getMean() * comp.getCount() / 1000.0:.2f}s total, "
-                   f"max {comp.getSnapshot().getMax() / 1000.0:.2f}s, "
+        # snapshot-mean × count is an ESTIMATE (ADVICE r15): the
+        # Dropwizard histogram is a sampled reservoir, so for many
+        # compilations the product can be materially off; exact when
+        # count ≤ reservoir size (1028), so sum the raw values then
+        snap = comp.getSnapshot()
+        vals = list(snap.getValues())
+        if comp.getCount() <= len(vals):
+            tot = f"{sum(vals) / 1000.0:.2f}s total"
+        else:
+            tot = (f"~{snap.getMean() * comp.getCount() / 1000.0:.2f}s "
+                   "total (reservoir estimate)")
+        codegen = (f"codegen: {comp.getCount()} compiles, {tot}, "
+                   f"max {snap.getMax() / 1000.0:.2f}s, "
                    f"src {cm.METRIC_SOURCE_CODE_SIZE().getCount()} units")
     except Exception as ex:
         codegen = f"codegen: unavailable ({ex})"
