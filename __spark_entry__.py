@@ -2144,13 +2144,19 @@ def _copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     same loop in 2-3 rounds)."""
     from pyspark.sql import functions as F
 
-    from text_sentiment_classification_hadoop_spark_spark.operators import graph as G
-    pairs = (G.edges_from_rel(_copurchase_rel(spark, sf_dir))
-             .filter(F.col("src") < F.col("dst"))
-             .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
-             .distinct())
-    # local[32] tuning only: the sf0.1 edge set is ~16k rows, so
-    # per-round task latency dominates — 8 partitions, not 32
+    pairs = _copurchase_rel(spark, sf_dir).select(
+        F.col("cust").alias("id_a"), F.col("supp").alias("id_b"))
+    # The old form re-derived this from the symmetrized edge list
+    # (union → filter src<dst → distinct): one wasted union + filter +
+    # distinct over 2×|rel| rows (1.17M at sf0.1, profiled as 2 of the
+    # query's hottest stages). The relation is pair-DISTINCT by
+    # construction (it is a (cust, supp) groupBy output) and already
+    # oriented id_a < id_b (supplier ids ride the disjoint
+    # SUPP_OFFSET id space above every customer id — the documented
+    # graph-module invariant), and connected_components symmetrizes
+    # internally, so the pair SET the CC loop sees is identical.
+    # local[32] tuning only: ~16k nodes, so per-round task latency
+    # dominates — 8 partitions, not 32
     return D.connected_components(pairs, algorithm="alternating",
                                   shuffle_partitions=8).orderBy("node")
 

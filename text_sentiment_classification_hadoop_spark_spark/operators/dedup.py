@@ -315,18 +315,23 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     shallow (a handful of mutually-similar docs), so this terminates in
     2-4 rounds in practice.
 
-    Rounds run in LAZY BATCHES of ``probe_every`` (guide §2.4/§5, the
-    r15 PageRank lesson; VERDICT r15 ask #3): one AQE-fused multi-round
-    plan per batch, then ONE ``localCheckpoint`` + ONE scalar
-    convergence probe — instead of a materialization and a driver
-    round-trip per round. Results are identical: min-label rounds are
-    idempotent at the fixpoint (extra rounds inside the converging
-    batch are no-ops), the label-sum is strictly decreasing until the
-    fixpoint so "sum unchanged across a batch" still certifies
-    convergence exactly, and total rounds never exceed ``max_iters``
-    (the last batch is truncated). USING-keyed joins dodge the
-    ambiguous-self-join check the old per-round checkpoints masked
-    (the pagerank_fixed_point discipline).
+    Rounds run in LAZY BATCHES on a geometric 1, 1, 1, 2, 4, 4, ...
+    probe schedule (guide §2.4/§5, the r15 PageRank lesson; VERDICT
+    r15 ask #3): each batch is one AQE-fused multi-round plan, then
+    ONE ``localCheckpoint`` + ONE scalar convergence probe. The first
+    three batches keep the old round-exact exit — near-dup graphs are
+    shallow, and a fixed 4-round batch was measured to OVERSHOOT them
+    (8 edge joins instead of 3, +44% task time on dedup_canonical at
+    sf0.1) — so only loops that survive 3 rounds (deep/adversarial
+    components, the 100 TB case where the per-round barrier dominates)
+    escalate to fused multi-round batches. Results are identical:
+    min-label rounds are idempotent at the fixpoint (extra rounds
+    inside the converging batch are no-ops), the label-sum is strictly
+    decreasing until the fixpoint so "sum unchanged across a batch"
+    still certifies convergence exactly, and total rounds never exceed
+    ``max_iters`` (the last batch is truncated). USING-keyed joins
+    dodge the ambiguous-self-join check the old per-round checkpoints
+    masked (the pagerank_fixed_point discipline).
 
     ``algorithm="alternating"``: the large-star/small-star algorithm
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -388,9 +393,18 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     edges = edges.union(labels.select(F.col("node").alias("src"),
                                       F.col("node").alias("dst")))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    probe_every = 4
+    # GEOMETRIC probe schedule 1, 1, 2, 4, 4, ...: near-dup graphs are
+    # shallow (converge in 2-3 rounds), so the first two batches keep
+    # the old round-exact exit — a fixed batch of 4 was measured to
+    # OVERSHOOT shallow graphs (8 rounds of edge joins instead of 3,
+    # +44% task time on dedup_canonical at sf0.1); only a loop that
+    # has already survived 2 rounds (deep components — the adversarial
+    # 100 TB case) escalates to fused 2- then 4-round batches, where
+    # the per-round checkpoint + probe barrier is the dominant cost.
+    batch_sizes = [1, 1, 1, 2]
     done = 0
     while done < max_iters:
+        probe_every = batch_sizes.pop(0) if batch_sizes else 4
         for _ in range(min(probe_every, max_iters - done)):
             labels = (
                 edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -440,6 +454,12 @@ def _cc_alternating(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
 
     prev = None
     converged = False
+    # per-body probe kept deliberately (measured this round): batching
+    # the fingerprint to every 2nd body trades one ~0.1 s collect over
+    # an already-checkpointed RDD for up to one EXTRA large+small-star
+    # body (~6 shuffles) past the fixpoint — profiled at sf0.1 as +13
+    # stages on copurchase_components. The probe is the cheap side
+    # here, unlike the label_prop loop above.
     for _ in range(max_iters):
         # large-star over the symmetric neighborhood
         sym = edges.union(edges.select(F.col("v").alias("u"),
@@ -1111,48 +1131,56 @@ def semdedup(emb: DataFrame, centroids: DataFrame | None = None,
     # (the planted-duplicate mass here; any hot semantic cluster in
     # production) becomes the single straggler task AQE's skew-join
     # split cannot help — it cannot split one join KEY. Tile each cell
-    # into contiguous id-range blocks of ≤ ``tile_size`` rows
-    # (row_number over (cell, id) — deterministic) and join on
-    # (cell, tile_i, tile_j) with the left side exploded to tiles
-    # ≥ its own and the right side to tiles ≤ its own: every unordered
-    # in-cell pair lands in EXACTLY one (i ≤ j) tile pair (for i < j
-    # the id-ordered tiles make id_a < id_b automatic; for i == j the
-    # usual filter orients), so the pair set — and every downstream
-    # result — is bit-identical while the max per-key block is
-    # tile_size². Cells ≤ tile_size get ONE tile: the plan degenerates
-    # to the old single-key join plus two constant int key columns.
-    # Replication factor per row is ~(B+1)/2 + 1 where B = ⌈|cell| /
-    # tile_size⌉ — the classic blocked-self-join trade: shuffle a few
-    # × more (norm+vec rows) to bound the largest task, which is what
-    # matters at 100 TB where one task would otherwise hold the whole
-    # hot cluster's quadratic.
-    from pyspark.sql import Window
-    wcell = Window.partitionBy("cell").orderBy(id_col)
-    tiled = (base
-             .withColumn("_rn", F.row_number().over(wcell) - 1)
-             .withColumn("_nb_tiles",
-                         F.ceil((F.count(F.lit(1)).over(
-                             Window.partitionBy("cell"))
-                             / F.lit(int(tile_size)))).cast("int"))
-             .withColumn("_t", (F.col("_rn") / F.lit(int(tile_size)))
-                         .cast("int")))
+    # into B = ⌈|cell| / tile_size⌉ deterministic hash buckets
+    # (xxhash64 of the id — routing only, never in any result) and
+    # join on (cell, tile_i, tile_j), left side exploded to tiles
+    # ≥ its own, right side to tiles ≤ its own: every unordered
+    # in-cell pair matches EXACTLY one (i ≤ j) tile pair (for i == j
+    # the id order picks the one orientation; for i < j the pair
+    # arrives once in whatever orientation the buckets induced — the
+    # consumer is symmetric: cosine is commutative and the CC loop
+    # symmetrizes its edges). The pair SET is therefore identical and
+    # the max per-key block drops from |cell|² to ~tile_size². Cells
+    # ≤ tile_size keep ONE tile: the plan degenerates to the old
+    # single-key join plus two constant int key columns.
+    #
+    # Plan discipline (measured, first cut of this guard): per-cell
+    # tile counts arrive by BROADCAST joining the 1-row-per-cell count
+    # aggregate back onto the checkpointed base — NOT by a window. A
+    # window's Exchange(cell)+Sort replaced the checkpoint's 32-way
+    # partitioning and AQE then coalesced the byte-tiny, CPU-heavy
+    # pair join onto 4 tasks (the embedding_near_dups lesson): +87%
+    # on the interleaved A/B. The broadcast form is narrow — base
+    # keeps its partitioning, the pair join keeps full-width
+    # parallelism. Replication per row is ~(B+1)/2 + 1 — the classic
+    # blocked-self-join trade: replicate a few × more (norm+vec rows)
+    # to bound the largest task, which is what matters at 100 TB
+    # where one SMJ/SHJ task would otherwise hold the whole hot
+    # cluster's quadratic.
+    counts = base.groupBy("cell").agg(F.count(F.lit(1)).alias("_cnt"))
+    tiled = (base.join(F.broadcast(counts), "cell")
+             .withColumn("_nb", F.ceil(F.col("_cnt")
+                                       / F.lit(int(tile_size))).cast("int"))
+             .withColumn("_t", F.pmod(F.xxhash64(F.col(id_col)),
+                                      F.col("_nb")).cast("int")))
     left = (tiled.select(
         F.col(id_col).alias("id_a"), "cell",
         F.col(vec_col).alias("_va"), F.col("_n").alias("_na"),
         F.col("_t").alias("_ti"),
-        F.explode(F.sequence(F.col("_t"), F.col("_nb_tiles") - 1))
+        F.explode(F.sequence(F.col("_t"), F.col("_nb") - 1))
         .alias("_tj")))
     right = (tiled.select(
         F.col(id_col).alias("id_b"), "cell",
-        F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"),
+        F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb2"),
         F.explode(F.sequence(F.lit(0), F.col("_t"))).alias("_ti"),
         F.col("_t").alias("_tj")))
     pairs = (
         left.join(right, ["cell", "_ti", "_tj"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("_ti") < F.col("_tj"))
+                | (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b",
                 pround(dot_expr(F.col("_va"), F.col("_vb"))
-                       / (F.col("_na") * F.col("_nb")), 6).alias("cosine"))
+                       / (F.col("_na") * F.col("_nb2")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b"))
     comp = connected_components(pairs)
